@@ -1,0 +1,231 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+Reference surface rebuilt Spark-first:
+- CSV scan with header+inference       (dags/create-data-lake.py:66,69)
+- HTTP JSON scan (driver-side fetch)   (dags/create-data-lake.py:91-95)
+- JDBC create-or-replace bulk sink     (dags/create-data-lake.py:38-62)
+- headerless CSV serialization         (dags/create-data-lake.py:55)
+plus the lakehouse-native Parquet scan/sink the driver test tables use.
+
+Scale notes: schema inference is offered for reference parity but
+production paths take an explicit ``StructType`` (inference at 100 TB
+costs an extra full scan). Parquet sinks accept ``partition_by`` so the
+lake is partition-pruned on read. The JDBC sink bounds write parallelism
+via ``num_partitions`` so a 1000-executor cluster cannot accidentally
+open 1000 connections against one database — the reference's single
+COPY socket (dags/create-data-lake.py:59-61) is the opposite failure
+mode (no parallelism at all).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# ---------------------------------------------------------------------------
+# Scans
+# ---------------------------------------------------------------------------
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters/column pruning into it."""
+    return spark.read.parquet(path)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan. With ``schema=None`` mirrors the reference's
+    ``pd.read_csv`` inference (dags/create-data-lake.py:69); pass an
+    explicit schema in production to avoid the inference pre-scan.
+    """
+    reader = spark.read.option("header", header)
+    if schema is None:
+        reader = reader.option("inferSchema", True)
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def scan_json(
+    spark: SparkSession, path: str, schema: StructType | None = None, multiline: bool = True
+) -> DataFrame:
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def scan_http_json(
+    spark: SparkSession,
+    url: str,
+    schema: StructType | None = None,
+    fetch: Any = None,
+) -> DataFrame:
+    """GET a REST endpoint and parallelize the parsed JSON array
+    (reference: requests.get + json.loads + json_normalize,
+    dags/create-data-lake.py:91-97).
+
+    Driver-side by design: the reference's payload is a ~5,570-row
+    dimension table; a distributed HTTP source buys nothing. ``fetch`` is
+    injectable for tests (no network in CI); defaults to urllib.
+    """
+    if fetch is None:
+
+        def fetch(u: str) -> str:
+            from urllib.request import urlopen
+
+            with urlopen(u, timeout=60) as resp:  # noqa: S310
+                return resp.read().decode("utf-8")
+
+    body = fetch(url)
+    records = json.loads(body)
+    if not isinstance(records, list):
+        records = [records]
+    text_df = spark.createDataFrame([(json.dumps(r),) for r in records], ["json"])
+    if schema is None:
+        return spark.read.json(text_df.rdd.map(lambda r: r.json))
+    import pyspark.sql.functions as F
+
+    return text_df.select(F.from_json("json", schema).alias("rec")).select("rec.*")
+
+
+def scan_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Read back a lake table over JDBC (the reference's implied
+    "consultas" path, dags/create-data-lake.py:23-24). Optional
+    partitioned read so a large table scan fans out across executors.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+def sink_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Lakehouse-native persistence. ``partition_by`` (e.g. state/date for
+    the covid lake) enables static+dynamic partition pruning downstream.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def sink_jdbc_replace(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int = 8,
+) -> None:
+    """Create-or-replace a relational table and bulk-load it — the Spark
+    equivalent of the reference's ``df[:0].to_sql(if_exists='replace')`` +
+    ``cursor.copy_from`` fast path (dags/create-data-lake.py:50,54-61).
+
+    Spark's JDBC writer issues batched parameterized INSERTs, which also
+    fixes the reference's unquoted-comma COPY corruption bug
+    (dags/create-data-lake.py:60; SURVEY.md §2.12). ``num_partitions``
+    caps connection fan-out.
+    """
+    writer = (
+        df.coalesce(num_partitions)
+        .write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("truncate", "false")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def sink_csv(df: DataFrame, path: str, header: bool = False, mode: str = "overwrite") -> None:
+    """Headerless CSV serialization (reference: to_csv(header=False),
+    dags/create-data-lake.py:55). Spark quotes fields containing the
+    separator — the reference's COPY path did not (SURVEY.md §2.12).
+    """
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+# ---------------------------------------------------------------------------
+# Test-table loader
+# ---------------------------------------------------------------------------
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table (TESTDATA.md).
+
+    events.parquet carries TIMESTAMP(NANOS) — a parquet logical type Spark
+    does not support natively (PARQUET_TYPE_ILLEGAL). Read it as raw
+    nanosecond longs (legacy conf, runtime-settable) and convert with
+    exact integer division: ``timestamp_micros(ts div 1000)`` truncates
+    exactly like DuckDB's ns->us read of the same file.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    # Timestamp semantics are defined in UTC (parquet values are naive
+    # instants; the DuckDB oracle reads them naively) — pin the session
+    # timezone so results don't depend on the caller's session config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        import pyspark.sql.functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for the spark.sql surface."""
+    for name in TPCH_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

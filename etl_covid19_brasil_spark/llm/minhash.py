@@ -1,0 +1,108 @@
+"""MinHash + LSH banding near-duplicate detection (SURVEY.md §2.10).
+
+The scale path for near-dup at 100 TB, replacing the quadratic pairwise
+Jaccard join:
+
+1. signatures: one explode over tokens, then ``num_perms`` min-aggregates
+   of per-seed xxhash64 values — map-side heavy, ONE shuffle keyed on the
+   doc id, output is |docs| x (num_perms x 8B).
+2. banding: split the signature into ``bands`` groups of ``rows_per_band``
+   values; hash each group to a bucket id. Documents sharing any
+   (band, bucket) become candidates — an equi-join on the bucket key, so
+   Catalyst uses a hash join; no cross product ever materializes.
+3. verification: candidates (a tiny fraction of all pairs) are joined back
+   to their token sets and kept iff exact Jaccard >= threshold.
+
+With 32 permutations as 8 bands x 4 rows, the S-curve gives
+P(candidate) = 1-(1-s^4)^8: ~0.97 at s=0.8, ~0.03 at s=0.3.
+
+Built entirely from DataFrame ops + xxhash64 (JVM codegen); no Python
+UDFs. Probabilistic by construction -> registered rows-only in the
+correctness gate; exactness is covered by near_dedup_jaccard.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, tokens_col: str, num_perms: int = 32
+) -> DataFrame:
+    """(id, tokens[]) -> (id, minhash_0..minhash_{n-1}).
+
+    Each permutation is simulated by salting the token with the seed index
+    before xxhash64 — the standard "k independent hash functions" trick.
+    """
+    tok = docs.select(id_col, F.explode(tokens_col).alias("__tok"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("__tok"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        for i in range(num_perms)
+    ]
+    return tok.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signatures and emit candidate (id_a, id_b) pairs that share
+    at least one (band, bucket). Distinct so a pair colliding in several
+    bands appears once.
+    """
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(buckets).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float = 0.8,
+    num_perms: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full pipeline: signatures -> banded candidates -> exact-Jaccard
+    verification. Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = num_perms // bands
+    sigs = minhash_signatures(docs, id_col, tokens_col, num_perms)
+    cand = lsh_candidates(sigs, id_col, bands, rows_per_band)
+
+    toks = docs.select(F.col(id_col), F.array_distinct(F.col(tokens_col)).alias("__toks"))
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("toks_a"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("toks_b"))
+    joined = cand.join(ta, "id_a").join(tb, "id_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        joined.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), jac.alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,93 @@
+"""SimHash near-duplicate detection (SURVEY.md §2.10).
+
+64-bit SimHash: each token votes +1/-1 on each signature bit according to
+its own 64-bit hash; the signature is the sign vector. Similar documents
+land at small Hamming distance.
+
+Pipeline (all built-in expressions, one shuffle on the doc id, one on the
+band bucket):
+1. explode tokens, xxhash64 each token once;
+2. per bit i, sum(+-1) via ``CASE WHEN (hash >> i) & 1 = 1``, giving 64
+   per-doc counters in a single grouped aggregate;
+3. pack sign bits into one BIGINT signature;
+4. candidate pairs: split the signature into 4 16-bit bands — two docs
+   within Hamming distance <= 3 of each other must agree on at least one
+   whole band (pigeonhole); equi-join on (band, band_value);
+5. exact Hamming check via bit_count(xor) <= max_hamming.
+
+For ``max_hamming`` > 3 the 4-band pigeonhole bound is no longer exact, so
+recall is approximate (like any production SimHash deployment) — hence
+rows-only in the correctness gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def simhash_signatures(docs: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    """(id, tokens[]) -> (id, simhash BIGINT)."""
+    tok = docs.select(id_col, F.explode(tokens_col).alias("__tok")).withColumn(
+        "__h", F.xxhash64("__tok")
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(64)
+    ]
+    votes = tok.groupBy(id_col).agg(*bit_votes)
+    # pack: bit i set iff vote > 0. Build the signature by summing shifted
+    # bits; bit 63 contributes the sign bit, which BIGINT arithmetic
+    # handles via overflow-free shiftleft of 1L.
+    sig = None
+    for i in range(64):
+        piece = F.when(F.col(f"bit_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = piece if sig is None else sig + piece
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, id_col: str, tokens_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs via 16-bit band equi-join, verified by exact
+    Hamming distance. Output: (doc_a, doc_b, hamming).
+    """
+    sigs = simhash_signatures(docs, id_col, tokens_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,330 @@
+"""Scalar function surface (SURVEY.md §2.8).
+
+One query per function family, each over a dim-scale table so the check
+stays cheap. All expressions are JVM-side built-ins (whole-stage codegen;
+no UDFs). Transcendentals are rounded to 6 decimals — both engines agree
+to ~1 ulp, and 6 decimals puts the rounding boundary ~9 orders of
+magnitude away from that error.
+
+REF anchors: timestamp generation (dags/create-data-lake.py:70,100),
+blank-string numeric coercion (:74-79), JSON field access (:95-97 —
+rebuilt engine-side as from_json/get_json_object over events.props).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_covid19_brasil_spark.registry import T, query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           trim(concat('  ', p_type, ' ')) AS type_trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           substring(p_name, 1, 8) AS name_prefix,
+           concat_ws('/', p_brand, p_type) AS brand_type,
+           length(p_name) AS name_len,
+           levenshtein(p_brand, 'Brand#11') AS brand_dist,
+           reverse(p_brand) AS brand_rev,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    """,
+    section="2.8",
+    doc="String batch: upper/lower/trim/lpad/substring/concat_ws/length/"
+    "levenshtein/reverse/replace.",
+)
+def fn_string(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("long").alias("brand_dist"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           (p_name LIKE '%al%') AS has_al,
+           regexp_matches(p_name, '^[a-z]') AS starts_lower
+    FROM part
+    """,
+    section="2.8",
+    doc="Regex batch. DuckDB regexp_replace needs the 'g' flag for "
+    "replace-all (Spark's default); regexp_matches == rlike.",
+)
+def fn_regex(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").like("%al%").alias("has_al"),
+        F.col("p_name").rlike("^[a-z]").alias("starts_lower"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           dayofmonth(o_orderdate) AS order_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           o_orderdate + INTERVAL 90 DAY AS plus_90d
+    FROM orders
+    """,
+    section="2.8",
+    doc="Date/time batch: year/month/day extraction, truncation, datediff, "
+    "date arithmetic, epoch seconds (UTC session timezone matches the "
+    "oracle's naive timestamps).",
+)
+def fn_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month"),
+        F.dayofmonth(d).cast("long").alias("order_day"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), d).cast("long").alias("days_to_2002"),
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        (d + F.expr("INTERVAL 90 DAY")).alias("plus_90d"),
+    )
+
+
+@query(
+    "fn_datetime_week",
+    oracle="""
+    SELECT event_id,
+           CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+           CAST(dayofweek(ts) AS BIGINT) + 1 AS dow_sun1,
+           CAST(hour(ts) AS BIGINT) AS event_hour,
+           CAST(minute(ts) AS BIGINT) AS event_minute,
+           date_trunc('day', ts) AS event_date
+    FROM events
+    """,
+    section="2.8",
+    doc="ISO week (== reference epidemiological_week shape, FIXTURES.md A1) "
+    "and day-of-week: Spark dayofweek is 1=Sunday, DuckDB is 0=Sunday — "
+    "oracle shifts by +1.",
+)
+def fn_datetime_week(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        F.dayofweek("ts").cast("long").alias("dow_sun1"),
+        F.hour("ts").cast("long").alias("event_hour"),
+        F.minute("ts").cast("long").alias("event_minute"),
+        F.date_trunc("day", F.col("ts")).alias("event_date"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 1) AS bal_r1,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           abs(c_acctbal - 5000) AS bal_centered,
+           round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+           round(ln(abs(c_acctbal) + 1), 6) AS bal_ln,
+           round(exp(c_acctbal / 10000), 6) AS bal_exp,
+           sign(c_acctbal - 5000) AS bal_sign,
+           greatest(c_acctbal, 5000.0) AS bal_hi,
+           least(c_acctbal, 5000.0) AS bal_lo,
+           c_acctbal * c_acctbal AS bal_sq
+    FROM customer
+    """,
+    section="2.8",
+    doc="Math batch. sqrt is IEEE-exact; ln/exp agree to ~1 ulp and are "
+    "rounded to 6 decimals; x*x is one exact IEEE multiply (pow(x,2) "
+    "equivalent without libm variance).",
+)
+def fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    b = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(b, 1).alias("bal_r1"),
+        F.floor(b).alias("bal_floor"),
+        F.ceil(b).alias("bal_ceil"),
+        F.abs(b - 5000).alias("bal_centered"),
+        F.round(F.sqrt(F.abs(b)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(b) + 1), 6).alias("bal_ln"),
+        F.round(F.exp(b / 10000), 6).alias("bal_exp"),
+        F.signum(b - 5000).alias("bal_sign"),
+        F.greatest(b, F.lit(5000.0)).alias("bal_hi"),
+        F.least(b, F.lit(5000.0)).alias("bal_lo"),
+        (b * b).alias("bal_sq"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+           (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open,
+           IFNULL(NULLIF(o_orderpriority, '5-LOW'), 'floor') AS priority_or_floor
+    FROM orders
+    """,
+    section="2.8",
+    doc="Conditional/null batch: when/otherwise, coalesce, nullif, nvl "
+    "(ifnull), isnull — the null algebra behind the reference's sentinel "
+    "cleaning (dags/create-data-lake.py:74-79).",
+)
+def fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p > 300000, "big").when(p > 100000, "medium").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias("status_resolved"),
+        F.isnull(F.nullif("o_orderstatus", F.lit("O"))).alias("is_open"),
+        F.nvl(F.nullif("o_orderpriority", F.lit("5-LOW")), F.lit("floor")).alias("priority_or_floor"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           array_to_string(list_sort(list_distinct(tokens)), ' ') AS vocab,
+           len(list_distinct(tokens)) AS n_distinct,
+           list_contains(tokens, 'spark') AS has_spark,
+           array_to_string(list_slice(tokens, 1, 5), ' ') AS first5,
+           tokens[1] AS first_token
+    FROM toks
+    """,
+    section="2.8",
+    doc="Array batch over tokenized documents: split/size/array_distinct/"
+    "array_sort/array_contains/slice/element_at (1-based in both engines).",
+)
+def fn_array(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("vocab"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+@query(
+    "fn_array_higher_order",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(list_slice(tokens, 1, 8), x -> upper(x)), ',') AS first8_upper,
+           len(list_filter(tokens, x -> length(x) > 4)) AS n_long_tokens,
+           CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT) AS total_chars
+    FROM toks
+    """,
+    section="2.8",
+    doc="Higher-order array functions: transform (map), filter, aggregate "
+    "(fold) — all on integer/string lambdas so results are exact.",
+)
+def fn_array_higher_order(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform(F.slice(toks, 1, 8), lambda x: F.upper(x)), ",").alias(
+            "first8_upper"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           array_to_string(map_keys(MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)}), ',') AS meta_keys,
+           array_to_string(map_values(MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)}), ',') AS meta_values,
+           (MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)}['type'])[1] AS type_via_map
+    FROM events
+    """,
+    section="2.8",
+    doc="Map batch: create_map / map_keys / map_values / element access, "
+    "surfaced as joined strings for engine-neutral hashing.",
+)
+def fn_map(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("meta_keys"),
+        F.array_join(F.map_values(m), ",").alias("meta_values"),
+        F.element_at(m, "type").alias("type_via_map"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    """,
+    section="2.8",
+    doc="JSON batch over events.props — the engine-internal rebuild of the "
+    "reference's json.loads + json_normalize path "
+    "(dags/create-data-lake.py:95-97): get_json_object string access and "
+    "from_json typed struct access.",
+)
+def fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_num"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+    )

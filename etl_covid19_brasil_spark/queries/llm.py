@@ -1,0 +1,487 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.10): text analysis, exact and
+near deduplication, embedding similarity search, kNN.
+
+Design for 100 TB:
+- tokenization/stats/fingerprints are pure per-row built-ins (codegen'd,
+  no shuffle);
+- exact dedup is a hash-groupBy (one shuffle on the content hash);
+- near-dup has two tiers: exact pairwise Jaccard (quadratic — the
+  correctness oracle) and MinHash-LSH banding (the scale path: candidates
+  via equi-join on band buckets, one shuffle, no cross join) — see
+  llm/minhash.py;
+- cosine top-k has two tiers as well: brute-force crossJoin (oracle-
+  checkable; both engines fold the identical double ops, so similarities
+  are bit-identical) and LSH-bucketed ANN (llm/ann.py, rows-only).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from etl_covid19_brasil_spark.registry import T, query
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+def _tokens() -> F.Column:
+    """Whitespace tokenization of pre-normalized text (documents.text is
+    already lowercase word-soup; the regex strips any stray punctuation)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")), " +")
+
+
+_O_TOKENS = "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+
+
+@query(
+    "text_tokenize_freq",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents)
+    GROUP BY token
+    """,
+    section="2.10",
+    doc="Corpus token frequency: normalize -> tokenize -> explode -> count. "
+    "The explode is map-side; the single shuffle carries (token, partial "
+    "count) pairs only.",
+)
+def text_tokenize_freq(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           SUM(len({_O_TOKENS})) AS total_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    section="2.10",
+    doc="Per-language corpus statistics (doc counts, char/token totals).",
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.size(_tokens()).cast("long")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_O_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(len(list_filter(toks, x -> list_contains({_SW_SQL.replace("(", "[").replace(")", "]")}, x))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / len(toks) AS avg_token_len,
+           (len(toks) >= 50 AND len(toks) <= 1000) AS len_ok
+    FROM t
+    """,
+    section="2.10",
+    doc="Quality scoring signals: token count, stopword ratio, mean token "
+    "length, length gate — the standard pretraining-corpus filters, all "
+    "as built-in expressions.",
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (sw.cast("double") / n_tok).alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        ((n_tok >= 50) & (n_tok <= 1000)).alias("len_ok"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_O_TOKENS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['the','a','is','of'], x))) AS en_hits,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS de_hits,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les'], x))) AS fr_hits
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN de_hits > en_hits AND de_hits > fr_hits THEN 'de'
+                WHEN fr_hits > en_hits AND fr_hits >= de_hits THEN 'fr'
+                WHEN en_hits > 0 THEN 'en'
+                ELSE 'unknown' END AS lang_guess
+    FROM s
+    """,
+    section="2.10",
+    doc="Stopword-profile language ID heuristic (per-row, zero shuffle). "
+    "The guess column is the operator's deterministic output; agreement "
+    "with the synthetic lang label is not the contract.",
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = _tokens()
+
+    def hits(words: list[str]) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    en, de, fr = hits(["the", "a", "is", "of"]), hits(["der", "die", "das", "und"]), hits(["le", "la", "et", "les"])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when((de > en) & (de > fr), "de")
+        .when((fr > en) & (fr >= de), "fr")
+        .when(en > 0, "en")
+        .otherwise("unknown")
+        .alias("lang_guess"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS fingerprint,
+           substring(md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))), 1, 8) AS bucket
+    FROM documents
+    """,
+    section="2.10",
+    doc="Content fingerprint: md5 over normalized text (the canonical-form "
+    "hash exact dedup groups on).",
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("bucket"),
+    )
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM doubled
+    GROUP BY md5(text)
+    """,
+    section="2.10",
+    doc="Exact deduplication as hash-groupBy keep-first (duplicates "
+    "synthesized by re-unioning a third of the corpus — the test corpus "
+    "itself is duplicate-free). One shuffle on the 128-bit content hash; "
+    "at 100 TB the hash (16 B) shuffles instead of the document bodies.",
+)
+def exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return doubled.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "token_count_bpeish",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+    section="2.10",
+    doc="Token counting: whitespace tokens vs a BPE-ish regex (letter runs, "
+    "digit runs, single punctuation) — the pretokenizer shape GPT-style "
+    "BPE vocabularies assume.",
+)
+def token_count_bpeish(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "ngram_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_O_TOKENS} AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, COUNT(*) AS n FROM grams GROUP BY bigram HAVING COUNT(*) >= 5
+    """,
+    section="2.10",
+    doc="Corpus bigram profile via index-lambda shingling + explode; the "
+    "HAVING keeps the hot tail out of the hash check.",
+)
+def ngram_profile(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@query(
+    "near_dedup_jaccard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_sort(list_distinct({_O_TOKENS})) AS toks FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    """,
+    section="2.10",
+    doc="Exact token-set Jaccard near-dup pairs (threshold 0.8). Quadratic "
+    "— this is the small-scale oracle tier; the 100 TB path is "
+    "near_dedup_minhash (LSH banding, no cross join). Jaccard is a ratio "
+    "of identical integers -> bit-identical.",
+)
+def near_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "near_dedup_minhash",
+    oracle=None,  # LSH banding is probabilistic-by-construction -> rows-only
+    section="2.10",
+    doc="MinHash-LSH near-dup candidates, verified by exact Jaccard — the "
+    "scale path: signatures via xxhash64 permutations (map-side), "
+    "candidates via equi-join on (band, band_hash) buckets, one shuffle, "
+    "no cross join. See llm/minhash.py.",
+)
+def near_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.minhash import minhash_near_dup_pairs
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    )
+    return minhash_near_dup_pairs(d, id_col="doc_id", tokens_col="toks", threshold=0.8)
+
+
+@query(
+    "near_dedup_simhash",
+    oracle=None,  # engine-specific 64-bit hash mixing -> rows-only
+    section="2.10",
+    doc="SimHash 64-bit signatures + hamming-distance candidate pairs over "
+    "rotated band buckets. See llm/simhash.py.",
+)
+def near_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.simhash import simhash_near_dup_pairs
+
+    d = T(spark, sf, "documents").select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+    return simhash_near_dup_pairs(d, id_col="doc_id", tokens_col="toks", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+# Cosine folded in strict array order with double ops from the start:
+# both engines execute the identical IEEE sequence -> bit-identical sims.
+_O_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _o_cosine(a: str, b: str) -> str:
+    dot = _O_DOT.format(a=a, b=b)
+    na = _O_DOT.format(a=a, b=a)
+    nb = _O_DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _cosine(a: F.Column, b: F.Column) -> F.Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           sqrt({_O_DOT.format(a='embedding', b='embedding')}) AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    section="2.10",
+    doc="Per-vector L2 norm via higher-order fold (zip_with + aggregate); "
+    "pure map-side math.",
+)
+def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.sqrt(_dot(emb, emb)).alias("l2_norm"),
+        F.size(emb).cast("long").alias("dim"),
+    )
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_o_cosine('a.embedding', 'b.embedding')} AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    section="2.10",
+    doc="Brute-force cosine top-5 neighbors per vector: crossJoin + "
+    "deterministic fold + row_number. The quadratic baseline the ANN "
+    "tier (ann_lsh_topk) approximates.",
+)
+def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+@query(
+    "knn_classify",
+    oracle=f"""
+    WITH sims AS (
+      SELECT a.vec_id AS query_id, b.label AS neighbor_label,
+             {_o_cosine('a.embedding', 'b.embedding')} AS cosine, b.vec_id AS neighbor_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    top5 AS (
+      SELECT query_id, neighbor_label FROM (
+        SELECT query_id, neighbor_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM sims
+      ) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT query_id, neighbor_label, COUNT(*) AS n_votes FROM top5
+      GROUP BY query_id, neighbor_label
+    )
+    SELECT query_id, neighbor_label AS predicted_label FROM (
+      SELECT query_id, neighbor_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, neighbor_label ASC) AS vote_rank
+      FROM votes
+    ) WHERE vote_rank = 1
+    """,
+    section="2.10",
+    doc="5-NN majority-vote classification over cosine neighbors "
+    "(deterministic tie-breaks: neighbor id, then smallest label).",
+)
+def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.label").alias("neighbor_label"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    top5 = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    votes = top5.groupBy("query_id", "neighbor_label").agg(F.count(F.lit(1)).alias("n_votes"))
+    vw = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("neighbor_label").asc())
+    return (
+        votes.withColumn("vote_rank", F.row_number().over(vw))
+        .filter(F.col("vote_rank") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted_label"))
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction -> rows-only
+    section="2.10",
+    doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
+    "signatures, candidates restricted to same-bucket vectors — the "
+    "linear-shuffle scale path for similarity_topk. See llm/ann.py.",
+)
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import lsh_topk
+
+    return lsh_topk(T(spark, sf, "embeddings"), k=5, n_planes=8, n_tables=4)

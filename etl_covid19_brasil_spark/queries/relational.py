@@ -1,0 +1,797 @@
+"""Relational core: scans, filters, aggregations, joins, sorts, set ops.
+
+SURVEY.md §2.1-2.4, 2.6, 2.7. Every query is REF-traceable or an EXT row
+of the inventory; each carries its DuckDB oracle SQL. Money aggregates use
+the exact integer-cents policy (registry module docstring).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from etl_covid19_brasil_spark.operators import asof_join, range_join, top_k, top_k_per_group
+from etl_covid19_brasil_spark.registry import (
+    T,
+    cents,
+    mavg,
+    msum,
+    o_cents,
+    o_mavg,
+    o_msum,
+    query,
+)
+
+# ---------------------------------------------------------------------------
+# §2.1 / §2.2 — scans, projections, filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_quantity AS qty, l_returnflag AS flag
+    FROM lineitem
+    """,
+    section="2.2",
+    doc="Column pruning + rename: only 4 of 11 lineitem columns reach the scan "
+    "(ReadSchema in .explain; reference always reads all columns, SURVEY.md §4).",
+)
+def scan_project(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@query(
+    "filter_predicate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F','P')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND NOT (o_custkey < 10)
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    section="2.2",
+    doc="Compound θ-predicates: IN, BETWEEN, LIKE, NOT, >=; all pushed toward "
+    "the parquet scan by Catalyst (PushedFilters).",
+)
+def filter_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & ~(F.col("o_custkey") < 10)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status FROM lineitem",
+    section="2.2",
+    doc="Duplicate elimination; partial hash-aggregate per partition, then one "
+    "shuffle on the distinct key — no row-level shuffle of the full table.",
+)
+def distinct_rows(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"))
+        .distinct()
+    )
+
+
+@query(
+    "schema_only_slice",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders WHERE FALSE",
+    section="2.2",
+    doc="df.limit(0): keep schema, zero rows — the reference's df[:0] DDL trick "
+    "(dags/create-data-lake.py:50).",
+)
+def schema_only_slice(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "orders").select("o_orderkey", "o_totalprice").limit(0)
+
+
+@query(
+    "drop_null_rows",
+    oracle="""
+    SELECT o_orderkey, CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status
+    FROM orders
+    WHERE (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END) IS NOT NULL
+    """,
+    section="2.2",
+    doc="na.drop on a synthesized nullable column (test tables have no nulls): "
+    "the reference's dropna(subset=...) contract (dags/create-data-lake.py:73).",
+)
+def drop_null_rows_q(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.etl import drop_null_rows
+
+    o = T(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_orderstatus")).alias("status"),
+    )
+    return drop_null_rows(o, ["status"])
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_groupby_pricing",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_msum('l_quantity', 'sum_qty')},
+           {o_msum('l_extendedprice', 'sum_base_price')},
+           {o_msum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {o_mavg('l_quantity', 'avg_qty')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    section="2.4",
+    doc="TPC-H Q1-shaped pricing summary: filter + groupBy + sum/avg/count. "
+    "Partial (map-side) aggregation shrinks the shuffle to |groups| rows "
+    "per partition.",
+)
+def agg_groupby_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        msum("l_quantity", "sum_qty"),
+        msum("l_extendedprice", "sum_base_price"),
+        msum(disc_price, "sum_disc_price"),
+        mavg("l_quantity", "avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {o_msum('o_totalprice', 'total_revenue')},
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    """,
+    section="2.4",
+    doc="Keyless global aggregate: single-row result via partial+final agg.",
+)
+def agg_global(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum("o_totalprice", "total_revenue"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(DISTINCT o_orderpriority) AS distinct_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+    section="2.4",
+    doc="Exact distinct counts per group (expand + two-phase aggregate).",
+)
+def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "orders").groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.countDistinct("o_orderpriority").alias("distinct_priorities"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL estimates differ across engines by design -> rows-only
+    section="2.4",
+    doc="HyperLogLog++ distinct estimate — the 100 TB path where exact "
+    "count-distinct's expand+shuffle is too expensive. rows-only check.",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_sum_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(DISTINCT {o_cents('l_quantity')}) AS DOUBLE) / 100.0 AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    section="2.4",
+    doc="SUM(DISTINCT x) over exact cents.",
+)
+def agg_sum_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        (F.sum_distinct(cents("l_quantity")).cast("double") / F.lit(100.0)).alias("sum_distinct_qty")
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_qty,
+           (CAST(SUM(q*q) AS DOUBLE) - CAST(SUM(q) AS DOUBLE) * SUM(q) / COUNT(*)) / (COUNT(*) - 1) AS var_qty,
+           SQRT((CAST(SUM(q*q) AS DOUBLE) - CAST(SUM(q) AS DOUBLE) * SUM(q) / COUNT(*)) / (COUNT(*) - 1)) AS stddev_qty
+    FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    section="2.4",
+    doc="Sample variance/stddev from exact integer moment sums — "
+    "deterministic twin of F.variance/F.stddev (which accumulate in "
+    "non-reproducible float order). Library callers use the builtins; "
+    "this query is the hash-gate formulation.",
+)
+def agg_stats_moments(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    sum_q = F.sum("q").cast("double")
+    sum_q2 = F.sum(F.col("q") * F.col("q")).cast("double")
+    n = F.count(F.lit(1))
+    var = (sum_q2 - sum_q * F.sum("q") / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        (sum_q / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.95) AS p95_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    section="2.4",
+    doc="Exact interpolated percentiles (SQL percentile == DuckDB "
+    "quantile_cont). F.percentile_approx is the sketch-based 100 TB path, "
+    "checked rows-only elsewhere.",
+)
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "lineitem").groupBy("l_linestatus").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), '|') AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    section="2.4",
+    doc="collect_list/collect_set; emitted as a sorted joined string so the "
+    "check is order-insensitive.",
+)
+def agg_collect(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "nation").groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations")
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) AS n_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    section="2.4",
+    doc="FILTER-clause conditional aggregation (count over when()).",
+)
+def agg_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "orders").groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    section="2.4",
+    doc="Hierarchical subtotals: (region, nation), (region), () levels.",
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    section="2.4",
+    doc="All 2^k grouping-set combinations.",
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    section="2.4",
+    doc="Explicit grouping sets via the SQL surface (spark.sql lowers to the "
+    "same Expand operator as rollup/cube).",
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS machinery
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    section="2.4",
+    doc="Pivot to wide form with explicit value list (explicit values avoid "
+    "the extra distinct-scan Spark needs to discover pivot columns).",
+)
+def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    piv = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING", "MACHINERY"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "n_name",
+        F.coalesce("AUTOMOBILE", F.lit(0)).alias("automobile"),
+        F.coalesce("BUILDING", F.lit(0)).alias("building"),
+        F.coalesce("MACHINERY", F.lit(0)).alias("machinery"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_revenue",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_lineitems,
+           {o_msum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+    section="2.3",
+    doc="Flagship star join: fact ⋈ orders ⋈ customer ⋈ nation with filter + "
+    "group + exact money sum. nation broadcasts; orders⋈lineitem shuffles "
+    "on the orderkey.",
+)
+def join_inner_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"), msum(revenue, "revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    section="2.3",
+    doc="Left outer join preserving order-less customers (count = 0).",
+)
+def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    section="2.3",
+    doc="Right outer join: every nation appears even with zero suppliers.",
+)
+def join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+    section="2.3",
+    doc="Full outer join reconciling two aggregates with partially "
+    "overlapping key sets.",
+)
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    cn = T(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = T(spark, sf, "supplier").groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return cn.join(sn, cn.k == sn.k, "full").select(
+        F.coalesce(cn.k, sn.k).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    section="2.3",
+    doc="Left semi join: existence filter, right side never duplicated into "
+    "the output (shuffle carries only the distinct keys).",
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    big = T(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    section="2.3",
+    doc="Left anti join: customers with no orders at all.",
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT r_name, {o_msum('s_acctbal', 'total_acctbal')}, COUNT(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    section="2.3",
+    doc="Explicit broadcast() of both dims: plans BroadcastHashJoin with zero "
+    "shuffle of the fact side — the default choice for every dim < "
+    "autoBroadcastJoinThreshold at 100 TB.",
+)
+def join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(msum("s_acctbal", "total_acctbal"), F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+_PRICE_BANDS = [
+    ("low", 0.0, 100_000.0),
+    ("mid", 100_000.0, 300_000.0),
+    ("high", 300_000.0, 1_000_000_000.0),
+]
+_BANDS_SQL = "(VALUES " + ", ".join(
+    f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS
+) + ") AS bands(band, lo, hi)"
+
+
+@query(
+    "join_theta_bands",
+    oracle=f"""
+    SELECT band, COUNT(*) AS n_orders, {o_msum('o_totalprice', 'band_revenue')}
+    FROM orders JOIN {_BANDS_SQL}
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    section="2.3",
+    doc="θ-join (non-equi) of orders against a tiny in-memory band table; "
+    "BroadcastNestedLoopJoin with the 3-row side broadcast.",
+)
+def join_theta_bands(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, ["band", "lo", "hi"])
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice", "band_revenue"))
+    )
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+    SELECT band, COUNT(*) AS n_orders
+    FROM orders JOIN {_BANDS_SQL}
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    section="2.3",
+    doc="Same interval-containment semantics as join_theta_bands but executed "
+    "by the range_join operator: bucketed equi-join + residual predicate "
+    "(operators/joins.py), which scales where the nested-loop θ-join "
+    "cannot (both sides large).",
+)
+def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, ["band", "lo", "hi"])
+    joined = range_join(o, bands, "o_totalprice", "lo", "hi", bucket_width=50_000.0)
+    return joined.groupBy("band").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT MAX(o.o_orderdate) FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_o_orderdate
+    FROM events e
+    """,
+    section="2.3",
+    doc="As-of join: latest order date per user at event time, via the "
+    "union+window merge operator (operators/joins.py:asof_join) — one "
+    "shuffle, no join explosion. Oracle is the correlated-subquery "
+    "formulation (DuckDB ASOF JOIN drops unmatched rows; this keeps them).",
+)
+def join_asof_q(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = T(spark, sf, "orders").select("o_custkey", "o_orderdate").withColumnRenamed(
+        "o_custkey", "user_id"
+    )
+    out = asof_join(
+        e, o, on="user_id", left_ts="ts", right_ts="o_orderdate", value_cols=["o_orderdate"]
+    )
+    return out.select("event_id", "user_id", "asof_o_orderdate")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    section="2.3",
+    doc="Cartesian product of the two smallest dims (basis for the "
+    "similarity-search cross joins in §2.10).",
+)
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "region").select("r_name").crossJoin(
+        T(spark, sf, "nation").select("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_k_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    section="2.6",
+    doc="Global top-k; Catalyst plans TakeOrderedAndProject (per-partition "
+    "k-heap, no full sort). Tie-broken on the key for determinism.",
+)
+def top_k_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return top_k(
+        T(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@query(
+    "top_k_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    section="2.6",
+    doc="k richest customers per market segment via partitioned row_number.",
+)
+def top_k_per_group_q(spark: SparkSession, sf: str) -> DataFrame:
+    out = top_k_per_group(
+        T(spark, sf, "customer").select("c_mktsegment", "c_custkey", "c_acctbal"),
+        group=["c_mktsegment"],
+        order=[F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        k=3,
+    )
+    return out.select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           ROW_NUMBER() OVER (ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC) AS pos
+    FROM supplier
+    """,
+    section="2.6",
+    doc="Multi-key sort made hash-visible by materializing the global rank "
+    "(the value-hash itself is order-insensitive).",
+)
+def sort_multi_key(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.orderBy(F.col("s_nationkey").asc(), F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return T(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal", F.row_number().over(w).alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    )
+    """,
+    section="2.7",
+    doc="Bag union (no dedup, no shuffle).",
+)
+def set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    UNION
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    section="2.7",
+    doc="Set union with dedup.",
+)
+def set_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    section="2.7",
+    doc="Nation keys present in both customer and supplier.",
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    section="2.7",
+    doc="Nation keys with customers but no suppliers.",
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s)

@@ -1,0 +1,112 @@
+"""Streaming-tier queries (SURVEY.md §2.9), checked via their batch
+equivalents.
+
+Structured Streaming's windowed aggregations produce the SAME results as
+the batch window functions over the replayed data (that is the point of
+the unified model), so the correctness gate runs the batch formulation;
+the true ``readStream`` micro-batch execution of the same plans — with
+watermarks, file replay, and a foreachBatch JDBC-parity sink — lives in
+streaming/jobs.py and is exercised by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_covid19_brasil_spark.registry import T, query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    section="2.9",
+    doc="Tumbling 5-minute windowed counts per event type — "
+    "groupBy(window('ts','5 minutes')) in both batch and streaming "
+    "(streaming/jobs.py:tumbling_counts runs it with readStream + "
+    "watermark).",
+)
+def stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS window_start,
+             event_type
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM assigned GROUP BY 1, 2
+    """,
+    section="2.9",
+    doc="Sliding window (10 min length, 5 min slide): every event lands in "
+    "two overlapping windows; the oracle reproduces the assignment with "
+    "two offset time_buckets.",
+)
+def stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    section="2.9",
+    doc="Session windows (30-minute gap) per user — session_window() in "
+    "Spark; the oracle is the classic gaps-and-islands formulation.",
+)
+def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    section="2.9",
+    doc="Stateful key dedup — dropDuplicates on the key set; the streaming "
+    "twin (dropDuplicatesWithinWatermark) runs in streaming/jobs.py.",
+)
+def stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "events").select("user_id", "event_type").distinct()

@@ -1,0 +1,193 @@
+"""Window functions (SURVEY.md §2.5).
+
+The reference's covid table is a per-municipality daily series whose
+precomputed columns (``order_for_place`` = row_number per place,
+``new_confirmed`` = lag-diff per place) are exactly these windows; here
+they run over the orders/lineitem series per customer/part.
+
+Execution note: every query here costs ONE hash shuffle on the partition
+key plus a per-partition sort; unpartitioned windows (global rank) are
+single-reducer and only appear over dim-scale inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from etl_covid19_brasil_spark.registry import T, cents, query
+
+# per-customer order history, ordered by date with orderkey tie-break
+# (o_orderdate has day resolution => ties are common; the tie-break makes
+# every row-frame window deterministic).
+_W = "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+
+
+def _orders_w(spark: SparkSession, sf: str):
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return T(spark, sf, "orders"), w
+
+
+@query(
+    "win_row_number",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER ({_W}) AS order_seq
+    FROM orders
+    """,
+    section="2.5",
+    doc="row_number per customer — the reference's order_for_place column "
+    "(FIXTURES.md A1) rebuilt as a window.",
+)
+def win_row_number(spark: SparkSession, sf: str) -> DataFrame:
+    o, w = _orders_w(spark, sf)
+    return o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("order_seq"))
+
+
+@query(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK()        OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_rank,
+           DENSE_RANK()  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_dense_rank,
+           NTILE(4)      OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_quartile
+    FROM customer
+    """,
+    section="2.5",
+    doc="rank / dense_rank / ntile over one shared partitioned ordering.",
+)
+def win_rank_dense_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return T(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice, 1, 0.0)  OVER ({_W}) AS prev_price,
+           LEAD(o_totalprice, 1, 0.0) OVER ({_W}) AS next_price,
+           ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER ({_W}), 2) AS price_delta
+    FROM orders
+    """,
+    section="2.5",
+    doc="lag/lead with defaults — the reference's new_confirmed = "
+    "confirmed - lag(confirmed) rebuilt (FIXTURES.md A1). The delta of two "
+    "2-decimal doubles is rounded back to cents in both engines.",
+)
+def win_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    o, w = _orders_w(spark, sf)
+    prev = F.lag("o_totalprice", 1, 0.0).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice", 1, 0.0).over(w).alias("next_price"),
+        F.round(F.col("o_totalprice") - prev, 2).alias("price_delta"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS running_spend
+    FROM orders
+    """,
+    section="2.5",
+    doc="Cumulative sum per customer (exact cents accumulator — window sums "
+    "of doubles are order-sensitive inside the frame evaluator).",
+)
+def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    o, w = _orders_w(spark, sf)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents("o_totalprice")).over(frame).cast("double") / F.lit(100.0)).alias(
+            "running_spend"
+        ),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             / COUNT(*) OVER ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg_price
+    FROM orders
+    """,
+    section="2.5",
+    doc="3-order moving average per customer (the reference workload's 7-day "
+    "moving average shape), exact-cents numerator.",
+)
+def win_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    o, w = _orders_w(spark, sf)
+    frame = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents("o_totalprice")).over(frame).cast("double")
+            / F.lit(100.0)
+            / F.count(F.lit(1)).over(frame)
+        ).alias("moving_avg_price"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderdate) OVER ({_W}) AS first_order_date,
+           LAST_VALUE(o_orderdate)  OVER ({_W} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS last_order_date
+    FROM orders
+    """,
+    section="2.5",
+    doc="first/last value across the partition (last needs the forward "
+    "frame — the default frame ends at CURRENT ROW).",
+)
+def win_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    o, w = _orders_w(spark, sf)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.last("o_orderdate").over(fwd).alias("last_order_date"),
+    )
+
+
+@query(
+    "win_percent_cume",
+    oracle="""
+    SELECT s_suppkey,
+           PERCENT_RANK() OVER (ORDER BY s_acctbal ASC, s_suppkey ASC) AS bal_pct_rank,
+           CUME_DIST()    OVER (ORDER BY s_acctbal ASC, s_suppkey ASC) AS bal_cume_dist
+    FROM supplier
+    """,
+    section="2.5",
+    doc="percent_rank / cume_dist (global window over the dim-scale supplier "
+    "table; both are ratios of identical integers => bit-identical).",
+)
+def win_percent_cume(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return T(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )

@@ -1,0 +1,137 @@
+"""Query registry: single source of truth for the operator inventory.
+
+Every operator from SURVEY.md §2 is declared exactly once as a
+:class:`QuerySpec` — a named Spark query builder plus (where expressible)
+the equivalent ANSI SQL that DuckDB runs as the correctness oracle. The
+driver contract (``__spark_entry__.py``) and the local differential test
+harness (``tests/test_oracle.py``) both read this registry, so an operator
+"lands" the moment its spec is registered.
+
+Determinism policy for doubles
+------------------------------
+The driver hash-compares values, so floating-point aggregates must be
+*bit-identical* between Spark and DuckDB. Summation order differs between
+engines (partition-parallel vs sequential), so plain ``SUM(double)`` is
+not reproducible. House style: the test data's doubles are 2-decimal
+money values, so aggregate them as *exact integer cents* —
+
+    Spark : F.sum(F.round(col * 100).cast("long")) / 100.0
+    DuckDB: SUM(CAST(ROUND(col * 100) AS BIGINT)) / 100.0
+
+``round(x*100)`` lands on the same integer in both engines (the scaled
+value is within 1e-9 of an integer, never at a rounding boundary), int64
+addition is exact and order-insensitive, and the final division by the
+double literal 100.0 is one identical IEEE op. Helpers ``msum``/``mavg``
+(Spark) and ``o_msum``/``o_mavg`` (SQL fragments) implement this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from etl_covid19_brasil_spark.io import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # None => rows-only check (approx/streaming/LSH ops)
+    section: str  # SURVEY.md §2 subsection, e.g. "2.4 aggregations"
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str, oracle: str | None, section: str, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator registering a Spark query builder with its oracle SQL."""
+
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, section=section, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return wrap
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark for name, spec in all_specs().items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None}
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import the query modules (they self-register via @query)."""
+    global _loaded
+    if _loaded:
+        return
+    import etl_covid19_brasil_spark.queries.relational  # noqa: F401
+    import etl_covid19_brasil_spark.queries.windows  # noqa: F401
+    import etl_covid19_brasil_spark.queries.functions  # noqa: F401
+    import etl_covid19_brasil_spark.queries.llm  # noqa: F401
+    import etl_covid19_brasil_spark.queries.etl_parity  # noqa: F401
+    import etl_covid19_brasil_spark.queries.streaming  # noqa: F401
+
+    _loaded = True
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers for query modules
+# ---------------------------------------------------------------------------
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand test-table loader."""
+    return load_table(spark, sf_dir, name)
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer-cents representation of a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def msum(col: Column | str, alias: str) -> Column:
+    """Order-insensitive exact money sum (see module docstring)."""
+    return (F.sum(cents(col)).cast("double") / F.lit(100.0)).alias(alias)
+
+
+def mavg(col: Column | str, alias: str) -> Column:
+    """Deterministic money average: exact cents sum, two identical IEEE
+    double divisions (by 100.0, then by the count) in both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(cents(c)).cast("double") / F.lit(100.0) / F.count(c)).alias(alias)
+
+
+def o_cents(expr: str) -> str:
+    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
+
+
+def o_msum(expr: str, alias: str) -> str:
+    return f"CAST(SUM({o_cents(expr)}) AS DOUBLE) / 100.0 AS {alias}"
+
+
+def o_mavg(expr: str, alias: str) -> str:
+    return f"CAST(SUM({o_cents(expr)}) AS DOUBLE) / 100.0 / COUNT({expr}) AS {alias}"

@@ -1,0 +1,117 @@
+"""Structured Streaming jobs over the events stream (SURVEY.md §2.9).
+
+The reference is batch-only (schedule_interval=None,
+dags/create-data-lake.py:18); this tier is the north-star extension. Each
+job takes a (possibly streaming) events DataFrame so the identical plan
+runs in batch tests and under ``readStream`` file replay:
+
+    stream = file_replay_stream(spark, sf_dir)       # readStream source
+    q = run_to_memory(tumbling_counts(stream), "t")  # micro-batch exec
+    ...
+    spark.table("t")                                  # results
+
+Watermarks bound state: at 100 TB/day of events the 10-minute watermark
+means each executor holds only the open windows, and late rows beyond it
+are dropped instead of growing state forever.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def file_replay_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Replay events.parquet as a file-source stream.
+
+    Copies the parquet file(s) into a temp dir (a streaming file source
+    watches a directory) and reads with the batch-derived schema —
+    streaming sources require an explicit schema by design (no inference
+    scan on an unbounded source).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    src = Path(f"{sf_dir}/events.parquet")
+    if src.is_dir():
+        for i, f in enumerate(sorted(src.glob("*.parquet"))):
+            shutil.copy(f, stage / f"part_{i}.parquet")
+    else:
+        shutil.copy(src, stage / "part_0.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(str(stage))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 5-minute counts per event type with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_value_sum(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Sliding 10/5-minute exact-cents value sums."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg((F.sum(cents).cast("double") / 100.0).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user (gap-based)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stateful event-id dedup with bounded state (streaming twin of the
+    batch distinct; state for ids older than the watermark is dropped)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    df: DataFrame, name: str, mode: str = "complete", await_seconds: float = 60.0
+) -> StreamingQuery:
+    """Execute a streaming plan into an in-memory table and wait for all
+    replayed files to drain (processAllAvailable)."""
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    return q
+
+
+def run_foreach_batch_parquet(df: DataFrame, out_dir: str) -> StreamingQuery:
+    """foreachBatch sink: each micro-batch lands via the ordinary batch
+    writer — the streaming twin of the reference's bulk-load sink
+    (dags/create-data-lake.py:54-61); swap .parquet for .jdbc for exact
+    parity.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = df.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    return q
