@@ -214,6 +214,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # instants; the DuckDB oracle reads them naively) — pin the session
     # timezone so results don't depend on the caller's session config.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Engine semantics are non-ANSI (permissive casts, null on bad input,
+    # wrapping arithmetic) — Spark 4 flips the default to ANSI, so pin it
+    # here where every query path enters the engine.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -265,33 +265,83 @@ def ngram_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- near-duplicate family -------------------------------------------------
+#
+# The synthetic corpus draws from a ~31-word vocabulary, so *unigram* token
+# sets are nearly identical across unrelated documents (a third of all pairs
+# exceed 0.8 Jaccard) — no LSH scheme can prune that. Shingling (3-grams)
+# restores discrimination: word order is random, so cross-document shingle
+# overlap is ~0 while a true near-duplicate (here: a copy with its first
+# three tokens dropped) keeps ~97% of its shingles. Each near-dup query runs
+# over `documents + mutated copies of every third doc`, so the expected
+# answer is exactly those (doc, doc+1M) pairs.
+
+
+def _shingles(tokens: F.Column) -> F.Column:
+    """Distinct 3-token shingles; empty array below 3 tokens (Spark's
+    sequence() would wrap around descending)."""
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tokens, i), F.element_at(tokens, i + 1), F.element_at(tokens, i + 2)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= 3, gram).otherwise(F.array().cast("array<string>"))
+    )
+
+
+_O_SHINGLES = (
+    "list_distinct(list_transform(range(1, len({w}) - 1), "
+    "i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+)
+
+
+def _near_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """documents plus a mutated copy (first 3 tokens dropped) of every
+    third document, ids offset by 1M — deterministic near-dup pairs."""
+    d = T(spark, sf, "documents").select("doc_id", _tokens().alias("w"))
+    mutated = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.slice(F.col("w"), 4, F.greatest(F.size("w") - 3, F.lit(0))).alias("w"),
+    )
+    return d.unionByName(mutated)
+
+
+_O_CORPUS = f"""
+      SELECT doc_id, {_O_TOKENS} AS w FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, list_slice({_O_TOKENS}, 4, len({_O_TOKENS})) AS w
+      FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 @query(
     "near_dedup_jaccard",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, list_sort(list_distinct({_O_TOKENS})) AS toks FROM documents
-    )
+    WITH corpus AS ({_O_CORPUS}),
+    t AS (SELECT doc_id, {_O_SHINGLES.format(w='w')} AS sh FROM corpus)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
     FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
     """,
     section="2.10",
-    doc="Exact token-set Jaccard near-dup pairs (threshold 0.8). Quadratic "
-    "— this is the small-scale oracle tier; the 100 TB path is "
-    "near_dedup_minhash (LSH banding, no cross join). Jaccard is a ratio "
-    "of identical integers -> bit-identical.",
+    doc="Exact shingle-set Jaccard near-dup pairs (threshold 0.8) over the "
+    "synthesized-duplicate corpus. Quadratic — the small-scale oracle "
+    "tier; the 100 TB path is near_dedup_minhash. Jaccard is a ratio of "
+    "identical integers -> bit-identical.",
 )
 def near_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    d = T(spark, sf, "documents").select(
-        "doc_id", F.array_sort(F.array_distinct(_tokens())).alias("toks")
+    d = _near_dup_corpus(spark, sf).select(
+        "doc_id", _shingles(F.col("w")).alias("sh")
     )
     a = d.alias("a")
     b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = inter.cast("double") / union
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -308,32 +358,30 @@ def near_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "near_dedup_minhash",
     oracle=None,  # LSH banding is probabilistic-by-construction -> rows-only
     section="2.10",
-    doc="MinHash-LSH near-dup candidates, verified by exact Jaccard — the "
-    "scale path: signatures via xxhash64 permutations (map-side), "
-    "candidates via equi-join on (band, band_hash) buckets, one shuffle, "
-    "no cross join. See llm/minhash.py.",
+    doc="MinHash-LSH near-dup candidates over 3-gram shingles, verified by "
+    "exact Jaccard — the scale path: signatures via xxhash64 permutations "
+    "(map-side), candidates via equi-join on (band, band_hash) buckets, "
+    "one shuffle, no cross join. See llm/minhash.py.",
 )
 def near_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.minhash import minhash_near_dup_pairs
 
-    d = T(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(_tokens()).alias("toks")
-    )
-    return minhash_near_dup_pairs(d, id_col="doc_id", tokens_col="toks", threshold=0.8)
+    d = _near_dup_corpus(spark, sf).select("doc_id", _shingles(F.col("w")).alias("sh"))
+    return minhash_near_dup_pairs(d, id_col="doc_id", tokens_col="sh", threshold=0.8)
 
 
 @query(
     "near_dedup_simhash",
     oracle=None,  # engine-specific 64-bit hash mixing -> rows-only
     section="2.10",
-    doc="SimHash 64-bit signatures + hamming-distance candidate pairs over "
-    "rotated band buckets. See llm/simhash.py.",
+    doc="SimHash 64-bit signatures over 3-gram shingles + hamming-distance "
+    "candidate pairs via 16-bit band buckets. See llm/simhash.py.",
 )
 def near_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.simhash import simhash_near_dup_pairs
 
-    d = T(spark, sf, "documents").select("doc_id", F.array_distinct(_tokens()).alias("toks"))
-    return simhash_near_dup_pairs(d, id_col="doc_id", tokens_col="toks", max_hamming=8)
+    d = _near_dup_corpus(spark, sf).select("doc_id", _shingles(F.col("w")).alias("sh"))
+    return simhash_near_dup_pairs(d, id_col="doc_id", tokens_col="sh", max_hamming=8)
 
 
 # ---------------------------------------------------------------------------
@@ -351,17 +399,6 @@ _O_DOT = (
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _o_cosine(a: str, b: str) -> str:
-    dot = _O_DOT.format(a=a, b=b)
-    na = _O_DOT.format(a=a, b=a)
-    nb = _O_DOT.format(a=b, b=b)
-    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
-
-
-def _cosine(a: F.Column, b: F.Column) -> F.Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 @query(
@@ -387,13 +424,28 @@ def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Normalized-vector formulation shared by the similarity queries: vectors
+# are L2-normalized once (element / norm), then cosine = one ordered-fold
+# dot per pair. The Spark side runs the broadcast-index mapInPandas kernel
+# (llm/similarity.py) whose dimension-ordered accumulation is bit-identical
+# to this SQL.
+_O_NORMED = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+    f"sqrt({_O_DOT.format(a='embedding', b='embedding')}))"
+)
+_O_NDOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
 @query(
     "similarity_topk",
     oracle=f"""
-    WITH sims AS (
+    WITH n AS (SELECT vec_id, {_O_NORMED} AS ne FROM embeddings),
+    sims AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             {_o_cosine('a.embedding', 'b.embedding')} AS cosine
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+             {_O_NDOT.format(a='a.ne', b='b.ne')} AS cosine
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cosine,
@@ -401,33 +453,29 @@ def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM sims
     )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
     """,
     section="2.10",
-    doc="Brute-force cosine top-5 neighbors per vector: crossJoin + "
-    "deterministic fold + row_number. The quadratic baseline the ANN "
+    doc="Brute-force cosine top-5 neighbors per vector via the broadcast-"
+    "index kernel (llm/similarity.py): normalize once, one ordered-fold "
+    "dot per pair, deterministic tie-break — the exact baseline the ANN "
     "tier (ann_lsh_topk) approximates.",
 )
 def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
-    e = T(spark, sf, "embeddings").select("vec_id", "embedding")
-    a = e.alias("a")
-    b = e.alias("b")
-    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    return brute_force_topk(T(spark, sf, "embeddings"), k=5)
 
 
 @query(
     "knn_classify",
     oracle=f"""
-    WITH sims AS (
-      SELECT a.vec_id AS query_id, b.label AS neighbor_label,
-             {_o_cosine('a.embedding', 'b.embedding')} AS cosine, b.vec_id AS neighbor_id
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WITH n AS (SELECT vec_id, label, {_O_NORMED} AS ne FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS query_id, b.label AS neighbor_label, b.vec_id AS neighbor_id,
+             {_O_NDOT.format(a='a.ne', b='b.ne')} AS cosine
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
     ),
     top5 AS (
       SELECT query_id, neighbor_label FROM (
@@ -449,22 +497,21 @@ def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     ) WHERE vote_rank = 1
     """,
     section="2.10",
-    doc="5-NN majority-vote classification over cosine neighbors "
-    "(deterministic tie-breaks: neighbor id, then smallest label).",
+    doc="5-NN majority-vote classification over kernel-computed cosine "
+    "neighbors (deterministic tie-breaks: neighbor id, then smallest "
+    "label).",
 )
 def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
     e = T(spark, sf, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.label").alias("neighbor_label"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    top5 = brute_force_topk(e, k=5)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label"))
+    votes = (
+        top5.join(labels, "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    top5 = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
-    votes = top5.groupBy("query_id", "neighbor_label").agg(F.count(F.lit(1)).alias("n_votes"))
     vw = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("neighbor_label").asc())
     return (
         votes.withColumn("vote_rank", F.row_number().over(vw))
