@@ -67,6 +67,52 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return m64 / norms[:, None]
 
 
+PAIRS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def cosine_pairs_above(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b) with cosine >= threshold —
+    embedding-space near-duplicate detection. Same broadcast-index /
+    ordered-fold kernel as :func:`brute_force_topk`, so cosines are
+    bit-identical to the declarative SQL formulation.
+    """
+    spark = vectors.sparkSession
+    index_pdf = vectors.select(id_col, vec_col).toPandas()
+    index_ids = index_pdf[id_col].to_numpy(dtype=np.int64)
+    index_mat = _normalize(np.stack(index_pdf[vec_col].to_numpy()))
+    bc = spark.sparkContext.broadcast((index_ids, index_mat))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            sims = _ordered_dot(q_mat[:, None, :], mat[None, :, :])
+            # keep (a, b) once: only emit from the smaller id's row
+            keep = (sims >= threshold) & (q_ids[:, None] < ids[None, :])
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[rows],
+                    "id_b": ids[cols],
+                    "cosine": sims[rows, cols],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema=PAIRS_SCHEMA)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     k: int = 5,

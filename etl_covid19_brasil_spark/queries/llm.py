@@ -532,3 +532,94 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import lsh_topk
 
     return lsh_topk(T(spark, sf, "embeddings"), k=5, n_planes=8, n_tables=4)
+
+
+@query(
+    "near_dedup_embedding",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 1.0,
+                          list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS e
+      FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt({_O_NDOT.format(a='e', b='e')})) AS ne
+      FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_O_NDOT.format(a='a.ne', b='b.ne')} AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_O_NDOT.format(a='a.ne', b='b.ne')} >= 0.9
+    """,
+    section="2.10",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.9) over the "
+    "embeddings table plus a perturbed copy of every fourth vector "
+    "(+1.0 on the first coordinate -> cosine ~0.99 vs its source, while "
+    "unrelated pairs top out at ~0.51). Runs the broadcast-index "
+    "threshold kernel (llm/similarity.py:cosine_pairs_above) — zero "
+    "shuffle, bit-identical cosines to the SQL formulation.",
+)
+def near_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.similarity import cosine_pairs_above
+
+    e = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    mutated = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("e", 1) + F.lit(1.0)),
+            F.slice(F.col("e"), F.lit(2), F.size("e") - 1),
+        ).alias("e"),
+    )
+    corpus = e.unionByName(mutated)
+    return cosine_pairs_above(corpus, threshold=0.9, id_col="vec_id", vec_col="e")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; SURVEY.md §2.10 /
+# north star). The decode kernel is stubbed (no media codecs in this
+# environment) but the Spark plumbing — binary column, Arrow batching,
+# mapInPandas schema — is the real 100 TB shape. See llm/multimodal.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_feature_stats",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    section="2.10",
+    doc="Multimodal plumbing, oracle-checkable slice: wrap documents as a "
+    "binary media table, run the Arrow-batched mapInPandas decode kernel, "
+    "keep the scalar outputs (payload byte counts) the oracle can "
+    "recompute from the source text.",
+)
+def media_feature_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(T(spark, sf, "documents"))
+    return extract_features(media, fake=True).select("media_id", "media_type", "n_bytes")
+
+
+@query(
+    "media_decode_features",
+    oracle=None,  # stub decode kernel is engine-defined -> rows-only
+    section="2.10",
+    doc="Full multimodal decode path: binary payloads -> Arrow-batched "
+    "mapInPandas kernel -> deterministic stub feature vectors "
+    "(byte histograms standing in for image decode; real deployments "
+    "swap in PIL/libvips). Determinism is asserted in "
+    "tests/test_multimodal.py.",
+)
+def media_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(T(spark, sf, "documents"))
+    return extract_features(media, fake=True)

@@ -1,0 +1,55 @@
+"""Multimodal column plumbing (SURVEY.md §2.10 north star).
+
+The decode kernel is stubbed (no media codecs in this container) but the
+distributed plumbing — binary payload column, Arrow batching through
+mapInPandas, typed output schema — is real; these tests pin it down.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_covid19_brasil_spark.io import load_table
+from etl_covid19_brasil_spark.llm.multimodal import (
+    FEATURE_SCHEMA,
+    decode_image_stub,
+    documents_as_media,
+    extract_features,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return documents_as_media(load_table(spark, SF, "documents"))
+
+
+def test_schema_and_row_parity(spark, media):
+    feats = extract_features(media, fake=True)
+    assert feats.schema == FEATURE_SCHEMA
+    assert feats.count() == media.count()
+
+
+def test_features_deterministic_and_match_local_kernel(spark, media):
+    rows = media.limit(20).collect()
+    got = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media.limit(20), fake=True).collect()
+    }
+    for r in rows:
+        expected = decode_image_stub(bytes(r["payload"]), fake=True)
+        assert got[r["media_id"]] == expected, f"media_id={r['media_id']}"
+
+
+def test_feature_is_normalized_histogram(spark, media):
+    feats = extract_features(media, fake=True).limit(50).collect()
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+        assert r["n_bytes"] > 0
+
+
+def test_real_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG...", fake=False)

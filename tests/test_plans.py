@@ -1,0 +1,96 @@
+"""Physical-plan audits (SURVEY.md §4): the scale posture is only real if
+Catalyst actually produces the plans the design assumes. These tests pin
+the load-bearing physical properties — pushdown, broadcast, top-k
+short-circuit, partial aggregation, and the absence of cross products in
+the LSH paths — so a regression that silently de-optimizes a 100 TB plan
+fails CI instead of a cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+
+import pytest
+
+from etl_covid19_brasil_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return registry.all_specs()
+
+
+def q(specs, spark, name):
+    return specs[name].spark(spark, SF)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, specs):
+    p = plan_of(q(specs, spark, "filter_predicate"))
+    assert "PushedFilters: [" in p
+    assert "PushedFilters: []" not in p.replace("PushedFilters: [],", "KEEP")
+
+
+def test_column_pruning_narrows_read_schema(spark, specs):
+    p = plan_of(q(specs, spark, "scan_project"))
+    # the projection touches a few columns; the 16-column lineitem schema
+    # must NOT be read wholesale
+    read_schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, p
+    assert all(ln.count(",") < 8 for ln in read_schemas), read_schemas
+
+
+def test_small_dim_join_broadcasts(spark, specs):
+    p = plan_of(q(specs, spark, "join_broadcast"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_star_join_revenue_broadcasts_dims(spark, specs):
+    p = plan_of(q(specs, spark, "join_inner_revenue"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_top_k_plans_take_ordered(spark, specs):
+    p = plan_of(q(specs, spark, "top_k_orders"))
+    assert "TakeOrderedAndProject" in p
+    # a global Sort would mean the limit did not fuse into the sort
+    assert "Sort [" not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_groupby_agg_is_partial_then_final(spark, specs):
+    p = plan_of(q(specs, spark, "agg_groupby_pricing"))
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_lsh_paths_have_no_cross_product(spark, specs):
+    for name in ("near_dedup_minhash", "ann_lsh_topk", "near_dedup_embedding"):
+        p = plan_of(q(specs, spark, name))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_exact_dedup_is_hash_aggregate_not_sort(spark, specs):
+    p = plan_of(q(specs, spark, "exact_dedup"))
+    assert "HashAggregate" in p or "dropDuplicates" in p
+
+
+def test_minhash_signatures_are_shuffle_free(spark):
+    from etl_covid19_brasil_spark.llm.minhash import minhash_signatures
+    import pyspark.sql.functions as F
+    from etl_covid19_brasil_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    p = plan_of(minhash_signatures(docs, "doc_id", "toks"))
+    assert "Exchange" not in p, "signature stage must not shuffle"

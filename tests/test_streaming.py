@@ -1,0 +1,95 @@
+"""True Structured Streaming execution (SURVEY.md §2.9, §5).
+
+The correctness gate checks the batch twins (queries/streaming.py); these
+tests run the SAME plans through ``readStream`` file replay and assert the
+micro-batch results equal the batch results — the unified-model guarantee
+the streaming tier rests on. Also exercises the stateful dedup and the
+foreachBatch sink (the streaming twin of the reference's bulk-load sink,
+dags/create-data-lake.py:54-61).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from etl_covid19_brasil_spark.io import load_table
+from etl_covid19_brasil_spark.streaming import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF, "events")
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark):
+    return jobs.file_replay_stream(spark, SF)
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def _assert_stream_equals_batch(spark, stream_df, batch_df, name, mode="complete"):
+    q = jobs.run_to_memory(stream_df, name, mode=mode)
+    try:
+        got = _sorted(spark.table(name).toPandas())
+        want = _sorted(batch_df.toPandas())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        q.stop()
+
+
+def test_tumbling_counts_matches_batch(spark, stream_events, batch_events):
+    _assert_stream_equals_batch(
+        spark,
+        jobs.tumbling_counts(stream_events),
+        jobs.tumbling_counts(batch_events),
+        "t_tumbling",
+    )
+
+
+def test_sliding_sum_matches_batch(spark, stream_events, batch_events):
+    _assert_stream_equals_batch(
+        spark,
+        jobs.sliding_value_sum(stream_events),
+        jobs.sliding_value_sum(batch_events),
+        "t_sliding",
+    )
+
+
+def test_session_counts_matches_batch(spark, stream_events, batch_events):
+    _assert_stream_equals_batch(
+        spark,
+        jobs.session_counts(stream_events),
+        jobs.session_counts(batch_events),
+        "t_session",
+    )
+
+
+def test_dedup_within_watermark(spark, stream_events, batch_events):
+    q = jobs.run_to_memory(
+        jobs.dedup_within_watermark(stream_events), "t_dedup", mode="append"
+    )
+    try:
+        got = spark.table("t_dedup").count()
+        want = batch_events.dropDuplicates(["event_id"]).count()
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_parquet_sink(spark, stream_events, batch_events, tmp_path):
+    out = str(tmp_path / "events_sink")
+    q = jobs.run_foreach_batch_parquet(
+        jobs.dedup_within_watermark(stream_events), out
+    )
+    try:
+        landed = spark.read.parquet(out)
+        assert landed.count() == batch_events.dropDuplicates(["event_id"]).count()
+        assert set(landed.columns) == set(batch_events.columns)
+    finally:
+        q.stop()
