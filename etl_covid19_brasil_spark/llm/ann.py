@@ -96,3 +96,95 @@ def lsh_topk(
     sims = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine neighbors.
+
+    The second ANN scheme next to random-hyperplane LSH: partition the
+    space into ``n_cells`` Voronoi cells around coarse centroids, assign
+    each index vector to its nearest cell (one cell each), and have each
+    query probe its ``n_probe`` nearest cells. Candidates meet in an
+    equi-join on the cell id — shuffle volume is linear in n x n_probe,
+    never quadratic.
+
+    Centroids are the vectors with the ``n_cells`` smallest ids —
+    deterministic and model-free (real deployments train k-means centroids
+    offline and broadcast them; the plan shape is identical).
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+
+    spark = embeddings.sparkSession
+    cent_pdf = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
+    )
+    cent_mat = _normalize(np.stack(cent_pdf[vec_col].to_numpy()))
+    bc = spark.sparkContext.broadcast(cent_mat)
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def assign(n_top: int):
+        schema = StructType(
+            [
+                StructField("vid", LongType()),
+                StructField("vec", ArrayType(DoubleType())),
+                StructField("cell", IntegerType()),
+            ]
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents = bc.value
+            for pdf in batches:
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+                sims = _ordered_dot(mat[:, None, :], cents[None, :, :])
+                # n_top nearest centroids per vector (argsort desc)
+                cells = np.argsort(-sims, axis=1)[:, :n_top]
+                n = len(ids)
+                yield pd.DataFrame(
+                    {
+                        "vid": np.repeat(ids, n_top),
+                        "vec": [list(v) for v in np.repeat(mat, n_top, axis=0)],
+                        "cell": cells.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return kernel, schema
+
+    src = embeddings.select(id_col, vec_col)
+    k_idx, s_idx = assign(1)
+    k_qry, s_qry = assign(n_probe)
+    index_side = src.mapInPandas(k_idx, schema=s_idx).toDF("neighbor_id", "nvec", "cell")
+    query_side = src.mapInPandas(k_qry, schema=s_qry).toDF("query_id", "qvec", "cell")
+
+    cand = (
+        query_side.join(index_side, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # vectors are pre-normalized in the kernels: cosine = plain dot
+    cosine = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

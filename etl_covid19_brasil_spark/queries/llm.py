@@ -623,3 +623,18 @@ def media_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
     media = documents_as_media(T(spark, sf, "documents"))
     return extract_features(media, fake=True)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction -> rows-only
+    section="2.10",
+    doc="IVF approximate nearest neighbors: coarse-quantize into Voronoi "
+    "cells, index vectors live in 1 cell, queries probe their 3 nearest "
+    "cells, candidates meet in an equi-join on the cell id — the second "
+    "ANN scale path next to ann_lsh_topk. See llm/ann.py:ivf_topk.",
+)
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk
+
+    return ivf_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=3)

@@ -795,3 +795,34 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
     s = T(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.subtract(s)
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, {o_msum('o_totalprice', 'total_price')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    section="2.3",
+    doc="Skew-mitigated equi-join: fact keys salted into 8 buckets, dim "
+    "replicated per salt, join on (key, salt) — byte-identical results to "
+    "the plain join, but a hot key spreads across 8 tasks instead of "
+    "stalling one. The plan-level tool for skew AQE can't see "
+    "(operators/skew.py; AQE skew-split is also on in get_spark).",
+)
+def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.skew import salted_join
+
+    orders = T(spark, sf, "orders")
+    customer = F.broadcast(T(spark, sf, "customer").select("c_custkey", "c_mktsegment"))
+    joined = salted_join(
+        orders.withColumn("c_custkey", F.col("o_custkey")),
+        customer,
+        on="c_custkey",
+        factor=8,
+        salt_source=F.col("o_orderkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice", "total_price")
+    )

@@ -1,0 +1,128 @@
+"""Scale-posture operators: salting, bucketing, and the SQL entry point
+(SURVEY.md §3 entry 3, §4).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_covid19_brasil_spark.io import load_table
+from etl_covid19_brasil_spark.operators.bucketing import bucketed_join, write_bucketed
+from etl_covid19_brasil_spark.operators.skew import salted_join
+from etl_covid19_brasil_spark.sql import sql
+from tests.test_plans import plan_of
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- salting ---------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    fact = orders.withColumn("c_custkey", F.col("o_custkey"))
+
+    plain = fact.join(customer, "c_custkey")
+    salted = salted_join(fact, customer, on="c_custkey", factor=8, salt_source=F.col("o_orderkey"))
+    assert salted.count() == plain.count()
+    cols = sorted(plain.columns)
+    assert salted.select(*cols).exceptAll(plain.select(*cols)).count() == 0
+    assert plain.select(*cols).exceptAll(salted.select(*cols)).count() == 0
+
+
+def test_salted_join_spreads_keys(spark):
+    # every salt bucket receives rows: the hot key is actually split
+    orders = load_table(spark, SF, "orders")
+    salts = (
+        orders.withColumn("__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(8)))
+        .groupBy("__salt")
+        .count()
+    )
+    assert salts.count() == 8
+
+
+def test_salted_join_rejects_outer(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    with pytest.raises(ValueError):
+        salted_join(orders, customer, on="c_custkey", how="full")
+
+
+# --- bucketing -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bucket_db(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{loc}'")
+    yield "bkt"
+    spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_bucketed_join_elides_shuffle(spark, bucket_db):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, f"{bucket_db}.orders_b", ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        f"{bucket_db}.lineitem_b",
+        ["o_orderkey"],
+        num_buckets=8,
+    )
+
+    # force the shuffle-join path (tiny test tables would broadcast, which
+    # hides exactly the Exchange bucketing exists to elide at scale)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, f"{bucket_db}.orders_b", f"{bucket_db}.lineitem_b", on="o_orderkey"
+        )
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "identically-bucketed join must not shuffle"
+        n_joined = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    plain = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    )
+    assert n_joined == plain.count()
+
+
+# --- SQL entry point -------------------------------------------------------
+
+
+def test_sql_layer_equals_dataframe_layer(spark):
+    got = sql(
+        spark,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders WHERE o_totalprice > 100000
+        GROUP BY o_orderpriority
+        """,
+        sf_dir=SF,
+    ).toPandas()
+    want = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    key = "o_orderpriority"
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        want.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_sql_layer_joins_views(spark):
+    df = sql(
+        spark,
+        "SELECT n_name, COUNT(*) AS n FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+        sf_dir=SF,
+    )
+    assert df.count() == 25
