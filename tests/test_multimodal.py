@@ -53,3 +53,33 @@ def test_feature_is_normalized_histogram(spark, media):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG...", fake=False)
+
+
+def test_resize_updates_meta_and_payload_size(spark, media):
+    from etl_covid19_brasil_spark.llm.multimodal import resize_images
+
+    out = resize_images(media.limit(10), width=16, height=8).collect()
+    for r in out:
+        assert r["meta_width"] == 16 and r["meta_height"] == 8
+        assert len(bytes(r["payload"])) == 16 * 8
+
+
+def test_frame_sampler_udtf_lateral_join(spark, media):
+    from etl_covid19_brasil_spark.llm.multimodal import register_frame_sampler
+
+    register_frame_sampler(spark)
+    media.limit(10).createOrReplaceTempView("media_v")
+    frames = spark.sql(
+        """
+        SELECT m.media_id, f.frame_idx, f.n_frames, f.frame_bytes
+        FROM media_v m, LATERAL sample_frames(m.payload, 4) f
+        """
+    )
+    rows = frames.collect()
+    assert len(rows) == 40  # 10 media x 4 frames
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
+    # frames are non-empty and deterministic slices
+    assert all(len(bytes(r["frame_bytes"])) > 0 for r in rows)

@@ -93,3 +93,31 @@ def test_foreach_batch_parquet_sink(spark, stream_events, batch_events, tmp_path
         assert set(landed.columns) == set(batch_events.columns)
     finally:
         q.stop()
+
+
+def test_arbitrary_state_running_totals(spark, batch_events):
+    """applyInPandasWithState totals must converge to the batch groupBy."""
+    import pyspark.sql.functions as F
+
+    stream = jobs.file_replay_stream(spark, SF, files_per_trigger=1)
+    q = jobs.run_to_memory(jobs.running_user_totals(stream), "t_state", mode="update")
+    try:
+        # update-mode memory sink appends every state snapshot; the final
+        # snapshot per user is the one with the highest n_events
+        got = (
+            spark.table("t_state")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value_cents").alias("total_value_cents"),
+            )
+        )
+        want = batch_events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+        )
+        g = {r["user_id"]: (r["n_events"], r["total_value_cents"]) for r in got.collect()}
+        w = {r["user_id"]: (r["n_events"], r["total_value_cents"]) for r in want.collect()}
+        assert g == w
+    finally:
+        q.stop()
