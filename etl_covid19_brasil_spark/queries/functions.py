@@ -13,6 +13,7 @@ rebuilt engine-side as from_json/get_json_object over events.props).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -327,4 +328,32 @@ def fn_json(spark: SparkSession, sf: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k_num"),
         (parsed.getField("k") * 2).alias("k_doubled"),
+    )
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+             / length(text) AS vowel_ratio
+    FROM documents WHERE length(text) > 0
+    """,
+    section="2.11",
+    doc="Arrow-vectorized scalar pandas_udf (SURVEY.md §2.11 tier 2 — the "
+    "engine's slow-path contract when built-ins can't express the logic): "
+    "per-batch pandas string kernel, exact-integer counts so the single "
+    "double division is bit-identical to the oracle. Row-at-a-time Python "
+    "UDFs are banned from the hot path by design.",
+)
+def udf_pandas_vectorized(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def vowel_ratio(text: pd.Series) -> pd.Series:
+        return text.str.count("[aeiou]").astype("float64") / text.str.len()
+
+    d = T(spark, sf, "documents")
+    return d.filter(F.length("text") > 0).select(
+        "doc_id", vowel_ratio("text").alias("vowel_ratio")
     )

@@ -74,3 +74,23 @@ def test_load_table_events_timestamps(spark):
 @pytest.mark.parametrize("name", io.TPCH_TABLES)
 def test_all_test_tables_load(spark, name):
     assert io.load_table(spark, SF, name).count() > 0
+
+
+def test_jdbc_sink_and_scan_roundtrip(spark, tmp_path):
+    """Full JDBC create-or-replace + read-back against embedded Derby
+    (ships with Spark) — the reference's Postgres lake sink/scan pair
+    (dags/create-data-lake.py:38-62, 23-24) without an external DB."""
+    url = f"jdbc:derby:{tmp_path}/lakedb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    src = io.load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+
+    io.sink_jdbc_replace(src, url, "nation_lake", properties=props, num_partitions=2)
+    back = io.scan_jdbc(spark, url, "nation_lake", properties=props)
+    assert back.count() == 25
+    assert {r["N_NAME"] if "N_NAME" in back.columns else r["n_name"] for r in back.collect()} == {
+        r["n_name"] for r in src.collect()
+    }
+
+    # create-or-REPLACE semantics: a second sink call fully reloads
+    io.sink_jdbc_replace(src.limit(5), url, "nation_lake", properties=props, num_partitions=1)
+    assert io.scan_jdbc(spark, url, "nation_lake", properties=props).count() == 5

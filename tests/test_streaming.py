@@ -121,3 +121,53 @@ def test_arbitrary_state_running_totals(spark, batch_events):
         assert g == w
     finally:
         q.stop()
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Watermark discard semantics (SURVEY.md §2.9 late_data): once the
+    watermark passes a window's end, a late row for it is dropped and the
+    already-finalized window does NOT change."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    stage = tmp_path / "late_stage"
+    stage.mkdir()
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"_{name}"))
+        src = next((tmp_path / f"_{name}").glob("*.parquet"))
+        (stage / f"{name}.parquet").write_bytes(src.read_bytes())
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    land("f1", [(t, "a"), (t + dt.timedelta(minutes=1), "a"),
+                (t + dt.timedelta(hours=1), "b")])
+
+    schema = spark.read.parquet(str(stage)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    agg = jobs.tumbling_counts(stream, watermark="10 minutes")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    try:
+        q.processAllAvailable()
+        # late row for the already-closed 10:00 window + a fresh row
+        land("f2", [(t + dt.timedelta(minutes=2), "a"),
+                    (t + dt.timedelta(hours=2), "c")])
+        time.sleep(0.2)
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.table("t_late").collect()
+        }
+        # the 10:00-10:05 'a' window finalized with 2 rows; the late third
+        # row (10:02, arriving when the watermark was 10:50) is discarded
+        assert got[(t, "a")] == 2
+    finally:
+        q.stop()
