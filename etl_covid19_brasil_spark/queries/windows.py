@@ -191,3 +191,35 @@ def win_percent_cume(spark: SparkSession, sf: str) -> DataFrame:
         F.percent_rank().over(w).alias("bal_pct_rank"),
         F.cume_dist().over(w).alias("bal_cume_dist"),
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(CAST(l_quantity AS BIGINT))
+             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+                   RANGE BETWEEN INTERVAL '6 days' PRECEDING AND CURRENT ROW)
+             AS qty_7d
+    FROM lineitem
+    """,
+    section="2.5",
+    doc="Calendar-correct 7-day rolling quantity per supplier: rangeBetween "
+    "over epoch seconds (Spark) == RANGE BETWEEN INTERVAL (DuckDB). "
+    "Unlike rowsBetween, gaps in the date series are handled correctly — "
+    "the frame is defined by time distance, not row count. Quantities "
+    "summed as exact integers.",
+)
+def win_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("long")).over(w).alias("qty_7d"),
+    )
