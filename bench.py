@@ -35,10 +35,12 @@ HEADLINE = [
     "win_running_sum",
     "top_k_orders",
     "join_asof",
+    "filter_correlated_subquery",
     "stream_session_window",
     "text_tokenize_freq",
     "exact_dedup",
     "near_dedup_minhash",
+    "near_dedup_embedding",
     "similarity_topk",
     "ann_lsh_topk",
 ]

@@ -826,3 +826,38 @@ def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice", "total_price")
     )
+
+
+@query(
+    "filter_correlated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+            * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > 2 * (SELECT SUM(CAST(ROUND(o3.o_totalprice * 100) AS BIGINT))
+                 FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+    """,
+    section="2.2",
+    doc="Correlated scalar subqueries (orders above 2x their customer's "
+    "average, compared in exact integer cents so the threshold is "
+    "bit-identical across engines). Catalyst decorrelates both "
+    "subqueries into aggregate+join (RewriteCorrelatedScalarSubquery, "
+    "SURVEY.md §4) — no per-row re-execution; runs through the engine's "
+    "SQL entry point (sql.py).",
+)
+def filter_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.sql import sql as run_sql
+
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              > 2 * (SELECT SUM(CAST(ROUND(o3.o_totalprice * 100) AS BIGINT))
+                     FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        """,
+        sf_dir=sf,
+    )

@@ -94,3 +94,24 @@ def test_jdbc_sink_and_scan_roundtrip(spark, tmp_path):
     # create-or-REPLACE semantics: a second sink call fully reloads
     io.sink_jdbc_replace(src.limit(5), url, "nation_lake", properties=props, num_partitions=1)
     assert io.scan_jdbc(spark, url, "nation_lake", properties=props).count() == 5
+
+
+def test_partitioned_lake_prunes_partitions(spark, tmp_path):
+    """Static partition pruning: a filter on the partition column must show
+    up as PartitionFilters (directories skipped), not a post-scan filter —
+    the read-side payoff of sink_parquet(partition_by=...) at 100 TB."""
+    import contextlib
+    import io as pyio
+
+    src = io.load_table(spark, SF, "orders")
+    out = str(tmp_path / "orders_lake")
+    io.sink_parquet(src, out, partition_by=["o_orderpriority"])
+
+    pruned = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(o_orderpriority" in plan or "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert pruned.count() == src.filter(F.col("o_orderpriority") == "1-URGENT").count()
