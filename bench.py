@@ -46,6 +46,57 @@ HEADLINE = [
 ]
 
 
+def _covid_csv(sf: float) -> str:
+    """Synthesize (once, cached) a caso_full-shaped CSV at ~5M rows/sf —
+    the reference's actual input workload (dags/create-data-lake.py:66,69),
+    so the bench measures the rebuilt ETL end-to-end, untimed setup."""
+    import numpy as np
+    import pandas as pd
+
+    path = Path(f"/tmp/bench_covid_sf{sf}.csv")
+    if path.exists():
+        return str(path)
+    rng = np.random.default_rng(42)
+    n = max(int(5_000_000 * sf), 10_000)
+    rate = rng.uniform(0, 500, n).round(2).astype("object")
+    rate[rng.random(n) < 0.03] = ""
+    rate[rng.random(n) < 0.02] = " "
+    pd.DataFrame(
+        {
+            "city": np.where(
+                rng.random(n) < 0.05,
+                None,
+                np.char.add("city_", np.arange(n).astype(str)),
+            ),
+            "city_ibge_code": rng.integers(1_000_000, 6_000_000, n),
+            "date": pd.to_datetime("2020-03-01")
+            + pd.to_timedelta(rng.integers(0, 600, n), unit="D"),
+            "state": rng.choice(["SP", "RJ", "MG", "BA", "RS"], n),
+            "last_available_confirmed": rng.integers(0, 100_000, n),
+            "last_available_confirmed_per_100k_inhabitants": rate,
+            "new_confirmed": rng.integers(-10, 500, n),
+        }
+    ).to_csv(path, index=False)
+    return str(path)
+
+
+def _etl_covid(spark, sf: float):
+    """scan (explicit schema — no inference pre-scan) -> clean -> sink-ready."""
+    from etl_covid19_brasil_spark.etl import covid_pipeline
+    from etl_covid19_brasil_spark.io import scan_csv
+
+    schema = (
+        "city string, city_ibge_code bigint, date date, state string, "
+        "last_available_confirmed bigint, "
+        "last_available_confirmed_per_100k_inhabitants string, "
+        "new_confirmed bigint"
+    )
+    from pyspark.sql.types import StructType
+
+    raw = scan_csv(spark, _covid_csv(sf), schema=StructType.fromDDL(schema))
+    return covid_pipeline(raw)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,6 +105,10 @@ def main() -> None:
     # warmup: JVM + parquet footer reads
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
+    sf_num = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf_num) if sf_num.replace(".", "").isdigit() else 0.1
+    _covid_csv(sf_val)  # untimed synthesis/cache
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = specs[name].spark(spark, SF_DIR)
@@ -61,7 +116,11 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    df = _etl_covid(spark, sf_val)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    timings["etl_covid_pipeline"] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -69,7 +128,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

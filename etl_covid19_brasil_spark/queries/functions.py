@@ -357,3 +357,56 @@ def udf_pandas_vectorized(spark: SparkSession, sf: str) -> DataFrame:
     return d.filter(F.length("text") > 0).select(
         "doc_id", vowel_ratio("text").alias("vowel_ratio")
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT o_orderkey,
+           md5(o_orderpriority) AS md5_hex,
+           sha256(o_orderpriority) AS sha256_hex,
+           length(md5(o_orderpriority)) AS md5_len
+    FROM orders
+    """,
+    section="2.8",
+    doc="Cryptographic digest functions (md5 / sha2-256) — content "
+    "fingerprints for exact dedup keys and change detection; hex output "
+    "is engine-independent.",
+)
+def fn_hash(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.md5("o_orderpriority").alias("md5_hex"),
+        F.sha2("o_orderpriority", 256).alias("sha256_hex"),
+        F.length(F.md5("o_orderpriority")).alias("md5_len"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 15 AS ored,
+           xor(o_orderkey, 85) AS xored,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r
+    FROM orders
+    """,
+    section="2.8",
+    doc="Bitwise ops (&, |, xor, shifts) — the primitives under hash "
+    "bucketing, bloom probes, and the SimHash band rotation "
+    "(llm/simhash.py).",
+)
+def fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(15)).alias("ored"),
+        k.bitwiseXOR(F.lit(85)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+    )
