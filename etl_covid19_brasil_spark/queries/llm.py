@@ -316,11 +316,20 @@ _O_CORPUS = f"""
 """
 
 
+# The exact pairwise tier is quadratic BY DESIGN (it is the oracle the LSH
+# tier is verified against) — cap its corpus so it stays tractable at any
+# SF. 1000 > the 500 documents at the sf0.01 gate, so the gate result is
+# identical; at sf0.1+ the cap keeps the cross join at ~1.8M pairs while
+# the LSH tiers run the full corpus.
+_JACCARD_CAP = 1000
+
+
 @query(
     "near_dedup_jaccard",
     oracle=f"""
     WITH corpus AS ({_O_CORPUS}),
-    t AS (SELECT doc_id, {_O_SHINGLES.format(w='w')} AS sh FROM corpus)
+    t AS (SELECT doc_id, {_O_SHINGLES.format(w='w')} AS sh FROM corpus
+          WHERE doc_id % 1000000 < {_JACCARD_CAP})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -330,13 +339,16 @@ _O_CORPUS = f"""
     """,
     section="2.10",
     doc="Exact shingle-set Jaccard near-dup pairs (threshold 0.8) over the "
-    "synthesized-duplicate corpus. Quadratic — the small-scale oracle "
+    "synthesized-duplicate corpus (capped at 1000 source docs — covers "
+    "the whole sf0.01 gate corpus). Quadratic — the small-scale oracle "
     "tier; the 100 TB path is near_dedup_minhash. Jaccard is a ratio of "
     "identical integers -> bit-identical.",
 )
 def near_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    d = _near_dup_corpus(spark, sf).select(
-        "doc_id", _shingles(F.col("w")).alias("sh")
+    d = (
+        _near_dup_corpus(spark, sf)
+        .filter(F.col("doc_id") % 1_000_000 < _JACCARD_CAP)
+        .select("doc_id", _shingles(F.col("w")).alias("sh"))
     )
     a = d.alias("a")
     b = d.alias("b")
