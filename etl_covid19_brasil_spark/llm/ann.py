@@ -1,23 +1,40 @@
-"""Approximate nearest neighbors via random-hyperplane LSH
-(SURVEY.md §2.10 similarity-search scale path).
+"""Approximate nearest neighbors (SURVEY.md §2.10 similarity-search scale
+paths): random-hyperplane LSH and IVF coarse quantization.
 
 Brute-force cosine top-k (queries/llm.py:similarity_topk) is O(n^2) — fine
-as the correctness baseline, hopeless at 100 TB. This module buckets
-vectors by the sign pattern of ``n_planes`` random-hyperplane projections
-(per table), restricts candidate pairs to same-bucket vectors, and ranks
-candidates by exact cosine. ``n_tables`` independent tables trade compute
-for recall (P(collide) = (1 - theta/pi)^n_planes per table).
+as the correctness baseline, hopeless at 100 TB. Both schemes here bound
+the pair space with an equi-join on a bucket key:
 
-Cost shape: signatures are map-side; candidates come from an equi-join on
-(table, bucket); only ~n/2^n_planes vectors meet in a bucket. Hyperplanes
-are seeded-RNG literals baked into the plan (deterministic across runs).
+- ``lsh_topk``: bucket = sign pattern of ``n_planes`` random-hyperplane
+  projections (per table); ``n_tables`` independent tables trade compute
+  for recall (P(collide) = (1 - theta/pi)^n_planes per table).
+- ``ivf_topk``: bucket = nearest coarse centroid; queries probe their
+  ``n_probe`` nearest cells.
+
+Cost shape: signatures/assignments are map-side Arrow-batched kernels
+(hyperplanes/centroids ride a broadcast — literal plane arrays in the plan
+were ~4s of analyzer/codegen cost at 32 planes); candidates come from an
+equi-join on the bucket key; candidate ranking uses the exact JVM-fold
+cosine, so reported similarities are bit-identical to the brute-force
+tier. Probabilistic by construction -> rows-only in the correctness gate.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 
@@ -26,15 +43,31 @@ def _planes(n_tables: int, n_planes: int, dim: int, seed: int = 42) -> np.ndarra
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
-def _dot_lit(emb: F.Column, plane: np.ndarray) -> F.Column:
-    arr = F.array(*[F.lit(float(x)) for x in plane])
-    prods = F.zip_with(emb, arr, lambda x, y: x.cast("double") * y)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_BANDED_SCHEMA = StructType(
+    [
+        StructField("vid", LongType()),
+        StructField("vec", ArrayType(DoubleType())),
+        StructField("tbl", IntegerType()),
+        StructField("bucket", IntegerType()),
+    ]
+)
+
+
+def _rank_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine ranking of candidate pairs (shared by both schemes).
+    The JVM fold keeps similarities bit-identical to the brute-force tier.
+    """
+    cosine = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    sims = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(
@@ -46,32 +79,37 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors per vector.
+    """Approximate top-k cosine neighbors per vector via hyperplane LSH.
 
     Output: (query_id, neighbor_id, cosine, rank) — same shape as the
     brute-force similarity_topk so callers can swap tiers.
     """
     planes = _planes(n_tables, n_planes, dim)
-    emb = F.col(vec_col)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
 
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                sum(
-                    (
-                        F.when(_dot_lit(emb, planes[t, p]) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-                        for p in range(n_planes)
-                    ),
-                    start=F.lit(0),
-                ).alias("bucket"),
+    def sign_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value  # (T, P, D)
+        t_n, p_n = pl.shape[0], pl.shape[1]
+        flat = pl.reshape(t_n * p_n, -1)
+        weights = (1 << np.arange(p_n)).astype(np.int64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ flat.T > 0).reshape(len(ids), t_n, p_n)
+            buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, T)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(ids, t_n),
+                    "vec": [list(v) for v in np.repeat(mat, t_n, axis=0)],
+                    "tbl": np.tile(np.arange(t_n, dtype=np.int32), len(ids)),
+                    "bucket": buckets.reshape(-1),
+                }
             )
-            for t in range(n_tables)
-        ]
+
+    banded = embeddings.select(id_col, vec_col).mapInPandas(
+        sign_kernel, schema=_BANDED_SCHEMA
     )
-    banded = embeddings.select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bb")
-    ).select(id_col, vec_col, F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -80,22 +118,17 @@ def lsh_topk(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            & (F.col("a.vid") != F.col("b.vid")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
+            F.col("a.vid").alias("query_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cosine = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
-    sims = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_candidates(cand, k)
 
 
 def ivf_topk(
@@ -111,17 +144,20 @@ def ivf_topk(
     The second ANN scheme next to random-hyperplane LSH: partition the
     space into ``n_cells`` Voronoi cells around coarse centroids, assign
     each index vector to its nearest cell (one cell each), and have each
-    query probe its ``n_probe`` nearest cells. Candidates meet in an
-    equi-join on the cell id — shuffle volume is linear in n x n_probe,
-    never quadratic.
+    query probe its ``n_probe`` nearest cells.
+
+    Scale shape: ONE hash shuffle on the cell id; inside each cell an
+    Arrow-batched ``applyInPandas`` kernel computes query x index
+    similarities as a single matmul and emits per-query local top-k
+    (a candidate-pair equi-join with per-pair JVM folds was ~10x slower:
+    |Q| x |cell| rows through a shuffle and an interpreted higher-order
+    fold per pair); a final window keeps the global top-k. Candidate
+    volume is n x n_probe x k, never quadratic.
 
     Centroids are the vectors with the ``n_cells`` smallest ids —
     deterministic and model-free (real deployments train k-means centroids
     offline and broadcast them; the plan shape is identical).
     """
-    import pandas as pd
-    from collections.abc import Iterator
-
     from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
 
     spark = embeddings.sparkSession
@@ -131,60 +167,66 @@ def ivf_topk(
     cent_mat = _normalize(np.stack(cent_pdf[vec_col].to_numpy()))
     bc = spark.sparkContext.broadcast(cent_mat)
 
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
+    assign_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("vid", LongType()),
+            StructField("vec", ArrayType(DoubleType())),
+            StructField("is_index", IntegerType()),  # 1 only in the nearest cell
+        ]
     )
 
-    def assign(n_top: int):
-        schema = StructType(
-            [
-                StructField("vid", LongType()),
-                StructField("vec", ArrayType(DoubleType())),
-                StructField("cell", IntegerType()),
-            ]
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            sims = _ordered_dot(mat[:, None, :], cents[None, :, :])
+            cells = np.argsort(-sims, axis=1)[:, :n_probe]  # (n, n_probe)
+            yield pd.DataFrame(
+                {
+                    "cell": cells.reshape(-1).astype(np.int32),
+                    "vid": np.repeat(ids, n_probe),
+                    "vec": [list(v) for v in np.repeat(mat, n_probe, axis=0)],
+                    "is_index": np.tile(
+                        (np.arange(n_probe) == 0).astype(np.int32), len(ids)
+                    ),
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema=assign_schema)
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = pdf[pdf["is_index"] == 1]
+        if idx.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        i_ids = idx["vid"].to_numpy(dtype=np.int64)
+        i_mat = np.stack(idx["vec"].to_numpy())
+        q_ids = pdf["vid"].to_numpy(dtype=np.int64)
+        q_mat = np.stack(pdf["vec"].to_numpy())
+        sims = q_mat @ i_mat.T  # pre-normalized -> cosine
+        out_q, out_n, out_s = [], [], []
+        for row, qid in enumerate(q_ids):
+            s = sims[row]
+            mask = i_ids != qid
+            cand_ids, cand_s = i_ids[mask], s[mask]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand_ids[order])
+            out_s.extend(cand_s[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "cosine": np.asarray(out_s, dtype=np.float64),
+            }
         )
 
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents = bc.value
-            for pdf in batches:
-                ids = pdf[id_col].to_numpy(dtype=np.int64)
-                mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
-                sims = _ordered_dot(mat[:, None, :], cents[None, :, :])
-                # n_top nearest centroids per vector (argsort desc)
-                cells = np.argsort(-sims, axis=1)[:, :n_top]
-                n = len(ids)
-                yield pd.DataFrame(
-                    {
-                        "vid": np.repeat(ids, n_top),
-                        "vec": [list(v) for v in np.repeat(mat, n_top, axis=0)],
-                        "cell": cells.reshape(-1).astype(np.int32),
-                    }
-                )
-
-        return kernel, schema
-
-    src = embeddings.select(id_col, vec_col)
-    k_idx, s_idx = assign(1)
-    k_qry, s_qry = assign(n_probe)
-    index_side = src.mapInPandas(k_idx, schema=s_idx).toDF("neighbor_id", "nvec", "cell")
-    query_side = src.mapInPandas(k_qry, schema=s_qry).toDF("query_id", "qvec", "cell")
-
-    cand = (
-        query_side.join(index_side, on="cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    local = assigned.groupBy("cell").applyInPandas(
+        cell_topk, schema="query_id long, neighbor_id long, cosine double"
     )
-    # vectors are pre-normalized in the kernels: cosine = plain dot
-    cosine = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("nvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sims = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
+    dedup = local.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return dedup.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
