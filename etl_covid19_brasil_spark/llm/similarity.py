@@ -67,6 +67,18 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return m64 / norms[:, None]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the query stream up to the cluster's parallelism when
+    the source arrives in fewer partitions (a 2-file parquet table would
+    otherwise run the O(n_q x n_index) kernel on 2 cores). The shuffle
+    moves only the small query rows; at real scale the input already has
+    enough partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 PAIRS_SCHEMA = StructType(
     [
         StructField("id_a", LongType()),
@@ -110,7 +122,7 @@ def cosine_pairs_above(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema=PAIRS_SCHEMA)
+    return _spread(vectors.select(id_col, vec_col)).mapInPandas(kernel, schema=PAIRS_SCHEMA)
 
 
 def brute_force_topk(
@@ -158,4 +170,4 @@ def brute_force_topk(
                 }
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema=TOPK_SCHEMA)
+    return _spread(embeddings.select(id_col, vec_col)).mapInPandas(kernel, schema=TOPK_SCHEMA)
