@@ -7,16 +7,24 @@ the pair space with an equi-join on a bucket key:
 
 - ``lsh_topk``: bucket = sign pattern of ``n_planes`` random-hyperplane
   projections (per table); ``n_tables`` independent tables trade compute
-  for recall (P(collide) = (1 - theta/pi)^n_planes per table).
+  for recall (P(collide) = (1 - theta/pi)^n_planes per table). Defaults
+  (4 planes x 8 tables) target weakly-similar neighbors (cosine ~0.5,
+  theta ~60 deg): ~0.17 per table, ~0.77 across 8 tables — measured
+  recall ~0.69 on the test embeddings (tests/test_ann_recall.py); 8
+  planes would prune harder but collapses recall to ~0.07 at this
+  similarity level.
 - ``ivf_topk``: bucket = nearest coarse centroid; queries probe their
   ``n_probe`` nearest cells.
 
 Cost shape: signatures/assignments are map-side Arrow-batched kernels
 (hyperplanes/centroids ride a broadcast — literal plane arrays in the plan
-were ~4s of analyzer/codegen cost at 32 planes); candidates come from an
-equi-join on the bucket key; candidate ranking uses the exact JVM-fold
-cosine, so reported similarities are bit-identical to the brute-force
-tier. Probabilistic by construction -> rows-only in the correctness gate.
+were ~4s of analyzer/codegen cost at 32 planes); ONE hash shuffle groups
+each (table, bucket); a per-group kernel ranks members with the same
+dimension-ordered dot as the brute-force tier (a candidate-pair equi-join
+with per-pair interpreted JVM folds was ~15-25x slower at 4-plane bucket
+sizes); a final window merges local top-k lists. Probabilistic by
+construction -> rows-only in the correctness gate; recall floors pinned
+in tests/test_ann_recall.py.
 """
 
 from __future__ import annotations
@@ -43,11 +51,6 @@ def _planes(n_tables: int, n_planes: int, dim: int, seed: int = 42) -> np.ndarra
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
-def _dot(a: F.Column, b: F.Column) -> F.Column:
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-
 _BANDED_SCHEMA = StructType(
     [
         StructField("vid", LongType()),
@@ -58,23 +61,49 @@ _BANDED_SCHEMA = StructType(
 )
 
 
-def _rank_candidates(cand: DataFrame, k: int) -> DataFrame:
-    """Exact-cosine ranking of candidate pairs (shared by both schemes).
-    The JVM fold keeps similarities bit-identical to the brute-force tier.
-    """
-    cosine = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
-    sims = cand.select("query_id", "neighbor_id", cosine.alias("cosine"))
+def _bucket_topk_kernel(k: int):
+    """Per-bucket kernel: every member is both query and index; emit each
+    query's local top-k. Dots use the dimension-ordered accumulation so a
+    pair colliding in several buckets yields the SAME double everywhere
+    (BLAS matmul may vary summation order with matrix shape) — required
+    for the downstream dedup + global ranking to be deterministic."""
+    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(pdf["vec"].to_numpy()))
+        sims = _ordered_dot(mat[:, None, :], mat[None, :, :])
+        out_q, out_n, out_s = [], [], []
+        for row, qid in enumerate(ids):
+            mask = ids != qid
+            cand_ids, cand_s = ids[mask], sims[row][mask]
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cand_ids[order])
+            out_s.extend(cand_s[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                "cosine": np.asarray(out_s, dtype=np.float64),
+            }
+        )
+
+    return kernel
+
+
+def _global_topk(local: DataFrame, k: int) -> DataFrame:
+    """Merge per-bucket local top-k lists into the global per-query top-k."""
+    dedup = local.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return dedup.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -110,32 +139,17 @@ def lsh_topk(
     banded = embeddings.select(id_col, vec_col).mapInPandas(
         sign_kernel, schema=_BANDED_SCHEMA
     )
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") != F.col("b.vid")),
-        )
-        .select(
-            F.col("a.vid").alias("query_id"),
-            F.col("b.vid").alias("neighbor_id"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    local = banded.groupBy("tbl", "bucket").applyInPandas(
+        _bucket_topk_kernel(k), schema="query_id long, neighbor_id long, cosine double"
     )
-    return _rank_candidates(cand, k)
+    return _global_topk(local, k)
 
 
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 3,
+    n_probe: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -227,6 +241,4 @@ def ivf_topk(
     local = assigned.groupBy("cell").applyInPandas(
         cell_topk, schema="query_id long, neighbor_id long, cosine double"
     )
-    dedup = local.dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return dedup.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _global_topk(local, k)

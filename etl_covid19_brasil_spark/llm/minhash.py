@@ -46,10 +46,18 @@ def minhash_signatures(
     hashed = docs.select(
         id_col, F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("__h")
     )
+
+    def perm(i: int):
+        # single-parameter lambda is REQUIRED: a two-parameter transform
+        # lambda receives (element, array_index), so capturing the
+        # permutation index as a default arg (lambda h, i=i: ...) silently
+        # shadows it with the element position — every permutation
+        # degenerates to the same position-sensitive hash.
+        lit_i = F.lit(i)
+        return lambda h: F.xxhash64(h, lit_i)
+
     mins = [
-        F.array_min(
-            F.transform(F.col("__h"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("__h"), perm(i))).alias(f"mh_{i}")
         for i in range(num_perms)
     ]
     return hashed.select(F.col(id_col), *mins)

@@ -543,7 +543,7 @@ def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import lsh_topk
 
-    return lsh_topk(T(spark, sf, "embeddings"), k=5, n_planes=8, n_tables=4)
+    return lsh_topk(T(spark, sf, "embeddings"), k=5, n_planes=4, n_tables=8)
 
 
 @query(
@@ -644,9 +644,10 @@ def media_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     doc="IVF approximate nearest neighbors: coarse-quantize into Voronoi "
     "cells, index vectors live in 1 cell, queries probe their 3 nearest "
     "cells, candidates meet in an equi-join on the cell id — the second "
-    "ANN scale path next to ann_lsh_topk. See llm/ann.py:ivf_topk.",
+    "ANN scale path next to ann_lsh_topk (recall floor pinned in "
+    "tests/test_ann_recall.py). See llm/ann.py:ivf_topk.",
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivf_topk
 
-    return ivf_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=3)
+    return ivf_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=5)

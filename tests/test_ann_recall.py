@@ -1,0 +1,79 @@
+"""Recall floors for the approximate tiers (SURVEY.md §2.10).
+
+The correctness gate checks approximate operators rows-only; these tests
+pin their *quality* against the exact tiers so a silent recall collapse
+(bad hash family, broken banding, wrong probe count) fails CI rather than
+shipping an ANN index that returns noise.
+
+Expected values (measured at sf0.01): hyperplane LSH at 4 planes x 8
+tables ~0.69 recall of true top-5 neighbors (cosine ~0.5 => theta ~60
+deg; per-table collide P ~(1-theta/pi)^4 ~0.17); IVF probing 5/16 cells
+~0.55; MinHash banding at s>=0.8 has P(candidate) ~0.99+ by the S-curve,
+so recall 1.0 of the >=0.8-Jaccard truth set with precision 1.0 (exact
+verification step). These floors sit safely below measurements but far
+above broken-implementation levels — the original motivation: a
+transform-lambda arity bug had silently collapsed every minhash
+permutation to the same position-sensitive hash (recall 0.13).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def truth_topk(spark):
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    rows = brute_force_topk(load_table(spark, SF, "embeddings"), k=5).collect()
+    return {(r["query_id"], r["neighbor_id"]) for r in rows}
+
+
+def _recall(approx_rows, truth: set) -> float:
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    return len(got & truth) / len(truth)
+
+
+def test_lsh_recall_floor(spark, truth_topk):
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import lsh_topk
+
+    rows = lsh_topk(load_table(spark, SF, "embeddings"), k=5).collect()
+    r = _recall(rows, truth_topk)
+    assert r >= 0.5, f"LSH recall collapsed: {r:.3f}"
+
+
+def test_ivf_recall_floor(spark, truth_topk):
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk
+
+    rows = ivf_topk(load_table(spark, SF, "embeddings"), k=5).collect()
+    r = _recall(rows, truth_topk)
+    assert r >= 0.45, f"IVF recall collapsed: {r:.3f}"
+
+
+def test_minhash_recall_of_true_near_dups(spark):
+    from etl_covid19_brasil_spark.queries.llm import near_dedup_jaccard, near_dedup_minhash
+
+    truth = {(r["doc_a"], r["doc_b"]) for r in near_dedup_jaccard(spark, SF).collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in near_dedup_minhash(spark, SF).collect()}
+    assert truth, "ground truth empty — corpus synthesis broke"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"MinHash-LSH recall {recall:.3f} below S-curve expectation"
+    # verification step guarantees precision = 1.0 (every emitted pair is
+    # re-checked with exact Jaccard)
+    assert got <= truth | got  # no-op structurally; precision asserted below
+    extra = got - truth
+    assert not extra, f"pairs that failed exact verification leaked: {sorted(extra)[:5]}"
+
+
+def test_simhash_finds_true_near_dups(spark):
+    from etl_covid19_brasil_spark.queries.llm import near_dedup_jaccard, near_dedup_simhash
+
+    truth = {(r["doc_a"], r["doc_b"]) for r in near_dedup_jaccard(spark, SF).collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in near_dedup_simhash(spark, SF).collect()}
+    overlap = len(got & truth) / len(truth)
+    assert overlap >= 0.5, f"SimHash candidate overlap {overlap:.3f} too low"
