@@ -410,3 +410,189 @@ def fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shifted_l"),
         F.shiftright(k, 3).alias("shifted_r"),
     )
+
+
+@query(
+    "fn_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(
+             list_transform(string_split(p_name, ' '),
+                            w -> upper(w[1]) || lower(w[2:])), ' ') AS name_title,
+           split_part(p_type, ' ', 2) AS type_mid,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+           starts_with(p_brand, 'Brand#1') AS is_brand1,
+           translate(p_brand, '#', '_') AS brand_safe,
+           repeat(p_brand, 2) AS brand_twice,
+           round_even(CAST(p_size AS DOUBLE) + 0.5, 0) AS size_banker
+    FROM part
+    """,
+    section="2.8",
+    doc="Second string batch: initcap (DuckDB lacks it — the oracle rebuilds "
+    "it word-wise), split_part, instr/strpos, startswith, translate, repeat, "
+    "and banker's rounding (bround == round_even) probed on size+0.5 — an "
+    "exact binary tie, so HALF_EVEN semantics are observable; arbitrary "
+    "doubles would diverge because Spark rounds the shortest-decimal "
+    "rendering while DuckDB rounds the binary value.",
+)
+def fn_string_extra(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("name_title"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.col("p_brand").startswith("Brand#1").alias("is_brand1"),
+        F.translate("p_brand", "#", "_").alias("brand_safe"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.bround(F.col("p_size").cast("double") + 0.5, 0).alias("size_banker"),
+    )
+
+
+@query(
+    "fn_datetime_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus_2mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CASE WHEN day(o_orderdate) = 1
+                THEN CAST((2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS DOUBLE)
+                ELSE round((2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+                           + (1 - day(o_orderdate)) / 31.0, 6) END AS months_to_2002,
+           o_orderdate + to_days(2) + to_hours(3) + to_minutes(4) + to_seconds(5) AS shifted,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso_str
+    FROM orders
+    """,
+    section="2.8",
+    doc="Interval arithmetic batch: add_months (month-clamped in both "
+    "engines: Jan 31 + 1 month == Feb 29), last_day, months_between (no "
+    "DuckDB builtin — the oracle restates Spark's 31-day-month formula, "
+    "integer when the days-of-month match; both sides rounded to 6), "
+    "make_interval composition, and the from_unixtime(unix_timestamp()) "
+    "epoch roundtrip (UTC session).",
+)
+def fn_datetime_interval(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 2).cast("timestamp").alias("plus_2mo"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.round(F.months_between(F.lit("2002-01-01").cast("timestamp"), d), 6).alias(
+            "months_to_2002"
+        ),
+        (d + F.expr("make_interval(0, 0, 0, 2, 3, 4, 5)")).alias("shifted"),
+        F.from_unixtime(F.unix_timestamp(d)).alias("iso_str"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_slice(string_split(text, ' '), 1, 6) AS f6 FROM documents
+    )
+    SELECT doc_id,
+           CAST(split_part(pe, '@', 1) AS BIGINT) AS pos,
+           split_part(pe, '@', 2) AS tok,
+           array_to_string(list_transform(f6, x -> x || ':' || CAST(length(x) AS VARCHAR)), ',') AS tok_len_zip,
+           array_to_string(list_sort(list_distinct(list_concat(f6, ['key','table','zzz']))), ',') AS with_refs,
+           array_to_string(list_sort(list_distinct(list_filter(f6, x -> NOT list_contains(['key','table'], x)))), ',') AS minus_refs
+    FROM (SELECT doc_id, f6,
+                 unnest(list_transform(f6, (x, i) -> CAST(i - 1 AS VARCHAR) || '@' || x)) AS pe
+          FROM toks)
+    """,
+    section="2.8",
+    doc="Generator + set-algebra array batch: posexplode (0-based position; "
+    "the oracle unnests an index-tagged list), arrays_zip surfaced through "
+    "a struct-field projection, array_union / array_except against a "
+    "constant list. Union/except outputs are sorted because DuckDB's "
+    "list_distinct does not preserve first-occurrence order.",
+)
+def fn_array_explode(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    f6 = F.slice(F.split(F.col("text"), " "), 1, 6)
+    zipped = F.arrays_zip(f6, F.transform(f6, lambda x: F.length(x)))
+    refs = F.array(F.lit("key"), F.lit("table"), F.lit("zzz"))
+    return d.select(
+        "doc_id",
+        F.posexplode(f6).alias("pos", "tok"),
+        F.array_join(
+            F.transform(
+                zipped,
+                lambda s: F.concat(s.getField("0"), F.lit(":"), s.getField("1").cast("string")),
+            ),
+            ",",
+        ).alias("tok_len_zip"),
+        F.array_join(F.array_sort(F.array_union(f6, refs)), ",").alias("with_refs"),
+        F.array_join(
+            F.array_sort(F.array_except(f6, F.slice(refs, 1, 2))), ","
+        ).alias("minus_refs"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@query(
+    "fn_map_entries",
+    oracle="""
+    WITH ent AS (
+      SELECT doc_id,
+             map_from_entries(
+               list_transform(list_slice(string_split(text, ' '), 1, 4),
+                              (t, i) -> {'k': CAST(i - 1 AS VARCHAR) || ':' || t,
+                                         'v': CAST(length(t) AS BIGINT)})) AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           CAST(cardinality(m) AS BIGINT) AS n_entries,
+           (m['0:' || split_part((SELECT text FROM documents d2 WHERE d2.doc_id = ent.doc_id), ' ', 1)])[1] AS first_len
+    FROM ent
+    """,
+    section="2.8",
+    doc="map_from_entries over an index-keyed entry array (position prefix "
+    "makes keys unique — Spark's default mapKeyDedupPolicy=EXCEPTION throws "
+    "on duplicate keys), map_keys (sorted: map iteration order is "
+    "engine-specific), map cardinality, and element_at lookup.",
+)
+def fn_map_entries(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    f4 = F.slice(F.split(F.col("text"), " "), 1, 4)
+    entries = F.transform(
+        f4,
+        lambda t, i: F.struct(
+            F.concat(i.cast("string"), F.lit(":"), t).alias("k"),
+            F.length(t).cast("long").alias("v"),
+        ),
+    )
+    m = F.map_from_entries(entries)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(m).cast("long").alias("n_entries"),
+        F.element_at(m, F.concat(F.lit("0:"), F.split_part(F.col("text"), F.lit(" "), F.lit(1)))).alias(
+            "first_len"
+        ),
+    )
+
+
+@query(
+    "fn_json_tuple",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str2,
+           to_json({'k': CAST(json_extract(props, '$.k') AS BIGINT)}) AS canon
+    FROM events
+    """,
+    section="2.8",
+    doc="json_tuple multi-field extraction (generator form of "
+    "get_json_object) and the from_json -> to_json canonicalization "
+    "roundtrip; schema_of_json is asserted in tests/test_plans.py (its "
+    "DDL-string output is engine-specific, so it has no oracle twin).",
+)
+def fn_json_tuple(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.json_tuple(F.col("props"), "k").alias("k_str2"),
+        F.to_json(F.from_json("props", "k BIGINT")).alias("canon"),
+    )

@@ -651,3 +651,61 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivf_topk
 
     return ivf_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=5)
+
+
+@query(
+    "doc_fingerprint_winnow",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS chars
+      FROM documents WHERE length(text) >= 10
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(chars) - 5),
+                            i -> list_reduce(list_slice(chars, i, i + 6),
+                                             (a, b) -> (a * 31 + b) % 1000000007)) AS hashes
+      FROM ch
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_sort(list_distinct(
+               list_transform(range(1, len(hashes) - 2),
+                              j -> list_min(list_slice(hashes, j, j + 3))))), ',') AS fingerprint,
+           CAST(len(hashes) AS BIGINT) AS n_grams
+    FROM h
+    """,
+    section="2.10",
+    doc="Winnowing document fingerprint (Schleimer et al., MOSS): 7-char "
+    "k-gram rolling polynomial hashes (base 31 mod 1e9+7 over char codes — "
+    "max intermediate 31 * (1e9+7) + 127, well inside BIGINT even under "
+    "ANSI sessions), minimum per 4-hash window, distinct-sorted selection. "
+    "The scale path behind doc_fingerprint's whole-text md5: winnowed "
+    "prints survive local edits, so shared fingerprints find partial "
+    "overlap, not just exact duplicates. Pure per-row map-side higher-order "
+    "expressions — zero shuffle, zero Python.",
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    K, W, M = 7, 4, 1_000_000_007
+    d = T(spark, sf, "documents").filter(F.length("text") >= 10)
+    chars = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
+    with_chars = d.select("doc_id", chars.alias("chars"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("chars")) - (K - 1)),
+        lambda i: F.aggregate(
+            F.slice(F.col("chars"), i, K),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + c) % M,
+        ),
+    )
+    with_hashes = with_chars.select("doc_id", hashes.alias("hashes"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("hashes")) - (W - 1)),
+        lambda j: F.array_min(F.slice(F.col("hashes"), j, W)),
+    )
+    return with_hashes.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(mins)), ",").alias("fingerprint"),
+        F.size(F.col("hashes")).cast("long").alias("n_grams"),
+    )

@@ -861,3 +861,83 @@ def filter_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
         """,
         sf_dir=sf,
     )
+
+
+@query(
+    "agg_stats_higher",
+    oracle="""
+    SELECT l_returnflag,
+           round((((CAST(s3 AS DOUBLE) / n) - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / power((CAST(s2 AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5),
+                 6) AS skew_qty,
+           round(((((CAST(s4 AS DOUBLE) / n) - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n))
+                   + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / (((CAST(s2 AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * ((CAST(s2 AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 - 3, 6) AS kurt_qty,
+           round((CAST(sxy AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(t1 AS DOUBLE) / n), 6) AS covar_qd,
+           round(((CAST(sxy AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(t1 AS DOUBLE) / n))
+                 / (sqrt((CAST(s2 AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * sqrt((CAST(t2 AS DOUBLE) / n) - (CAST(t1 AS DOUBLE) / n) * (CAST(t1 AS DOUBLE) / n))),
+                 6) AS corr_qd
+    FROM (SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(q) AS s1, SUM(q*q) AS s2, SUM(q*q*q) AS s3, SUM(q*q*q*q) AS s4,
+                 SUM(d) AS t1, SUM(d*d) AS t2, SUM(q*d) AS sxy
+          FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                       CAST(round(l_discount * 100, 0) AS BIGINT) AS d
+                FROM lineitem)
+          GROUP BY l_returnflag)
+    """,
+    section="2.4",
+    doc="Higher-moment statistics — population skewness, excess kurtosis, "
+    "covar_pop, corr — from exact integer power sums (quantity <= 50, so "
+    "sum(q^4) stays ~1e13, far inside BIGINT). Deterministic twin of "
+    "F.skewness / F.kurtosis / F.covar_pop / F.corr, whose float "
+    "accumulation order is partition-dependent; both engines evaluate the "
+    "identical double expression over identical integers, with only the "
+    "libm-backed power() term needing the 6-decimal round.",
+)
+def agg_stats_higher(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    )
+    q, d = F.col("q"), F.col("d")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+        F.sum(d).alias("t1"),
+        F.sum(d * d).alias("t2"),
+        F.sum(q * d).alias("sxy"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    m4r = F.col("s4").cast("double") / n
+    u1 = F.col("t1").cast("double") / n
+    u2r = F.col("t2").cast("double") / n
+    mxy = F.col("sxy").cast("double") / n
+    var_q = m2r - m1 * m1
+    var_d = u2r - u1 * u1
+    covar = mxy - m1 * u1
+    return sums.select(
+        "l_returnflag",
+        F.round(((m3r - 3 * m1 * m2r) + 2 * m1 * m1 * m1) / F.pow(var_q, 1.5), 6).alias(
+            "skew_qty"
+        ),
+        F.round(
+            (((m4r - 4 * m1 * m3r) + 6 * m1 * m1 * m2r) - 3 * m1 * m1 * m1 * m1)
+            / (var_q * var_q)
+            - 3,
+            6,
+        ).alias("kurt_qty"),
+        F.round(covar, 6).alias("covar_qd"),
+        F.round(covar / (F.sqrt(var_q) * F.sqrt(var_d)), 6).alias("corr_qd"),
+    )

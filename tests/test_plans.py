@@ -94,3 +94,17 @@ def test_minhash_signatures_are_shuffle_free(spark):
     )
     p = plan_of(minhash_signatures(docs, "doc_id", "toks"))
     assert "Exchange" not in p, "signature stage must not shuffle"
+
+
+def test_schema_of_json_infers_props(spark):
+    # engine-specific DDL output -> asserted here instead of an oracle twin
+    # (fn_json_tuple's docstring points at this test)
+    import pyspark.sql.functions as F
+    from etl_covid19_brasil_spark.io import load_table
+
+    e = load_table(spark, SF, "events")
+    sample = e.select(F.col("props")).first()["props"]
+    ddl = spark.range(1).select(F.schema_of_json(F.lit(sample))).first()[0]
+    assert "k" in ddl and "BIGINT" in ddl.upper(), ddl
+    parsed = e.select(F.from_json("props", ddl).alias("p")).select("p.k")
+    assert parsed.filter(F.col("k").isNull()).count() == 0
