@@ -15,23 +15,54 @@ Jaccard join:
    rely on it.)
 2. banding: split the signature into ``bands`` groups of ``rows_per_band``
    values; hash each group to a bucket id. Documents sharing any
-   (band, bucket) become candidates — an equi-join on the bucket key, so
-   Catalyst uses a hash join; no cross product ever materializes.
-3. verification: candidates (a tiny fraction of all pairs) are joined back
-   to their token sets and kept iff exact Jaccard >= threshold.
+   (band, bucket) become candidates — ONE hash shuffle groups each
+   (band, bucket) and pairs expand in-bucket via nested array transforms
+   (a banded self-join costs two shuffles of the same rows and, without
+   exchange reuse, recomputes the whole signature subtree per side — the
+   join formulation measured ~2x slower end-to-end).
+3. verification: candidates (a tiny fraction of all pairs) broadcast into
+   two joins against the persisted token sets and are kept iff exact
+   Jaccard >= threshold.
+
+The shingled corpus is persisted (MEMORY_AND_DISK) for the pipeline's
+lifetime: signatures + both verification sides otherwise re-tokenize the
+documents table several times (Catalyst does not dedupe common subplans
+across join sides — measured 8 parquet scans in the unpersisted plan).
+That is also the 100 TB posture: a multi-pass LSH index build checkpoints
+its tokenized corpus rather than re-deriving it per pass.
 
 With 32 permutations as 8 bands x 4 rows, the S-curve gives
 P(candidate) = 1-(1-s^4)^8: ~0.97 at s=0.8, ~0.03 at s=0.3.
 
 Built entirely from DataFrame ops + xxhash64 (JVM codegen); no Python
 UDFs. Probabilistic by construction -> registered rows-only in the
-correctness gate; exactness is covered by near_dedup_jaccard.
+correctness gate; exactness is covered by near_dedup_jaccard; the recall
+floor against the exact tier is pinned in tests/test_ann_recall.py.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+
+def bucket_pairs(grouped_ids: F.Column) -> F.Column:
+    """All ordered pairs (a < b) from a SORTED id array, as structs —
+    the in-bucket candidate expansion shared by the LSH families. Buckets
+    are overwhelmingly singletons (size-0 output); a hot bucket expands
+    quadratically, which is inherent to LSH banding (identical docs must
+    all pair) — threshold tuning, not the engine, bounds that."""
+    ids = grouped_ids
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
 
 
 def minhash_signatures(
@@ -84,16 +115,14 @@ def lsh_candidates(
     banded = sigs.select(F.col(id_col), F.explode(buckets).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        grouped.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -108,15 +137,22 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full pipeline: signatures -> banded candidates -> exact-Jaccard
     verification. Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    The distinct-token corpus is persisted and reused by the signature
+    stage and both verification sides; the candidate set (tiny by the
+    S-curve) broadcasts into the verification joins so the corpus is
+    never shuffled.
     """
     rows_per_band = num_perms // bands
-    sigs = minhash_signatures(docs, id_col, tokens_col, num_perms)
+    toks = docs.select(
+        F.col(id_col), F.array_distinct(F.col(tokens_col)).alias("__toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(toks, id_col, "__toks", num_perms)
     cand = lsh_candidates(sigs, id_col, bands, rows_per_band)
 
-    toks = docs.select(F.col(id_col), F.array_distinct(F.col(tokens_col)).alias("__toks"))
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("toks_a"))
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("toks_b"))
-    joined = cand.join(ta, "id_a").join(tb, "id_b")
+    joined = tb.join(F.broadcast(ta.join(F.broadcast(cand), "id_a")), "id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union

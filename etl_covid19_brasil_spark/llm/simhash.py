@@ -12,8 +12,11 @@ band bucket):
 3. pack sign bits into one BIGINT signature;
 4. candidate pairs: split the signature into 4 16-bit bands — two docs
    within Hamming distance <= 3 of each other must agree on at least one
-   whole band (pigeonhole); equi-join on (band, band_value);
-5. exact Hamming check via bit_count(xor) <= max_hamming.
+   whole band (pigeonhole); ONE hash shuffle groups each (band, bucket)
+   and (id, signature) pairs expand in-bucket via nested transforms, so
+   the signature rides along and verification needs no join at all;
+5. exact Hamming check via bit_count(xor) <= max_hamming, applied before
+   the pair dedup so the final distinct only sees surviving pairs.
 
 For ``max_hamming`` > 3 the 4-band pigeonhole bound is no longer exact, so
 recall is approximate (like any production SimHash deployment) — hence
@@ -23,6 +26,7 @@ rows-only in the correctness gate.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
@@ -53,10 +57,21 @@ def simhash_signatures(docs: DataFrame, id_col: str, tokens_col: str) -> DataFra
 def simhash_near_dup_pairs(
     docs: DataFrame, id_col: str, tokens_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Candidate pairs via 16-bit band equi-join, verified by exact
+    """Candidate pairs via 16-bit band bucketing, verified by exact
     Hamming distance. Output: (doc_a, doc_b, hamming).
+
+    The token corpus is persisted before the signature explode: Spark's
+    InferFiltersFromGenerate plants a ``size(tokens) > 0`` predicate under
+    the Generate, and predicate pushdown then drags the whole tokenizing
+    expression below its projection, where per-element lambdas inline and
+    re-evaluate it once per element_at — measured 17x slower end-to-end
+    on shingled input. The cache is a barrier pushdown cannot cross, so
+    the filter runs against materialized arrays instead.
     """
-    sigs = simhash_signatures(docs, id_col, tokens_col)
+    base = docs.select(F.col(id_col), F.col(tokens_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = simhash_signatures(base, id_col, tokens_col)
     bands = F.array(
         *[
             F.struct(
@@ -69,25 +84,19 @@ def simhash_near_dup_pairs(
     banded = sigs.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
         id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    from etl_covid19_brasil_spark.llm.minhash import bucket_pairs
+
+    members = F.sort_array(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")))
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
     )
+    pairs = grouped.select(F.explode(bucket_pairs(F.col("ms"))).alias("p")).select(
+        F.col("p.id_a.id").alias("doc_a"),
+        F.col("p.id_b.id").alias("doc_b"),
+        F.bit_count(F.col("p.id_a.sig").bitwiseXOR(F.col("p.id_b.sig"))).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).dropDuplicates(["doc_a", "doc_b"])

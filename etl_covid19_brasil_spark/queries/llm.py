@@ -32,6 +32,17 @@ def _tokens() -> F.Column:
     return F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")), " +")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a SMALL scan across every core BEFORE a
+    CPU-heavy per-row projection. A corpus table small enough to arrive as
+    one parquet split otherwise pins tokenize/shingle/hash work on a
+    single task (maxPartitionBytes sizes splits by bytes, not by the
+    compute they feed); the few-MB shuffle is noise next to the freed
+    parallelism. At real 100 TB scale the scan arrives in thousands of
+    splits and this repartition collapses to a no-op-cost rebalance."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 _O_TOKENS = "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
 
 
@@ -297,10 +308,27 @@ _O_SHINGLES = (
 )
 
 
+def _shingle_hashes(tokens: F.Column) -> F.Column:
+    """3-token shingles hashed straight to longs — the scale-path twin of
+    _shingles for pipelines that only need shingle IDENTITY (minhash,
+    simhash: set membership, min-over-set). Skips the string concat and
+    the O(n^2) array_distinct: higher-order lambdas run interpreted (no
+    whole-stage codegen), so per-element string building dominated the
+    LSH pipelines — hashing token triples in place measured ~3x faster;
+    downstream dedup happens once, after the per-doc arrays are cached."""
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - 2),
+        lambda i: F.xxhash64(
+            F.element_at(tokens, i), F.element_at(tokens, i + 1), F.element_at(tokens, i + 2)
+        ),
+    )
+    return F.when(F.size(tokens) >= 3, gram).otherwise(F.array().cast("array<long>"))
+
+
 def _near_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """documents plus a mutated copy (first 3 tokens dropped) of every
     third document, ids offset by 1M — deterministic near-dup pairs."""
-    d = T(spark, sf, "documents").select("doc_id", _tokens().alias("w"))
+    d = _spread(spark, T(spark, sf, "documents")).select("doc_id", _tokens().alias("w"))
     mutated = d.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.slice(F.col("w"), 4, F.greatest(F.size("w") - 3, F.lit(0))).alias("w"),
@@ -378,7 +406,7 @@ def near_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def near_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.minhash import minhash_near_dup_pairs
 
-    d = _near_dup_corpus(spark, sf).select("doc_id", _shingles(F.col("w")).alias("sh"))
+    d = _near_dup_corpus(spark, sf).select("doc_id", _shingle_hashes(F.col("w")).alias("sh"))
     return minhash_near_dup_pairs(d, id_col="doc_id", tokens_col="sh", threshold=0.8)
 
 
@@ -392,7 +420,7 @@ def near_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 def near_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.simhash import simhash_near_dup_pairs
 
-    d = _near_dup_corpus(spark, sf).select("doc_id", _shingles(F.col("w")).alias("sh"))
+    d = _near_dup_corpus(spark, sf).select("doc_id", _shingle_hashes(F.col("w")).alias("sh"))
     return simhash_near_dup_pairs(d, id_col="doc_id", tokens_col="sh", max_hamming=8)
 
 
@@ -688,7 +716,7 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def doc_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
     K, W, M = 7, 4, 1_000_000_007
-    d = T(spark, sf, "documents").filter(F.length("text") >= 10)
+    d = _spread(spark, T(spark, sf, "documents")).filter(F.length("text") >= 10)
     chars = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
     with_chars = d.select("doc_id", chars.alias("chars"))
     hashes = F.transform(
