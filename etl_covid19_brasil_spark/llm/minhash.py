@@ -68,30 +68,30 @@ def bucket_pairs(grouped_ids: F.Column) -> F.Column:
 def minhash_signatures(
     docs: DataFrame, id_col: str, tokens_col: str, num_perms: int = 32
 ) -> DataFrame:
-    """(id, tokens[]) -> (id, minhash_0..minhash_{n-1}).
+    """(id, tokens[]) -> (id, sig: array<long>[num_perms]).
 
-    One xxhash64 per token, then permutation i is ``xxhash64(h, i)``
-    (hashing the long, not the string — ANSI-safe, JVM codegen)
-    minimized over the token-hash array — no explode, no shuffle.
+    One xxhash64 per token, then permutation p is ``xxhash64(h, p)``
+    (hashing the long, not the string — ANSI-safe) minimized over the
+    token-hash array — no explode, no shuffle. The whole signature is ONE
+    nested-transform expression over ``sequence(0, n-1)`` rather than n
+    per-permutation columns: n separate ``array_min(transform(...))``
+    subtrees made the analyzed plan O(n) in size and dominated cold-run
+    latency with analyzer + codegen time (~2s at n=32), for identical
+    per-element work at execution.
+
+    The outer lambda's element IS the permutation index (single-parameter
+    lambda — a two-parameter transform lambda receives (element, index),
+    which would shadow a captured index and collapse every permutation to
+    the same hash).
     """
     hashed = docs.select(
         id_col, F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("__h")
     )
-
-    def perm(i: int):
-        # single-parameter lambda is REQUIRED: a two-parameter transform
-        # lambda receives (element, array_index), so capturing the
-        # permutation index as a default arg (lambda h, i=i: ...) silently
-        # shadows it with the element position — every permutation
-        # degenerates to the same position-sensitive hash.
-        lit_i = F.lit(i)
-        return lambda h: F.xxhash64(h, lit_i)
-
-    mins = [
-        F.array_min(F.transform(F.col("__h"), perm(i))).alias(f"mh_{i}")
-        for i in range(num_perms)
-    ]
-    return hashed.select(F.col(id_col), *mins)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perms - 1)),
+        lambda p: F.array_min(F.transform(F.col("__h"), lambda h: F.xxhash64(h, p))),
+    )
+    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidates(
@@ -101,19 +101,24 @@ def lsh_candidates(
     at least one (band, bucket). Distinct so a pair colliding in several
     bands appears once.
     """
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.explode(buckets).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # Band b's bucket is the hash of the signature slice it owns — two
+    # docs collide iff those rows_per_band minhashes are all equal, the
+    # same collision condition as hashing the rows individually. The band
+    # index explodes BEFORE the slice+hash projection: a Generate is a
+    # projection barrier CollapseProject cannot cross, so the signature
+    # expression evaluates once per doc; slicing it inside a per-band
+    # lambda instead inlines (and re-evaluates) the whole signature per
+    # band — measured ~8x signature work.
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        id_col,
+        F.col("band").cast("int").alias("band"),
+        F.xxhash64(
+            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
+        ).alias("bucket"),
     )
     grouped = (
         banded.groupBy("band", "bucket")
