@@ -8,7 +8,13 @@ Prints ONE JSON line:
 
 Each query is forced to full materialization with the noop writer (no
 driver collect bottleneck, no output skipped by count() shortcuts). One
-untimed warmup of a trivial action absorbs JVM/codegen startup.
+untimed warmup of a trivial action absorbs JVM startup; each query is
+then timed twice end-to-end (plan + execute; the DataFrame cache is
+cleared before every timed run so a pipeline's internal persist() never
+carries state across runs) and the faster run is reported — the
+steady-state number a resident engine process delivers, excluding
+one-time codegen/classloading warm-up, which is the standard warm-run
+convention for engine benchmarks.
 """
 
 from __future__ import annotations
@@ -109,17 +115,20 @@ def main() -> None:
     sf_val = float(sf_num) if sf_num.replace(".", "").isdigit() else 0.1
     _covid_csv(sf_val)  # untimed synthesis/cache
 
+    def timed(build) -> float:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            df = build()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = specs[name].spark(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    df = _etl_covid(spark, sf_val)
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    timings["etl_covid_pipeline"] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda: specs[name].spark(spark, SF_DIR))
+    timings["etl_covid_pipeline"] = timed(lambda: _etl_covid(spark, sf_val))
 
     print(
         json.dumps(
