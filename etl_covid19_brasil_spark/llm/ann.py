@@ -73,19 +73,23 @@ def _bucket_topk_kernel(k: int):
         ids = pdf["vid"].to_numpy(dtype=np.int64)
         mat = _normalize(np.stack(pdf["vec"].to_numpy()))
         sims = _ordered_dot(mat[:, None, :], mat[None, :, :])
-        out_q, out_n, out_s = [], [], []
-        for row, qid in enumerate(ids):
-            mask = ids != qid
-            cand_ids, cand_s = ids[mask], sims[row][mask]
-            order = np.lexsort((cand_ids, -cand_s))[:k]
-            out_q.extend([qid] * len(order))
-            out_n.extend(cand_ids[order])
-            out_s.extend(cand_s[order])
+        b = len(ids)
+        kk = min(k, b - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        # ids are unique within a bucket, so "not self" is the diagonal;
+        # -inf sorts it past every real candidate. One 2D lexsort
+        # ((cosine desc, id asc), rows independent) replaces the per-row
+        # Python loop.
+        np.fill_diagonal(sims, -np.inf)
+        order = np.lexsort((np.broadcast_to(ids, (b, b)), -sims), axis=-1)[:, :kk]
         return pd.DataFrame(
             {
-                "query_id": np.asarray(out_q, dtype=np.int64),
-                "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                "cosine": np.asarray(out_s, dtype=np.float64),
+                "query_id": np.repeat(ids, kk),
+                "neighbor_id": ids[order].reshape(-1),
+                "cosine": np.take_along_axis(sims, order, axis=1).reshape(-1),
             }
         )
 
@@ -130,7 +134,10 @@ def lsh_topk(
             yield pd.DataFrame(
                 {
                     "vid": np.repeat(ids, t_n),
-                    "vec": [list(v) for v in np.repeat(mat, t_n, axis=0)],
+                    # list-of-ndarray: Arrow consumes each row's ndarray
+                    # directly; exploding to Python float lists boxed
+                    # n*t*d values and dominated this stage.
+                    "vec": list(np.repeat(mat, t_n, axis=0)),
                     "tbl": np.tile(np.arange(t_n, dtype=np.int32), len(ids)),
                     "bucket": buckets.reshape(-1),
                 }
@@ -201,7 +208,7 @@ def ivf_topk(
                 {
                     "cell": cells.reshape(-1).astype(np.int32),
                     "vid": np.repeat(ids, n_probe),
-                    "vec": [list(v) for v in np.repeat(mat, n_probe, axis=0)],
+                    "vec": list(np.repeat(mat, n_probe, axis=0)),
                     "is_index": np.tile(
                         (np.arange(n_probe) == 0).astype(np.int32), len(ids)
                     ),
@@ -221,20 +228,22 @@ def ivf_topk(
         q_ids = pdf["vid"].to_numpy(dtype=np.int64)
         q_mat = np.stack(pdf["vec"].to_numpy())
         sims = q_mat @ i_mat.T  # pre-normalized -> cosine
-        out_q, out_n, out_s = [], [], []
-        for row, qid in enumerate(q_ids):
-            s = sims[row]
-            mask = i_ids != qid
-            cand_ids, cand_s = i_ids[mask], s[mask]
-            order = np.lexsort((cand_ids, -cand_s))[:k]
-            out_q.extend([qid] * len(order))
-            out_n.extend(cand_ids[order])
-            out_s.extend(cand_s[order])
+        # self-pairs -> -inf so they sort last; rows keep their top
+        # min(k, |cell|) and any -inf that leaked into a short row is
+        # dropped after the gather. One 2D lexsort replaces the per-row
+        # Python loop.
+        sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        kk = min(k, len(i_ids))
+        order = np.lexsort(
+            (np.broadcast_to(i_ids, sims.shape), -sims), axis=-1
+        )[:, :kk]
+        got = np.take_along_axis(sims, order, axis=1).reshape(-1)
+        keep = got > -np.inf
         return pd.DataFrame(
             {
-                "query_id": np.asarray(out_q, dtype=np.int64),
-                "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                "cosine": np.asarray(out_s, dtype=np.float64),
+                "query_id": np.repeat(q_ids, kk)[keep],
+                "neighbor_id": i_ids[order].reshape(-1)[keep],
+                "cosine": got[keep],
             }
         )
 

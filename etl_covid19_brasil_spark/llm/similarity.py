@@ -148,25 +148,26 @@ def brute_force_topk(
             q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
             # (nq, d) x (m, d) -> (nq, m), dimension-ordered accumulation
             sims = _ordered_dot(q_mat[:, None, :], mat[None, :, :])
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for row, qid in enumerate(q_ids):
-                s = sims[row]
-                mask = ids != qid
-                cand_ids = ids[mask]
-                cand_s = s[mask]
-                # top-k by (cosine desc, neighbor_id asc): lexsort is
-                # stable, last key primary.
-                order = np.lexsort((cand_ids, -cand_s))[:k]
-                out_q.extend([qid] * len(order))
-                out_n.extend(cand_ids[order])
-                out_s.extend(cand_s[order])
-                out_r.extend(range(1, len(order) + 1))
+            # top-k by (cosine desc, neighbor_id asc) in ONE 2D lexsort
+            # (stable, last key primary); each query's self-pair is set
+            # to -inf so it sorts last, and any -inf that leaks into the
+            # top-k of a short index is dropped after the gather. Ranks
+            # stay contiguous because drops only happen at the tail.
+            sims[q_ids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, len(ids))
+            order = np.lexsort(
+                (np.broadcast_to(ids, sims.shape), -sims), axis=-1
+            )[:, :kk]
+            got = np.take_along_axis(sims, order, axis=1).reshape(-1)
+            keep = got > -np.inf
             yield pd.DataFrame(
                 {
-                    "query_id": np.asarray(out_q, dtype=np.int64),
-                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                    "cosine": np.asarray(out_s, dtype=np.float64),
-                    "rank": np.asarray(out_r, dtype=np.int32),
+                    "query_id": np.repeat(q_ids, kk)[keep],
+                    "neighbor_id": ids[order].reshape(-1)[keep],
+                    "cosine": got[keep],
+                    "rank": np.tile(
+                        np.arange(1, kk + 1, dtype=np.int32), len(q_ids)
+                    )[keep],
                 }
             )
 
