@@ -737,3 +737,168 @@ def doc_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_distinct(mins)), ",").alias("fingerprint"),
         F.size(F.col("hashes")).cast("long").alias("n_grams"),
     )
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT CASE WHEN substring(md5(text), 32, 1) = '0'
+                THEN 'holdout' ELSE 'train' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    section="2.10",
+    doc="Deterministic content-hash train/holdout split (last md5 hex digit "
+    "= '0' -> ~1/16 holdout). rand(seed)-style Bernoulli sampling is not "
+    "reproducible across engines, partitionings, or reruns; hashing the "
+    "CONTENT pins every document's assignment forever (and keeps exact "
+    "duplicates in the same split by construction) — the standard "
+    "train/eval split discipline for pretraining corpora. Pure map-side "
+    "expression + one aggregate shuffle.",
+)
+def sample_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    split = F.when(F.substring(F.md5(F.col("text")), 32, 1) == "0", "holdout").otherwise(
+        "train"
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_O_SHINGLES.format(w=f'({_O_TOKENS})')} AS sh FROM documents
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 100 = 0),
+    tr AS (
+      SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+      FROM sh WHERE doc_id % 100 <> 0
+    )
+    SELECT tr.doc_id,
+           tr.n_shingles,
+           COUNT(*) AS n_contaminated,
+           CAST(COUNT(*) AS DOUBLE) / tr.n_shingles AS contamination
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id, tr.n_shingles
+    """,
+    section="2.10",
+    doc="Benchmark decontamination: flag training documents sharing 3-gram "
+    "shingles with a held-out eval set (docs with doc_id % 100 == 0 stand "
+    "in for the benchmark). The eval shingle vocabulary is tiny and "
+    "broadcasts; training shingles stream map-side through the broadcast "
+    "hash join, so the only shuffle is the per-doc overlap count — at "
+    "100 TB the eval set is still KBs and the plan shape is unchanged. "
+    "Per-doc shingle arrays are distinct, so COUNT(*) counts distinct "
+    "overlapping shingles.",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents").select(
+        "doc_id", _shingles(_tokens()).alias("sh")
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    tr = docs.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+@query(
+    "sample_quota_per_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars, rk FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    section="2.10",
+    doc="Per-language quota curation: keep the 20 longest documents per "
+    "language (n_chars standing in for a quality score) — the "
+    "class-balancing step of corpus assembly. top-k-per-group via "
+    "partitioned row_number; deterministic tie-break on doc_id.",
+)
+def sample_quota_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        T(spark, sf, "documents")
+        .select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\+[0-9][0-9-]{6,}"
+
+
+@query(
+    "text_scrub_pii",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<email>', 'g'),
+                              '{_PII_PHONE}', '<phone>', 'g')) AS scrubbed_md5,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<email>', 'g'),
+                          '{_PII_PHONE}', '<phone>', 'g') <> text AS had_pii
+    FROM synth
+    """,
+    section="2.10",
+    doc="PII scrubbing: replace emails and phone numbers with placeholder "
+    "tags. The corpus is synthetic word-soup, so every 5th document gets a "
+    "deterministic synthetic email+phone appended first (both engines "
+    "synthesize identically); the scrub itself is two chained "
+    "regexp_replace calls — per-row, codegen'd, zero shuffle. Output is "
+    "the scrubbed-text digest so the hash check verifies the full scrubbed "
+    "string without shipping it.",
+)
+def text_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    synth = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(synth, _PII_EMAIL, "<email>"), _PII_PHONE, "<phone>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (scrubbed != synth).alias("had_pii"),
+    )
