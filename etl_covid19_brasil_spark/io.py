@@ -48,6 +48,12 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan — same vectorized reader + filter/column
+    pushdown contract as parquet; the lake's second columnar format."""
+    return spark.read.orc(path)
+
+
 def scan_csv(
     spark: SparkSession,
     path: str,
@@ -154,6 +160,19 @@ def sink_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def sink_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC twin of sink_parquet (same partitioning semantics)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def sink_jdbc_replace(

@@ -941,3 +941,41 @@ def agg_stats_higher(spark: SparkSession, sf: str) -> DataFrame:
         F.round(covar, 6).alias("covar_qd"),
         F.round(covar / (F.sqrt(var_q) * F.sqrt(var_d)), 6).alias("corr_qd"),
     )
+
+
+@query(
+    "filter_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '5-LOW')
+    """,
+    section="2.2",
+    doc="EXISTS / NOT EXISTS predicate subqueries (customers with an "
+    "urgent order and no low-priority one). Catalyst rewrites the pair "
+    "into a left-semi + left-anti join (RewritePredicateSubquery) — set "
+    "membership via hash joins, never per-row subquery re-execution; "
+    "runs through the engine's SQL entry point (sql.py).",
+)
+def filter_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.sql import sql as run_sql
+
+    return run_sql(
+        spark,
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')
+        """,
+        sf_dir=sf,
+    )

@@ -184,3 +184,57 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def user_value_state_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing on the Spark 4 ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` with EXPLICIT state
+    variables (value/list/map state, timers, TTL) instead of one opaque
+    state tuple. Same workload as :func:`running_user_totals` (per-user
+    event count + exact-cents value total) so the two APIs are directly
+    comparable in tests.
+
+    Scale shape is identical: state is keyed by user_id and sharded
+    across executors by the state-store; per-key state here is one fixed
+    (count, cents) tuple, so state size is O(distinct users) regardless
+    of event volume. Requires the RocksDB state-store provider (state
+    lives off-heap, checkpointed incrementally — the 100 TB posture for
+    state larger than executor memory) and the protobuf package (the
+    transformWithState state server's wire format; environments without
+    it fall back to :func:`running_user_totals`).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals", "n_events long, total_value_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._st.get() if self._st.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().sum())
+            self._st.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType="user_id long, n_events long, total_value_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -115,3 +115,21 @@ def test_partitioned_lake_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "isnotnull(o_orderpriority" in plan or "o_orderpriority" in plan.split("PartitionFilters")[1].split("]")[0]
     assert pruned.count() == src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_sink_orc_roundtrip_with_pushdown(spark, tmp_path):
+    src = io.scan_parquet(spark, f"{SF}/orders.parquet")
+    out = str(tmp_path / "orc_lake")
+    io.sink_orc(src, out)
+    back = io.scan_orc(spark, out)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+    # the ORC reader takes the same pushdown contract as parquet
+    plan = (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "o_orderpriority" in plan

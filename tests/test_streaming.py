@@ -171,3 +171,54 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
         assert got[(t, "a")] == 2
     finally:
         q.stop()
+
+
+def test_transform_with_state_totals(spark, batch_events):
+    """transformWithStateInPandas (Spark 4 explicit-state API) must
+    converge to the same per-user totals as the batch groupBy and the
+    applyInPandasWithState twin. Needs the RocksDB state store, and the
+    state server speaks protobuf — skip where google.protobuf isn't
+    installed (applyInPandasWithState above covers arbitrary state
+    there)."""
+    import pyspark.sql.functions as F
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState state server requires protobuf")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.file_replay_stream(spark, SF, files_per_trigger=1)
+        q = jobs.run_to_memory(
+            jobs.user_value_state_totals(stream), "t_tws", mode="update"
+        )
+        try:
+            got = (
+                spark.table("t_tws")
+                .groupBy("user_id")
+                .agg(
+                    F.max("n_events").alias("n_events"),
+                    F.max("total_value_cents").alias("total_value_cents"),
+                )
+            )
+            want = batch_events.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "total_value_cents"
+                ),
+            )
+            g = {r["user_id"]: (r["n_events"], r["total_value_cents"]) for r in got.collect()}
+            w = {r["user_id"]: (r["n_events"], r["total_value_cents"]) for r in want.collect()}
+            assert g == w
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
