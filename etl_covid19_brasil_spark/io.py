@@ -215,6 +215,90 @@ def sink_csv(df: DataFrame, path: str, header: bool = False, mode: str = "overwr
 
 
 # ---------------------------------------------------------------------------
+# Lakehouse maintenance (the operations a 100 TB parquet lake needs to stay
+# fast: clustering for min/max pruning, partition-level upsert, key-level
+# merge, small-file compaction)
+# ---------------------------------------------------------------------------
+
+
+def sink_parquet_clustered(
+    df: DataFrame, path: str, cluster_by: list[str], num_files: int = 8
+) -> None:
+    """Write range-clustered, sorted parquet: rows are range-partitioned on
+    ``cluster_by`` (each output file owns a disjoint key range) and sorted
+    within each file. Parquet footers then carry tight min/max stats per
+    file/row-group, so selective scans skip whole files — the poor man's
+    Z-order, and the difference between reading 1 file and 1000 at 100 TB.
+    ``repartitionByRange`` samples the keys, so skewed domains still yield
+    balanced files.
+    """
+    (
+        df.repartitionByRange(num_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def upsert_partitions(
+    spark: SparkSession, df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Partition-level upsert: dynamic partition overwrite replaces ONLY
+    the partitions present in ``df`` and leaves every other partition
+    untouched — no read-modify-write of the whole lake. This is the
+    scalable ingest pattern for an append-mostly partitioned lake (e.g.
+    re-landing one state/date of the covid feed); row-level merge needs
+    :func:`merge_by_key` or a table format (Delta/Iceberg).
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_by_key(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> None:
+    """Key-level merge (upsert) into a plain-parquet table: keep every
+    existing row whose key is absent from ``df`` (left anti join), union
+    the incoming rows, and swap the rewritten table in via a staging
+    directory — plain parquet has no transaction log, so the swap is the
+    commit point (a table format makes this atomic; the plan shape —
+    anti-join + union — is exactly what Delta's MERGE compiles to for
+    whole-row upserts). The anti join shuffles on the merge key; with the
+    lake and the batch both bucketed on that key it is co-located.
+    """
+    import shutil
+    from pathlib import Path
+
+    staging = path.rstrip("/") + "__staging"
+    existing = spark.read.parquet(path)
+    merged = existing.join(df.select(*keys).distinct(), keys, "left_anti").unionByName(df)
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    Path(staging).rename(path)
+
+
+def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
+    """Small-file compaction: rewrite a directory of many small parquet
+    files into ``target_files`` balanced ones via a round-robin
+    repartition, swapping through a staging directory. Streaming sinks
+    and per-trigger micro-batches accrete small files; at scan time each
+    file costs a task plus footer/open overhead, so periodic compaction
+    keeps 100 TB scans sized by bytes, not file count.
+    """
+    import shutil
+    from pathlib import Path
+
+    staging = path.rstrip("/") + "__staging"
+    spark.read.parquet(path).repartition(target_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    Path(staging).rename(path)
+
+
+# ---------------------------------------------------------------------------
 # Test-table loader
 # ---------------------------------------------------------------------------
 

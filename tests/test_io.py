@@ -133,3 +133,62 @@ def test_sink_orc_roundtrip_with_pushdown(spark, tmp_path):
         .toString()
     )
     assert "o_orderpriority" in plan
+
+
+def test_sink_parquet_clustered_disjoint_file_ranges(spark, tmp_path):
+    src = io.scan_parquet(spark, f"{SF}/orders.parquet")
+    out = str(tmp_path / "clustered")
+    io.sink_parquet_clustered(src, out, cluster_by=["o_custkey"], num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    # every data file owns a disjoint o_custkey range (this is what makes
+    # footer min/max stats selective)
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        one = spark.read.parquet(f).agg(
+            F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi")
+        ).collect()[0]
+        if one["lo"] is not None:
+            ranges.append((one["lo"], one["hi"]))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_upsert_partitions_touches_only_incoming(spark, tmp_path):
+    out = str(tmp_path / "plake")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], ["id", "pk", "v"]
+    )
+    io.sink_parquet(base, out, partition_by=["pk"])
+    # new data for partition 'a' only; partition 'b' must survive untouched
+    patch = spark.createDataFrame([(9, "a", 99)], ["id", "pk", "v"])
+    io.upsert_partitions(spark, patch.select("id", "v", "pk"), out, partition_by=["pk"])
+    got = {(r["id"], r["pk"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(9, "a", 99), (3, "b", 30)}
+
+
+def test_merge_by_key_upserts_and_keeps(spark, tmp_path):
+    out = str(tmp_path / "mlake")
+    base = spark.createDataFrame([(1, "old"), (2, "old"), (3, "old")], ["id", "v"])
+    base.write.parquet(out)
+    batch = spark.createDataFrame([(2, "new"), (4, "new")], ["id", "v"])
+    io.merge_by_key(spark, batch, out, keys=["id"])
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "old"), (2, "new"), (3, "old"), (4, "new")}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    out = str(tmp_path / "frags")
+    src = io.scan_parquet(spark, f"{SF}/orders.parquet")
+    src.repartition(16).write.parquet(out)
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 16
+    before = src.count()
+    io.compact_parquet(spark, out, target_files=2)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 2
+    assert spark.read.parquet(out).count() == before
