@@ -902,3 +902,70 @@ def text_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_md5"),
         (scrubbed != synth).alias("had_pii"),
     )
+
+
+@query(
+    "line_dedup_global",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    toks AS (SELECT doc_id, {_O_TOKENS} AS w FROM corpus),
+    chunks AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(w) / 5.0) AS BIGINT) + 1),
+                            i -> {{'pos': i,
+                                  'line': array_to_string(list_slice(w, (i-1)*5 + 1, i*5), ' ')}}) AS cs
+      FROM toks
+    ),
+    lines AS (
+      SELECT doc_id, unnest(cs, recursive := true) FROM chunks
+    ),
+    freq AS (SELECT line, COUNT(*) AS n FROM lines GROUP BY line)
+    SELECT l.doc_id,
+           string_agg(l.line, ' ' ORDER BY l.pos) AS kept_text,
+           COUNT(*) AS n_kept
+    FROM lines l JOIN freq f USING (line)
+    WHERE f.n = 1
+    GROUP BY l.doc_id
+    """,
+    section="2.10",
+    doc="C4/RefinedWeb-style global line dedup: split each document into "
+    "5-token 'lines', drop every line whose exact text occurs more than "
+    "once ACROSS THE CORPUS (boilerplate removal — headers, footers, "
+    "licence blocks), and reassemble the survivors in original order "
+    "(corpus = documents + a re-union of every 3rd doc, so duplicated "
+    "docs' lines deterministically vanish). Two shuffles at any scale: "
+    "the global line-frequency aggregate and the per-doc reassembly; the "
+    "line-frequency table is Zipf-shaped, so at 100 TB the hot "
+    "boilerplate lines are exactly the keys AQE's skew handling splits.",
+)
+def line_dedup_global(spark: SparkSession, sf: str) -> DataFrame:
+    base = T(spark, sf, "documents")
+    corpus = base.select("doc_id", "text").unionByName(
+        base.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    w = _tokens()
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(w) / F.lit(5.0)).cast("long")),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(w, (i - 1) * 5 + 1, 5)).alias("line"),
+        ),
+    )
+    lines = corpus.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", F.col("c.pos").alias("pos"), F.col("c.line").alias("line")
+    )
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n"))
+    kept = lines.join(freq, "line").filter(F.col("n") == 1)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+    )
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(" ", ordered).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
