@@ -1,0 +1,298 @@
+"""Corpus-quality and sequence-preparation operators (SURVEY.md §2.10
+extensions): Gopher-style repetition signals, sliding-window chunking,
+greedy sequence packing, and a deterministic mode aggregate.
+
+These are the operators a pretraining-data pipeline runs between raw
+ingestion and tokenized shards:
+
+- repetition signals (Rae et al., *Gopher*, 2021 §A1.1) gate documents
+  whose content is dominated by duplicated lines or a single n-gram;
+- sliding-window chunking turns long documents into fixed-size training
+  windows with overlap (the standard causal-LM data prep);
+- sequence packing assigns documents to fixed-capacity context bins so
+  shard files pack densely (here: deterministic sequential fill, the
+  SQL-expressible variant of first-fit);
+- mode() with explicit tie-breaks replaces Spark's `F.mode`, whose tie
+  resolution is undefined and therefore un-oracle-able.
+
+Design for 100 TB:
+- every per-document computation here is a map-side projection (tokenize,
+  shingle, slice) feeding ONE aggregation shuffle keyed by doc_id — the
+  line/bigram frequency tables never leave their document, unlike
+  line_dedup_global's corpus-wide frequency join;
+- chunking is a Generate (explode) with no shuffle at all: rows fan out
+  inside the scan stage and stream straight into the sink;
+- packing needs a per-language prefix sum — one shuffle on lang; at real
+  scale the window runs per (lang, shard) salt so no single language
+  serializes through one task.
+
+All fractions are ratios of exact int64 counts, divided once as doubles
+(one IEEE op — bit-identical between Spark and DuckDB; see
+registry.py's determinism policy).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from etl_covid19_brasil_spark.registry import T, query
+
+def _TOKENS() -> F.Column:
+    """Tokenization identical to queries/llm.py so the corpus ops compose."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")), " +"
+    )
+_O_TOKENS = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+)
+
+_LINE_LEN = 5  # tokens per pseudo-line (documents.text has no newlines)
+
+
+def _lines(w: F.Column) -> F.Column:
+    """Split a token array into consecutive 5-token 'lines' (same
+    convention as line_dedup_global)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(w) / F.lit(float(_LINE_LEN))).cast("long")),
+        lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * _LINE_LEN + 1, _LINE_LEN)),
+    )
+
+
+def _bigrams(w: F.Column) -> F.Column:
+    # Guard the degenerate 1-token document: sequence(1, 0) counts DOWN in
+    # Spark (default step -1), emitting index 0, which element_at rejects.
+    return F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+    )
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKENS} AS w FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, CAST(ceil(len(w) / {_LINE_LEN}.0) AS BIGINT) + 1),
+               i -> array_to_string(list_slice(w, (i-1)*{_LINE_LEN} + 1, i*{_LINE_LEN}), ' '))) AS line
+      FROM toks
+    ),
+    line_freq AS (SELECT doc_id, line, COUNT(*) AS n FROM lines GROUP BY doc_id, line),
+    line_sig AS (
+      SELECT doc_id, SUM(n) AS n_lines,
+             COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS n_dup_lines
+      FROM line_freq GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM toks
+    ),
+    bg_freq AS (SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg),
+    bg_sig AS (
+      SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bigram_n
+      FROM bg_freq GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_lines, l.n_dup_lines,
+           CAST(l.n_dup_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+           b.n_bigrams, b.top_bigram_n,
+           CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams AS top_bigram_frac
+    FROM line_sig l JOIN bg_sig b USING (doc_id)
+    """,
+    section="2.10",
+    doc="Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc "
+    "duplicate-line fraction (over 5-token pseudo-lines) and most-frequent-"
+    "bigram mass fraction — the filters that drop boilerplate-heavy and "
+    "degenerate-repetition documents from a pretraining corpus. All "
+    "frequency tables are PER DOCUMENT, so the whole operator is a map-side "
+    "projection plus one doc_id-keyed aggregation — no corpus-wide shuffle.",
+)
+def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", _TOKENS().alias("w"))
+    lines = d.select("doc_id", F.explode(_lines(F.col("w"))).alias("line"))
+    line_sig = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_lines"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)
+            ).alias("n_dup_lines"),
+        )
+    )
+    bigrams = d.select("doc_id", F.explode(_bigrams(F.col("w"))).alias("bg"))
+    bg_sig = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n"))
+    )
+    return (
+        line_sig.join(bg_sig, "doc_id")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dup_lines",
+            (F.col("n_dup_lines").cast("double") / F.col("n_lines")).alias(
+                "dup_line_frac"
+            ),
+            "n_bigrams",
+            "top_bigram_n",
+            (F.col("top_bigram_n").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+_CHUNK = 64  # tokens per training window
+_STRIDE = 32  # window stride (50% overlap)
+
+
+@query(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKENS} AS w FROM documents),
+    spans AS (
+      SELECT doc_id, w,
+             1 + CAST(floor(greatest(len(w) - {_CHUNK}, 0) / {_STRIDE}.0) AS BIGINT)
+               + CASE WHEN greatest(len(w) - {_CHUNK}, 0) % {_STRIDE} = 0 THEN 0 ELSE 1 END
+             AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, k AS chunk_id,
+           array_to_string(list_slice(w, k*{_STRIDE} + 1, k*{_STRIDE} + {_CHUNK}), ' ') AS chunk_text,
+           least(len(w) - k*{_STRIDE}, {_CHUNK}) AS n_tokens
+    FROM spans, unnest(range(0, n_chunks)) AS t(k)
+    """,
+    section="2.10",
+    doc=f"Causal-LM training-window chunking: each document fans out into "
+    f"{_CHUNK}-token windows with stride {_STRIDE} (50% overlap), covering "
+    f"the tail with one final short window. Pure Generate (explode) inside "
+    f"the scan stage — zero shuffle at any scale; rows stream from the "
+    f"parquet scan straight to the sink. n_chunks = 1 + ceil(max(n-"
+    f"{_CHUNK},0)/{_STRIDE}) computed in exact integer arithmetic.",
+)
+def doc_chunk_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", _TOKENS().alias("w"))
+    overflow = F.greatest(F.size("w") - F.lit(_CHUNK), F.lit(0))
+    n_chunks = (
+        F.lit(1)
+        + F.floor(overflow / F.lit(float(_STRIDE)))
+        + F.when(overflow % _STRIDE == 0, F.lit(0)).otherwise(F.lit(1))
+    ).cast("long")
+    return (
+        d.select("doc_id", "w", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("k") * _STRIDE + 1, _CHUNK)
+            ).alias("chunk_text"),
+            F.least(F.size("w") - F.col("k") * _STRIDE, F.lit(_CHUNK))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+_CAPACITY = 256  # tokens per packed context bin
+
+
+@query(
+    "pack_sequences_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({_O_TOKENS}) AS n_tok FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(floor(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {_CAPACITY}.0)
+             AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+    FROM placed GROUP BY lang, bin
+    """,
+    section="2.10",
+    doc=f"Sequence packing for shard assembly: per language, stream "
+    f"documents in doc_id order into {_CAPACITY}-token context bins — "
+    f"bin = floor(exclusive-prefix-sum / capacity), the deterministic "
+    f"sequential-fill packing (SQL-expressible cousin of first-fit-"
+    f"decreasing). One shuffle on lang for the prefix-sum window; at 100 TB "
+    f"the partition key becomes (lang, shard-salt) so no language "
+    f"serializes through a single task, at the cost of per-shard rather "
+    f"than global bin numbering.",
+)
+def pack_sequences_bins(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(_TOKENS()).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = d.select(
+        "lang",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(float(_CAPACITY))
+        ).alias("bin"),
+    )
+    return placed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH freq AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+      ) AS rk
+      FROM freq
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+    FROM ranked WHERE rk = 1
+    """,
+    section="2.4",
+    doc="Deterministic mode(): most frequent o_orderpriority per order "
+    "status, ties broken by the smallest value. Spark's F.mode leaves tie "
+    "resolution undefined (and so un-oracle-able); this is the classic "
+    "count + partitioned row_number rewrite — two aggregations over tiny "
+    "group cardinality, the frequency table being |statuses|x|priorities| "
+    "rows regardless of input scale.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    freq = (
+        T(spark, sf, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )
