@@ -979,3 +979,117 @@ def filter_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
         """,
         sf_dir=sf,
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sxy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+             / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+    FROM sums
+    """,
+    section="2.4",
+    doc="OLS regression aggregates (regr_slope / regr_intercept / regr_r2 "
+    "of discount-cents on quantity per return flag) rebuilt from exact "
+    "int64 power sums — F.regr_* accumulates doubles in partition order "
+    "and is not bit-reproducible. quantity <= 50 and discount-cents <= 10 "
+    "keep every sum and cross-product well under 2^53 through sf 1, so "
+    "the final double arithmetic is an identical IEEE op sequence in both "
+    "engines. One map-side-combined aggregation shuffle of |flags| rows.",
+)
+def agg_regression(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    return sums.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (num * num / (denx * deny)).alias("r2"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS priciest_order,
+           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS cheapest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    section="2.4",
+    doc="Deterministic min_by/max_by (DuckDB arg_min/arg_max): the order "
+    "key carrying the extreme total price per status. Raw MAX_BY ties are "
+    "resolved arbitrarily in both engines, so the ordering value is the "
+    "composite bigint price_cents*1e10 + orderkey — price-cents <= 6e7 "
+    "and orderkey < 1e10 keep the composite exact in int64 — making the "
+    "argmax unique. Single two-phase aggregate, |statuses| result rows.",
+)
+def agg_minmax_by(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    rank = F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(
+        10_000_000_000
+    ) + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", rank).alias("priciest_order"),
+        F.min_by("o_orderkey", rank).alias("cheapest_order"),
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.05) AS any_big_discount,
+           bit_and(CAST(l_orderkey AS BIGINT)) AS keys_bit_and,
+           bit_or(CAST(l_linenumber AS BIGINT)) AS lines_bit_or,
+           bit_xor(CAST(l_suppkey AS BIGINT)) AS supp_bit_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    section="2.4",
+    doc="Boolean and bitwise reduction aggregates: bool_and/bool_or (SQL "
+    "every/any) and bit_and/bit_or/bit_xor over int64 keys — all "
+    "commutative-associative reductions, so partition order never "
+    "matters and results are exact at any scale. bit_xor over a key "
+    "column is the classic cheap set-difference check between table "
+    "versions (identical multisets xor to the same value).",
+)
+def agg_bool_bit(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_big_discount"),
+        F.bit_and(F.col("l_orderkey")).alias("keys_bit_and"),
+        F.bit_or(F.col("l_linenumber").cast("long")).alias("lines_bit_or"),
+        F.bit_xor(F.col("l_suppkey")).alias("supp_bit_xor"),
+    )
