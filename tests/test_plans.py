@@ -108,3 +108,30 @@ def test_schema_of_json_infers_props(spark):
     assert "k" in ddl and "BIGINT" in ddl.upper(), ddl
     parsed = e.select(F.from_json("props", ddl).alias("p")).select("p.k")
     assert parsed.filter(F.col("k").isNull()).count() == 0
+
+
+def test_doc_chunk_sliding_is_shuffle_free(spark, specs):
+    # Chunking is a Generate (explode) inside the scan stage: rows fan out
+    # map-side and stream to the sink. An Exchange here would mean the 100 TB
+    # chunking job shuffles the whole corpus for nothing.
+    p = plan_of(q(specs, spark, "doc_chunk_sliding"))
+    assert "Generate" in p
+    assert "Exchange" not in p
+
+
+def test_repetition_signals_shuffle_only_on_doc_id(spark, specs):
+    # Per-document frequency tables must aggregate on doc_id-keyed
+    # exchanges only — a corpus-wide line/bigram shuffle (as in
+    # line_dedup_global) would be a different, far more expensive operator.
+    p = plan_of(q(specs, spark, "text_repetition_signals"))
+    exchanges = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
+    assert exchanges
+    assert all("doc_id" in ln for ln in exchanges), exchanges
+
+
+def test_regression_agg_is_partial_then_final(spark, specs):
+    # The six power sums must partial-aggregate map-side: the shuffle
+    # carries |flags| rows per task, never raw lineitem rows.
+    p = plan_of(q(specs, spark, "agg_regression"))
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p or "partial" in p
