@@ -596,3 +596,88 @@ def fn_json_tuple(spark: SparkSession, sf: str) -> DataFrame:
         F.json_tuple(F.col("props"), "k").alias("k_str2"),
         F.to_json(F.from_json("props", "k BIGINT")).alias("canon"),
     )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(n_name), ' +') END AS toks
+      FROM nation
+    ),
+    padded AS (
+      SELECT n_nationkey,
+             CASE WHEN len(toks) = 0 THEN [NULL]::VARCHAR[] ELSE toks END AS toks
+      FROM src
+    )
+    SELECT n_nationkey, u.tok
+    FROM padded, unnest(toks) AS u(tok)
+    """,
+    section="2.8",
+    doc="explode_outer: generator that PRESERVES rows whose array is empty "
+    "(emitting a null element) — the left-outer twin of explode, needed "
+    "whenever fan-out must not silently drop parents (every 3rd nation "
+    "gets an empty token array here). DuckDB has no outer unnest, so the "
+    "oracle pads empty lists with [NULL] before unnesting — the exact "
+    "semantics explode_outer implements natively.",
+)
+def fn_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
+    n = T(spark, sf, "nation").select(
+        "n_nationkey",
+        F.when(
+            F.col("n_nationkey") % 3 == 0, F.array().cast("array<string>")
+        )
+        .otherwise(F.split(F.trim("n_name"), " +"))
+        .alias("toks"),
+    )
+    return n.select("n_nationkey", F.explode_outer("toks").alias("tok"))
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT c_custkey,
+             'https://seg-' || lower(replace(c_mktsegment, ' ', '')) ||
+             '.example.com/c/' || c_custkey || '/orders?nation=' ||
+             c_nationkey || '&page=2' AS url
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]nation=([^&#]*)', 1) AS nation_param,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol
+    FROM urls
+    """,
+    section="2.8",
+    doc="URL dissection batch — parse_url(HOST/PATH/QUERY/QUERY:key/"
+    "PROTOCOL) over synthesized per-customer URLs, the provenance-"
+    "filtering primitive of web-corpus curation (domain allowlists, "
+    "path-based boilerplate rules). DuckDB has no parse_url, so the "
+    "oracle re-derives each part with the equivalent RFC-3986-ish "
+    "regexes. Pure per-row projection: zero shuffle at any scale.",
+)
+def fn_url(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    url = F.concat(
+        F.lit("https://seg-"),
+        F.lower(F.replace(F.col("c_mktsegment"), F.lit(" "), F.lit(""))),
+        F.lit(".example.com/c/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("/orders?nation="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&page=2"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("nation")).alias("nation_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

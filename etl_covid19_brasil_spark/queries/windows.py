@@ -223,3 +223,34 @@ def win_range_interval(spark: SparkSession, sf: str) -> DataFrame:
         "l_linenumber",
         F.sum(F.col("l_quantity").cast("long")).over(w).alias("qty_7d"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order_key,
+           nth_value(o_totalprice, 3) OVER w AS third_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    section="2.5",
+    doc="nth_value over the full partition frame (explicit ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING in both engines — the "
+    "default frame stops at CURRENT ROW, where nth_value is null until "
+    "row n). Values are picked, not computed, so doubles pass through "
+    "bit-identical; the (date, key) ordering makes the pick unique.",
+)
+def win_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return T(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_order_price"),
+    )
