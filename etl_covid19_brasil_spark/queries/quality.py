@@ -296,3 +296,45 @@ def agg_mode_deterministic(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+
+
+@query(
+    "zorder_interleave_key",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_partkey & 65535 AS x, l_suppkey & 65535 AS y,
+           list_sum(list_transform(range(0, 16), i ->
+             (((l_partkey & 65535) >> i) & 1)::BIGINT * (1::BIGINT << (2*i))
+             + (((l_suppkey & 65535) >> i) & 1)::BIGINT * (1::BIGINT << (2*i + 1))
+           ))::BIGINT AS zkey
+    FROM lineitem
+    """,
+    section="2.1",
+    doc="Z-order (Morton) clustering key: bit-interleave of the low 16 "
+    "bits of (l_partkey, l_suppkey) — sort-or-range-partition the lake "
+    "files by zkey and scans filtering on EITHER dimension prune most "
+    "files, which one-dimensional clustering (io.py's "
+    "sink_parquet_clustered) cannot give for the second column. Pure "
+    "per-row bit math via a higher-order fold over sequence(0,15) — "
+    "codegen'd, zero shuffle; the companion write path is "
+    "sink_parquet_clustered ordered by this key.",
+)
+def zorder_interleave_key(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    zkey = F.expr(
+        """
+        aggregate(
+          sequence(0, 15), CAST(0 AS BIGINT),
+          (acc, i) -> acc
+            + shiftleft(CAST(shiftright(l_partkey & 65535, i) & 1 AS BIGINT), 2*i)
+            + shiftleft(CAST(shiftright(l_suppkey & 65535, i) & 1 AS BIGINT), 2*i + 1)
+        )
+        """
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey").bitwiseAND(65535)).alias("x"),
+        (F.col("l_suppkey").bitwiseAND(65535)).alias("y"),
+        zkey.alias("zkey"),
+    )
