@@ -338,3 +338,57 @@ def zorder_interleave_key(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_suppkey").bitwiseAND(65535)).alias("y"),
         zkey.alias("zkey"),
     )
+
+
+# Per-language keep rates (percent) for the stratified sampler: downsample
+# the over-represented head language hard, keep the tail nearly whole —
+# the standard rebalancing move before pretraining-corpus mixing.
+_STRATA_PCT = {"en": 25, "de": 80, "es": 80, "fr": 80, "zh": 80}
+_DEFAULT_PCT = 50
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS slot,
+             CASE lang
+               {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRATA_PCT.items()))}
+               ELSE {_DEFAULT_PCT} END AS keep_pct
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM gated WHERE slot < keep_pct GROUP BY lang
+    """,
+    section="2.10",
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "applied by content-hash slot (first 8 md5 hex digits mod 100 < "
+    "rate) — downsamples the dominant language to rebalance a corpus "
+    "mix. Hash-gating instead of rand(seed) because Bernoulli sampling "
+    "is not reproducible across engines or partitionings, while the "
+    "md5 slot is a pure function of the row. Map-side filter + one "
+    "|langs|-row aggregate; composes with sample_hash_split (disjoint "
+    "hex digits) and sample_quota_per_lang.",
+)
+def sample_stratified_hash(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    slot = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    keep = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(_STRATA_PCT.items())
+        ],
+        F.lit(_DEFAULT_PCT),
+    )
+    return (
+        d.filter(slot < keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
