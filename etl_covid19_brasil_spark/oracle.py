@@ -80,7 +80,11 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[b
         else:
             eq = (sa.values == sb.values) | (sa.isna().values & sb.isna().values)
         if not eq.all():
-            idx = (~eq).nonzero()[0][:3]
+            # eq can be a pandas nullable BooleanArray (no .nonzero);
+            # densify via numpy first.
+            import numpy as np
+
+            idx = np.flatnonzero(~np.asarray(eq, dtype=bool))[:3]
             samples = [f"row {i}: spark={sa.iloc[i]!r} oracle={sb.iloc[i]!r}" for i in idx]
             n_bad = int((~eq).sum())
             return False, f"value mismatch in column {c!r} ({n_bad} rows), e.g. " + "; ".join(samples)

@@ -110,3 +110,28 @@ def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
 )
 def stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
     return T(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    section="2.9",
+    doc="Stream-stream interval join: clicks matched to the same user's "
+    "purchases within 30 minutes after. The streaming execution "
+    "(streaming/jobs.py:interval_join_click_purchase) watermarks BOTH "
+    "sides and bounds event time on both ends of the condition, so join "
+    "state expires instead of growing with the stream; this batch twin "
+    "is the identical plan minus the (batch-no-op) watermarks.",
+)
+def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.streaming.jobs import interval_join_click_purchase
+
+    e = T(spark, sf, "events")
+    return interval_join_click_purchase(e, e)

@@ -238,3 +238,47 @@ def user_value_state_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def interval_join_click_purchase(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    watermark: str = "2 hours",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to the same user's
+    purchases landing within ``horizon`` after it.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on BOTH ends, so Spark can expire buffered rows: per executor the
+    state holds only ``watermark + horizon`` worth of each stream —
+    bounded at any input rate, which is what makes a stream-stream join
+    runnable against 100 TB/day. On batch inputs the same plan is an
+    ordinary range join (withWatermark is a no-op in batch), which is how
+    the differential test checks it.
+    """
+    c = clicks_src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases_src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = c.withWatermark("click_ts", watermark)
+    p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "lag_us"
+        ),
+    )

@@ -222,3 +222,18 @@ def test_transform_with_state_totals(spark, batch_events):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_interval_join_matches_batch(spark, batch_events):
+    # Stream-stream joins buffer BOTH sides in state; replay each side as
+    # its own file-source stream and require append-mode equality with
+    # the batch range join.
+    left = jobs.file_replay_stream(spark, SF)
+    right = jobs.file_replay_stream(spark, SF)
+    _assert_stream_equals_batch(
+        spark,
+        jobs.interval_join_click_purchase(left, right),
+        jobs.interval_join_click_purchase(batch_events, batch_events),
+        "t_interval_join",
+        mode="append",
+    )
