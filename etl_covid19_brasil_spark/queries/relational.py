@@ -1093,3 +1093,39 @@ def agg_bool_bit(spark: SparkSession, sf: str) -> DataFrame:
         F.bit_or(F.col("l_linenumber").cast("long")).alias("lines_bit_or"),
         F.bit_xor(F.col("l_suppkey")).alias("supp_bit_xor"),
     )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 25
+                ELSE 1 + CAST(floor(o_totalprice / 25000.0) AS BIGINT) END AS bucket,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS bucket_value
+    FROM orders GROUP BY bucket
+    """,
+    section="2.4",
+    doc="Equi-width histogram via width_bucket(price, 0, 600k, 24 "
+    "buckets) — the one-pass distribution profile used for skew "
+    "detection and range-partition boundary picking before a big sort "
+    "or range join. DuckDB has no width_bucket, so the oracle uses the "
+    "equivalent 1+floor(x/width) with under/overflow buckets 0 and 25 — "
+    "prices have cents resolution, never within an ulp of a 25000 "
+    "boundary, so both formulas agree exactly. Counts are exact, the "
+    "per-bucket mass uses the integer-cents sum; shuffles only "
+    "|buckets| rows.",
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(24)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            msum("o_totalprice", "bucket_value"),
+        )
+    )
