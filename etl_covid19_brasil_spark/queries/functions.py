@@ -681,3 +681,79 @@ def fn_url(spark: SparkSession, sf: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("nation")).alias("nation_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_inline_structs",
+    oracle="""
+    WITH src AS (
+      SELECT s_suppkey,
+             list_transform(string_split_regex(trim(s_name), ' +'),
+                            (t, i) -> {'pos': i, 'token': t, 'n_chars': len(t)}) AS parts
+      FROM supplier
+    )
+    SELECT s_suppkey, u.pos, u.token, u.n_chars
+    FROM src, unnest(parts) AS t(u)
+    """,
+    section="2.8",
+    doc="inline(): generator that explodes an array<struct> into one row "
+    "per element with the struct fields as top-level columns — the "
+    "struct-typed twin of explode, and the natural unnesting for "
+    "parsed-log / nested-JSON arrays (SURVEY.md §1.1's nested-document "
+    "model). Built per-row from tokenized supplier names (pos, token, "
+    "n_chars); map-side Generate, no shuffle.",
+)
+def fn_inline_structs(spark: SparkSession, sf: str) -> DataFrame:
+    s = T(spark, sf, "supplier")
+    toks = F.split(F.trim("s_name"), " +")
+    parts = F.transform(
+        toks,
+        lambda t, i: F.struct(
+            (i + 1).alias("pos"), t.alias("token"), F.length(t).cast("long").alias("n_chars")
+        ),
+    )
+    return s.select("s_suppkey", F.inline(parts))
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    WITH pieces AS (
+      SELECT doc_id,
+             list_transform(string_split(text, '.'), (p, i) -> {'idx': i, 'p': trim(p)}) AS ps
+      FROM documents
+    )
+    SELECT doc_id, u.idx AS sent_idx, u.p AS sentence, len(u.p) AS n_chars
+    FROM pieces, unnest(ps) AS t(u)
+    WHERE len(u.p) > 0
+    """,
+    section="2.11",
+    doc="Python UDTF (SURVEY.md §2.11 tier 4): one-to-many sentence "
+    "splitting — eval() yields one row per non-empty '.'-separated "
+    "piece, joined laterally to the source row. Row-at-a-time Python is "
+    "the engine's LAST-resort tier (the same split is expressible as "
+    "explode, which is how the oracle states it); the query exists to "
+    "pin the UDTF contract — registration, LATERAL join, deterministic "
+    "output — for the operators that genuinely need imperative fan-out.",
+)
+def udtf_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars long")
+    class SentenceSplit:
+        def eval(self, text):  # noqa: ANN001
+            if text is None:
+                return
+            for i, piece in enumerate(str(text).split("."), start=1):
+                p = piece.strip()
+                if p:
+                    yield i, p, len(p)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    T(spark, sf, "documents").createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM udtf_docs_src d, LATERAL sentence_split(d.text) s
+        """
+    )
