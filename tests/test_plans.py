@@ -135,3 +135,19 @@ def test_regression_agg_is_partial_then_final(spark, specs):
     p = plan_of(q(specs, spark, "agg_regression"))
     assert p.count("HashAggregate") >= 2
     assert "partial_sum" in p or "partial" in p
+
+
+def test_zorder_key_is_shuffle_free(spark, specs):
+    # The clustering key is per-row bit math; any Exchange would mean the
+    # layout pass shuffles the table before even sorting it.
+    p = plan_of(q(specs, spark, "zorder_interleave_key"))
+    assert "Exchange" not in p
+
+
+def test_stream_interval_join_is_equi_not_nested_loop(spark, specs):
+    # The interval join must hash/merge on user_id with the time bounds as
+    # residual condition — a BroadcastNestedLoopJoin here would make the
+    # streaming twin's state unbounded per micro-batch at scale.
+    p = plan_of(q(specs, spark, "stream_interval_join"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
