@@ -198,15 +198,40 @@ def agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL estimates differ across engines by design -> rows-only
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey)  AS exact_parts,
+           TRUE AS parts_within_bounds,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS orders_within_bounds
+    FROM lineitem
+    """,
     section="2.4",
     doc="HyperLogLog++ distinct estimate — the 100 TB path where exact "
-    "count-distinct's expand+shuffle is too expensive. rows-only check.",
+    "count-distinct's expand+shuffle is too expensive. The HLL estimate "
+    "itself differs across engines by design, so the hashable contract is "
+    "a *bounds check*: |approx - exact| <= 3*rsd*exact (rsd=0.01, so the "
+    "estimate must land within ±3%, a >99.7% confidence band for HLL++). "
+    "The oracle asserts TRUE for the bound and the exact counts for value "
+    "parity.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    return T(spark, sf, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    rsd = 0.01
+    agg = T(spark, sf, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("a_parts"),
+        F.count_distinct("l_partkey").alias("x_parts"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("a_orders"),
+        F.count_distinct("l_orderkey").alias("x_orders"),
+    )
+    bound = F.lit(3.0 * rsd)
+    return agg.select(
+        F.col("x_parts").alias("exact_parts"),
+        (F.abs(F.col("a_parts") - F.col("x_parts")) <= bound * F.col("x_parts")).alias(
+            "parts_within_bounds"
+        ),
+        F.col("x_orders").alias("exact_orders"),
+        (F.abs(F.col("a_orders") - F.col("x_orders")) <= bound * F.col("x_orders")).alias(
+            "orders_within_bounds"
+        ),
     )
 
 
