@@ -1,0 +1,252 @@
+"""Driver-checkable §2.1 source/sink queries (SURVEY.md §2.1).
+
+Each query WRITES through an engine sink and READS the result back
+through the matching scan, so the driver's oracle compare certifies the
+full serialize→deserialize contract, not just the scan:
+
+- parquet sink (partitioned) + scan   (lakehouse-native path)
+- headerless CSV sink + CSV scan      (dags/create-data-lake.py:55,66-69)
+- ORC sink + scan                     (second columnar format)
+- JDBC create-or-replace + JDBC scan  (dags/create-data-lake.py:38-62;
+                                       embedded Derby, ships with Spark)
+- the full covid pipeline end-to-end  (dags/create-data-lake.py:64-84)
+- HTTP-JSON scan + ibge pipeline      (dags/create-data-lake.py:87-105)
+
+Determinism notes
+-----------------
+* Sentinel-contaminated numerics are synthesized as *integer-cents
+  strings* (``CAST(ROUND(x*100) AS BIGINT)`` then cast to text), never
+  float→string formatting — Java's ``Double.toString`` and DuckDB's
+  float formatter are not guaranteed to agree, but integer formatting
+  is.
+* CSV conflates NULL and '' on the wire (both serialize to an empty
+  field). Every column where that matters is routed through
+  ``clean_numeric``, whose contract maps both to the fill value, so the
+  conflation is unobservable.
+* The audit timestamp is load-time-dependent; the checked output is a
+  boolean ``audit_ok`` (non-null), as in ``etl_audit_column``.
+
+Scratch space: fixed directories under ``/tmp/etl_spark_roundtrip`` and
+``mode=overwrite`` keep the queries idempotent across repeated driver
+invocations; Derby gets a fresh ``mkdtemp`` per call because a stale
+lock file from a crashed JVM would otherwise wedge the database boot.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from etl_covid19_brasil_spark import io
+from etl_covid19_brasil_spark.etl import covid_pipeline, ibge_pipeline
+from etl_covid19_brasil_spark.registry import T, query
+
+_SCRATCH = "/tmp/etl_spark_roundtrip"
+
+
+def _scratch(name: str, sf: str) -> str:
+    tag = Path(sf).name or "sf"
+    d = Path(_SCRATCH) / f"{name}_{tag}"
+    d.parent.mkdir(parents=True, exist_ok=True)
+    return str(d)
+
+
+def _recast(df: DataFrame, schema: StructType) -> DataFrame:
+    """Restore the pre-write column order and exact types (partition
+    columns come back last and may be inferred narrower)."""
+    return df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+
+
+@query(
+    "sink_scan_parquet_roundtrip",
+    oracle="SELECT * FROM nation",
+    section="2.1",
+    doc="sink_parquet(partition_by=region) then scan_parquet: certifies "
+    "partitioned parquet write+read returns the exact input relation "
+    "(io.py sink_parquet/scan_parquet; partition values round-trip "
+    "through directory names and are re-cast to the source type).",
+)
+def sink_scan_parquet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "nation")
+    path = _scratch("parquet_nation", sf)
+    io.sink_parquet(src, path, partition_by=["n_regionkey"])
+    return _recast(io.scan_parquet(spark, path), src.schema)
+
+
+@query(
+    "sink_scan_csv_roundtrip",
+    oracle="SELECT * FROM customer",
+    section="2.1",
+    doc="sink_csv(header=False) then scan_csv with explicit schema — the "
+    "reference's to_csv(header=False) wire format "
+    "(dags/create-data-lake.py:55) with Spark's quoting, so comma-bearing "
+    "comment fields survive (the reference's COPY path corrupted them, "
+    "SURVEY.md §2.12). TPC-H text columns are never empty, so CSV's "
+    "NULL/'' conflation cannot bite here.",
+)
+def sink_scan_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "customer")
+    path = _scratch("csv_customer", sf)
+    io.sink_csv(src, path, header=False)
+    return io.scan_csv(spark, path, schema=src.schema, header=False)
+
+
+@query(
+    "sink_scan_orc_roundtrip",
+    oracle="SELECT * FROM supplier",
+    section="2.1",
+    doc="sink_orc then scan_orc: the lake's second columnar format "
+    "round-trips the supplier relation exactly (io.py sink_orc/scan_orc).",
+)
+def sink_scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "supplier")
+    path = _scratch("orc_supplier", sf)
+    io.sink_orc(src, path)
+    return io.scan_orc(spark, path)
+
+
+@query(
+    "sink_scan_jdbc_roundtrip",
+    oracle="SELECT * FROM region",
+    section="2.1",
+    doc="sink_jdbc_replace then scan_jdbc against embedded Derby (the "
+    "jars ship with Spark for the Hive metastore): the reference's "
+    "to_sql(if_exists='replace') + COPY load and read-back "
+    "(dags/create-data-lake.py:38-62). Fresh database dir per call so a "
+    "stale embedded-Derby lock can never wedge the query.",
+)
+def sink_scan_jdbc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "region")
+    dbdir = tempfile.mkdtemp(prefix="derby_roundtrip_")
+    url = f"jdbc:derby:{dbdir}/lakedb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    io.sink_jdbc_replace(src, url, "region_lake", properties=props, num_partitions=1)
+    back = io.scan_jdbc(spark, url, "region_lake", properties=props)
+    return _recast(back, src.schema)
+
+
+# Synthesized caso_full-shaped input: the covid feed's observed states for
+# last_available_confirmed_per_100k_inhabitants (dags/create-data-lake.py:74-79)
+# plus nullable city/city_ibge_code for the dropna step (:73). Rates are
+# integer-cents strings (see module docstring).
+_RATE_CASE = """
+    CASE WHEN c_custkey % 7 = 0 THEN ''
+         WHEN c_custkey % 7 = 1 THEN ' '
+         WHEN c_custkey % 7 = 2 THEN NULL
+         WHEN c_custkey % 7 = 3 THEN 'not-a-number'
+         ELSE CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR) END
+"""
+
+
+@query(
+    "etl_covid_pipeline",
+    oracle=f"""
+    WITH covid AS (
+        SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS city,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey END AS city_ibge_code,
+               {_RATE_CASE} AS last_available_confirmed_per_100k_inhabitants
+        FROM customer
+    )
+    SELECT city,
+           city_ibge_code,
+           COALESCE(TRY_CAST(NULLIF(TRIM(last_available_confirmed_per_100k_inhabitants), '')
+                             AS DOUBLE), 0.0) / 100.0 AS rate_per_100k,
+           TRUE AS audit_ok
+    FROM covid
+    WHERE city IS NOT NULL AND city_ibge_code IS NOT NULL
+    """,
+    section="2.1",
+    doc="The reference's get_data_covid task end-to-end "
+    "(dags/create-data-lake.py:64-84): a caso_full-shaped frame is "
+    "synthesized from customer, serialized through sink_csv, re-read via "
+    "scan_csv, and pushed through covid_pipeline (audit column -> dropna "
+    "on city/city_ibge_code -> sentinel-clean the per-100k rate). The "
+    "oracle replays the same contamination + cleaning in SQL; the "
+    "load-time audit timestamp is checked as a non-null boolean.",
+)
+def etl_covid_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("c_custkey")
+    rate = (
+        F.when(k % 7 == 0, "")
+        .when(k % 7 == 1, " ")
+        .when(k % 7 == 2, None)
+        .when(k % 7 == 3, "not-a-number")
+        .otherwise(F.round(F.col("c_acctbal") * 100).cast("long").cast("string"))
+    )
+    covid = T(spark, sf, "customer").select(
+        F.when(k % 11 == 0, None).otherwise(F.col("c_mktsegment")).alias("city"),
+        F.when(k % 13 == 0, None).otherwise(k).alias("city_ibge_code"),
+        rate.alias("last_available_confirmed_per_100k_inhabitants"),
+    )
+    path = _scratch("covid_csv", sf)
+    io.sink_csv(covid, path, header=False)
+    raw = io.scan_csv(
+        spark,
+        path,
+        schema=StructType.fromDDL(
+            "city string, city_ibge_code bigint, "
+            "last_available_confirmed_per_100k_inhabitants string"
+        ),
+        header=False,
+    )
+    out = covid_pipeline(raw)
+    return out.select(
+        "city",
+        "city_ibge_code",
+        (F.col("last_available_confirmed_per_100k_inhabitants") / F.lit(100.0)).alias(
+            "rate_per_100k"
+        ),
+        F.col("created_at_datalake").isNotNull().alias("audit_ok"),
+    )
+
+
+@query(
+    "etl_ibge_pipeline_http",
+    oracle="""
+    SELECT n_nationkey AS id,
+           n_name AS nome,
+           r_regionkey AS "regiao.id",
+           r_name AS "regiao.sigla",
+           TRUE AS audit_ok
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    section="2.1",
+    doc="The reference's get_data_api task end-to-end "
+    "(dags/create-data-lake.py:87-105): a nested IBGE-shaped JSON payload "
+    "(built from nation x region) is served through scan_http_json's "
+    "injectable fetch (the reference fetches a ~5,570-row dimension on the "
+    "driver too — requests.get at :91), then ibge_pipeline flattens the "
+    "structs to dotted columns and stamps the audit timestamp. The "
+    "dimension collect is 25 rows by construction, not a data-path "
+    "collect.",
+)
+def etl_ibge_pipeline_http(spark: SparkSession, sf: str) -> DataFrame:
+    dims = (
+        T(spark, sf, "nation")
+        .join(T(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_regionkey", "r_name")
+        .collect()
+    )
+    records = [
+        {
+            "id": r.n_nationkey,
+            "nome": r.n_name,
+            "regiao": {"id": r.r_regionkey, "sigla": r.r_name},
+        }
+        for r in dims
+    ]
+    body = json.dumps(records)
+    raw = io.scan_http_json(spark, "http://ibge.test/localidades", fetch=lambda _u: body)
+    out = ibge_pipeline(raw)
+    return out.select(
+        F.col("id"),
+        F.col("nome"),
+        F.col("`regiao.id`"),
+        F.col("`regiao.sigla`"),
+        F.col("created_at_datalake").isNotNull().alias("audit_ok"),
+    )

@@ -124,6 +124,7 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
+    import etl_covid19_brasil_spark.queries.io_roundtrip  # noqa: F401
     import etl_covid19_brasil_spark.queries.relational  # noqa: F401
     import etl_covid19_brasil_spark.queries.windows  # noqa: F401
     import etl_covid19_brasil_spark.queries.functions  # noqa: F401
