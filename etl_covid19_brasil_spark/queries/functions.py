@@ -757,3 +757,42 @@ def udtf_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
         FROM udtf_docs_src d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@query(
+    "udaf_grouped_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)))
+             AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    section="2.11",
+    doc="Aggregator-style pandas UDAF (SURVEY.md §2.11 item 5): a "
+    "GROUPED_AGG pandas_udf (Series -> scalar over Arrow batches) "
+    "computing the quantity-weighted mean price in exact integer cents, "
+    "so the two final double ops are bit-identical to the oracle. Scale "
+    "note, stated honestly: a pandas grouped-agg UDAF shuffles raw group "
+    "rows with NO map-side partial aggregation — at 100 TB the built-in "
+    "sum/count composition is strictly better; this exists as the "
+    "engine's worked contract for aggregation logic that built-ins "
+    "genuinely cannot express.",
+)
+def udaf_grouped_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg_cents(price: pd.Series, qty: pd.Series) -> float:
+        # Exact int64 arithmetic; both sums are order-insensitive, and the
+        # one cast-to-double stays under 2^53 so it is exact too.
+        pc = np.rint(price.to_numpy() * 100.0).astype(np.int64)
+        qc = np.rint(qty.to_numpy() * 100.0).astype(np.int64)
+        return float(int((pc * qc).sum())) / (100.0 * float(int(qc.sum())))
+
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg_cents("l_extendedprice", "l_quantity").alias("wavg_price")
+    )

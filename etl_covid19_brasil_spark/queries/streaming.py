@@ -135,3 +135,49 @@ def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
 
     e = T(spark, sf, "events")
     return interval_join_click_purchase(e, e)
+
+
+@query(
+    "stream_arbitrary_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    section="2.9",
+    doc="Arbitrary stateful processing, ACTUALLY EXECUTED as a stream: "
+    "events.parquet is replayed through readStream, "
+    "applyInPandasWithState (streaming/jobs.py:running_user_totals) folds "
+    "per-user (count, exact-cents total, last event time) into explicit "
+    "GroupState, and the update-mode memory sink collects the emitted "
+    "snapshots; the query returns each user's FINAL snapshot (n_events is "
+    "strictly monotone per emit, so row_number over n_events desc picks "
+    "it). The oracle is the batch fold of the same stream — identical by "
+    "the unified-model contract.",
+)
+def stream_arbitrary_state(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_covid19_brasil_spark.streaming.jobs import (
+        file_replay_stream,
+        run_to_memory,
+        running_user_totals,
+    )
+
+    stream = file_replay_stream(spark, sf)
+    q = run_to_memory(running_user_totals(stream), "arb_state_snapshots", mode="update")
+    q.stop()
+    snaps = spark.table("arb_state_snapshots")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_value_cents").cast("double") / 100.0).alias("total_value"),
+            "last_ts",
+        )
+    )
