@@ -126,3 +126,33 @@ def test_sql_layer_joins_views(spark):
         sf_dir=SF,
     )
     assert df.count() == 25
+
+
+# --- bounded-tile exact similarity ----------------------------------------
+
+
+def test_brute_force_topk_tiled_equals_single(spark):
+    """Forcing the block-nested-loop path (tiny max_index_rows) must
+    produce byte-identical results to the single-broadcast path — tiling
+    is a memory bound, not a semantics change."""
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    single = brute_force_topk(emb, k=5).toPandas()
+    tiled = brute_force_topk(emb, k=5, max_index_rows=64).toPandas()
+    key = ["query_id", "rank"]
+    s = single.sort_values(key).reset_index(drop=True)
+    t = tiled.sort_values(key).reset_index(drop=True)
+    assert s.equals(t)
+
+
+def test_cosine_pairs_tiled_equals_single(spark):
+    from etl_covid19_brasil_spark.llm.similarity import cosine_pairs_above
+
+    emb = load_table(spark, SF, "embeddings")
+    single = cosine_pairs_above(emb, threshold=0.5).toPandas()
+    tiled = cosine_pairs_above(emb, threshold=0.5, max_index_rows=64).toPandas()
+    key = ["id_a", "id_b"]
+    s = single.sort_values(key).reset_index(drop=True)
+    t = tiled.sort_values(key).reset_index(drop=True)
+    assert s.equals(t)
