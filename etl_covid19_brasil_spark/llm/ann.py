@@ -7,12 +7,15 @@ the pair space with an equi-join on a bucket key:
 
 - ``lsh_topk``: bucket = sign pattern of ``n_planes`` random-hyperplane
   projections (per table); ``n_tables`` independent tables trade compute
-  for recall (P(collide) = (1 - theta/pi)^n_planes per table). Defaults
-  (4 planes x 8 tables) target weakly-similar neighbors (cosine ~0.5,
-  theta ~60 deg): ~0.17 per table, ~0.77 across 8 tables — measured
-  recall ~0.69 on the test embeddings (tests/test_ann_recall.py); 8
-  planes would prune harder but collapses recall to ~0.07 at this
-  similarity level.
+  for recall (P(collide) = (1 - theta/pi)^n_planes per table), and
+  multi-probe querying additionally checks every bucket one flipped
+  sign bit away, lifting per-table pair-inclusion to P(hamming<=1).
+  Defaults (4 planes x 5 tables, multi-probe) target weakly-similar
+  neighbors (cosine ~0.5, theta ~60 deg): ~0.59 per table with probing
+  vs ~0.20 without — measured recall ~0.97 on the test embeddings at
+  ~1.5x the cost of the old no-probe 8-table config that measured ~0.69
+  (tests/test_ann_recall.py); 8 planes would prune harder but collapses
+  recall at this similarity level.
 - ``ivf_topk``: bucket = nearest coarse centroid; queries probe their
   ``n_probe`` nearest cells.
 
@@ -57,39 +60,51 @@ _BANDED_SCHEMA = StructType(
         StructField("vec", ArrayType(DoubleType())),
         StructField("tbl", IntegerType()),
         StructField("bucket", IntegerType()),
+        StructField("is_index", IntegerType()),  # 1 in the signature bucket
     ]
 )
 
 
 def _bucket_topk_kernel(k: int):
-    """Per-bucket kernel: every member is both query and index; emit each
-    query's local top-k. Dots use the dimension-ordered accumulation so a
-    pair colliding in several buckets yields the SAME double everywhere
-    (BLAS matmul may vary summation order with matrix shape) — required
-    for the downstream dedup + global ranking to be deterministic."""
+    """Per-bucket kernel: rows with ``is_index=1`` are candidates (they
+    also query); probe-only rows (``is_index=0``) just query. Emit each
+    query's local top-k over the bucket's candidates. Dots use the
+    dimension-ordered accumulation so a pair colliding in several buckets
+    yields the SAME double everywhere (BLAS matmul may vary summation
+    order with matrix shape) — required for the downstream dedup + global
+    ranking to be deterministic."""
     from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
 
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+    )
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vid"].to_numpy(dtype=np.int64)
-        mat = _normalize(np.stack(pdf["vec"].to_numpy()))
-        sims = _ordered_dot(mat[:, None, :], mat[None, :, :])
-        b = len(ids)
-        kk = min(k, b - 1)
+        idx_mask = pdf["is_index"].to_numpy() == 1
+        if not idx_mask.any():
+            return empty
+        q_ids = pdf["vid"].to_numpy(dtype=np.int64)
+        q_mat = _normalize(np.stack(pdf["vec"].to_numpy()))
+        i_ids = q_ids[idx_mask]
+        i_mat = q_mat[idx_mask]
+        sims = _ordered_dot(q_mat[:, None, :], i_mat[None, :, :])
+        # a vid appears at most once per (tbl, bucket) in each role, so
+        # "not self" is the id match; -inf sorts it past every real
+        # candidate and any -inf leaking into a short row's top-k is
+        # dropped after the gather. One 2D lexsort ((cosine desc, id
+        # asc), rows independent) replaces the per-row Python loop.
+        sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        kk = min(k, len(i_ids))
         if kk <= 0:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cosine": []}
-            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
-        # ids are unique within a bucket, so "not self" is the diagonal;
-        # -inf sorts it past every real candidate. One 2D lexsort
-        # ((cosine desc, id asc), rows independent) replaces the per-row
-        # Python loop.
-        np.fill_diagonal(sims, -np.inf)
-        order = np.lexsort((np.broadcast_to(ids, (b, b)), -sims), axis=-1)[:, :kk]
+            return empty
+        order = np.lexsort((np.broadcast_to(i_ids, sims.shape), -sims), axis=-1)[:, :kk]
+        got = np.take_along_axis(sims, order, axis=1).reshape(-1)
+        keep = got > -np.inf
         return pd.DataFrame(
             {
-                "query_id": np.repeat(ids, kk),
-                "neighbor_id": ids[order].reshape(-1),
-                "cosine": np.take_along_axis(sims, order, axis=1).reshape(-1),
+                "query_id": np.repeat(q_ids, kk)[keep],
+                "neighbor_id": i_ids[order].reshape(-1)[keep],
+                "cosine": got[keep],
             }
         )
 
@@ -107,12 +122,26 @@ def lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_planes: int = 4,
-    n_tables: int = 8,
+    n_tables: int = 5,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors per vector via hyperplane LSH.
+    """Approximate top-k cosine neighbors per vector via hyperplane LSH
+    with multi-probe querying.
+
+    Every vector lands in its signature bucket as an index candidate
+    (``is_index=1``); with ``multi_probe`` each vector ALSO queries the
+    ``n_planes`` buckets at Hamming distance 1 (one sign bit flipped).
+    Flipping the least-confident bit is the classic multi-probe LSH
+    refinement; flipping all P bits is its exhaustive d=1 variant, which
+    stays cheap at small P and lifts per-table pair-inclusion for
+    cosine~0.5 neighbors from (2/3)^4 ~ 0.20 to P(hamming<=1) ~ 0.59 —
+    recall that took 3x the tables without probing. Cost: the banding
+    fan-out grows from T to T*(1+P) rows per vector, but probe rows are
+    query-only, so per-bucket kernel work grows linearly (|Q|x|I|), not
+    quadratically.
 
     Output: (query_id, neighbor_id, cosine, rank) — same shape as the
     brute-force similarity_topk so callers can swap tiers.
@@ -126,20 +155,31 @@ def lsh_topk(
         t_n, p_n = pl.shape[0], pl.shape[1]
         flat = pl.reshape(t_n * p_n, -1)
         weights = (1 << np.arange(p_n)).astype(np.int64)
+        fan = 1 + (p_n if multi_probe else 0)  # roles per (vector, table)
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (mat @ flat.T > 0).reshape(len(ids), t_n, p_n)
             buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, T)
+            # (n, T, fan): signature bucket first, then 1-bit flips
+            probes = buckets[:, :, None]
+            if multi_probe:
+                flips = buckets[:, :, None] ^ (1 << np.arange(p_n, dtype=np.int32))
+                probes = np.concatenate([probes, flips], axis=2)
+            is_index = np.zeros((len(ids), t_n, fan), dtype=np.int32)
+            is_index[:, :, 0] = 1
             yield pd.DataFrame(
                 {
-                    "vid": np.repeat(ids, t_n),
+                    "vid": np.repeat(ids, t_n * fan),
                     # list-of-ndarray: Arrow consumes each row's ndarray
                     # directly; exploding to Python float lists boxed
                     # n*t*d values and dominated this stage.
-                    "vec": list(np.repeat(mat, t_n, axis=0)),
-                    "tbl": np.tile(np.arange(t_n, dtype=np.int32), len(ids)),
-                    "bucket": buckets.reshape(-1),
+                    "vec": list(np.repeat(mat, t_n * fan, axis=0)),
+                    "tbl": np.tile(
+                        np.repeat(np.arange(t_n, dtype=np.int32), fan), len(ids)
+                    ),
+                    "bucket": probes.reshape(-1),
+                    "is_index": is_index.reshape(-1),
                 }
             )
 

@@ -565,8 +565,9 @@ def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     oracle=None,  # approximate by construction -> rows-only
     section="2.10",
     doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
-    "signatures, candidates restricted to same-bucket vectors — the "
-    "linear-shuffle scale path for similarity_topk. See llm/ann.py.",
+    "signatures with 1-bit multi-probe querying (recall ~0.97 pinned in "
+    "tests/test_ann_recall.py), candidates restricted to probed buckets "
+    "— the linear-shuffle scale path for similarity_topk. See llm/ann.py.",
 )
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import lsh_topk
