@@ -258,6 +258,41 @@ def upsert_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _swap_table_dir(path: str, staging: str) -> None:
+    """Swap a rewritten parquet table into place with the smallest
+    possible unavailability window and a recovery copy.
+
+    rmtree-then-rename would leave NO table at all if the process dies
+    between the two calls (and a concurrent reader hitting that window
+    sees a missing path). Instead: verify both directories actually look
+    like parquet tables, rename the live dir aside (one atomic rename),
+    rename staging in (second atomic rename — the only no-table window is
+    between these two renames), then delete the old copy. A crash after
+    the first rename leaves the data recoverable at ``<path>__old``.
+    """
+    import shutil
+    from pathlib import Path
+
+    live, stage = Path(path), Path(staging)
+
+    def looks_like_parquet_table(d: Path) -> bool:
+        return d.is_dir() and (any(d.glob("*.parquet")) or (d / "_SUCCESS").exists())
+
+    if not looks_like_parquet_table(stage):
+        raise ValueError(f"staging dir is not a parquet table: {staging}")
+    if not looks_like_parquet_table(live):
+        raise ValueError(
+            f"refusing to replace non-parquet-table path: {path} "
+            "(guard against rmtree on an arbitrary caller-supplied dir)"
+        )
+    old = Path(str(live) + "__old")
+    if old.exists():
+        shutil.rmtree(old)
+    live.rename(old)
+    stage.rename(live)
+    shutil.rmtree(old)
+
+
 def merge_by_key(
     spark: SparkSession, df: DataFrame, path: str, keys: list[str]
 ) -> None:
@@ -267,35 +302,30 @@ def merge_by_key(
     directory — plain parquet has no transaction log, so the swap is the
     commit point (a table format makes this atomic; the plan shape —
     anti-join + union — is exactly what Delta's MERGE compiles to for
-    whole-row upserts). The anti join shuffles on the merge key; with the
-    lake and the batch both bucketed on that key it is co-located.
+    whole-row upserts; the swap itself is two renames with a recovery
+    copy, see :func:`_swap_table_dir`). The anti join shuffles on the
+    merge key; with the lake and the batch both bucketed on that key it
+    is co-located.
     """
-    import shutil
-    from pathlib import Path
-
     staging = path.rstrip("/") + "__staging"
     existing = spark.read.parquet(path)
     merged = existing.join(df.select(*keys).distinct(), keys, "left_anti").unionByName(df)
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    Path(staging).rename(path)
+    _swap_table_dir(path, staging)
 
 
 def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
     """Small-file compaction: rewrite a directory of many small parquet
     files into ``target_files`` balanced ones via a round-robin
-    repartition, swapping through a staging directory. Streaming sinks
-    and per-trigger micro-batches accrete small files; at scan time each
-    file costs a task plus footer/open overhead, so periodic compaction
-    keeps 100 TB scans sized by bytes, not file count.
+    repartition, swapping through a staging directory (two renames with a
+    recovery copy, see :func:`_swap_table_dir`). Streaming sinks and
+    per-trigger micro-batches accrete small files; at scan time each file
+    costs a task plus footer/open overhead, so periodic compaction keeps
+    100 TB scans sized by bytes, not file count.
     """
-    import shutil
-    from pathlib import Path
-
     staging = path.rstrip("/") + "__staging"
     spark.read.parquet(path).repartition(target_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    Path(staging).rename(path)
+    _swap_table_dir(path, staging)
 
 
 # ---------------------------------------------------------------------------

@@ -146,7 +146,10 @@ def minhash_near_dup_pairs(
     The distinct-token corpus is persisted and reused by the signature
     stage and both verification sides; the candidate set (tiny by the
     S-curve) broadcasts into the verification joins so the corpus is
-    never shuffled.
+    never shuffled. The verified pair set (small) is materialized
+    eagerly (localCheckpoint) so the corpus cache can be RELEASED before
+    returning — a long-lived session invoking this repeatedly no longer
+    accumulates cached token blocks until LRU pressure.
     """
     rows_per_band = num_perms // bands
     toks = docs.select(
@@ -161,9 +164,12 @@ def minhash_near_dup_pairs(
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union
-    return (
+    result = (
         joined.select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), jac.alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    toks.unpersist()
+    return result

@@ -99,4 +99,14 @@ def simhash_near_dup_pairs(
         F.col("p.id_b.id").alias("doc_b"),
         F.bit_count(F.col("p.id_a.sig").bitwiseXOR(F.col("p.id_b.sig"))).alias("hamming"),
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).dropDuplicates(["doc_a", "doc_b"])
+    # Materialize the (small) verified pair set so the corpus cache can be
+    # released before returning — repeated invocations in a long-lived
+    # session must not accumulate cached blocks (same contract as
+    # minhash_near_dup_pairs).
+    result = (
+        pairs.filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return result

@@ -38,11 +38,18 @@ def asof_join(
     Output columns are named ``asof_<value_col>``.
 
     Implementation: tag both sides, union by name, and run one window per
-    key ordered by timestamp, carrying the last non-null right-side value
-    forward (``last(..., ignorenulls=True)``). Right rows sort before left
-    rows at equal timestamps so ties honor the <= contract; equal-ts
-    duplicate right rows resolve to the maximum value (deterministic
-    regardless of partition layout).
+    key ordered by timestamp, carrying the last non-null right-side
+    values forward (``last(..., ignorenulls=True)``). All ``value_cols``
+    travel as ONE struct, so the attached values always come from a
+    single right row — per-column carries could mix columns from
+    different right rows when the nearest row holds a null in one of
+    them. Right rows sort before left rows at equal timestamps so ties
+    honor the <=/>= contract; equal-ts duplicate right rows resolve
+    deterministically regardless of partition layout: to the
+    lexicographically MAXIMUM (value_cols-ordered) struct for
+    direction='backward', and to the MINIMUM for 'forward' (the carry
+    keeps the last struct in scan order, and the forward scan runs
+    time-descending).
 
     Scale: one hash shuffle on ``on`` + per-partition sort — the same cost
     as a single sort-merge join, independent of how many right rows
@@ -53,46 +60,37 @@ def asof_join(
         raise ValueError(f"unknown direction: {direction}")
 
     lcols = left.columns
-    rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
+    vstruct_type = right.select(*value_cols).schema
 
     l = left.select(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.col(on).alias("__key"),
-        *[F.lit(None).cast(rtypes[v]).alias(f"__v_{v}") for v in value_cols],
+        F.lit(None).cast(vstruct_type).alias("__v"),
         *lcols,
     )
     r = right.select(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(on).alias("__key"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        F.struct(*value_cols).alias("__v"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
     )
     u = l.unionByName(r)
 
     asc = direction == "backward"
     ts_ord = F.col("__ts").asc() if asc else F.col("__ts").desc()
-    val_ord = [
-        (F.col(f"__v_{v}").asc_nulls_first() if asc else F.col(f"__v_{v}").desc_nulls_first())
-        for v in value_cols
-    ]
+    val_ord = F.col("__v").asc_nulls_first() if asc else F.col("__v").desc_nulls_first()
     frame = (
         Window.partitionBy("__key")
-        .orderBy(ts_ord, F.col("__side").asc(), *val_ord)
+        .orderBy(ts_ord, F.col("__side").asc(), val_ord)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
-    carried = u.select(
-        "*",
-        *[
-            F.last(f"__v_{v}", ignorenulls=True).over(frame).alias(f"asof_{v}")
-            for v in value_cols
-        ],
-    )
+    carried = u.select("*", F.last("__v", ignorenulls=True).over(frame).alias("__asof"))
     return carried.filter(F.col("__side") == 1).select(
-        *lcols, *[f"asof_{v}" for v in value_cols]
+        *lcols, *[F.col(f"__asof.{v}").alias(f"asof_{v}") for v in value_cols]
     )
 
 
@@ -115,7 +113,17 @@ def range_join(
     BroadcastNestedLoopJoin. The residual ``lo <= point < hi`` filter
     restores exact semantics. All numeric/timestamp-castable types work —
     values are bucketed on their double form.
+
+    Inner-only by contract: the residual predicate runs AFTER the join,
+    so an outer join here would silently drop the unmatched rows it just
+    preserved (their null interval bounds fail the filter) — degrading to
+    inner semantics. Raise instead of lying.
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only: the residual range filter "
+            "runs after the join and would drop outer-preserved rows"
+        )
     w = float(bucket_width)
     pt = F.col(left_point).cast("double")
     l = left.withColumn("__bucket", F.floor(pt / w).cast("long"))

@@ -72,16 +72,16 @@ def stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
+                       >= INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ),
     sessions AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM marked
     )
@@ -90,7 +90,11 @@ def stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     """,
     section="2.9",
     doc="Session windows (30-minute gap) per user — session_window() in "
-    "Spark; the oracle is the classic gaps-and-islands formulation.",
+    "Spark; the oracle is the classic gaps-and-islands formulation. "
+    "Spark's session end is EXCLUSIVE (a gap of exactly 30 minutes opens "
+    "a new session), so the oracle's gap predicate is >=, and both "
+    "windows tie-break on event_id so adversarial equal-ts data stays "
+    "deterministic.",
 )
 def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")

@@ -97,3 +97,28 @@ def test_range_join_matches_naive_theta(spark):
     assert g == w
     # half-open semantics: x=10 not in [0,10), x=0 in [-5,0.5)
     assert (10, 100) not in g and (0, 103) in g
+
+
+def test_asof_multi_value_cols_come_from_one_right_row(spark):
+    """Regression: with several value_cols, the attached values must all
+    originate from the SAME (nearest) right row — a per-column carry
+    would backfill a null in the nearest row from an older row."""
+    left = spark.createDataFrame([(1, ts(10))], "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, ts(0), 1.0, "old"),
+            (1, ts(5), None, "new"),  # nearest row: null in v1
+        ],
+        "k long, rts timestamp, v1 double, v2 string",
+    )
+    row = asof_join(left, right, "k", "lts", "rts", ["v1", "v2"]).collect()[0]
+    # both columns from the ts(5) row: v1 stays null, not backfilled with 1.0
+    assert row["asof_v2"] == "new"
+    assert row["asof_v1"] is None
+
+
+def test_range_join_rejects_outer(spark):
+    points = spark.createDataFrame([(1, 1.0)], "pid long, x double")
+    intervals = spark.createDataFrame([(9, 0.0, 2.0)], "iid long, lo double, hi double")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(points, intervals, "x", "lo", "hi", bucket_width=1.0, how="left")
