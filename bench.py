@@ -116,6 +116,11 @@ def main() -> None:
     _covid_csv(sf_val)  # untimed synthesis/cache
 
     def timed(build) -> float:
+        """Best-of-2 steady-state EXECUTION time (the r01 convention:
+        query construction stays untimed so numbers remain comparable
+        round-over-round; execution dominates at scale anyway). Every
+        HEADLINE builder is lazy — a builder that materialized eagerly
+        would have to move inside the timer."""
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
@@ -130,6 +135,26 @@ def main() -> None:
         timings[name] = timed(lambda: specs[name].spark(spark, SF_DIR))
     timings["etl_covid_pipeline"] = timed(lambda: _etl_covid(spark, sf_val))
 
+    # Self-reporting regressions: diff against the latest recorded round
+    # (delta > 0 means slower than last round). Stderr commentary only —
+    # stdout stays ONE JSON line by contract.
+    prev_file, prev_queries = None, {}
+    benches = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+    if benches:
+        try:
+            prev = json.loads(benches[-1].read_text())
+            # the driver wraps our JSON line under "parsed"
+            prev = prev.get("parsed", prev)
+            prev_file, prev_queries = benches[-1].name, prev.get("queries", {})
+        except (OSError, ValueError):
+            pass
+    delta = {
+        q: round(t - prev_queries[q], 3) for q, t in timings.items() if q in prev_queries
+    }
+    for q, d in sorted(delta.items(), key=lambda kv: -abs(kv[1])):
+        if abs(d) >= 0.25:
+            print(f"[bench] {q}: {d:+.3f}s vs {prev_file}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -138,6 +163,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "prev_round": prev_file,
+                "delta_vs_prev": delta,
             }
         )
     )

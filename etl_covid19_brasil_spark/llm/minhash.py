@@ -24,7 +24,7 @@ Jaccard join:
    two joins against the persisted token sets and are kept iff exact
    Jaccard >= threshold.
 
-The shingled corpus is persisted (MEMORY_AND_DISK) for the pipeline's
+The shingled corpus is materialized once (lazy localCheckpoint) for the pipeline's
 lifetime: signatures + both verification sides otherwise re-tokenize the
 documents table several times (Catalyst does not dedupe common subplans
 across join sides — measured 8 parquet scans in the unpersisted plan).
@@ -43,8 +43,27 @@ floor against the exact tier is pinned in tests/test_ann_recall.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+
+def _shared_scan(df: DataFrame) -> DataFrame:
+    """Materialize-once barrier for a DataFrame consumed by several plan
+    branches, with AUTOMATIC lifetime: lazy ``localCheckpoint`` stores the
+    computed partitions as RDD blocks on first use, every consumer reads
+    those blocks instead of recomputing the subtree, and Spark's
+    ContextCleaner frees them when the DataFrame is garbage-collected.
+
+    Chosen over ``persist()`` deliberately: persisted plans live in the
+    CacheManager until an explicit ``unpersist()``, which (a) leaks in a
+    resident session when callers never unpersist, and (b) cannot be tied
+    to the result's lifetime with a finalizer because CacheManager
+    matches by logical-plan EQUALITY — a finalizer for run N's cache
+    evicts run N+1's identical just-registered cache (measured: every
+    steady-state bench run of the minhash pipeline executed uncached,
+    ~1.7x slower). An RDD checkpoint is identity-based, so repeated
+    invocations never interfere.
+    """
+    return df.localCheckpoint(eager=False)
 
 
 def bucket_pairs(grouped_ids: F.Column) -> F.Column:
@@ -143,18 +162,18 @@ def minhash_near_dup_pairs(
     """Full pipeline: signatures -> banded candidates -> exact-Jaccard
     verification. Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
 
-    The distinct-token corpus is persisted and reused by the signature
-    stage and both verification sides; the candidate set (tiny by the
-    S-curve) broadcasts into the verification joins so the corpus is
-    never shuffled. The verified pair set (small) is materialized
-    eagerly (localCheckpoint) so the corpus cache can be RELEASED before
-    returning — a long-lived session invoking this repeatedly no longer
-    accumulates cached token blocks until LRU pressure.
+    The distinct-token corpus is materialized once (lazy localCheckpoint,
+    see :func:`_shared_scan`) and reused by the signature stage and both
+    verification sides; the candidate set (tiny by the S-curve)
+    broadcasts into the verification joins so the corpus is never
+    shuffled. Block lifetime is automatic — freed when the returned
+    DataFrame is dropped — so a long-lived session invoking this
+    repeatedly does not accumulate cached blocks.
     """
     rows_per_band = num_perms // bands
-    toks = docs.select(
-        F.col(id_col), F.array_distinct(F.col(tokens_col)).alias("__toks")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    toks = _shared_scan(
+        docs.select(F.col(id_col), F.array_distinct(F.col(tokens_col)).alias("__toks"))
+    )
     sigs = minhash_signatures(toks, id_col, "__toks", num_perms)
     cand = lsh_candidates(sigs, id_col, bands, rows_per_band)
 
@@ -164,12 +183,9 @@ def minhash_near_dup_pairs(
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union
-    result = (
+    return (
         joined.select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), jac.alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
-        .localCheckpoint(eager=True)
     )
-    toks.unpersist()
-    return result

@@ -26,7 +26,6 @@ rows-only in the correctness gate.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
@@ -60,17 +59,20 @@ def simhash_near_dup_pairs(
     """Candidate pairs via 16-bit band bucketing, verified by exact
     Hamming distance. Output: (doc_a, doc_b, hamming).
 
-    The token corpus is persisted before the signature explode: Spark's
-    InferFiltersFromGenerate plants a ``size(tokens) > 0`` predicate under
-    the Generate, and predicate pushdown then drags the whole tokenizing
-    expression below its projection, where per-element lambdas inline and
-    re-evaluate it once per element_at — measured 17x slower end-to-end
-    on shingled input. The cache is a barrier pushdown cannot cross, so
-    the filter runs against materialized arrays instead.
+    The token corpus is materialized once before the signature explode
+    (lazy localCheckpoint — llm/minhash.py:_shared_scan — so block
+    lifetime is automatic and a resident session accumulates nothing):
+    Spark's InferFiltersFromGenerate plants a ``size(tokens) > 0``
+    predicate under the Generate, and predicate pushdown then drags the
+    whole tokenizing expression below its projection, where per-element
+    lambdas inline and re-evaluate it once per element_at — measured 17x
+    slower end-to-end on shingled input. The checkpoint is a barrier
+    pushdown cannot cross, so the filter runs against materialized
+    arrays instead.
     """
-    base = docs.select(F.col(id_col), F.col(tokens_col)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from etl_covid19_brasil_spark.llm.minhash import _shared_scan
+
+    base = _shared_scan(docs.select(F.col(id_col), F.col(tokens_col)))
     sigs = simhash_signatures(base, id_col, tokens_col)
     bands = F.array(
         *[
@@ -99,14 +101,4 @@ def simhash_near_dup_pairs(
         F.col("p.id_b.id").alias("doc_b"),
         F.bit_count(F.col("p.id_a.sig").bitwiseXOR(F.col("p.id_b.sig"))).alias("hamming"),
     )
-    # Materialize the (small) verified pair set so the corpus cache can be
-    # released before returning — repeated invocations in a long-lived
-    # session must not accumulate cached blocks (same contract as
-    # minhash_near_dup_pairs).
-    result = (
-        pairs.filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=True)
-    )
-    base.unpersist()
-    return result
+    return pairs.filter(F.col("hamming") <= max_hamming).dropDuplicates(["doc_a", "doc_b"])
