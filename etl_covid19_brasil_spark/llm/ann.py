@@ -183,7 +183,9 @@ def lsh_topk(
                 }
             )
 
-    banded = embeddings.select(id_col, vec_col).mapInPandas(
+    from etl_covid19_brasil_spark.llm.similarity import _spread
+
+    banded = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         sign_kernel, schema=_BANDED_SCHEMA
     )
     local = banded.groupBy("tbl", "bucket").applyInPandas(

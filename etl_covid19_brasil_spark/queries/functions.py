@@ -796,3 +796,87 @@ def udaf_grouped_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         wavg_cents("l_extendedprice", "l_quantity").alias("wavg_price")
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 2) END AS safe_div,
+           CASE WHEN o_orderkey = 0 THEN 9223372036854775807 ELSE NULL END AS overflow_add,
+           [o_orderkey, o_custkey][5] AS oob_element
+    FROM orders
+    """,
+    section="2.8",
+    doc="try_* error-safe arithmetic (Spark 4 runs ANSI by default, where "
+    "bare arithmetic THROWS on /0, overflow, and bad index — at 100 TB a "
+    "single poisoned row must not kill a 6-hour job): try_divide -> NULL "
+    "on zero denominator, try_add -> NULL on bigint overflow, "
+    "try_element_at -> NULL out of bounds. The oracle spells each as the "
+    "equivalent guarded CASE (DuckDB list indexing is NULL-on-OOB "
+    "natively). Even order keys give a 0 denominator, exercising the "
+    "division guard on half the corpus.",
+)
+def fn_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 2).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775807), F.col("o_orderkey")).alias("overflow_add"),
+        F.try_element_at(F.array("o_orderkey", "o_custkey"), F.lit(5)).alias("oob_element"),
+    )
+
+
+@query(
+    "fn_map_higher_order",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             [struct_pack(k := 'base', v := value),
+              struct_pack(k := 'doubled', v := value * 2),
+              struct_pack(k := 'neg', v := -value)] AS entries
+      FROM events
+    )
+    SELECT event_id,
+           array_to_string(
+             list_transform(
+               list_filter(entries, e -> e.v > 0),
+               e -> e.k || '=' || CAST(CAST(ROUND(e.v * 100) AS BIGINT) AS VARCHAR)),
+             ',') AS positive_entries,
+           array_to_string(
+             list_transform(entries,
+               e -> e.k || '=' || CAST(CAST(ROUND(e.v * 200) AS BIGINT) AS VARCHAR)),
+             ',') AS doubled_values
+    FROM m
+    """,
+    section="2.8",
+    doc="Higher-order MAP functions: map_filter and transform_values over a "
+    "constructed map (base/doubled/neg of events.value). Maps are "
+    "unordered, so outputs are canonicalized through map_entries -> "
+    "'k=v' joined strings in construction order, values in exact cents; "
+    "the oracle replays the same lambdas on the entries list (DuckDB "
+    "lambdas on list<struct>).",
+)
+def fn_map_higher_order(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    m = F.create_map(
+        F.lit("base"), F.col("value"),
+        F.lit("doubled"), F.col("value") * 2,
+        F.lit("neg"), -F.col("value"),
+    )
+    def fmt(mp):  # canonical "k=<cents>" join, entry order = construction order
+        return F.array_join(
+            F.transform(
+                F.map_entries(mp),
+                lambda kv: F.concat_ws(
+                    "=", kv["key"], F.round(kv["value"] * 100).cast("long").cast("string")
+                ),
+            ),
+            ",",
+        )
+    return e.select(
+        "event_id",
+        fmt(F.map_filter(m, lambda k, v: v > 0)).alias("positive_entries"),
+        fmt(F.transform_values(m, lambda k, v: v * 2)).alias("doubled_values"),
+    )

@@ -392,3 +392,143 @@ def sample_stratified_hash(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# Curation thresholds (Gopher-flavored, tuned to the synthetic corpus so
+# both kept and dropped documents exist at every SF).
+_MIN_WORDS, _MAX_WORDS = 5, 500
+_MAX_DUP_LINE_FRAC = 0.30
+_MAX_TOP_BIGRAM_FRAC = 0.20
+_MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN = 2.0, 12.0
+
+
+@query(
+    "curation_filter_gopher",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKENS} AS w FROM documents),
+    base AS (
+      SELECT doc_id, len(w) AS n_words,
+             CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w) AS mean_word_len
+      FROM toks
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, CAST(ceil(len(w) / {_LINE_LEN}.0) AS BIGINT) + 1),
+               i -> array_to_string(list_slice(w, (i-1)*{_LINE_LEN} + 1, i*{_LINE_LEN}), ' '))) AS line
+      FROM toks
+    ),
+    line_freq AS (SELECT doc_id, line, COUNT(*) AS n FROM lines GROUP BY doc_id, line),
+    line_sig AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS DOUBLE) / SUM(n) AS dup_line_frac
+      FROM line_freq GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM toks WHERE len(w) >= 2
+    ),
+    bg_freq AS (SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg),
+    bg_sig AS (
+      SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac
+      FROM bg_freq GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CASE
+             WHEN b.n_words < {_MIN_WORDS} THEN 'too_short'
+             WHEN b.n_words > {_MAX_WORDS} THEN 'too_long'
+             WHEN b.mean_word_len < {_MIN_MEAN_WORD_LEN}
+               OR b.mean_word_len > {_MAX_MEAN_WORD_LEN} THEN 'word_len_outlier'
+             WHEN l.dup_line_frac > {_MAX_DUP_LINE_FRAC} THEN 'repeated_lines'
+             WHEN COALESCE(g.top_bigram_frac, 0.0) > {_MAX_TOP_BIGRAM_FRAC} THEN 'repeated_bigram'
+             ELSE 'keep'
+           END AS verdict
+    FROM base b
+    JOIN line_sig l USING (doc_id)
+    LEFT JOIN bg_sig g USING (doc_id)
+    """,
+    section="2.10",
+    doc="Composite pretraining curation filter (Gopher-rule shape, Rae et "
+    "al. 2021 §A1.1): word-count window, mean-word-length window, "
+    "duplicate-line fraction, and top-bigram mass, folded into one "
+    "keep/drop verdict with the FIRST violated rule as the reason — the "
+    "operator a corpus pipeline runs to gate documents before "
+    "tokenization. Same scale shape as text_repetition_signals: all "
+    "frequency tables are per-document, one doc_id-keyed aggregation "
+    "shuffle, no corpus-wide exchange; the rule cascade itself is a pure "
+    "projection.",
+)
+def curation_filter_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", _TOKENS().alias("w"))
+    base = d.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        (
+            F.length(F.array_join("w", "")).cast("double") / F.size("w")
+        ).alias("mean_word_len"),
+    )
+    lines = d.select("doc_id", F.explode(_lines(F.col("w"))).alias("line"))
+    line_sig = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)).cast("double")
+                / F.sum("n")
+            ).alias("dup_line_frac")
+        )
+    )
+    bigrams = d.filter(F.size("w") >= 2).select(
+        "doc_id", F.explode(_bigrams(F.col("w"))).alias("bg")
+    )
+    bg_sig = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg((F.max("n").cast("double") / F.sum("n")).alias("top_bigram_frac"))
+    )
+    joined = base.join(line_sig, "doc_id").join(bg_sig, "doc_id", "left")
+    verdict = (
+        F.when(F.col("n_words") < _MIN_WORDS, "too_short")
+        .when(F.col("n_words") > _MAX_WORDS, "too_long")
+        .when(
+            (F.col("mean_word_len") < _MIN_MEAN_WORD_LEN)
+            | (F.col("mean_word_len") > _MAX_MEAN_WORD_LEN),
+            "word_len_outlier",
+        )
+        .when(F.col("dup_line_frac") > _MAX_DUP_LINE_FRAC, "repeated_lines")
+        .when(F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) > _MAX_TOP_BIGRAM_FRAC,
+              "repeated_bigram")
+        .otherwise("keep")
+    )
+    return joined.select("doc_id", verdict.alias("verdict"))
+
+
+@query(
+    "sample_bernoulli_bounds",
+    oracle="""
+    SELECT COUNT(*) AS n_total, TRUE AS sample_within_bounds
+    FROM lineitem
+    """,
+    section="2.10",
+    doc="Seeded Bernoulli sampling (df.sample(fraction, seed)) — the "
+    "cheap corpus down-sampler (per-row coin flip, zero shuffle, exact "
+    "fraction NOT guaranteed). Spark's RNG stream is engine-specific, so "
+    "the hashable contract is a bounds check (same pattern as the approx "
+    "aggregates): the sampled count must land within 6 sigma of the "
+    "binomial expectation. For EXACT deterministic splits use "
+    "sample_hash_split, which derives membership from the key hash.",
+)
+def sample_bernoulli_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    frac = 0.1
+    li = T(spark, sf, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = li.sample(fraction=frac, seed=42).agg(F.count(F.lit(1)).alias("k"))
+    stats = total.crossJoin(sampled)
+    # 6-sigma binomial band: P(outside) ~ 2e-9 — effectively never flaky,
+    # still catches a broken sampler (off-by-10x fraction, constant RNG).
+    sigma = (F.col("n_total").cast("double") * frac * (1 - frac)) ** 0.5
+    ok = F.abs(F.col("k") - F.col("n_total") * frac) <= 6 * sigma
+    return stats.select("n_total", ok.alias("sample_within_bounds"))

@@ -1154,3 +1154,75 @@ def agg_histogram_width_bucket(spark: SparkSession, sf: str) -> DataFrame:
             msum("o_totalprice", "bucket_value"),
         )
     )
+
+
+@query(
+    "agg_unpivot_melt",
+    oracle=f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             {o_msum('l_quantity', 'sum_qty')},
+             {o_msum('l_extendedprice', 'sum_price')},
+             CAST(COUNT(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM wide
+    """,
+    section="2.4",
+    doc="unpivot/melt — the inverse of pivot (wide measure columns -> long "
+    "(metric, value) rows). Spark's unpivot lowers to ONE Expand "
+    "projection (each input row fans out to |measures| rows map-side, no "
+    "shuffle, no self-union); the oracle spells the same relation as "
+    "UNION ALL. Measures ride the exact-cents policy so values "
+    "hash-match.",
+)
+def agg_unpivot_melt(spark: SparkSession, sf: str) -> DataFrame:
+    wide = T(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        msum("l_quantity", "sum_qty"),
+        msum("l_extendedprice", "sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           TRUE AS approx_within_rank_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    section="2.4",
+    doc="Sketch-based percentile (approx_percentile, accuracy=100) — the "
+    "100 TB path where exact percentile's full sort per group is too "
+    "expensive. The sketch guarantees rank error <= 1/accuracy, so the "
+    "hashable contract (same pattern as agg_approx_count_distinct) is a "
+    "bounds check: the estimate must land between the exact interpolated "
+    "quantiles at p±1/accuracy. The oracle asserts TRUE plus the exact "
+    "median for value parity.",
+)
+def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    eps = 1.0 / 100.0
+    agg = T(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("est"),
+        F.expr(f"percentile(l_extendedprice, {0.5 - eps})").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr(f"percentile(l_extendedprice, {0.5 + eps})").alias("hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        ((F.col("est") >= F.col("lo")) & (F.col("est") <= F.col("hi"))).alias(
+            "approx_within_rank_bounds"
+        ),
+    )

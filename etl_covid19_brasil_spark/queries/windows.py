@@ -254,3 +254,44 @@ def win_nth_value(spark: SparkSession, sf: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
         F.nth_value("o_totalprice", 3).over(w).alias("third_order_price"),
     )
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           lag(p IGNORE NULLS) OVER w AS prev_known_price,
+           last_value(p IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_price
+    FROM src
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    section="2.5",
+    doc="IGNORE NULLS window navigation — lag skipping null observations and "
+    "the last-observation-carried-forward (LOCF) gap-fill idiom via "
+    "last_value(ignoreNulls), the standard fix for sparse sensor/price "
+    "series. Nulls synthesized by key modulo; same one-shuffle window "
+    "cost as the plain variants.",
+)
+def win_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_totalprice")).alias("p"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    locf = w.rowsBetween(Window.unboundedPreceding, 0)
+    return src.select(
+        "o_custkey",
+        "o_orderkey",
+        # PySpark's F.lag has no ignoreNulls knob (only SQL does), so parse
+        # the SQL form and attach the window spec to it.
+        F.expr("lag(p) IGNORE NULLS").over(w).alias("prev_known_price"),
+        F.last("p", ignorenulls=True).over(locf).alias("carried_price"),
+    )
