@@ -970,3 +970,153 @@ def line_dedup_global(spark: SparkSession, sf: str) -> DataFrame:
         F.concat_ws(" ", ordered).alias("kept_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-group clustering (pairs -> components -> canonical survivors)
+# ---------------------------------------------------------------------------
+#
+# The corpus here has THREE generations per selected doc (original, first 3
+# tokens dropped, first 6 dropped) so duplicate groups have size 3 and the
+# pair graph is a path or triangle — component membership genuinely requires
+# transitive closure, not just pair lookup. The oracle computes the same
+# components with a DuckDB recursive CTE (min-label reachability).
+
+_O_CC = f"""
+    corpus3 AS (
+      SELECT doc_id, {_O_TOKENS} AS w FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, list_slice({_O_TOKENS}, 4, len({_O_TOKENS})) AS w
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, list_slice({_O_TOKENS}, 7, len({_O_TOKENS})) AS w
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    t3 AS (
+      SELECT doc_id, {_O_SHINGLES.format(w='w')} AS sh, len(w) AS n_tokens
+      FROM corpus3 WHERE doc_id % 1000000 < {_JACCARD_CAP}
+    ),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t3 a JOIN t3 b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM t3
+      UNION
+      SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.node WHERE w.lbl < s.b
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY node)
+"""
+
+
+def _cc_parts(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """(shingled 3-generation corpus with token counts, doc-level component
+    assignment) — shared by the two duplicate-group queries."""
+    from etl_covid19_brasil_spark.operators.concomp import connected_components
+
+    d = _spread(spark, T(spark, sf, "documents")).select("doc_id", _tokens().alias("w"))
+
+    def gen(drop: int) -> DataFrame:
+        return d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + drop // 3 * 1_000_000).alias("doc_id"),
+            F.slice(
+                F.col("w"), drop + 1, F.greatest(F.size("w") - drop, F.lit(0))
+            ).alias("w"),
+        )
+
+    t3 = (
+        d.unionByName(gen(3)).unionByName(gen(6))
+        .filter(F.col("doc_id") % 1_000_000 < _JACCARD_CAP)
+        .select(
+            "doc_id",
+            _shingles(F.col("w")).alias("sh"),
+            F.size("w").cast("long").alias("n_tokens"),
+        )
+        # shingling is the expensive projection and feeds BOTH the pair join
+        # sides and the node list — materialize it once
+        .localCheckpoint(eager=False)
+    )
+    a, b = t3.alias("a"), t3.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.size(F.col("a.sh")) > 0) & (F.size(F.col("b.sh")) > 0))
+        .filter(inter.cast("double") / union >= 0.8)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(edges, nodes=t3, node_col="doc_id").select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    return t3, comp
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_O_CC}
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+    """,
+    section="2.10",
+    doc="Duplicate-GROUP assignment: exact-Jaccard pairs (>=0.8) over the "
+    "3-generation corpus, clustered into connected components via "
+    "alternating large-star/small-star contraction "
+    "(operators/concomp.py; Kiveris et al. SoCC'14) — O(log^2 n) rounds, "
+    "two (node, candidate-root) shuffles per round, no neighborhood "
+    "lists. Every doc gets a row (singletons are their own component). "
+    "The oracle recomputes components as min-label reachability with a "
+    "recursive CTE. Component ids are component-minimum doc ids — "
+    "engine-independent.",
+)
+def dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    _, comp = _cc_parts(spark, sf)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component_id"))
+        .alias("component_size"),
+    )
+
+
+@query(
+    "dedup_canonical_pick",
+    oracle=f"""
+    WITH RECURSIVE {_O_CC},
+    ranked AS (
+      SELECT c.doc_id, c.component_id, t3.n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component_id
+               ORDER BY t3.n_tokens DESC, c.doc_id) AS rk
+      FROM comp c JOIN t3 USING (doc_id)
+    )
+    SELECT component_id,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc_id,
+           MAX(CASE WHEN rk = 1 THEN n_tokens END) AS canonical_n_tokens
+    FROM ranked GROUP BY component_id
+    """,
+    section="2.10",
+    doc="Duplicate-group MANIFEST: per component, the member count and the "
+    "canonical survivor (longest token count, ties to the smallest "
+    "doc_id — a deterministic total order). This is the output a dedup "
+    "pipeline joins back against the corpus to drop the other members. "
+    "Same component computation as dedup_connected_components plus one "
+    "row_number window and one doc_id-keyed aggregation.",
+)
+def dedup_canonical_pick(spark: SparkSession, sf: str) -> DataFrame:
+    t3, comp = _cc_parts(spark, sf)
+    sized = comp.join(t3.select("doc_id", "n_tokens"), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = sized.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_tokens"))).alias("canonical_n_tokens"),
+    )

@@ -1,0 +1,61 @@
+"""Connected-components operator (operators/concomp.py): multi-hop
+transitivity, singletons, and edge-list hygiene (duplicates/direction)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_covid19_brasil_spark.operators.concomp import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def _result(df):
+    return {(r["node"], r["component_id"]) for r in df.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5-6-7-8 is diameter 7: pure pair-joining would need 7 hops,
+    # star contraction converges in O(log) rounds.
+    e = _edges(spark, [(i, i + 1) for i in range(1, 8)])
+    got = _result(connected_components(e))
+    assert got == {(i, 1) for i in range(1, 9)}
+
+
+def test_two_components_and_singleton(spark):
+    e = _edges(spark, [(10, 20), (20, 30), (100, 200)])
+    nodes = spark.range(1).select(F.lit(999).alias("doc_id")).unionByName(
+        _edges(spark, [(10, 20), (20, 30), (100, 200)])
+        .select(F.col("src").alias("doc_id"))
+        .unionByName(
+            _edges(spark, [(10, 20), (20, 30), (100, 200)]).select(
+                F.col("dst").alias("doc_id")
+            )
+        )
+    )
+    got = _result(connected_components(e, nodes=nodes, node_col="doc_id"))
+    assert got == {(10, 10), (20, 10), (30, 10), (100, 100), (200, 100), (999, 999)}
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 3)])
+    got = _result(connected_components(e))
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_dense_cluster_plus_bridges(spark):
+    # clique {50..54} bridged to chain {54,60,70}, separate pair {7,9}
+    clique = [(a, b) for a in range(50, 55) for b in range(a + 1, 55)]
+    e = _edges(spark, clique + [(54, 60), (60, 70), (7, 9)])
+    got = _result(connected_components(e))
+    want = {(n, 50) for n in [50, 51, 52, 53, 54, 60, 70]} | {(7, 7), (9, 7)}
+    assert got == want
+
+
+def test_empty_edges_all_singletons(spark):
+    e = _edges(spark, []).filter(F.lit(False))
+    nodes = spark.range(3).select((F.col("id") + 1).alias("node"))
+    got = _result(connected_components(e, nodes=nodes))
+    assert got == {(1, 1), (2, 2), (3, 3)}
