@@ -295,3 +295,59 @@ def win_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("lag(p) IGNORE NULLS").over(w).alias("prev_known_price"),
         F.last("p", ignorenulls=True).over(locf).alias("carried_price"),
     )
+
+
+@query(
+    "scd2_dimension_build",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_priority
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    transitions AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM changes
+      WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+    )
+    SELECT o_custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current,
+           CAST(row_number() OVER w2 AS BIGINT) AS version
+    FROM transitions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    section="2.5",
+    doc="SCD Type-2 dimension build — compress a per-key change stream "
+    "(orders as priority observations per customer) into effective-date "
+    "ranges: runs of equal values collapse via lag()-compare, then "
+    "valid_from/valid_to come from lead() with an open-ended current row "
+    "and a version counter. The standard warehouse pattern for applying "
+    "a 100 TB changelog to a dimension: ONE shuffle on the dimension key "
+    "serves both windows (Spark reuses the partitioning; lag, filter, "
+    "lead, row_number all run in the same sort order). Ties broken by "
+    "(date, orderkey) so the history is a deterministic total order.",
+)
+def scd2_dimension_build(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    transitions = (
+        o.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .withColumn("prev_priority", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("prev_priority") != F.col("o_orderpriority"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return transitions.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
