@@ -1120,3 +1120,155 @@ def dedup_canonical_pick(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
         F.max(F.when(F.col("rk") == 1, F.col("n_tokens"))).alias("canonical_n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding transforms: quantization + dimensionality reduction
+# ---------------------------------------------------------------------------
+
+# Deterministic pseudo-random sign for the projection matrix, computable
+# identically in Spark and DuckDB with plain bigint arithmetic (i is the
+# 1-based input dimension, j the output dimension). Knuth-style mix then
+# mod-bucket; constants chosen so no (i, j) parity artifact survives.
+_SIGN_SQL = "(CASE WHEN (({i} * 73 + {j} * 179 + 7) * 2654435761) % 1000 < 500 THEN 1.0 ELSE -1.0 END)"
+_RP_K = 8
+
+
+def _rp_sign(i: F.Column, j: int) -> F.Column:
+    mixed = (i * 73 + F.lit(j) * 179 + 7) * F.lit(2654435761) % 1000
+    return F.when(mixed < 500, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id, label, mn AS scale_min, mx AS scale_max,
+           CASE WHEN mx = mn
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                       x -> CAST(round((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS INTEGER))
+           END AS q
+    FROM s
+    """,
+    section="2.10",
+    doc="Affine int8 quantization of the embedding column (per-vector "
+    "min/max range, 0..255 codes + the two reconstruction scalars) — the "
+    "standard 4x storage shrink before an ANN index is built over a "
+    "100 TB vector corpus. Pure map-side lambdas, no shuffle. The "
+    "quantized codes are integers produced by one identical IEEE "
+    "expression in both engines, so they hash-match exactly; constant "
+    "vectors degrade to all-zero codes rather than dividing by zero.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    s = e.select("vec_id", "label", "embedding", mn.alias("mn"), mx.alias("mx"))
+    q = F.when(
+        F.col("mx") == F.col("mn"),
+        F.transform(F.col("embedding"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(
+                (x.cast("double") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))
+            ).cast("int"),
+        )
+    )
+    return s.select(
+        "vec_id",
+        "label",
+        F.col("mn").alias("scale_min"),
+        F.col("mx").alias("scale_max"),
+        q.alias("q"),
+    )
+
+
+def _rp_oracle_cols() -> str:
+    cols = []
+    for j in range(_RP_K):
+        sgn = _SIGN_SQL.format(i="i", j=j)
+        cols.append(
+            "list_reduce(list_transform(range(1, len(embedding) + 1), "
+            f"i -> {sgn} * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) AS proj_{j}"
+        )
+    return ",\n           ".join(cols)
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    SELECT vec_id, label,
+           {_rp_oracle_cols()}
+    FROM embeddings
+    """,
+    section="2.10",
+    doc=f"Random-projection dimensionality reduction 64 -> {_RP_K} with a "
+    "HASH-DERIVED sign matrix (no materialized matrix, no driver state: "
+    "each cell's ±1 is recomputed from (input_dim, output_dim) with "
+    "integer arithmetic — the same trick the LSH tier uses for its "
+    "hyperplanes). Per output dim, one ordered fold of ±x_i (identical "
+    "IEEE sequence both engines -> bit-identical doubles). Map-side "
+    "only; at 100 TB this is the cheap pre-step that makes downstream "
+    "clustering/ANN 8x narrower.",
+)
+def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    emb = F.col("embedding")
+
+    def proj(j: int) -> F.Column:
+        terms = F.transform(emb, lambda x, i: _rp_sign(i + 1, j) * x.cast("double"))
+        return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t).alias(f"proj_{j}")
+
+    return e.select("vec_id", "label", *[proj(j) for j in range(_RP_K)])
+
+
+_OOV_VOCAB_K = 10
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    vocab AS (SELECT token FROM freq ORDER BY n DESC, token ASC LIMIT {_OOV_VOCAB_K}),
+    flagged AS (
+      SELECT t.doc_id, (v.token IS NULL) AS is_oov
+      FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE is_oov) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE is_oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM flagged GROUP BY doc_id
+    """,
+    section="2.10",
+    doc=f"Out-of-vocabulary rate against a corpus-derived top-{_OOV_VOCAB_K} "
+    "vocabulary — the two-pass shape every tokenizer-fit / quality-"
+    "scoring pipeline runs: pass 1 aggregates global token frequencies "
+    "(one shuffle, partial aggregation absorbs Zipf-hot tokens "
+    "map-side), the top-K list is then BROADCAST (it is vocabulary-"
+    "sized, never corpus-sized) so pass 2 tags tokens without a second "
+    "corpus shuffle beyond the per-doc rollup. Vocabulary ties break on "
+    "the token string -> fully deterministic; rates are integer ratios.",
+)
+def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = freq.orderBy(F.desc("n"), F.asc("token")).limit(_OOV_VOCAB_K).select("token")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(True))), "token", "left"
+    ).select("doc_id", F.col("in_vocab").isNull().alias("is_oov"))
+    n_oov = F.count(F.when(F.col("is_oov"), 1))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
