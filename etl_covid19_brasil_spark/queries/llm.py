@@ -357,39 +357,52 @@ _JACCARD_CAP = 1000
     oracle=f"""
     WITH corpus AS ({_O_CORPUS}),
     t AS (SELECT doc_id, {_O_SHINGLES.format(w='w')} AS sh FROM corpus
-          WHERE doc_id % 1000000 < {_JACCARD_CAP})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+          WHERE doc_id % 1000000 < {_JACCARD_CAP}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - c.inter) AS jaccard
+    FROM cand c
+    JOIN t sa ON sa.doc_id = c.doc_a
+    JOIN t sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - c.inter) >= 0.8
     """,
     section="2.10",
     doc="Exact shingle-set Jaccard near-dup pairs (threshold 0.8) over the "
     "synthesized-duplicate corpus (capped at 1000 source docs — covers "
-    "the whole sf0.01 gate corpus). Quadratic — the small-scale oracle "
-    "tier; the 100 TB path is near_dedup_minhash. Jaccard is a ratio of "
-    "identical integers -> bit-identical.",
+    "the whole sf0.01 gate corpus), via the POSTING-LIST formulation: "
+    "explode shingles, equi-join on the shingle value, and the group "
+    "count is |A∩B| — pairs sharing no shingle never materialize, so "
+    "work tracks real co-occurrence instead of all O(n^2) pairs. Shingle "
+    "identity rides xxhash64 longs (same counts as strings modulo "
+    "~n^2/2^64 collisions); jaccard is a ratio of identical integers -> "
+    "bit-identical. This exact tier stays the oracle for "
+    "near_dedup_minhash, which trades it for bounded-signature cost.",
 )
 def near_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     d = (
         _near_dup_corpus(spark, sf)
         .filter(F.col("doc_id") % 1_000_000 < _JACCARD_CAP)
-        .select("doc_id", _shingles(F.col("w")).alias("sh"))
+        .select("doc_id", F.array_distinct(_shingle_hashes(F.col("w"))).alias("sh"))
+        .localCheckpoint(eager=False)  # feeds the posting join twice + sizes
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter.cast("double") / union
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = d.select("doc_id", F.size("sh").alias("sz"))
+    jac = F.col("inter").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        cand.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
 
@@ -996,12 +1009,18 @@ _O_CC = f"""
       SELECT doc_id, {_O_SHINGLES.format(w='w')} AS sh, len(w) AS n_tokens
       FROM corpus3 WHERE doc_id % 1000000 < {_JACCARD_CAP}
     ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM t3),
+    cand AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
     e AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM t3 a JOIN t3 b ON a.doc_id < b.doc_id
-      WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      SELECT c.a, c.b
+      FROM cand c
+      JOIN t3 sa ON sa.doc_id = c.a
+      JOIN t3 sb ON sb.doc_id = c.b
+      WHERE CAST(c.inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - c.inter) >= 0.8
     ),
     sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
     walk(node, lbl) AS (
@@ -1031,23 +1050,42 @@ def _cc_parts(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     t3 = (
         d.unionByName(gen(3)).unionByName(gen(6))
         .filter(F.col("doc_id") % 1_000_000 < _JACCARD_CAP)
+        # hashed distinct shingles, not strings: |A∩B| and |A| are identical
+        # either way (xxhash64 collisions aside, ~n^2/2^64), and long-array
+        # intersects cut the quadratic pair stage ~3x (see _shingle_hashes)
         .select(
             "doc_id",
-            _shingles(F.col("w")).alias("sh"),
+            F.array_distinct(_shingle_hashes(F.col("w"))).alias("sh"),
             F.size("w").cast("long").alias("n_tokens"),
         )
         # shingling is the expensive projection and feeds BOTH the pair join
         # sides and the node list — materialize it once
         .localCheckpoint(eager=False)
     )
-    a, b = t3.alias("a"), t3.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    # Candidate pairs via explode + equi-join on the shingle value: the
+    # group count IS |A∩B|, and pairs sharing nothing never materialize.
+    # This replaces an all-pairs O(n^2) array-intersect join with work
+    # proportional to actual shingle co-occurrence — the posting-list
+    # formulation that survives a 100x corpus scale-up (the shuffle key
+    # is the shingle hash; Zipf-hot shingles would be the skew to salt,
+    # but 3-gram shingles are near-unique by construction).
+    ex = t3.select("doc_id", F.explode("sh").alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = t3.select("doc_id", F.size("sh").alias("sz"))
     edges = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter((F.size(F.col("a.sh")) > 0) & (F.size(F.col("b.sh")) > 0))
-        .filter(inter.cast("double") / union >= 0.8)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        cand.join(sizes.alias("sa"), F.col("src") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("dst") == F.col("sb.doc_id"))
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            >= 0.8
+        )
+        .select("src", "dst")
     )
     comp = connected_components(edges, nodes=t3, node_col="doc_id").select(
         F.col("node").alias("doc_id"), "component_id"
