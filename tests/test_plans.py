@@ -151,3 +151,37 @@ def test_stream_interval_join_is_equi_not_nested_loop(spark, specs):
     p = plan_of(q(specs, spark, "stream_interval_join"))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_scd2_reuses_one_window_shuffle(spark, specs):
+    # lag-filter + lead/row_number share (o_custkey, [date, orderkey]):
+    # Catalyst must satisfy both window stages with ONE exchange + sort
+    p = plan_of(q(specs, spark, "scd2_dimension_build"), mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert "SortMergeJoin" not in p
+
+
+def test_oov_vocab_join_broadcasts(spark, specs):
+    # the top-K vocabulary is vocabulary-sized — corpus tokens must NOT
+    # shuffle for the membership join
+    p = plan_of(q(specs, spark, "text_oov_rate"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_jaccard_posting_list_has_no_cartesian(spark, specs):
+    # the exact tier is posting-list (equi-join on shingle), not all-pairs
+    p = plan_of(q(specs, spark, "near_dedup_jaccard"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_connected_components_step_has_no_cartesian(spark):
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.operators.concomp import _large_star, _small_star
+
+    edges = spark.createDataFrame([(2, 1), (3, 2)], "u: long, v: long")
+    p = plan_of(_small_star(_large_star(edges)))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
