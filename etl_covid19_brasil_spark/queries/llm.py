@@ -1310,3 +1310,41 @@ def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
         n_oov.alias("n_oov"),
         (n_oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_O_TOKENS}) AS t FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS pair
+      FROM toks WHERE length(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair HAVING COUNT(*) >= 5
+    """,
+    section="2.10",
+    doc="BPE merge statistics — the corpus-scale half of tokenizer "
+    "training: count adjacent symbol pairs inside every token occurrence "
+    "(the quantity byte-pair encoding maximizes per merge; Sennrich et "
+    "al. 2016). One explode chain (token -> in-token character pairs) "
+    "feeding one count shuffle with map-side partial aggregation — at "
+    "100 TB the pair vocabulary is tiny relative to the corpus, so the "
+    "shuffle carries (pair, partial-count) rows only. The merge-loop "
+    "driver that consumes these counts is sequential by nature and "
+    "stays outside the engine; each iteration re-runs this profile.",
+)
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select(F.explode(_tokens()).alias("t"))
+    idx = F.sequence(F.lit(1), F.length("t") - 1)
+    grams = F.when(
+        F.length("t") >= 2,
+        F.transform(idx, lambda i: F.col("t").substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(grams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

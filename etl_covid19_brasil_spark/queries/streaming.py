@@ -185,3 +185,31 @@ def stream_arbitrary_state(spark: SparkSession, sf: str) -> DataFrame:
             "last_ts",
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', e.ts) AS window_start,
+           COALESCE(c.c_mktsegment, '(none)') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    section="2.9",
+    doc="Stream-static enrichment: events joined to the BROADCAST customer "
+    "dimension (left join, unmatched users bucketed as '(none)') then "
+    "tumbling 5-minute exact-cents sums per market segment. The live "
+    "readStream execution of the same plan (dimension re-planned per "
+    "micro-batch, no state store for the join) runs in "
+    "streaming/jobs.py:static_enrich_segment_sums, asserted equal to "
+    "this batch twin in tests/test_streaming.py.",
+)
+def stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.streaming.jobs import static_enrich_segment_sums
+
+    e = T(spark, sf, "events")
+    c = T(spark, sf, "customer")
+    # the batch twin of the streaming job: identical plan minus the watermark
+    return static_enrich_segment_sums(e, c)

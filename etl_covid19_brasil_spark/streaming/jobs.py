@@ -282,3 +282,35 @@ def interval_join_click_purchase(
             "lag_us"
         ),
     )
+
+
+def static_enrich_segment_sums(
+    events: DataFrame, customer: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a broadcast
+    dimension (customer market segment), then tumbling 5-minute exact-cents
+    value sums per segment.
+
+    The static side is re-planned per micro-batch and BROADCAST — no
+    stream-side shuffle for the join and no state store involvement (unlike
+    stream-stream joins); the only stateful operator is the windowed agg.
+    This is the standard 100 TB enrichment shape: the dimension rides the
+    executors, the unbounded side streams through.
+    """
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "left")
+        .select(
+            "ts",
+            F.coalesce(F.col("c_mktsegment"), F.lit("(none)")).alias("segment"),
+            cents.alias("value_cents"),
+        )
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("value_cents").cast("double") / F.lit(100.0)).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n_events", "value_sum")
+    )

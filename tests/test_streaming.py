@@ -237,3 +237,13 @@ def test_interval_join_matches_batch(spark, batch_events):
         "t_interval_join",
         mode="append",
     )
+
+
+def test_static_enrich_matches_batch(spark, stream_events, batch_events):
+    customer = load_table(spark, SF, "customer")
+    _assert_stream_equals_batch(
+        spark,
+        jobs.static_enrich_segment_sums(stream_events, customer),
+        jobs.static_enrich_segment_sums(batch_events, customer),
+        "t_static_enrich",
+    )
