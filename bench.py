@@ -33,7 +33,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the shuffle-heavy relational core + the LLM-data scale
 # paths, covering scan/filter/agg, star join, window, as-of, sessionize,
-# dedup (exact + LSH), and similarity (brute force + ANN).
+# dedup (exact + LSH + connected components), similarity (brute force +
+# ANN), SCD2 history build, stream-static enrichment, and the two-pass
+# vocabulary profile.
 HEADLINE = [
     "agg_groupby_pricing",
     "join_inner_revenue",
@@ -49,6 +51,10 @@ HEADLINE = [
     "near_dedup_embedding",
     "similarity_topk",
     "ann_lsh_topk",
+    "scd2_dimension_build",
+    "dedup_connected_components",
+    "text_oov_rate",
+    "stream_static_enrich",
 ]
 
 
