@@ -1226,3 +1226,38 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
             "approx_within_rank_bounds"
         ),
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {o_msum('o.o_totalprice', 'total_value')}
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+    GROUP BY o.o_orderpriority
+    """,
+    section="2.3",
+    doc="Semi-join with BLOOM-FILTER pre-pruning (operators/bloom.py): the "
+    "selective build side (c_acctbal > 9000) is aggregated into a "
+    "32k-bit bloom built from seeded xxhash64 positions + per-word "
+    "bit_or (all registered built-ins — Spark's own bloom_filter_agg is "
+    "not in the public registry), broadcast as ONE map row, and probe "
+    "rows failing any of the 3 bit tests are dropped BEFORE the exact "
+    "semi-join shuffles them. False negatives are impossible, false "
+    "positives die in the exact join, so the result — and the oracle — "
+    "is the plain semi-join. At 100 TB this is the difference between "
+    "shuffling the whole fact table and shuffling the ~matching slice.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.bloom import bloom_semi_join
+
+    orders = T(spark, sf, "orders")
+    rich = T(spark, sf, "customer").filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    kept = bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        msum("o_totalprice", "total_value"),
+    )

@@ -59,3 +59,51 @@ def test_empty_edges_all_singletons(spark):
     nodes = spark.range(3).select((F.col("id") + 1).alias("node"))
     got = _result(connected_components(e, nodes=nodes))
     assert got == {(1, 1), (2, 2), (3, 3)}
+
+
+def _union_find(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member id
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_random_graphs_match_union_find(spark):
+    # deterministic pseudo-random graph family (no runtime RNG): edges from
+    # a multiplicative-hash walk, sized to force merges, chains, and isolates
+    for seed in (3, 17, 61):
+        pairs = []
+        x = seed
+        for _ in range(120):
+            x = (x * 1103515245 + 12345) % (2**31)
+            a, b = x % 60, (x // 97) % 60
+            if a != b:
+                pairs.append((a, b))
+        nodes = sorted({n for p in pairs for n in p} | {901, 902})
+        want = _union_find(pairs, nodes)
+        e = _edges(spark, pairs)
+        nd = spark.createDataFrame([(n,) for n in nodes], "node: long")
+        got = dict(
+            (r["node"], r["component_id"])
+            for r in connected_components(e, nodes=nd).collect()
+        )
+        assert got == want, f"seed {seed}"

@@ -156,3 +156,38 @@ def test_cosine_pairs_tiled_equals_single(spark):
     s = single.sort_values(key).reset_index(drop=True)
     t = tiled.sort_values(key).reset_index(drop=True)
     assert s.equals(t)
+
+
+# --- bloom-filter semi-join pruning ---------------------------------------
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    from etl_covid19_brasil_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, SF, "orders")
+    rich = load_table(spark, SF, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    got = bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    want = orders.join(rich, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_filter_prunes_before_join(spark):
+    from etl_covid19_brasil_spark.operators.bloom import build_bloom, might_contain
+
+    orders = load_table(spark, SF, "orders")
+    rich = load_table(spark, SF, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bf = build_bloom(rich, "c_custkey")
+    pruned = (
+        orders.crossJoin(F.broadcast(bf))
+        .filter(might_contain(F.col("bf"), F.col("o_custkey"), 1 << 15, 3))
+        .count()
+    )
+    matching = orders.join(
+        rich, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).count()
+    total = orders.count()
+    # no false negatives, and the filter must actually bite
+    assert pruned >= matching
+    assert pruned < total
