@@ -366,3 +366,56 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for the spark.sql surface."""
     for name in TPCH_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data source (Spark 4 DataSource API)
+# ---------------------------------------------------------------------------
+
+def register_synthetic_source(spark: SparkSession) -> None:
+    """Register ``format("synth_rows")`` — a custom PYTHON data source
+    (pyspark.sql.datasource, Spark 4): the extension point for sources
+    Spark has no connector for (internal services, bespoke file formats),
+    declared once and then consumed through the ordinary reader API.
+
+    The source generates a deterministic keyed row stream: ``n`` rows
+    split across ``parts`` InputPartitions, each read independently by
+    executors — real partition-parallel scan semantics, no driver-side
+    materialization. Row content is a pure function of the row id
+    (multiplicative-hash mix), so any engine can replay it — which is
+    what makes a driver-checkable oracle possible for a custom source.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Slice(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.parts = int(options.get("parts", 8))
+
+        def partitions(self):
+            step = max(1, -(-self.n // self.parts))
+            return [
+                _Slice(s, min(s + step, self.n)) for s in range(0, self.n, step)
+            ]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                mixed = (i * 2654435761) % 1_000_000
+                yield (i, mixed / 100.0, f"row_{i % 97}")
+
+    class _SynthSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synth_rows"
+
+        def schema(self) -> str:
+            return "id bigint, score double, tag string"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    spark.dataSource.register(_SynthSource)

@@ -880,3 +880,34 @@ def fn_map_higher_order(spark: SparkSession, sf: str) -> DataFrame:
         fmt(F.map_filter(m, lambda k, v: v > 0)).alias("positive_entries"),
         fmt(F.transform_values(m, lambda k, v: v * 2)).alias("doubled_values"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 7 AS k_bucket,
+           (json_extract(props, '$.absent') IS NULL) AS missing_path
+    FROM events
+    """,
+    section="2.8",
+    doc="VARIANT semi-structured handling (Spark 4's native open-schema "
+    "type): parse_json once into a variant, then typed try_variant_get "
+    "path extraction — the shredded-JSON pattern that replaces "
+    "per-query string re-parsing at 100 TB (parse once, extract many; "
+    "the variant's binary encoding skips the text scan per path). "
+    "Missing paths yield NULL, not errors. The oracle replays the "
+    "same paths with DuckDB json_extract.",
+)
+def fn_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    v = F.parse_json("props")
+    src = e.select("event_id", v.alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    return src.select(
+        "event_id",
+        k.alias("k"),
+        (k % 7).alias("k_bucket"),
+        F.try_variant_get("v", "$.absent", "int").isNull().alias("missing_path"),
+    )

@@ -250,3 +250,31 @@ def etl_ibge_pipeline_http(spark: SparkSession, sf: str) -> DataFrame:
         F.col("`regiao.sigla`"),
         F.col("created_at_datalake").isNotNull().alias("audit_ok"),
     )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT range AS id,
+           ((range * 2654435761) % 1000000) / 100.0 AS score,
+           'row_' || CAST(range % 97 AS VARCHAR) AS tag
+    FROM range(0, 10000)
+    """,
+    section="2.1",
+    doc="Custom PYTHON data source (Spark 4 pyspark.sql.datasource API, "
+    "io.py:register_synthetic_source): a deterministic keyed row stream "
+    "read through format('synth_rows') with real InputPartition "
+    "parallelism (8 slices, executor-side generation — no driver "
+    "collect). Row content is a pure function of the id, so DuckDB "
+    "replays the identical stream from range(); the compare certifies "
+    "the whole custom-source path: schema declaration, partition "
+    "planning, per-partition iteration, Arrow conversion.",
+)
+def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    io.register_synthetic_source(spark)
+    return (
+        spark.read.format("synth_rows")
+        .option("n", "10000")
+        .option("parts", "8")
+        .load()
+    )
