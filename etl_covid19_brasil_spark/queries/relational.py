@@ -1261,3 +1261,59 @@ def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         msum("o_totalprice", "total_value"),
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS members,
+           string_agg(CAST(n_nationkey AS VARCHAR), '|' ORDER BY n_nationkey DESC) AS keys_desc
+    FROM nation GROUP BY n_regionkey
+    """,
+    section="2.4",
+    doc="Ordered string aggregation — Spark 4's listagg ... WITHIN GROUP "
+    "(ORDER BY) == DuckDB string_agg(... ORDER BY). The explicit "
+    "in-group ordering is what makes a concatenation aggregate "
+    "deterministic under partition-parallel execution; without it the "
+    "result depends on merge order.",
+)
+def agg_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    n = T(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").alias("members"),
+        F.expr(
+            "listagg(CAST(n_nationkey AS STRING), '|') WITHIN GROUP (ORDER BY n_nationkey DESC)"
+        ).alias("keys_desc"),
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type, COUNT(*) AS est_count
+    FROM events GROUP BY event_type
+    ORDER BY est_count DESC, event_type ASC LIMIT 3
+    """,
+    section="2.4",
+    doc="approx_top_k frequent-items sketch (Spark 4) — the heavy-hitters "
+    "profile a corpus pipeline runs before deciding what to filter or "
+    "salt. The sketch's default capacity far exceeds this column's "
+    "cardinality, so every tracked count is exact and the oracle is the "
+    "exact GROUP BY top-k; at real 100 TB cardinalities the same call "
+    "degrades gracefully to approximate counts while the plan shape "
+    "(one partial+merge agg, no full shuffle of distinct values) stays "
+    "fixed. Output re-sorted (count desc, item asc) so row order is "
+    "engine-independent.",
+)
+def agg_approx_top_k(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    sketch = e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (
+        sketch.select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("event_type"),
+            F.col("x.count").alias("est_count"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("event_type"))
+    )
