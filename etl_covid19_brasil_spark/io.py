@@ -419,3 +419,59 @@ def register_synthetic_source(spark: SparkSession) -> None:
             return _Reader(self.options)
 
     spark.dataSource.register(_SynthSource)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    """Register ``format("jsonl_sink")`` — the WRITE side of the custom
+    Python data source API (DataSourceWriter): executors serialize their
+    partitions to JSON-lines files named by partition id under the
+    ``path`` option; commit/abort give the sink transactional hooks (the
+    same two-phase protocol Spark's file sinks implement). Pairs with
+    ``register_synthetic_source`` to cover both directions of the
+    extension point.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark import TaskContext
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _Writer(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_sink requires a path option")
+
+        def write(self, rows):
+            pid = TaskContext.get().partitionId()
+            out = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            with open(out, "w") as fh:
+                for row in rows:
+                    fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+            return _Msg(out)
+
+        def commit(self, messages):  # files are final once every task reports
+            return None
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and _os.path.exists(m.path):
+                    _os.remove(m.path)
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite: bool):
+            return _Writer(self.options, overwrite)
+
+    spark.dataSource.register(_JsonlSink)

@@ -278,3 +278,31 @@ def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         .option("parts", "8")
         .load()
     )
+
+
+@query(
+    "sink_python_datasource_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    section="2.1",
+    doc="Custom Python data SINK (Spark 4 DataSourceWriter API, "
+    "io.py:register_jsonl_sink): nation is written by executors as "
+    "JSON-lines files (one per partition, two-phase commit hooks), then "
+    "read back through the ordinary JSON scan with an explicit schema. "
+    "The compare against the source rows certifies the full custom "
+    "write path: schema hand-off, per-task serialization, commit "
+    "protocol, and the read-back parse.",
+)
+def sink_python_datasource_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+
+    io.register_jsonl_sink(spark)
+    target = Path(_SCRATCH) / "pysink_nation"
+    shutil.rmtree(target, ignore_errors=True)
+    target.mkdir(parents=True, exist_ok=True)
+    src = T(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    src.write.format("jsonl_sink").option("path", str(target)).mode("append").save()
+    return spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint").json(
+        str(target)
+    )
