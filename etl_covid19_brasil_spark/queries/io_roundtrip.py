@@ -306,3 +306,32 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint").json(
         str(target)
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+           octet_length(content) AS n_bytes,
+           substr(hex(content), 1, 8) AS magic
+    FROM read_blob('/root/testdata/sf0.001/*.parquet')
+    """,
+    section="2.1",
+    doc="binaryFile source — the ingestion path for OPAQUE payloads "
+    "(images/audio/video, SURVEY.md §2.10 multimodal columns): each file "
+    "arrives as one row of (path, length, bytes) with no decode attempt, "
+    "which is exactly what a 100 TB media pipeline wants before its "
+    "mapInPandas feature kernels (llm/multimodal.py). Checked on the "
+    "sf0.001 parquet files themselves (read-only, stable): name, byte "
+    "count, and the PAR1 magic prefix must agree with DuckDB read_blob.",
+)
+def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .load("/root/testdata/sf0.001/*.parquet")
+        .select(
+            F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("name"),
+            F.col("length").alias("n_bytes"),
+            F.substring(F.hex(F.col("content")), 1, 8).alias("magic"),
+        )
+    )

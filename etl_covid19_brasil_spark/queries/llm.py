@@ -1348,3 +1348,57 @@ def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@query(
+    "text_entropy",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '')) AS ch
+      FROM documents
+    ),
+    freq AS (SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, SUM(n) AS total FROM freq GROUP BY doc_id)
+    SELECT f.doc_id,
+           CAST(t.total AS BIGINT) AS n_chars_used,
+           COUNT(*) AS alphabet_size,
+           round(-SUM((CAST(f.n AS DOUBLE) / t.total)
+                      * log2(CAST(f.n AS DOUBLE) / t.total)), 6) AS char_entropy_bits
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.total
+    """,
+    section="2.10",
+    doc="Per-document character-distribution Shannon entropy — the cheap "
+    "gibberish/compression-quality signal (low entropy = repeated "
+    "boilerplate, high = random noise; natural text sits in a band). "
+    "Explode to (doc, char) pairs, one doc-keyed count shuffle, entropy "
+    "as a sum over the per-doc alphabet (<=36 symbols). log2 follows "
+    "the house transcendental policy (fn_math): engines agree to ~1 "
+    "ulp, rounded to 6 decimals.",
+)
+def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), "")
+        ).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count(F.lit(1)).alias("alphabet_size"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars_used"),
+            "alphabet_size",
+            "char_entropy_bits",
+        )
+    )
