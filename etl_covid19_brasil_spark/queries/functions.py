@@ -911,3 +911,49 @@ def fn_variant_json(spark: SparkSession, sf: str) -> DataFrame:
         (k % 7).alias("k_bucket"),
         F.try_variant_get("v", "$.absent", "int").isNull().alias("missing_path"),
     )
+
+
+@query(
+    "udtf_polymorphic_split",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+    )
+    SELECT doc_id, w[1] AS tok_0, w[2] AS tok_1, w[3] AS tok_2, w[4] AS tok_3
+    FROM toks
+    """,
+    section="2.11",
+    doc="POLYMORPHIC Python UDTF (Spark 4 analyze() API): the output "
+    "schema — here tok_0..tok_{n-1} — is computed at plan time from the "
+    "literal width argument by a static analyze() method, so one "
+    "registration serves any requested width with full Catalyst schema "
+    "knowledge (column pruning and downstream resolution see real "
+    "columns, not a generic map). eval() pads short rows with NULLs. "
+    "The oracle replays width=4 with list extracts (DuckDB lists "
+    "NULL-pad out-of-range indexes natively).",
+)
+def udtf_polymorphic_split(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitToCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):  # noqa: ANN001
+            toks = [] if text is None else str(text).strip().split()
+            yield tuple(toks[i] if i < len(toks) else None for i in range(int(n)))
+
+    spark.udtf.register("split_to_cols", udtf(SplitToCols))
+    T(spark, sf, "documents").createOrReplaceTempView("udtf_poly_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.*
+        FROM udtf_poly_src d, LATERAL split_to_cols(d.text, 4) s
+        """
+    )
