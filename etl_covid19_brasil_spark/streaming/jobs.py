@@ -314,3 +314,171 @@ def static_enrich_segment_sums(
         )
         .select(F.col("w.start").alias("window_start"), "segment", "n_events", "value_sum")
     )
+
+
+def file_replay_stream_split(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Like :func:`file_replay_stream`, but stages the events as
+    ``n_files`` TIME-ORDERED slices so the replay produces that many
+    micro-batches with an advancing watermark — required to exercise
+    event-time TIMERS, which only fire when a later batch's watermark
+    passes their expiry (a single-batch replay never fires any).
+    """
+    from etl_covid19_brasil_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
+    # stage at microsecond precision: pandas' default ns timestamps would
+    # round-trip as TIMESTAMP(NANOS) and hit the same legacy-long reading
+    # the raw events table needs load_table for
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    stage = Path(tempfile.mkdtemp(prefix="events_stream_split_"))
+    step = max(1, -(-len(events) // n_files))
+    for i in range(0, len(events), step):
+        events.iloc[i : i + step].to_parquet(stage / f"slice_{i // step:03d}.parquet")
+    schema = spark.read.parquet(str(stage / "slice_000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    # watermarks need an instant, not a wall-clock NTZ (session tz is UTC,
+    # so the cast is a relabel, not a shift)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def user_inactivity_timeouts(events: DataFrame, gap_minutes: int = 60) -> DataFrame:
+    """Event-time TIMERS on transformWithState: per-user inactivity
+    detection. Every input batch re-arms the user's single timer at
+    ``last_seen + gap``; when the watermark passes that expiry with no
+    newer event, ``handleExpiredTimer`` fires ONCE, emits the closed
+    session (count + exact-cents total) and clears the state.
+
+    This is the operator shape Structured Streaming cannot express with
+    windows or dropDuplicates — output is triggered by the ABSENCE of
+    data, which only a timer can observe. State per user is one fixed
+    tuple plus one timer; both are state-store-sharded by key, so the
+    100 TB posture is O(active users), not O(events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60_000
+
+    class Inactivity(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._st = handle.getValueState("sess", "last_ms long, n long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last, n, cents = self._st.get() if self._st.exists() else (0, 0, 0)
+            for pdf in rows:
+                ms = pdf["ts"].astype("int64") // 1_000_000
+                last = max(last, int(ms.max()))
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().sum())
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last + gap_ms)
+            self._st.update((last, n, cents))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._st.exists():
+                last, n, cents = self._st.get()
+                self._st.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "last_seen_ms": [last],
+                        "n_events": [n],
+                        "value_cents": [cents],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Inactivity(),
+            outputStructType="user_id long, last_seen_ms long, n_events long, value_cents long",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def user_inactivity_timeouts_pandas_state(
+    events: DataFrame, gap_minutes: int = 60
+) -> DataFrame:
+    """Event-time TIMEOUT on ``applyInPandasWithState`` — the same
+    absence-of-data trigger as :func:`user_inactivity_timeouts`, on the
+    GroupState API (``setTimeoutTimestamp`` + ``hasTimedOut``): each batch
+    re-arms the user's timeout at ``last_seen + gap``; when the watermark
+    passes it with no newer event the group is invoked once WITH NO ROWS,
+    emits the closed session, and removes its state. Emission happens
+    only on timeout (Append mode), so downstream consumers see exactly
+    one summary row per closed session.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gap_ms = gap_minutes * 60_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("last_seen_ms", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ms", LongType()),
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            last, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen_ms": [last],
+                    "n_events": [n],
+                    "value_cents": [cents],
+                }
+            )
+            return
+        last, n, cents = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            ms = pdf["ts"].astype("int64") // 1_000_000
+            last = max(last, int(ms.max()))
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().sum())
+        state.update((last, n, cents))
+        state.setTimeoutTimestamp(last + gap_ms)
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

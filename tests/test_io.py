@@ -192,3 +192,23 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     io.compact_parquet(spark, out, target_files=2)
     assert len(glob.glob(f"{out}/part-*.parquet")) == 2
     assert spark.read.parquet(out).count() == before
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake schema evolution: a column added by a later batch must surface
+    via mergeSchema with NULL backfill for old files — the append-only
+    contract a 100 TB table relies on when producers upgrade."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("v1").alias("src")).write.parquet(
+        path, mode="append"
+    )
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("v2").alias("src"), (F.col("id") * 10).alias("added")
+    ).write.parquet(path, mode="append")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "src", "added"}
+    rows = {r["id"]: (r["src"], r["added"]) for r in merged.collect()}
+    assert rows[0] == ("v1", None) and rows[4] == ("v2", 40)

@@ -247,3 +247,95 @@ def test_static_enrich_matches_batch(spark, stream_events, batch_events):
         jobs.static_enrich_segment_sums(batch_events, customer),
         "t_static_enrich",
     )
+
+
+def test_inactivity_timers_fire_and_are_correct(spark):
+    """Event-time timers: sessions closed by the ABSENCE of events. The
+    split replay advances the watermark across batches, so users idle for
+    > gap get a timer-fired summary; every emitted row must be consistent
+    with the batch event log (correct last_seen, no activity inside the
+    gap, exact event count and cents up to that point).
+
+    Same environment gate as test_transform_with_state_totals: the
+    transformWithState state server speaks protobuf."""
+    import pyspark.sql.functions as F
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState state server requires protobuf")
+
+    stream = jobs.file_replay_stream_split(spark, SF, n_files=5)
+    q = jobs.run_to_memory(
+        jobs.user_inactivity_timeouts(stream, gap_minutes=60), "t_timers", mode="append"
+    )
+    try:
+        fired = spark.table("t_timers").toPandas()
+    finally:
+        q.stop()
+
+    assert len(fired) > 0, "no timers fired — watermark never advanced past an idle gap"
+
+    events = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            (F.col("ts").cast("double") * 1000).cast("long").alias("ms"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    for row in fired.itertuples():
+        mine = events[events["user_id"] == row.user_id].sort_values("ms")
+        # last_seen is a real event time for this user
+        assert (mine["ms"] == row.last_seen_ms).any()
+        # the user was genuinely idle through the fired gap
+        gap_ms = 60 * 60_000
+        inside = mine[(mine["ms"] > row.last_seen_ms) & (mine["ms"] < row.last_seen_ms + gap_ms)]
+        assert inside.empty
+        # count + cents match the prefix of events up to last_seen (state
+        # accumulates from stream start or the previous fired timeout)
+        upto = mine[mine["ms"] <= row.last_seen_ms]
+        assert row.n_events <= len(upto)
+        prefix = upto.tail(int(row.n_events))
+        assert int(prefix["cents"].sum()) == row.value_cents
+
+
+def test_inactivity_timeout_pandas_state_fires_and_is_correct(spark):
+    """The applyInPandasWithState twin of the timer test — runs in this
+    sandbox (no protobuf state server involved): idle users get exactly
+    one summary per closed session, consistent with the batch event log."""
+    import pyspark.sql.functions as F
+
+    stream = jobs.file_replay_stream_split(spark, SF, n_files=5)
+    q = jobs.run_to_memory(
+        jobs.user_inactivity_timeouts_pandas_state(stream, gap_minutes=60),
+        "t_pandas_timeouts",
+        mode="append",
+    )
+    try:
+        fired = spark.table("t_pandas_timeouts").toPandas()
+    finally:
+        q.stop()
+
+    assert len(fired) > 0, "no timeouts fired — watermark never advanced past an idle gap"
+
+    events = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            (F.col("ts").cast("double") * 1000).cast("long").alias("ms"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    gap_ms = 60 * 60_000
+    for row in fired.itertuples():
+        mine = events[events["user_id"] == row.user_id].sort_values("ms")
+        assert (mine["ms"] == row.last_seen_ms).any()
+        inside = mine[(mine["ms"] > row.last_seen_ms) & (mine["ms"] < row.last_seen_ms + gap_ms)]
+        assert inside.empty
+        upto = mine[mine["ms"] <= row.last_seen_ms]
+        assert row.n_events <= len(upto)
+        prefix = upto.tail(int(row.n_events))
+        assert int(prefix["cents"].sum()) == row.value_cents
