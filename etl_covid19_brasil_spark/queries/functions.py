@@ -957,3 +957,41 @@ def udtf_polymorphic_split(spark: SparkSession, sf: str) -> DataFrame:
         FROM udtf_poly_src d, LATERAL split_to_cols(d.text, 4) s
         """
     )
+
+
+@query(
+    "fn_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey AS parsed_key,
+           n_name AS parsed_name,
+           n_regionkey AS parsed_region
+    FROM nation
+    """,
+    section="2.8",
+    doc="XML handling (Spark 4 native from_xml): each nation row is "
+    "serialized to an XML fragment with concat, then parsed back through "
+    "from_xml with an explicit struct schema and re-projected. DuckDB "
+    "has no XML parser, so the oracle states the fixpoint directly: a "
+    "correct serialize->parse roundtrip returns the original columns. "
+    "Any parser regression (entity handling, whitespace, numeric "
+    "coercion) breaks the hash.",
+)
+def fn_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    n = T(spark, sf, "nation")
+    xml = F.concat(
+        F.lit("<rec><key>"), F.col("n_nationkey"),
+        F.lit("</key><name>"), F.col("n_name"),
+        F.lit("</name><region>"), F.col("n_regionkey"),
+        F.lit("</region></rec>"),
+    )
+    parsed = n.select(
+        "n_nationkey",
+        F.from_xml(xml, "key BIGINT, name STRING, region BIGINT").alias("s"),
+    )
+    return parsed.select(
+        "n_nationkey",
+        F.col("s.key").alias("parsed_key"),
+        F.col("s.name").alias("parsed_name"),
+        F.col("s.region").alias("parsed_region"),
+    )

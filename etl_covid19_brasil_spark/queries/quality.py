@@ -532,3 +532,59 @@ def sample_bernoulli_bounds(spark: SparkSession, sf: str) -> DataFrame:
     sigma = (F.col("n_total").cast("double") * frac * (1 - frac)) ** 0.5
     ok = F.abs(F.col("k") - F.col("n_total") * frac) <= 6 * sigma
     return stats.select("n_total", ok.alias("sample_within_bounds"))
+
+
+@query(
+    "dq_constraint_audit",
+    oracle="""
+    SELECT 'null_custkey' AS rule,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations,
+           COUNT(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'nonpositive_price' AS rule,
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations,
+           COUNT(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'bad_status_domain' AS rule,
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS n_violations,
+           COUNT(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orphan_custkey' AS rule,
+           COUNT(*) FILTER (WHERE c_custkey IS NULL) AS n_violations,
+           COUNT(*) AS n_checked
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    section="2.10",
+    doc="Data-quality constraint audit — the expectations pass a lake "
+    "pipeline runs before publishing a table: null checks, range checks, "
+    "domain checks as ONE conditional-aggregation scan (not one job per "
+    "rule), plus referential integrity as a broadcast left join counting "
+    "orphans. Violation counts instead of assert_true so the report "
+    "itself is the deterministic, oracle-checkable artifact; a gate "
+    "would filter n_violations > 0.",
+)
+def dq_constraint_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer").select("c_custkey")
+
+    def rule(name: str, violated: F.Column, src: DataFrame) -> DataFrame:
+        return src.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.when(violated, 1)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+
+    scans = rule("null_custkey", F.col("o_custkey").isNull(), o).unionByName(
+        rule("nonpositive_price", F.col("o_totalprice") <= 0, o)
+    ).unionByName(
+        rule("bad_status_domain", ~F.col("o_orderstatus").isin("O", "F", "P"), o)
+    )
+    orphans = rule(
+        "orphan_custkey",
+        F.col("c_custkey").isNull(),
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left"),
+    )
+    return scans.unionByName(orphans)
