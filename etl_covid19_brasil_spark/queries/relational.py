@@ -1317,3 +1317,46 @@ def agg_approx_top_k(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.desc("est_count"), F.asc("event_type"))
     )
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS merged_equals_direct,
+           TRUE AS estimate_within_bounds
+    FROM orders
+    """,
+    section="2.4",
+    doc="MERGEABLE distinct-count sketches (Datasketches HLL, Spark 3.5+): "
+    "per-orderpriority hll_sketch_agg partials are hll_union_agg-merged "
+    "and estimated — the re-aggregatable rollup pattern that lets a "
+    "100 TB pipeline keep per-segment sketches and answer any coarser "
+    "distinct count WITHOUT rescanning (plain approx_count_distinct "
+    "composes nothing). Checked properties, hashable as booleans: the "
+    "merged estimate equals the directly-built estimate exactly (both "
+    "deterministic given data + lgConfigK), and lands within 3*rsd of "
+    "the exact count (same contract as agg_approx_count_distinct).",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    per_seg = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk")
+    )
+    merged = per_seg.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_merged")
+    )
+    direct = o.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))").alias("est_direct"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    # 3*rsd bound for lgConfigK=12: rsd ~ 1.04/sqrt(2^12) ~ 1.63%
+    bound = 3 * 1.04 / (2 ** 6)
+    return merged.crossJoin(direct).select(
+        "n_exact",
+        (F.col("est_merged") == F.col("est_direct")).alias("merged_equals_direct"),
+        (
+            F.abs(F.col("est_direct") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(bound)
+        ).alias("estimate_within_bounds"),
+    )

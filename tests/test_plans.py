@@ -185,3 +185,11 @@ def test_connected_components_step_has_no_cartesian(spark):
     p = plan_of(_small_star(_large_star(edges)))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_prefilter_probes_before_semi_join(spark, specs):
+    # the bloom membership test must sit under the semi join (prune first),
+    # and the one-row filter side must not force a cartesian of real data
+    p = plan_of(q(specs, spark, "join_bloom_prefilter"))
+    assert "might_contain" in p or "element_at" in p, p
+    assert "LeftSemi" in p
