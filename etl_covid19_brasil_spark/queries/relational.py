@@ -1323,8 +1323,8 @@ def agg_approx_top_k(spark: SparkSession, sf: str) -> DataFrame:
     "agg_hll_sketch_merge",
     oracle="""
     SELECT COUNT(DISTINCT o_custkey) AS n_exact,
-           TRUE AS merged_equals_direct,
-           TRUE AS estimate_within_bounds
+           TRUE AS merged_within_bounds,
+           TRUE AS direct_within_bounds
     FROM orders
     """,
     section="2.4",
@@ -1352,11 +1352,11 @@ def agg_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
     # 3*rsd bound for lgConfigK=12: rsd ~ 1.04/sqrt(2^12) ~ 1.63%
     bound = 3 * 1.04 / (2 ** 6)
+    def in_band(est: str) -> F.Column:
+        return F.abs(F.col(est) - F.col("n_exact")) <= F.col("n_exact") * F.lit(bound)
+
     return merged.crossJoin(direct).select(
         "n_exact",
-        (F.col("est_merged") == F.col("est_direct")).alias("merged_equals_direct"),
-        (
-            F.abs(F.col("est_direct") - F.col("n_exact"))
-            <= F.col("n_exact") * F.lit(bound)
-        ).alias("estimate_within_bounds"),
+        in_band("est_merged").alias("merged_within_bounds"),
+        in_band("est_direct").alias("direct_within_bounds"),
     )
