@@ -191,3 +191,33 @@ def test_bloom_filter_prunes_before_join(spark):
     # no false negatives, and the filter must actually bite
     assert pruned >= matching
     assert pruned < total
+
+
+# --- observe(): in-flight metrics without a second pass --------------------
+
+
+def test_observe_collects_metrics_without_extra_pass(spark):
+    """df.observe attaches accumulator-style metrics to a single job run —
+    the production pattern for row-count/quality counters on a 100 TB
+    pipeline where a second counting pass would double the scan cost."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, SF, "orders")
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_keys"),
+    )
+    # one action drives both the query result and the metrics
+    n_big = observed.filter(F.col("o_totalprice") > 100000).count()
+    got = obs.get
+    want_rows = orders.count()
+    want_cents = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert got["n_rows"] == want_rows
+    assert got["total_cents"] == want_cents
+    assert got["null_keys"] == 0
+    assert 0 < n_big < want_rows
