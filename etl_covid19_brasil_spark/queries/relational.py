@@ -1360,3 +1360,102 @@ def agg_hll_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
         in_band("est_merged").alias("merged_within_bounds"),
         in_band("est_direct").alias("direct_within_bounds"),
     )
+
+
+@query(
+    "agg_incremental_update",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {o_msum('o_totalprice', 'total_value')}
+    FROM orders GROUP BY o_orderpriority
+    """,
+    section="2.4",
+    doc="Incremental aggregate maintenance: the standing aggregate (90% "
+    "'base' partition) is updated by COMBINING it with the new batch's "
+    "partial aggregate — counts add, exact-cents sums add — instead of "
+    "rescanning the base. This is why the engine's money aggregates are "
+    "kept re-aggregatable (cents stay integer until presentation): at "
+    "100 TB the nightly delta touches the delta, never the lake. The "
+    "oracle recomputes from scratch; combine-equals-recompute IS the "
+    "correctness claim.",
+)
+def agg_incremental_update(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("cents"),
+        )
+
+    combined = (
+        partial(base).unionByName(partial(delta))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("cents").alias("cents"))
+    )
+    return combined.select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+@query(
+    "table_diff_by_key",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderkey % 7 <> 0),
+    v2 AS (SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_orderstatus <> v2.o_orderstatus
+                  OR v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_kind,
+           COUNT(*) AS n_rows
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    GROUP BY 1
+    """,
+    section="2.7",
+    doc="Table diff by key — the reconciliation op run after a backfill or "
+    "migration (which rows were added / removed / changed between two "
+    "table versions?): one full outer join on the key, per-column "
+    "comparison, one rollup. Versions are synthesized from orders with "
+    "deterministic row drops and a price perturbation so all four "
+    "outcomes occur. At 100 TB both sides shuffle once on the key — "
+    "same cost class as any key join; with pre-bucketed tables "
+    "(operators/bucketing.py) even that exchange disappears.",
+)
+def table_diff_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    kind = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.select(kind.alias("change_kind")).groupBy("change_kind").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
