@@ -1459,3 +1459,51 @@ def table_diff_by_key(spark: SparkSession, sf: str) -> DataFrame:
     return j.select(kind.alias("change_kind")).groupBy("change_kind").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH freq AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_key_rows
+      FROM freq
+    ),
+    topk AS (SELECT SUM(n) AS top10_rows
+             FROM (SELECT n FROM freq ORDER BY n DESC, k ASC LIMIT 10))
+    SELECT s.n_keys, s.n_rows, s.max_key_rows,
+           CAST(s.max_key_rows AS DOUBLE) * s.n_keys / s.n_rows AS skew_factor,
+           CAST(t.top10_rows AS DOUBLE) / s.n_rows AS top10_mass
+    FROM stats s, topk t
+    """,
+    section="2.4",
+    doc="Join-key skew diagnostics — the profile run BEFORE choosing a "
+    "join strategy at 100 TB: per-key counts (one shuffle), then the "
+    "max-key/mean ratio (skew_factor: 1.0 = uniform; >> 1 = a hot key "
+    "that will straggle a hash join) and the row mass of the 10 hottest "
+    "keys. skew_factor > ~4 is the signal to reach for "
+    "operators/skew.py:salted_join or rely on AQE skew splitting; this "
+    "query is the evidence, not the guess. All ratios of exact counts.",
+)
+def diag_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    freq = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    topk = (
+        freq.orderBy(F.desc("n"), F.asc("k"))
+        .limit(10)
+        .agg(F.sum("n").alias("top10_rows"))
+    )
+    return stats.crossJoin(topk).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        (
+            F.col("max_key_rows").cast("double") * F.col("n_keys") / F.col("n_rows")
+        ).alias("skew_factor"),
+        (F.col("top10_rows").cast("double") / F.col("n_rows")).alias("top10_mass"),
+    )
