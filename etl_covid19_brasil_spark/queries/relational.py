@@ -1507,3 +1507,35 @@ def diag_key_skew(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("skew_factor"),
         (F.col("top10_rows").cast("double") / F.col("n_rows")).alias("top10_mass"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+    section="2.4",
+    doc="EXACT distinct counting via re-aggregatable bitmaps "
+    "(bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg, "
+    "Spark 3.5+): keys map to (bucket, bit), per-(group, bucket) bitmaps "
+    "OR-combine map-side, and the final count is a sum of popcounts. "
+    "Unlike COUNT(DISTINCT) — whose partial state is the raw key set, "
+    "shuffled in full — bitmap partials are fixed-size per bucket, "
+    "mergeable, and storable: the materialized-rollup path to exact "
+    "distincts at 100 TB. The oracle is the plain COUNT(DISTINCT).",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    per_bucket = (
+        o.selectExpr(
+            "o_orderpriority",
+            "bitmap_bucket_number(o_custkey) AS bucket",
+            "bitmap_bit_position(o_custkey) AS pos",
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("b"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.expr("sum(bitmap_count(b))").alias("n_distinct_custs")
+    )
