@@ -588,3 +588,60 @@ def dq_constraint_audit(spark: SparkSession, sf: str) -> DataFrame:
         o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left"),
     )
     return scans.unionByName(orphans)
+
+
+@query(
+    "pack_sequences_concat",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_O_TOKENS} AS w FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, lang, len(w) AS n_tok, array_to_string(w, ' ') AS norm_text,
+             CAST(floor(COALESCE(SUM(len(w)) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+             AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           string_agg(norm_text, ' <|doc|> ' ORDER BY doc_id) AS packed_text
+    FROM placed GROUP BY lang, bin
+    """,
+    section="2.10",
+    doc="Shard ASSEMBLY — the step after pack_sequences_bins assigns bins: "
+    "concatenate each bin's normalized documents in deterministic "
+    "doc_id order with a <|doc|> separator into the packed training "
+    "sequence itself. Ordered listagg makes the concatenation "
+    "engine-independent; the shuffle story is the same single "
+    "lang-keyed exchange reused by the prefix-sum window AND the final "
+    "group-concat (one sort order serves both).",
+)
+def pack_sequences_concat(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(_TOKENS()).cast("long").alias("n_tok"),
+        F.array_join(_TOKENS(), " ").alias("norm_text"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = d.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "norm_text",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(512.0)).alias("bin"),
+    )
+    return placed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.expr(
+            "listagg(norm_text, ' <|doc|> ') WITHIN GROUP (ORDER BY doc_id)"
+        ).alias("packed_text"),
+    )
