@@ -122,3 +122,102 @@ def test_range_join_rejects_outer(spark):
     intervals = spark.createDataFrame([(9, 0.0, 2.0)], "iid long, lo double, hi double")
     with pytest.raises(ValueError, match="inner"):
         range_join(points, intervals, "x", "lo", "hi", bucket_width=1.0, how="left")
+
+
+# --- property-based differential: asof_join vs pandas merge_asof -----------
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """pandas merge_asof is the canonical as-of reference; the union+window
+    composite must agree with it on randomized keyed series (unique right
+    timestamps per key — merge_asof's own tie rule for duplicates differs
+    by insertion order, which no engine should promise)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    rng_state = 20260813
+    for trial in range(3):
+        # deterministic LCG; no runtime RNG in test data
+        def nxt():
+            nonlocal rng_state
+            rng_state = (rng_state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            return rng_state
+
+        left_rows = [
+            (nxt() % 5, 1000 + nxt() % 500) for _ in range(120)
+        ]
+        right_rows = {}
+        for _ in range(60):
+            k, ts = nxt() % 5, 1000 + nxt() % 500
+            right_rows[(k, ts)] = ((k * 1000 + ts) % 997)  # unique ts per key
+        lpdf = pd.DataFrame(left_rows, columns=["k", "ts"]).astype("int64")
+        rpdf = pd.DataFrame(
+            [(k, ts, v) for (k, ts), v in right_rows.items()],
+            columns=["k", "ts", "v"],
+        ).astype("int64")
+
+        want = pd.merge_asof(
+            lpdf.sort_values(["ts", "k"]).reset_index(drop=True),
+            rpdf.sort_values(["ts", "k"]).reset_index(drop=True),
+            on="ts",
+            by="k",
+            direction="backward",
+        )
+
+        got = (
+            asof_join(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf.rename(columns={"ts": "rts"})),
+                on="k",
+                left_ts="ts",
+                right_ts="rts",
+                value_cols=["v"],
+            )
+            .select("k", "ts", F.col("asof_v").alias("v"))
+            .toPandas()
+        )
+
+        wkey = want.fillna(-1).groupby(["k", "ts"])["v"].apply(sorted).to_dict()
+        gkey = got.fillna(-1).groupby(["k", "ts"])["v"].apply(sorted).to_dict()
+        assert gkey == wkey, f"trial {trial}"
+
+
+def test_range_join_matches_naive_theta_randomized(spark):
+    """The bucketed range join must equal the naive theta join on random
+    point/interval sets spanning many bucket widths (intervals of width 0,
+    exact boundary hits, and intervals far wider than the bucket)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    state = 4242
+    def nxt():
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        return state
+
+    pts = pd.DataFrame(
+        [(i, nxt() % 1000) for i in range(150)], columns=["pid", "x"]
+    ).astype("int64")
+    ivs = []
+    for j in range(60):
+        lo = nxt() % 1000
+        width = (nxt() % 4) * (nxt() % 80)  # includes zero-width
+        ivs.append((j, lo, lo + width))
+    ivs = pd.DataFrame(ivs, columns=["iid", "lo", "hi"]).astype("int64")
+
+    left = spark.createDataFrame(pts)
+    right = spark.createDataFrame(ivs)
+    got = (
+        range_join(left, right, "x", "lo", "hi", bucket_width=50)
+        .select("pid", "iid")
+        .toPandas()
+    )
+    want = (
+        left.join(right, (F.col("lo") <= F.col("x")) & (F.col("x") < F.col("hi")))
+        .select("pid", "iid")
+        .toPandas()
+    )
+    g = set(map(tuple, got.itertuples(index=False)))
+    w = set(map(tuple, want.itertuples(index=False)))
+    assert g == w
