@@ -201,6 +201,7 @@ def ivf_topk(
     n_probe: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors.
 
@@ -217,17 +218,20 @@ def ivf_topk(
     fold per pair); a final window keeps the global top-k. Candidate
     volume is n x n_probe x k, never quadratic.
 
-    Centroids are the vectors with the ``n_cells`` smallest ids —
-    deterministic and model-free (real deployments train k-means centroids
-    offline and broadcast them; the plan shape is identical).
+    Default centroids are the vectors with the ``n_cells`` smallest ids —
+    deterministic and model-free; pass ``centroids`` (e.g. from
+    :func:`kmeans_lloyd`) for trained cells — the plan shape is identical.
     """
     from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
 
     spark = embeddings.sparkSession
-    cent_pdf = (
-        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
-    )
-    cent_mat = _normalize(np.stack(cent_pdf[vec_col].to_numpy()))
+    if centroids is not None:
+        cent_mat = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        cent_pdf = (
+            embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
+        )
+        cent_mat = _normalize(np.stack(cent_pdf[vec_col].to_numpy()))
     bc = spark.sparkContext.broadcast(cent_mat)
 
     assign_schema = StructType(
@@ -293,3 +297,72 @@ def ivf_topk(
         cell_topk, schema="query_id long, neighbor_id long, cosine double"
     )
     return _global_topk(local, k)
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means over the embedding column, returning (k, dim)
+    L2-normalized centroids — the trained coarse quantizer ``ivf_topk``
+    takes as its cell structure.
+
+    Deterministic: init = the ``k`` vectors with the smallest ids; fixed
+    ``iters`` sweeps (no tolerance races). Each sweep is the canonical
+    two-shuffle shape and NOTHING leaves the cluster except (k*dim)
+    numbers:
+
+    - assign: centroids ride a broadcast into an Arrow-batched kernel
+      (one cell id per vector, map-side);
+    - update: per-dimension means via posexplode + (cell, dim) hash agg
+      — the shuffle carries partial (sum, count) pairs, never vectors;
+      the k*dim result collects to the driver (tiny by construction) to
+      become the next broadcast.
+
+    Empty cells keep their previous centroid (standard Lloyd fix). At
+    100 TB: sweeps scan the corpus k-independently; production would
+    train on a hash-sample (sample_hash_split) — plumbing is identical.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+
+    spark = embeddings.sparkSession
+    init = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).toPandas()
+    )
+    cents = _normalize(np.stack(init[vec_col].to_numpy()).astype(np.float64))
+
+    src = embeddings.select(id_col, vec_col)
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign(batches):
+            cmat = bc.value
+            for pdf in batches:
+                mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+                sims = _ordered_dot(mat[:, None, :], cmat[None, :, :])
+                yield pd.DataFrame(
+                    {
+                        "cell": np.argmax(sims, axis=1).astype(np.int32),
+                        "vec": list(mat),
+                    }
+                )
+
+        assigned = src.mapInPandas(assign, schema="cell int, vec array<double>")
+        sums = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .toPandas()
+        )
+        new = cents.copy()
+        for cell, grp in sums.groupby("cell"):
+            grp = grp.sort_values("dim")
+            new[int(cell)] = grp["s"].to_numpy() / grp["n"].to_numpy()
+        cents = _normalize(new)
+        bc.destroy()
+    return cents

@@ -1402,3 +1402,24 @@ def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
             "char_entropy_bits",
         )
     )
+
+
+@query(
+    "ann_ivf_trained",
+    oracle=None,  # approximate by construction -> rows-only
+    section="2.10",
+    doc="IVF with TRAINED centroids: llm/ann.py:kmeans_lloyd runs "
+    "distributed Lloyd sweeps in-engine (broadcast-centroid Arrow "
+    "assignment, (cell, dim) partial-sum shuffle, k*dim driver "
+    "collect) and the resulting coarse quantizer drives the same "
+    "ivf_topk plan. Trained cells track the data distribution, so "
+    "probing the same n_probe cells recovers more true neighbors than "
+    "the model-free seed centroids (floor pinned in "
+    "tests/test_ann_recall.py).",
+)
+def ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk, kmeans_lloyd
+
+    e = T(spark, sf, "embeddings")
+    cents = kmeans_lloyd(e, k=16, iters=3)
+    return ivf_topk(e, k=5, n_probe=5, centroids=cents)

@@ -78,3 +78,49 @@ def test_simhash_finds_true_near_dups(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in near_dedup_simhash(spark, SF).collect()}
     overlap = len(got & truth) / len(truth)
     assert overlap >= 0.5, f"SimHash candidate overlap {overlap:.3f} too low"
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    """The distributed Lloyd sweeps must agree with a single-machine numpy
+    implementation run from the same deterministic init (same argmax
+    assignments; centroid coordinates to ~1e-9 — summation order differs,
+    bitwise equality is not the contract)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = kmeans_lloyd(e, k=8, iters=3)
+
+    pdf = e.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    mat = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+    cents = mat[:8].copy()
+    for _ in range(3):
+        sims = _ordered_dot(mat[:, None, :], cents[None, :, :])
+        cells = np.argmax(sims, axis=1)
+        new = cents.copy()
+        for c in range(8):
+            members = mat[cells == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cents = _normalize(new)
+
+    assert got.shape == cents.shape
+    np.testing.assert_allclose(got, cents, atol=1e-9)
+
+
+def test_ivf_trained_recall_floor(spark, truth_topk):
+    """Trained-centroid IVF must do at least as well as the untrained
+    tier's pinned floor (data-adapted cells should not LOSE recall)."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk, kmeans_lloyd
+
+    e = load_table(spark, SF, "embeddings")
+    cents = kmeans_lloyd(e, k=16, iters=3)
+    rows = ivf_topk(e, k=5, n_probe=5, centroids=cents).collect()
+    r = _recall(rows, truth_topk)
+    print(f"trained IVF recall: {r:.3f}")
+    assert r >= 0.45, f"trained IVF recall below untrained floor: {r:.3f}"
