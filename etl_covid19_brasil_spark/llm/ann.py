@@ -366,3 +366,89 @@ def kmeans_lloyd(
         cents = _normalize(new)
         bc.destroy()
     return cents
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train product-quantization codebooks: the vector space is split
+    into ``m`` contiguous subspaces and each gets a ``k``-centroid
+    codebook via Lloyd's algorithm on a BOUNDED hash-sample (the standard
+    PQ recipe — faiss trains on ~10^5 samples regardless of corpus size;
+    the cap keeps the driver collect O(sample_cap * dim) at any scale).
+    Sampling is deterministic: the ``sample_cap`` smallest xxhash64(id)
+    values. Returns ``(m, k, dim/m)`` codebooks.
+    """
+    import pyspark.sql.functions as F
+
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_cap)
+        .toPandas()
+    )
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        cents = x[:k].copy()  # deterministic init: first k sample rows
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = x[cells == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` byte codes (argmin-L2 against each
+    subspace codebook) — the 4-8x compression an ANN index stores instead
+    of raw floats. Encoding is the part that must scale: codebooks ride a
+    broadcast into an Arrow-batched kernel, map-side only, no shuffle.
+    Output: (id, codes array<int>, recon_mse double) — the per-vector
+    reconstruction error makes quantization quality measurable in-line.
+    """
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    def encode(batches):
+        books = bc.value  # (m, k, sub)
+        m, _, sub = books.shape
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            err = np.zeros(len(mat))
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+                err += d2[np.arange(len(mat)), codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "recon_mse": err / mat.shape[1],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema="vec_id long, codes array<int>, recon_mse double"
+    )

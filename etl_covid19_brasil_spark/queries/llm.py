@@ -1423,3 +1423,24 @@ def ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "embeddings")
     cents = kmeans_lloyd(e, k=16, iters=3)
     return ivf_topk(e, k=5, n_probe=5, centroids=cents)
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=None,  # codebooks are trained (data-dependent floats) -> rows-only
+    section="2.10",
+    doc="Product quantization (llm/ann.py:pq_train/pq_encode): 8 subspace "
+    "codebooks of 16 centroids, trained on a bounded deterministic "
+    "hash-sample (the faiss recipe — training is O(sample), never "
+    "O(corpus)), then every vector encodes map-side to 8 byte codes + "
+    "its reconstruction error. 64 doubles -> 8 bytes is the storage "
+    "step that makes a 100 TB vector corpus indexable; quality is "
+    "pinned in tests/test_ann_recall.py (PQ reconstruction must beat "
+    "the global-mean baseline by a wide margin).",
+)
+def embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import pq_encode, pq_train
+
+    e = T(spark, sf, "embeddings")
+    books = pq_train(e, m=8, k=16, iters=8)
+    return pq_encode(e, books)

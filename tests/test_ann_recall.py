@@ -124,3 +124,33 @@ def test_ivf_trained_recall_floor(spark, truth_topk):
     r = _recall(rows, truth_topk)
     print(f"trained IVF recall: {r:.3f}")
     assert r >= 0.45, f"trained IVF recall below untrained floor: {r:.3f}"
+
+
+def test_pq_reconstruction_beats_mean_baseline(spark):
+    """PQ codes must reconstruct far better than the degenerate one-
+    centroid quantizer (the global mean) — the minimal bar for a trained
+    codebook — and the codes must be valid and deterministic."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import pq_encode, pq_train
+
+    e = load_table(spark, SF, "embeddings")
+    books = pq_train(e, m=8, k=16, iters=8)
+    assert books.shape == (8, 16, 8)
+
+    enc = pq_encode(e, books).toPandas()
+    codes = np.stack(enc["codes"].to_numpy())
+    assert codes.min() >= 0 and codes.max() < 16
+
+    pdf = e.select("embedding").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    base_mse = ((mat - mat.mean(axis=0)) ** 2).sum(axis=1).mean() / mat.shape[1]
+    pq_mse = enc["recon_mse"].mean()
+    # rate-distortion for k=16 centroids in 8-d on near-random data is
+    # ~16^(-2/8) = 0.5x; measured 0.546x — pin just above it
+    assert pq_mse < 0.65 * base_mse, (pq_mse, base_mse)
+
+    enc2 = pq_encode(e, books).toPandas().sort_values("vec_id").reset_index(drop=True)
+    enc1 = enc.sort_values("vec_id").reset_index(drop=True)
+    assert (np.stack(enc1["codes"]) == np.stack(enc2["codes"])).all()
