@@ -1444,3 +1444,67 @@ def embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "embeddings")
     books = pq_train(e, m=8, k=16, iters=8)
     return pq_encode(e, books)
+
+
+# target mixture for corpus_mix_weighted: rebalance the en-heavy corpus
+# toward a flatter distribution, within a 60%-of-corpus token budget.
+_MIX_W = {"en": 0.30, "zh": 0.20, "es": 0.20, "de": 0.15, "fr": 0.15}
+_MIX_BUDGET_FRAC = 0.6
+_MIX_W_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_W.items()
+) + " ELSE 0.0 END"
+
+
+@query(
+    "corpus_mix_weighted",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    ),
+    budget AS (SELECT CAST(round(COUNT(*) * {_MIX_BUDGET_FRAC}) AS BIGINT) AS b
+               FROM documents)
+    SELECT lang,
+           CAST(round(({_MIX_W_SQL}) * b) AS BIGINT) AS quota,
+           COUNT(*) AS n_taken,
+           SUM(n_chars) AS total_chars
+    FROM ranked, budget
+    WHERE rk <= CAST(round(({_MIX_W_SQL}) * b) AS BIGINT)
+    GROUP BY lang, b
+    """,
+    section="2.10",
+    doc="Dataset MIXING to target proportions: a token/doc budget is split "
+    "across domains by declared weights, and each domain contributes its "
+    "quota chosen in content-hash order (md5-ranked — deterministic "
+    "pseudo-random, reproducible across engines, reruns, and "
+    "partitionings; rand() is none of those). Domains short of quota "
+    "contribute what they have. One per-domain window shuffle — the "
+    "standard recipe for reweighting an en-heavy crawl toward a "
+    "training mixture. Summary output (quota, taken, chars) per domain.",
+)
+def corpus_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.asc("doc_id"))
+    weight = F.lit(None)
+    expr = None
+    for k, v in _MIX_W.items():
+        expr = F.when(F.col("lang") == k, v) if expr is None else expr.when(F.col("lang") == k, v)
+    weight = expr.otherwise(0.0)
+    budget = d.agg(
+        F.round(F.count(F.lit(1)) * _MIX_BUDGET_FRAC).cast("long").alias("b")
+    )
+    ranked = d.select("doc_id", "lang", "n_chars", "text").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    quota = F.round(weight * F.col("b")).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .filter(F.col("rk") <= quota)
+        .groupBy("lang", quota.alias("quota"))
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("lang", "quota", "n_taken", "total_chars")
+    )
