@@ -452,3 +452,119 @@ def pq_encode(
     return embeddings.select(id_col, vec_col).mapInPandas(
         encode, schema="vec_id long, codes array<int>, recon_mse double"
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 5,
+    m: int = 8,
+    pq_k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the memory-bounded ANN tier — candidates meet in IVF cells
+    (same one-shuffle shape as :func:`ivf_topk`), but the INDEX side
+    carries only its ``m`` PQ byte codes, and each query scores
+    candidates with an asymmetric-distance lookup table (per subspace:
+    dot(query_sub, codebook row), precomputed once per query — scoring a
+    candidate is then ``m`` table lookups, no float vector needed).
+
+    This is the faiss IVFPQ layout re-expressed on DataFrames: at 100 TB
+    the index shuffle moves (cell, id, m bytes) per vector — 64x less
+    than raw float64 vectors — which is the difference between an index
+    that fits the cluster and one that doesn't. Recall trades against
+    the quantizer's distortion; floor pinned in tests/test_ann_recall.py.
+    """
+    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+
+    spark = embeddings.sparkSession
+    cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
+    books = pq_train(embeddings, m=m, k=pq_k, id_col=id_col, vec_col=vec_col)
+    bc_c = spark.sparkContext.broadcast(cents)
+    bc_b = spark.sparkContext.broadcast(books)
+
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("vid", LongType()),
+            StructField("vec", ArrayType(DoubleType())),  # queries only
+            StructField("codes", ArrayType(IntegerType())),  # index only
+            StructField("is_index", IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        cmat, bks = bc_c.value, bc_b.value
+        mm, _, sub = bks.shape
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sims = _ordered_dot(mat[:, None, :], cmat[None, :, :])
+            probed = np.argsort(-sims, axis=1)[:, :n_probe]
+            codes = np.empty((len(mat), mm), dtype=np.int32)
+            for j in range(mm):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            # index row (nearest cell, codes only) + query rows (probed cells)
+            out = {
+                "cell": np.concatenate([probed[:, 0], probed.reshape(-1)]).astype(
+                    np.int32
+                ),
+                "vid": np.concatenate([ids, np.repeat(ids, n_probe)]),
+                "vec": [None] * len(ids) + list(np.repeat(mat, n_probe, axis=0)),
+                "codes": list(codes) + [None] * (len(ids) * n_probe),
+                "is_index": np.concatenate(
+                    [np.ones(len(ids)), np.zeros(len(ids) * n_probe)]
+                ).astype(np.int32),
+            }
+            yield pd.DataFrame(out)
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        bks = bc_b.value
+        mm, kk_codes, sub = bks.shape
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "score": "float64"}
+        )
+        idx = pdf[pdf["is_index"] == 1]
+        qry = pdf[pdf["is_index"] == 0]
+        if idx.empty or qry.empty:
+            return empty
+        i_ids = idx["vid"].to_numpy(dtype=np.int64)
+        i_codes = np.stack(idx["codes"].to_numpy())  # (I, m)
+        q_ids = qry["vid"].to_numpy(dtype=np.int64)
+        q_mat = np.stack(qry["vec"].to_numpy())  # (Q, d)
+        # asymmetric LUT: (Q, m, pq_k) dot tables, then gather by code
+        luts = np.einsum(
+            "qms,mks->qmk", q_mat.reshape(len(q_mat), mm, sub), bks
+        )
+        scores = np.zeros((len(q_mat), len(i_ids)))
+        for j in range(mm):
+            scores += luts[:, j, :][:, i_codes[:, j]]
+        scores[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        take = min(k, len(i_ids))
+        order = np.lexsort((np.broadcast_to(i_ids, scores.shape), -scores), axis=-1)[
+            :, :take
+        ]
+        got = np.take_along_axis(scores, order, axis=1).reshape(-1)
+        keep = got > -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, take)[keep],
+                "neighbor_id": i_ids[order].reshape(-1)[keep],
+                "score": got[keep],
+            }
+        )
+
+    local = assigned.groupBy("cell").applyInPandas(
+        cell_topk, schema="query_id long, neighbor_id long, score double"
+    )
+    dedup = local.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return dedup.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

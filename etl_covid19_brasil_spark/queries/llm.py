@@ -1508,3 +1508,23 @@ def corpus_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("lang", "quota", "n_taken", "total_chars")
     )
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=None,  # approximate by construction -> rows-only
+    section="2.10",
+    doc="IVF-PQ approximate nearest neighbors (llm/ann.py:ivfpq_topk): "
+    "candidates meet in trained IVF cells, the index side carries only "
+    "8 one-byte PQ codes per vector (64x smaller than raw float64), and "
+    "queries score candidates via per-subspace asymmetric-distance "
+    "lookup tables — the faiss IVFPQ layout on DataFrames. The "
+    "memory-bounded tier for vector corpora that outgrow float storage; "
+    "recall floor pinned in tests/test_ann_recall.py (~0.49 vs "
+    "IVF-flat's ~0.55 at the same probe budget, for 1/64 the index "
+    "bytes).",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
+
+    return ivfpq_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=5)
