@@ -995,3 +995,32 @@ def fn_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s.name").alias("parsed_name"),
         F.col("s.region").alias("parsed_region"),
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS decrypted,
+           TRUE AS ciphertext_differs
+    FROM nation
+    """,
+    section="2.8",
+    doc="Column-level encryption (aes_encrypt/aes_decrypt, GCM): the "
+    "at-rest PII protection pattern — encrypt on write, decrypt for "
+    "entitled readers. GCM ciphertexts are salted (random IV), so the "
+    "checkable contract is the fixpoint: decrypt(encrypt(x)) == x and "
+    "the ciphertext never equals the plaintext. Deterministic-needing "
+    "pipelines (joins on encrypted values) would pin the IV via the "
+    "ECB/CBC modes or hash instead.",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    n = T(spark, sf, "nation")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key
+    enc = F.aes_encrypt(F.col("n_name").cast("binary"), key.cast("binary"))
+    dec = F.aes_decrypt(enc, key.cast("binary")).cast("string")
+    return n.select(
+        "n_nationkey",
+        dec.alias("decrypted"),
+        (F.base64(enc) != F.col("n_name")).alias("ciphertext_differs"),
+    )

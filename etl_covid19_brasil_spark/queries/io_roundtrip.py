@@ -335,3 +335,30 @@ def scan_binary_files(spark: SparkSession, sf: str) -> DataFrame:
             F.substring(F.hex(F.col("content")), 1, 8).alias("magic"),
         )
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           COUNT(*) AS n_rows
+    FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename = true)
+    GROUP BY 1
+    """,
+    section="2.1",
+    doc="Scan provenance via the hidden _metadata struct: every parquet "
+    "row can name the file it came from (file_name, size, mod time) "
+    "with zero extra I/O — how a 100 TB pipeline traces a bad record "
+    "back to its source file or audits per-file row counts after a "
+    "backfill. DuckDB's read_parquet(filename=true) is the oracle "
+    "twin. Pinned to the sf0.01 orders file on both sides (the oracle "
+    "SQL is static, so the path cannot follow the sf parameter — same "
+    "convention as scan_binary_files).",
+)
+def scan_file_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    return (
+        df.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
