@@ -1528,3 +1528,52 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
 
     return ivfpq_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=5)
+
+
+@query(
+    "text_clean_repeated_lines",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKENS} AS w FROM documents),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(w, (i-1)*5 + 1, i*5), ' ') AS line
+      FROM toks, unnest(range(1, CAST(ceil(len(w) / 5.0) AS BIGINT) + 1)) AS t(i)
+    ),
+    firsts AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS occ
+      FROM lines
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_kept,
+           string_agg(line, ' ' ORDER BY pos) AS cleaned_text
+    FROM firsts WHERE occ = 1
+    GROUP BY doc_id
+    """,
+    section="2.10",
+    doc="WITHIN-document repeated-line removal — the cleaning twin of the "
+    "Gopher dup_line_frac SIGNAL (text_repetition_signals measures, this "
+    "repairs): keep each distinct 5-token pseudo-line's first occurrence "
+    "in position order and reassemble the document. All state is "
+    "per-document (window + ordered group-concat on doc_id keys), so "
+    "unlike line_dedup_global there is no corpus-wide frequency table — "
+    "one doc-keyed shuffle at any scale.",
+)
+def text_clean_repeated_lines(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", _tokens().alias("w"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("w") / F.lit(5.0)).cast("long")),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(F.col("w"), (i - 1) * 5 + 1, 5)).alias("line"),
+        ),
+    )
+    lines = d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", F.col("c.pos").alias("pos"), F.col("c.line").alias("line")
+    )
+    w = Window.partitionBy("doc_id", "line").orderBy("pos")
+    firsts = lines.withColumn("occ", F.row_number().over(w)).filter(F.col("occ") == 1)
+    return firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("listagg(line, ' ') WITHIN GROUP (ORDER BY pos)").alias("cleaned_text"),
+    )

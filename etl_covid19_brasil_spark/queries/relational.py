@@ -1539,3 +1539,34 @@ def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.expr("sum(bitmap_count(b))").alias("n_distinct_custs")
     )
+
+
+@query(
+    "set_union_evolved_schema",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM (SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL BY NAME
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 1)
+    """,
+    section="2.7",
+    doc="Schema-evolving union: unionByName(allowMissingColumns=True) "
+    "aligns batches by COLUMN NAME and null-fills what a side lacks — "
+    "how a lake unions last year's table with this year's wider one "
+    "(positional UNION would silently mismatch columns; here the two "
+    "sides even declare their columns in different orders). DuckDB's "
+    "UNION ALL BY NAME is the oracle twin.",
+)
+def set_union_evolved_schema(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    old_batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_batch = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
