@@ -1024,3 +1024,75 @@ def fn_aes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         dec.alias("decrypted"),
         (F.base64(enc) != F.col("n_name")).alias("ciphertext_differs"),
     )
+
+
+@query(
+    "fn_try_cast_batch",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_partkey END AS maybe_int,
+           TRY_CAST(p_brand AS BIGINT) AS brand_as_int,
+           CASE WHEN p_partkey % 4 = 0
+                THEN TIMESTAMP '2024-03-01 12:00:00' ELSE NULL END AS parsed_ts
+    FROM part
+    """,
+    section="2.8",
+    doc="Error-safe CASTS — the ingestion half of the try_* family "
+    "(fn_try_arithmetic covers math): try_cast on a poisoned int column "
+    "(every third key swapped for a non-numeric token), try_cast on a "
+    "never-numeric brand string (always NULL, never a throw — under "
+    "ANSI a plain CAST here kills the job), and try_to_timestamp on a "
+    "mixed good/garbage timestamp column. The oracle states the "
+    "expected outcomes with guards.",
+)
+def fn_try_cast_batch(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    k = F.col("p_partkey")
+    dirty_int = F.when(k % 3 == 0, F.lit("oops")).otherwise(k.cast("string"))
+    dirty_ts = F.when(k % 4 == 0, F.lit("2024-03-01 12:00:00")).otherwise(
+        F.lit("not a time")
+    )
+    return p.select(
+        "p_partkey",
+        dirty_int.try_cast("bigint").alias("maybe_int"),
+        F.col("p_brand").try_cast("bigint").alias("brand_as_int"),
+        F.try_to_timestamp(dirty_ts).alias("parsed_ts"),
+    )
+
+
+@query(
+    "fn_from_csv",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey,
+             CAST(n_nationkey AS VARCHAR) || ',' || n_name || ',' ||
+               CAST(n_regionkey AS VARCHAR) AS line
+      FROM nation
+    )
+    SELECT n_nationkey,
+           CAST(string_split(line, ',')[1] AS BIGINT) AS csv_key,
+           string_split(line, ',')[2] AS csv_name,
+           CAST(string_split(line, ',')[3] AS BIGINT) AS csv_region
+    FROM src
+    """,
+    section="2.8",
+    doc="from_csv scalar parsing: a CSV-encoded string column (the shape "
+    "Kafka values and log lines arrive in) parsed to a typed struct with "
+    "an explicit schema — the per-row twin of the scan_csv source. "
+    "DuckDB replays it with string_split + casts.",
+)
+def fn_from_csv(spark: SparkSession, sf: str) -> DataFrame:
+    n = T(spark, sf, "nation")
+    line = F.concat_ws(
+        ",",
+        F.col("n_nationkey").cast("string"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("string"),
+    )
+    parsed = F.from_csv(line, "csv_key BIGINT, csv_name STRING, csv_region BIGINT")
+    return n.select(
+        "n_nationkey",
+        parsed["csv_key"].alias("csv_key"),
+        parsed["csv_name"].alias("csv_name"),
+        parsed["csv_region"].alias("csv_region"),
+    )
