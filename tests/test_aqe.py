@@ -56,8 +56,10 @@ def test_aqe_splits_skewed_join_partition(spark):
         )
         # bare join: a downstream agg that reuses the join's hash
         # distribution legitimately suppresses the split (splitting would
-        # break the required partitioning), so assert on the join itself
-        joined = left.join(right, "k").select("k", "rv")
+        # break the required partitioning), so assert on the join itself.
+        # pad must survive projection — pruned away, the hot partition is
+        # 60k identical longs, which compress under any skew threshold
+        joined = left.join(right, "k").select("k", "rv", "pad")
         plan = _final_plan(joined)
     assert "skew=true" in plan, plan[:4000]
 
