@@ -351,3 +351,32 @@ def scd2_dimension_build(spark: SparkSession, sf: str) -> DataFrame:
         F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(quantile_cont(o_totalprice, 0.5) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS median_3
+    FROM orders
+    """,
+    section="2.5",
+    doc="Rolling median (exact percentile as a window aggregate over a "
+    "3-row frame) — the robust-smoothing twin of win_moving_avg: a "
+    "single corrupted price skews a mean but not a median. Full frames "
+    "pick the middle element exactly; 2-row edge frames interpolate to "
+    "a half-cent, so the output rounds to 3 decimals where both "
+    "engines' interpolation formulas agree beyond ulp noise.",
+)
+def win_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    o, w = _orders_w(spark, sf)
+    frame = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(frame), 3).alias(
+            "median_3"
+        ),
+    )
