@@ -380,3 +380,47 @@ def win_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
             "median_3"
         ),
     )
+
+
+@query(
+    "win_sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM marked
+    """,
+    section="2.5",
+    doc="Batch sessionization assigning a PER-EVENT session id (gaps-and-"
+    "islands: flag gap > 30 min via lag, running sum of flags numbers "
+    "the sessions) — the row-level twin of the session_window AGGREGATE "
+    "(stream_session_window): downstream joins need the id on every "
+    "event, not just per-session rollups. Both windows share one "
+    "user_id shuffle + sort; ties broken by event_id. Strictly-greater "
+    "gap comparison matches Spark's session_window boundary semantics.",
+)
+def win_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision: cast("long") truncates to seconds and would
+    # disagree with the oracle's exact interval compare on sub-second gaps
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(run).alias("session_seq"),
+    )
