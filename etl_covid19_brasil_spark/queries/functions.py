@@ -1096,3 +1096,37 @@ def fn_from_csv(spark: SparkSession, sf: str) -> DataFrame:
         parsed["csv_name"].alias("csv_name"),
         parsed["csv_region"].alias("csv_region"),
     )
+
+
+@query(
+    "fn_datetime_calendar",
+    oracle="""
+    SELECT o_orderkey,
+           round(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.4375, 4) AS approx_months_since_95,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3mo,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_trunc('quarter', o_orderdate) AS quarter_start,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q
+    FROM orders
+    """,
+    section="2.8",
+    doc="Calendar arithmetic batch #4: month offsets (add_months), "
+    "month-end snapping (last_day), quarter truncation and extraction. "
+    "months_between's fractional convention differs between engines "
+    "(Spark's 31-day rule vs interval months), so the oracle-checkable "
+    "months measure is day-diff / mean-month-length rounded to 4dp — "
+    "the analytics-grade approximation; exact month arithmetic is "
+    "covered by the add_months/last_day round values.",
+)
+def fn_datetime_calendar(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    days = F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+    return o.select(
+        "o_orderkey",
+        F.round(days.cast("double") / 30.4375, 4).alias("approx_months_since_95"),
+        F.add_months(d.cast("date"), 3).alias("plus_3mo"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_trunc("quarter", d).alias("quarter_start"),
+        F.quarter(d).cast("long").alias("q"),
+    )
