@@ -1570,3 +1570,41 @@ def set_union_evolved_schema(spark: SparkSession, sf: str) -> DataFrame:
     return old_batch.unionByName(new_batch, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
+
+
+@query(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_date,
+           o_totalprice AS latest_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+      FROM orders
+    ) WHERE rk = 1
+    """,
+    section="2.4",
+    doc="Keep-latest-record-per-key — the single most common lake "
+    "compaction query (CDC snapshots, upsert resolution, 'current state' "
+    "views): one row_number window over the key ordered by recency with "
+    "a total tie-break, keep rank 1. One shuffle; at 100 TB this is the "
+    "read-side half of merge_by_key (io.py), and AQE handles the hot "
+    "keys a popular entity produces. QUALIFY-style semantics without "
+    "the syntax (Spark has no QUALIFY clause).",
+)
+def dedup_latest_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_date"),
+            F.col("o_totalprice").alias("latest_price"),
+        )
+    )
