@@ -193,3 +193,29 @@ def test_bloom_prefilter_probes_before_semi_join(spark, specs):
     p = plan_of(q(specs, spark, "join_bloom_prefilter"))
     assert "might_contain" in p or "element_at" in p, p
     assert "LeftSemi" in p
+
+
+def test_bitmap_distinct_aggregates_partially(spark, specs):
+    # the bitmap path exists to keep partials fixed-size: both aggregation
+    # levels must be hash aggregates with map-side partials
+    p = plan_of(q(specs, spark, "agg_bitmap_distinct"))
+    assert p.count("HashAggregate") >= 4, p  # 2 levels x (partial, final)
+
+
+def test_table_diff_is_hash_join_not_nested_loop(spark, specs):
+    p = plan_of(q(specs, spark, "table_diff_by_key"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_latest_uses_one_window_shuffle(spark, specs):
+    p = plan_of(q(specs, spark, "dedup_latest_by_key"), mode="simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_sessionize_shares_one_window_shuffle(spark, specs):
+    # lag-flag and running-sum windows share (user_id, [ts, event_id]):
+    # one exchange + one sort must serve both
+    p = plan_of(q(specs, spark, "win_sessionize_events"), mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("Sort") == 1, p
