@@ -1130,3 +1130,37 @@ def fn_datetime_calendar(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("quarter", d).alias("quarter_start"),
         F.quarter(d).cast("long").alias("q"),
     )
+
+
+@query(
+    "fn_string_surgery",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 2) AS second_word,
+           array_to_string(string_split(p_name, ' ')[1:2], ' ') AS first_two_words,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           CAST(position('a' IN p_name) AS BIGINT) AS first_a_pos,
+           repeat(p_brand, 2) AS brand_doubled,
+           substr(p_type, 1, 3) || 'XX' || substr(p_type, 6) AS type_patched
+    FROM part
+    """,
+    section="2.8",
+    doc="String surgery batch #3: split_part (field extraction), "
+    "substring_index (prefix up to the Nth delimiter — DuckDB emulates "
+    "via list slice+join), translate (char mapping), position/instr, "
+    "repeat, and overlay (in-place patch — emulated as substr concat; "
+    "Spark's overlay REPLACES len chars at pos).",
+)
+def fn_string_surgery(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.substring_index(F.col("p_name"), " ", 2).alias("first_two_words"),
+        F.translate(F.col("p_brand"), "#", "-").alias("brand_dashed"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a_pos"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_doubled"),
+        F.overlay(F.col("p_type"), F.lit("XX"), F.lit(4), F.lit(2)).alias(
+            "type_patched"
+        ),
+    )
