@@ -1164,3 +1164,37 @@ def fn_string_surgery(spark: SparkSession, sf: str) -> DataFrame:
             "type_patched"
         ),
     )
+
+
+@query(
+    "fn_math_trig",
+    oracle="""
+    SELECT c_custkey,
+           round(sin(c_acctbal / 1000), 6) AS sin_v,
+           round(cos(c_acctbal / 1000), 6) AS cos_v,
+           round(atan2(c_acctbal, 5000.0), 6) AS angle,
+           round(degrees(atan2(c_acctbal, 5000.0)), 6) AS angle_deg,
+           round(tan(c_acctbal / 10000), 6) AS tan_v,
+           round(radians(c_acctbal / 100), 6) AS rad_v
+    FROM customer
+    """,
+    section="2.8",
+    doc="Trigonometry batch: sin/cos/atan2/degrees/tanh — the periodic-"
+    "feature encodings (hour-of-day embeddings) and squashing functions "
+    "feature pipelines apply (tanh is absent from this DuckDB build, "
+    "so tan/radians stand in). House transcendental policy (fn_math): "
+    "engines agree to ~1 ulp, rounded to 6 decimals.",
+)
+def fn_math_trig(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    b = F.col("c_acctbal")
+    angle = F.atan2(b, F.lit(5000.0))
+    return c.select(
+        "c_custkey",
+        F.round(F.sin(b / 1000), 6).alias("sin_v"),
+        F.round(F.cos(b / 1000), 6).alias("cos_v"),
+        F.round(angle, 6).alias("angle"),
+        F.round(F.degrees(angle), 6).alias("angle_deg"),
+        F.round(F.tan(b / 10000), 6).alias("tan_v"),
+        F.round(F.radians(b / 100), 6).alias("rad_v"),
+    )
