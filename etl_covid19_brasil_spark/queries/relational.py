@@ -1608,3 +1608,55 @@ def dedup_latest_by_key(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_totalprice").alias("latest_price"),
         )
     )
+
+
+@query(
+    "join_multiway_local_supplier",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_lineitems,
+           {o_msum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    section="2.3",
+    doc="Six-table star-chain join (TPC-H Q5 shape: local-supplier "
+    "revenue by nation): region filter -> nation -> customer -> orders "
+    "-> lineitem -> supplier, with the extra same-nation residual "
+    "(s_nationkey = c_nationkey) that makes the last join NOT a plain "
+    "star edge. The query exists to exercise Catalyst's join reordering "
+    "and dim broadcasting across a deep tree: region/nation/customer/"
+    "supplier broadcast, the two fact tables meet in at most one "
+    "shuffled join. Revenue in exact cents (the discount product rounds "
+    "to cents first, identically in both engines).",
+)
+def join_multiway_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf, "nation")
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    s = T(spark, sf, "supplier")
+    joined = (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        msum(revenue, "revenue"),
+    )

@@ -219,3 +219,11 @@ def test_sessionize_shares_one_window_shuffle(spark, specs):
     p = plan_of(q(specs, spark, "win_sessionize_events"), mode="simple")
     assert p.count("Exchange") == 1, p
     assert p.count("Sort") == 1, p
+
+
+def test_multiway_join_broadcasts_all_dims(spark, specs):
+    # six-table Q5 shape: every dim edge must broadcast; the fact tables
+    # must never meet in a sort-merge join at dim-dominated scale
+    p = plan_of(q(specs, spark, "join_multiway_local_supplier"))
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "SortMergeJoin" not in p
