@@ -1660,3 +1660,74 @@ def join_multiway_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         msum(revenue, "revenue"),
     )
+
+
+@query(
+    "project_scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey,
+           (SELECT MAX(l.l_shipdate) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS last_ship,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS n_items
+    FROM orders o
+    WHERE o.o_orderkey % 50 = 0
+    """,
+    section="2.2",
+    doc="Correlated SCALAR subqueries in the projection (not just WHERE): "
+    "per-order last ship date and item count pulled inline. Catalyst "
+    "de-correlates each into an aggregate + left outer join — the "
+    "rewrite that makes per-row-looking lookups scale (a naive "
+    "re-execution per row would be O(n) scans). Orders sampled by key "
+    "modulo to keep the checked result compact.",
+)
+def project_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "orders").createOrReplaceTempView("sq_orders")
+    T(spark, sf, "lineitem").createOrReplaceTempView("sq_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               (SELECT MAX(l.l_shipdate) FROM sq_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS last_ship,
+               (SELECT COUNT(*) FROM sq_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        FROM sq_orders o
+        WHERE o.o_orderkey % 50 = 0
+        """
+    )
+
+
+@query(
+    "project_lateral_alias",
+    oracle="""
+    SELECT o_orderkey,
+           CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 9) // 10 AS DOUBLE) / 100.0 AS discounted,
+           CAST(((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 9) // 10) * 17 // 100 AS DOUBLE) / 100.0 AS tax_on_discounted,
+           CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 9) // 10
+                + ((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 9) // 10) * 17 // 100 AS DOUBLE) / 100.0 AS total_due
+    FROM orders
+    """,
+    section="2.2",
+    doc="Lateral column aliases (Spark 3.4+): a SELECT item referencing a "
+    "sibling alias defined in the same list — the spreadsheet-style "
+    "derivation chain (discounted -> tax -> total) without nesting "
+    "subqueries or repeating expressions. The oracle expands the chain "
+    "manually. The derivation runs in EXACT integer cents with floor "
+    "division (round-the-double chains land on half-cent boundaries "
+    "where Spark's decimal-string rounding and DuckDB's binary rounding "
+    "disagree) — the same reason the engine's money policy exists.",
+)
+def project_lateral_alias(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "orders").createOrReplaceTempView("la_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 9 DIV 10 AS discounted_cents,
+               discounted_cents * 17 DIV 100 AS tax_cents,
+               discounted_cents + tax_cents AS total_cents,
+               CAST(discounted_cents AS DOUBLE) / 100.0 AS discounted,
+               CAST(tax_cents AS DOUBLE) / 100.0 AS tax_on_discounted,
+               CAST(total_cents AS DOUBLE) / 100.0 AS total_due
+        FROM la_orders
+        """
+    ).select("o_orderkey", "discounted", "tax_on_discounted", "total_due")
