@@ -167,3 +167,31 @@ def test_ivfpq_recall_floor(spark, truth_topk):
     r = _recall(rows, truth_topk)
     print(f"IVFPQ recall: {r:.3f}")  # measured 0.486 at pq_k=256 (8x8-bit)
     assert r >= 0.4, f"IVFPQ recall collapsed: {r:.3f}"
+
+
+def test_int8_quantization_error_is_bounded(spark):
+    """Affine int8 codes must reconstruct every element to within half a
+    quantization step of the original — the defining property of
+    round-to-nearest quantization."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark import registry
+
+    specs = registry.all_specs()
+    q = specs["embedding_quantize_int8"].spark(spark, "/root/testdata/sf0.001")
+    pdf = q.toPandas()
+    from etl_covid19_brasil_spark.io import load_table
+
+    raw = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    for row in pdf.itertuples():
+        x = np.asarray(raw.loc[row.vec_id, "embedding"], dtype=np.float64)
+        scale = (row.scale_max - row.scale_min) / 255.0
+        if scale == 0:
+            continue
+        recon = row.scale_min + np.asarray(row.q, dtype=np.float64) * scale
+        assert np.abs(recon - x).max() <= scale / 2 + 1e-9

@@ -221,3 +221,53 @@ def test_range_join_matches_naive_theta_randomized(spark):
     g = set(map(tuple, got.itertuples(index=False)))
     w = set(map(tuple, want.itertuples(index=False)))
     assert g == w
+
+
+def test_scd2_golden_changelog(spark):
+    """Hand-built changelog: runs compress, ranges chain, current row is
+    open-ended — the SCD2 contract on a case small enough to eyeball."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark import registry
+
+    rows = [
+        # custkey, priority, date, orderkey
+        (1, "LOW", dt.datetime(2024, 1, 1), 10),
+        (1, "LOW", dt.datetime(2024, 1, 5), 11),   # same value -> compressed
+        (1, "HIGH", dt.datetime(2024, 2, 1), 12),  # change
+        (1, "LOW", dt.datetime(2024, 3, 1), 13),   # change back (new version)
+        (2, "MED", dt.datetime(2024, 1, 2), 20),   # single-version key
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderpriority string, o_orderdate timestamp, o_orderkey long"
+    )
+    df.createOrReplaceTempView("_scd2_golden_src")
+
+    # run the registered builder against a temp view via monkeypatched loader
+    from etl_covid19_brasil_spark.queries import windows as wmod
+
+    w = (
+        df.withColumn("prev", F.lag("o_orderpriority").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+    )
+    # call the real query logic by substituting the table loader
+    import etl_covid19_brasil_spark.registry as reg
+
+    orig_T = reg.load_table
+    try:
+        reg.load_table = lambda spark, sf, name: df  # noqa: ARG005
+        out = {
+            (r["o_custkey"], r["version"]): (r["priority"], r["is_current"])
+            for r in wmod.scd2_dimension_build(spark, "ignored").collect()
+        }
+    finally:
+        reg.load_table = orig_T
+
+    assert out[(1, 1)] == ("LOW", False)
+    assert out[(1, 2)] == ("HIGH", False)
+    assert out[(1, 3)] == ("LOW", True)
+    assert out[(2, 1)] == ("MED", True)
+    assert len(out) == 4  # the duplicate LOW row was compressed away

@@ -221,3 +221,21 @@ def test_observe_collects_metrics_without_extra_pass(spark):
     assert got["total_cents"] == want_cents
     assert got["null_keys"] == 0
     assert 0 < n_big < want_rows
+
+
+def test_bloom_false_positive_rate_is_engineered(spark):
+    """32k bits / 3 hashes over ~150 keys gives theoretical FP ~(kn/m)^k
+    ~ 2.5e-6 — the pruned probe set must exceed true matches by at most
+    a handful of rows, or the hash family is broken."""
+    from etl_covid19_brasil_spark.operators.bloom import build_bloom, might_contain
+
+    build = spark.range(150).select((F.col("id") * 13 + 7).alias("k"))
+    probe = spark.range(60_000).select(F.col("id").alias("p"))
+    bf = build_bloom(build, "k")
+    pruned = (
+        probe.crossJoin(F.broadcast(bf))
+        .filter(might_contain(F.col("bf"), F.col("p"), 1 << 15, 3))
+        .count()
+    )
+    matching = probe.join(build, F.col("p") == F.col("k"), "left_semi").count()
+    assert pruned - matching <= 5, (pruned, matching)
