@@ -1,0 +1,42 @@
+"""Driver-contract smoke (SURVEY.md §3): __spark_entry__ is the public
+surface the round driver consumes — entry() must run and the two maps
+must stay consistent, or every other green test is unreachable."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as E
+
+
+def test_entry_runs_and_has_stable_schema(spark):
+    df = E.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == E.entry(spark).columns
+
+
+def test_query_and_oracle_maps_are_consistent(spark):
+    qs = E.queries()
+    osql = E.oracle_sql()
+    assert len(qs) >= 170
+    # every oracle belongs to a registered query
+    assert set(osql) <= set(qs)
+    # rows-only queries are the documented approximate/streaming tiers only
+    rows_only = set(qs) - set(osql)
+    assert all(
+        any(tok in n for tok in ("minhash", "simhash", "ann_", "media_decode", "pq_"))
+        for n in rows_only
+    ), rows_only
+    # oracle SQL strings are non-empty and reference at least one table/CTE
+    assert all(o.strip() for o in osql.values())
+
+
+def test_registry_names_are_unique_and_snake_case(spark):
+    import re
+
+    names = list(E.queries())
+    assert len(names) == len(set(names))
+    assert all(re.fullmatch(r"[a-z0-9_]+", n) for n in names)
