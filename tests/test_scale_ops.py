@@ -239,3 +239,18 @@ def test_bloom_false_positive_rate_is_engineered(spark):
     )
     matching = probe.join(build, F.col("p") == F.col("k"), "left_semi").count()
     assert pruned - matching <= 5, (pruned, matching)
+
+
+def test_bloom_handles_negative_keys(spark):
+    """xxhash64 goes negative on half its outputs; pmod must keep bit
+    positions in range and the no-false-negative guarantee must hold for
+    negative key VALUES too."""
+    from etl_covid19_brasil_spark.operators.bloom import bloom_semi_join
+
+    build = spark.range(100).select((F.col("id") * -31 - 7).alias("k"))
+    probe = spark.range(4000).select((F.col("id") - 2000).alias("p"))
+    got = bloom_semi_join(probe, build, "p", "k")
+    want = probe.join(build, F.col("p") == F.col("k"), "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
