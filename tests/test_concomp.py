@@ -107,3 +107,11 @@ def test_random_graphs_match_union_find(spark):
             for r in connected_components(e, nodes=nd).collect()
         )
         assert got == want, f"seed {seed}"
+
+
+def test_long_path_converges_within_log_rounds(spark):
+    # a 200-node path is the worst diameter case: pure neighbor-propagation
+    # needs 200 rounds; star contraction must finish in max_iter=12 (~log^2)
+    e = _edges(spark, [(i, i + 1) for i in range(1, 200)])
+    got = _result(connected_components(e, max_iter=12))
+    assert got == {(i, 1) for i in range(1, 201)}
