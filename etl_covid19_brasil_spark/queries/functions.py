@@ -148,37 +148,63 @@ def fn_datetime_week(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "fn_math",
     oracle="""
+    WITH c AS (
+      SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+    )
     SELECT c_custkey,
-           round(c_acctbal, 1) AS bal_r1,
+           CAST(CASE WHEN cents < 0 THEN -1 ELSE 1 END
+                * CAST(floor((abs(cents) + 5) / 10) AS BIGINT) AS DOUBLE)
+             / 10.0 AS bal_r1,
            CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
            CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
            abs(c_acctbal - 5000) AS bal_centered,
-           round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
-           round(ln(abs(c_acctbal) + 1), 6) AS bal_ln,
-           round(exp(c_acctbal / 10000), 6) AS bal_exp,
+           CAST(floor(sqrt(abs(c_acctbal)) * 1000000 + 0.5) AS BIGINT)
+             AS bal_sqrt_u6,
+           CAST(floor(ln(abs(c_acctbal) + 1) * 1000000 + 0.5) AS BIGINT)
+             AS bal_ln_u6,
+           CAST(floor(exp(c_acctbal / 10000) * 1000000 + 0.5) AS BIGINT)
+             AS bal_exp_u6,
            sign(c_acctbal - 5000) AS bal_sign,
            greatest(c_acctbal, 5000.0) AS bal_hi,
            least(c_acctbal, 5000.0) AS bal_lo,
            c_acctbal * c_acctbal AS bal_sq
-    FROM customer
+    FROM c
     """,
     section="2.8",
-    doc="Math batch. sqrt is IEEE-exact; ln/exp agree to ~1 ulp and are "
-    "rounded to 6 decimals; x*x is one exact IEEE multiply (pow(x,2) "
-    "equivalent without libm variance).",
+    doc="Math batch, version-proof edition. bal_r1 (round-to-1-decimal on "
+    "2-decimal money) is derived entirely in integer cents — half-up in "
+    "integer arithmetic — because engine round(double, 1) semantics differ "
+    "(Spark rounds the decimal rendering HALF_UP, binary-rounding engines "
+    "round the nearest double) and .x5 money values land exactly on the "
+    "disagreement (went driver-red in r02). Transcendentals are quantized "
+    "to integer micro-units with the *same literal formula* "
+    "floor(x*1e6 + 0.5) on both sides instead of round(x, 6), so the "
+    "quantizer itself cannot diverge; sqrt is IEEE-correctly-rounded and "
+    "ln/exp agree to ~1 ulp, which a micro-unit grid absorbs except on "
+    "measure-zero boundaries. x*x / abs / sign / greatest are single "
+    "identical IEEE ops on identical inputs.",
 )
 def fn_math(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer")
     b = F.col("c_acctbal")
+    cents = F.round(b * 100).cast("long")
+    r1_deci = (
+        F.when(cents < 0, -1).otherwise(1)
+        * F.floor((F.abs(cents) + 5) / 10).cast("long")
+    )
+
+    def u6(col: Column) -> Column:
+        return F.floor(col * 1000000 + 0.5).cast("long")
+
     return c.select(
         "c_custkey",
-        F.round(b, 1).alias("bal_r1"),
+        (r1_deci.cast("double") / 10.0).alias("bal_r1"),
         F.floor(b).alias("bal_floor"),
         F.ceil(b).alias("bal_ceil"),
         F.abs(b - 5000).alias("bal_centered"),
-        F.round(F.sqrt(F.abs(b)), 6).alias("bal_sqrt"),
-        F.round(F.log(F.abs(b) + 1), 6).alias("bal_ln"),
-        F.round(F.exp(b / 10000), 6).alias("bal_exp"),
+        u6(F.sqrt(F.abs(b))).alias("bal_sqrt_u6"),
+        u6(F.log(F.abs(b) + 1)).alias("bal_ln_u6"),
+        u6(F.exp(b / 10000)).alias("bal_exp_u6"),
         F.signum(b - 5000).alias("bal_sign"),
         F.greatest(b, F.lit(5000.0)).alias("bal_hi"),
         F.least(b, F.lit(5000.0)).alias("bal_lo"),

@@ -1472,18 +1472,24 @@ def table_diff_by_key(spark: SparkSession, sf: str) -> DataFrame:
     topk AS (SELECT SUM(n) AS top10_rows
              FROM (SELECT n FROM freq ORDER BY n DESC, k ASC LIMIT 10))
     SELECT s.n_keys, s.n_rows, s.max_key_rows,
-           CAST(s.max_key_rows AS DOUBLE) * s.n_keys / s.n_rows AS skew_factor,
-           CAST(t.top10_rows AS DOUBLE) / s.n_rows AS top10_mass
+           CAST(t.top10_rows AS BIGINT) AS top10_rows,
+           CAST((s.max_key_rows * s.n_keys * 1000000) // s.n_rows AS BIGINT)
+             AS skew_ppm,
+           CAST((t.top10_rows * 1000000) // s.n_rows AS BIGINT) AS top10_ppm
     FROM stats s, topk t
     """,
     section="2.4",
     doc="Join-key skew diagnostics — the profile run BEFORE choosing a "
     "join strategy at 100 TB: per-key counts (one shuffle), then the "
-    "max-key/mean ratio (skew_factor: 1.0 = uniform; >> 1 = a hot key "
+    "max-key/mean ratio (skew_ppm: 1e6 = uniform; >> 1e6 = a hot key "
     "that will straggle a hash join) and the row mass of the 10 hottest "
-    "keys. skew_factor > ~4 is the signal to reach for "
+    "keys. skew_ppm > ~4e6 is the signal to reach for "
     "operators/skew.py:salted_join or rely on AQE skew splitting; this "
-    "query is the evidence, not the guess. All ratios of exact counts.",
+    "query is the evidence, not the guess. Outputs are exact integers "
+    "only — ratios are quantized to parts-per-million via integer "
+    "floor-division, so the hash is immune to how the oracle engine "
+    "formats/promotes doubles (raw-double ratios went driver-red in r02 "
+    "despite matching a local DuckDB 1.0.0 bit-for-bit).",
 )
 def diag_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders")
@@ -1502,10 +1508,9 @@ def diag_key_skew(spark: SparkSession, sf: str) -> DataFrame:
         "n_keys",
         "n_rows",
         "max_key_rows",
-        (
-            F.col("max_key_rows").cast("double") * F.col("n_keys") / F.col("n_rows")
-        ).alias("skew_factor"),
-        (F.col("top10_rows").cast("double") / F.col("n_rows")).alias("top10_mass"),
+        "top10_rows",
+        F.expr("max_key_rows * n_keys * 1000000L div n_rows").alias("skew_ppm"),
+        F.expr("top10_rows * 1000000L div n_rows").alias("top10_ppm"),
     )
 
 

@@ -198,24 +198,30 @@ def win_percent_cume(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            SUM(CAST(l_quantity AS BIGINT))
-             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
-                   RANGE BETWEEN INTERVAL '6 days' PRECEDING AND CURRENT ROW)
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY date_diff('day', DATE '1970-01-01',
+                                      CAST(l_shipdate AS DATE))
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
              AS qty_7d
     FROM lineitem
     """,
     section="2.5",
-    doc="Calendar-correct 7-day rolling quantity per supplier: rangeBetween "
-    "over epoch seconds (Spark) == RANGE BETWEEN INTERVAL (DuckDB). "
-    "Unlike rowsBetween, gaps in the date series are handled correctly — "
-    "the frame is defined by time distance, not row count. Quantities "
-    "summed as exact integers.",
+    doc="Calendar-correct 7-day rolling quantity per supplier. Both engines "
+    "frame over the INTEGER epoch-day number (Spark unix_date == DuckDB "
+    "date_diff from 1970-01-01) with integer RANGE bounds — pure int64 "
+    "arithmetic, immune to the oracle engine's timestamp precision and "
+    "INTERVAL-boundary semantics (the epoch-seconds-vs-INTERVAL pairing "
+    "went driver-red in r02 when the oracle read the parquet at a "
+    "different precision). Unlike rowsBetween, gaps in the date series "
+    "are handled correctly — the frame is defined by time distance, not "
+    "row count. Quantities summed as exact integers.",
 )
 def win_range_interval(spark: SparkSession, sf: str) -> DataFrame:
     li = T(spark, sf, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.unix_timestamp("l_shipdate"))
-        .rangeBetween(-6 * 86400, 0)
+        .orderBy(F.unix_date(F.col("l_shipdate").cast("date")))
+        .rangeBetween(-6, 0)
     )
     return li.select(
         "l_suppkey",
@@ -385,12 +391,17 @@ def win_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "win_sessionize_events",
     oracle="""
-    WITH marked AS (
+    WITH src AS (
       SELECT user_id, event_id, ts,
-             CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                    OR lag(ts) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
       FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM src
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
@@ -405,8 +416,16 @@ def win_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
     "the sessions) — the row-level twin of the session_window AGGREGATE "
     "(stream_session_window): downstream joins need the id on every "
     "event, not just per-session rollups. Both windows share one "
-    "user_id shuffle + sort; ties broken by event_id. Strictly-greater "
-    "gap comparison matches Spark's session_window boundary semantics.",
+    "user_id shuffle + sort; ties broken by event_id. Boundary note: "
+    "this per-event id keeps a gap of EXACTLY 30 min in the same "
+    "session (strict >), which deliberately differs from session_window "
+    "— whose [start, start+gap) windows close at exactly the gap (the "
+    "stream_session_window oracle uses >=); both semantics are useful, "
+    "the docs pin which is which. Gap compare is integer microseconds "
+    "on BOTH sides (Spark unix_micros == oracle epoch_us(CAST(ts AS "
+    "TIMESTAMP))) so a nanosecond-precision oracle read cannot flip the "
+    "flag at the boundary (raw-timestamp interval compare went "
+    "driver-red in r02).",
 )
 def win_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")

@@ -65,20 +65,27 @@ def query(
     return wrap
 
 
-def _driver_check_counts() -> dict[str, int]:
-    """How many past driver rounds produced a CORRECTNESS row per query.
+def _driver_check_history() -> tuple[dict[str, int], set[str]]:
+    """Per-query driver-check count plus the set of currently-red queries.
 
     The driver verifies an insertion-order *prefix* of the registry each
     round (round 1 covered only the first 50 of 114 entries). To get every
     operator a driver-green row across rounds, :func:`all_specs` orders
-    queries least-checked-first, so each round's prefix lands on queries
-    that have no CORRECTNESS row yet. Reads ``CORRECTNESS_r*.json`` at the
-    repo root; missing/corrupt files simply contribute nothing.
+    queries so each round's prefix lands on the queries that need a row
+    most. Reads ``CORRECTNESS_r*.json`` at the repo root; missing/corrupt
+    files simply contribute nothing.
+
+    A query is "red" when its *most recent* driver row has any of
+    rows/schema/hash mismatched or an error — those must be re-verified
+    before spending prefix slots on never-checked queries, otherwise a fix
+    would wait several rounds for its green row (least-checked-first alone
+    queues once-checked-red behind everything never checked).
     """
     import json
     from pathlib import Path
 
     counts: dict[str, int] = {}
+    latest_ok: dict[str, bool] = {}
     root = Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -87,23 +94,43 @@ def _driver_check_counts() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
+        for name, row in rows.items():
             counts[name] = counts.get(name, 0) + 1
-    return counts
+            if isinstance(row, dict):
+                ok = (
+                    row.get("err") is None
+                    and row.get("rows_match", True) is not False
+                    and row.get("schema_match", True) is not False
+                    and row.get("hash_match", True) is not False
+                )
+                latest_ok[name] = ok  # later files overwrite: latest round wins
+    red = {name for name, ok in latest_ok.items() if not ok}
+    return counts, red
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _ensure_loaded()
-    checked = _driver_check_counts()
+    checked, red = _driver_check_history()
     order = {name: i for i, name in enumerate(_REGISTRY)}
-    # Least-checked first; among equally-checked, oracled queries before
-    # rows-only ones (a hash-green row is worth more than a rows-only row),
-    # then stable registration order.
+    # Priority tiers: (0) red on the latest driver round — a fix needs its
+    # green row next round, (1) everything else least-checked-first. Among
+    # equally-checked, the never-driver-validated tiers the north star
+    # weighs most come first (§2.9 streaming — small, fits whole — then
+    # §2.10 LLM/curation ops), then oracled queries before rows-only ones
+    # (a hash-green row is worth more than a rows-only row), then stable
+    # registration order.
+    section_prio = {"2.9": 0, "2.10": 1}
     return {
         name: _REGISTRY[name]
         for name in sorted(
             _REGISTRY,
-            key=lambda n: (checked.get(n, 0), _REGISTRY[n].oracle is None, order[n]),
+            key=lambda n: (
+                n not in red,
+                checked.get(n, 0),
+                section_prio.get(_REGISTRY[n].section, 2),
+                _REGISTRY[n].oracle is None,
+                order[n],
+            ),
         )
     }
 
