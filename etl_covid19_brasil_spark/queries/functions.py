@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from etl_covid19_brasil_spark.registry import T, query
 
@@ -1128,7 +1128,7 @@ def fn_from_csv(spark: SparkSession, sf: str) -> DataFrame:
     "fn_datetime_calendar",
     oracle="""
     SELECT o_orderkey,
-           round(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.4375, 4) AS approx_months_since_95,
+           CAST(floor(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.4375 * 10000 + 0.5) AS BIGINT) AS approx_months_since_95_u4,
            CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3mo,
            last_day(CAST(o_orderdate AS DATE)) AS month_end,
            date_trunc('quarter', o_orderdate) AS quarter_start,
@@ -1140,9 +1140,11 @@ def fn_from_csv(spark: SparkSession, sf: str) -> DataFrame:
     "month-end snapping (last_day), quarter truncation and extraction. "
     "months_between's fractional convention differs between engines "
     "(Spark's 31-day rule vs interval months), so the oracle-checkable "
-    "months measure is day-diff / mean-month-length rounded to 4dp — "
-    "the analytics-grade approximation; exact month arithmetic is "
-    "covered by the add_months/last_day round values.",
+    "months measure is day-diff / mean-month-length quantized to "
+    "integer 1e-4 units with the identical floor(x*1e4 + 0.5) formula "
+    "on both sides (round(x, 4) semantics are engine-version-"
+    "dependent); exact month arithmetic is covered by the "
+    "add_months/last_day round values.",
 )
 def fn_datetime_calendar(spark: SparkSession, sf: str) -> DataFrame:
     o = T(spark, sf, "orders")
@@ -1150,7 +1152,9 @@ def fn_datetime_calendar(spark: SparkSession, sf: str) -> DataFrame:
     days = F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
     return o.select(
         "o_orderkey",
-        F.round(days.cast("double") / 30.4375, 4).alias("approx_months_since_95"),
+        F.floor(days.cast("double") / 30.4375 * 10000 + 0.5)
+        .cast("long")
+        .alias("approx_months_since_95_u4"),
         F.add_months(d.cast("date"), 3).alias("plus_3mo"),
         F.last_day(d.cast("date")).alias("month_end"),
         F.date_trunc("quarter", d).alias("quarter_start"),
@@ -1196,31 +1200,37 @@ def fn_string_surgery(spark: SparkSession, sf: str) -> DataFrame:
     "fn_math_trig",
     oracle="""
     SELECT c_custkey,
-           round(sin(c_acctbal / 1000), 6) AS sin_v,
-           round(cos(c_acctbal / 1000), 6) AS cos_v,
-           round(atan2(c_acctbal, 5000.0), 6) AS angle,
-           round(degrees(atan2(c_acctbal, 5000.0)), 6) AS angle_deg,
-           round(tan(c_acctbal / 10000), 6) AS tan_v,
-           round(radians(c_acctbal / 100), 6) AS rad_v
+           CAST(floor(sin(c_acctbal / 1000) * 1000000 + 0.5) AS BIGINT) AS sin_u6,
+           CAST(floor(cos(c_acctbal / 1000) * 1000000 + 0.5) AS BIGINT) AS cos_u6,
+           CAST(floor(atan2(c_acctbal, 5000.0) * 1000000 + 0.5) AS BIGINT) AS angle_u6,
+           CAST(floor(degrees(atan2(c_acctbal, 5000.0)) * 1000000 + 0.5) AS BIGINT) AS angle_deg_u6,
+           CAST(floor(tan(c_acctbal / 10000) * 1000000 + 0.5) AS BIGINT) AS tan_u6,
+           CAST(floor(radians(c_acctbal / 100) * 1000000 + 0.5) AS BIGINT) AS rad_u6
     FROM customer
     """,
     section="2.8",
-    doc="Trigonometry batch: sin/cos/atan2/degrees/tanh — the periodic-"
-    "feature encodings (hour-of-day embeddings) and squashing functions "
-    "feature pipelines apply (tanh is absent from this DuckDB build, "
-    "so tan/radians stand in). House transcendental policy (fn_math): "
-    "engines agree to ~1 ulp, rounded to 6 decimals.",
+    doc="Trigonometry batch: sin/cos/atan2/degrees/tan/radians — the "
+    "periodic-feature encodings (hour-of-day embeddings) feature "
+    "pipelines apply (tanh is absent from this DuckDB build, so "
+    "tan/radians stand in). House transcendental policy (fn_math): "
+    "engines agree to ~1 ulp, quantized to integer micro-units with the "
+    "identical floor(x*1e6 + 0.5) formula on both sides — round(x, 6) "
+    "semantics are engine-version-dependent, the literal formula is not.",
 )
 def fn_math_trig(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer")
     b = F.col("c_acctbal")
     angle = F.atan2(b, F.lit(5000.0))
+
+    def u6(col: Column) -> Column:
+        return F.floor(col * 1000000 + 0.5).cast("long")
+
     return c.select(
         "c_custkey",
-        F.round(F.sin(b / 1000), 6).alias("sin_v"),
-        F.round(F.cos(b / 1000), 6).alias("cos_v"),
-        F.round(angle, 6).alias("angle"),
-        F.round(F.degrees(angle), 6).alias("angle_deg"),
-        F.round(F.tan(b / 10000), 6).alias("tan_v"),
-        F.round(F.radians(b / 100), 6).alias("rad_v"),
+        u6(F.sin(b / 1000)).alias("sin_u6"),
+        u6(F.cos(b / 1000)).alias("cos_u6"),
+        u6(angle).alias("angle_u6"),
+        u6(F.degrees(angle)).alias("angle_deg_u6"),
+        u6(F.tan(b / 10000)).alias("tan_u6"),
+        u6(F.radians(b / 100)).alias("rad_u6"),
     )

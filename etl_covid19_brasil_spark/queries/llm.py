@@ -75,20 +75,23 @@ def text_tokenize_freq(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST((SUM(n_chars) * 1000) // COUNT(*) AS BIGINT) AS avg_chars_milli,
            SUM(len({_O_TOKENS})) AS total_tokens,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents
     GROUP BY lang
     """,
     section="2.10",
-    doc="Per-language corpus statistics (doc counts, char/token totals).",
+    doc="Per-language corpus statistics (doc counts, char/token totals). "
+    "The mean is reported as integer milli-chars (exact-integer sum, "
+    "integer floor-division) — aggregate-derived double ratios are not "
+    "hash-stable across oracle engines (diag_key_skew, r02).",
 )
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.expr("sum(n_chars) * 1000L div count(*)").alias("avg_chars_milli"),
         F.sum(F.size(_tokens()).cast("long")).alias("total_tokens"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
@@ -101,16 +104,18 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     WITH t AS (SELECT doc_id, n_chars, {_O_TOKENS} AS toks FROM documents)
     SELECT doc_id,
            len(toks) AS n_tokens,
-           CAST(len(list_filter(toks, x -> list_contains({_SW_SQL.replace("(", "[").replace(")", "]")}, x))) AS DOUBLE)
-             / len(toks) AS stopword_ratio,
-           CAST(n_chars AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST((len(list_filter(toks, x -> list_contains({_SW_SQL.replace("(", "[").replace(")", "]")}, x))) * 1000000)
+             // len(toks) AS BIGINT) AS stopword_ppm,
+           CAST((n_chars * 1000) // len(toks) AS BIGINT) AS avg_token_len_milli,
            (len(toks) >= 50 AND len(toks) <= 1000) AS len_ok
     FROM t
     """,
     section="2.10",
-    doc="Quality scoring signals: token count, stopword ratio, mean token "
-    "length, length gate — the standard pretraining-corpus filters, all "
-    "as built-in expressions.",
+    doc="Quality scoring signals: token count, stopword ratio (integer "
+    "ppm), mean token length (integer milli-chars), length gate — the "
+    "standard pretraining-corpus filters, all as built-in expressions; "
+    "ratios are integer floor-divisions so the hash survives any oracle "
+    "engine's double semantics.",
 )
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
@@ -120,9 +125,15 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        (sw.cast("double") / n_tok).alias("stopword_ratio"),
-        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        (sw.cast("long") * 1000000).alias("sw_u"),
+        "n_chars",
         ((n_tok >= 50) & (n_tok <= 1000)).alias("len_ok"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("sw_u div n_tokens").alias("stopword_ppm"),
+        F.expr("n_chars * 1000L div n_tokens").alias("avg_token_len_milli"),
+        "len_ok",
     )
 
 
@@ -365,11 +376,12 @@ _JACCARD_CAP = 1000
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           CAST(c.inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - c.inter) AS jaccard
+           CAST((c.inter * 1000000) // (len(sa.sh) + len(sb.sh) - c.inter) AS BIGINT)
+             AS jaccard_ppm
     FROM cand c
     JOIN t sa ON sa.doc_id = c.doc_a
     JOIN t sb ON sb.doc_id = c.doc_b
-    WHERE CAST(c.inter AS DOUBLE) / (len(sa.sh) + len(sb.sh) - c.inter) >= 0.8
+    WHERE c.inter * 5 >= (len(sa.sh) + len(sb.sh) - c.inter) * 4
     """,
     section="2.10",
     doc="Exact shingle-set Jaccard near-dup pairs (threshold 0.8) over the "
@@ -379,9 +391,12 @@ _JACCARD_CAP = 1000
     "count is |A∩B| — pairs sharing no shingle never materialize, so "
     "work tracks real co-occurrence instead of all O(n^2) pairs. Shingle "
     "identity rides xxhash64 longs (same counts as strings modulo "
-    "~n^2/2^64 collisions); jaccard is a ratio of identical integers -> "
-    "bit-identical. This exact tier stays the oracle for "
-    "near_dedup_minhash, which trades it for bounded-signature cost.",
+    "~n^2/2^64 collisions). The 0.8 threshold is applied by INTEGER "
+    "cross-multiplication (5*inter >= 4*union) and jaccard is reported "
+    "as integer ppm — no double ever enters the checked output, so a "
+    "pair at exactly 0.8 cannot flip between engines. This exact tier "
+    "stays the oracle for near_dedup_minhash, which trades it for "
+    "bounded-signature cost.",
 )
 def near_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     d = (
@@ -397,13 +412,19 @@ def near_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = d.select("doc_id", F.size("sh").alias("sz"))
-    jac = F.col("inter").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+    sizes = d.select("doc_id", F.size("sh").cast("long").alias("sz"))
+    union = F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
     return (
         cand.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("inter") * 5 >= union * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") * 1000000).alias("inter_u"),
+            union.alias("uni"),
+        )
+        .select("doc_a", "doc_b", F.expr("inter_u div uni").alias("jaccard_ppm"))
     )
 
 

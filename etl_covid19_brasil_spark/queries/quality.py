@@ -100,16 +100,19 @@ def _bigrams(w: F.Column) -> F.Column:
       FROM bg_freq GROUP BY doc_id
     )
     SELECT l.doc_id, l.n_lines, l.n_dup_lines,
-           CAST(l.n_dup_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+           CAST((l.n_dup_lines * 1000000) // l.n_lines AS BIGINT) AS dup_line_ppm,
            b.n_bigrams, b.top_bigram_n,
-           CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams AS top_bigram_frac
+           CAST((b.top_bigram_n * 1000000) // b.n_bigrams AS BIGINT) AS top_bigram_ppm
     FROM line_sig l JOIN bg_sig b USING (doc_id)
     """,
     section="2.10",
     doc="Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc "
     "duplicate-line fraction (over 5-token pseudo-lines) and most-frequent-"
     "bigram mass fraction — the filters that drop boilerplate-heavy and "
-    "degenerate-repetition documents from a pretraining corpus. All "
+    "degenerate-repetition documents from a pretraining corpus. Fractions "
+    "are reported as integer parts-per-million (integer floor-division of "
+    "the exact counts, which are also output) — the hashable form that "
+    "survives any oracle engine's double promotion rules. All "
     "frequency tables are PER DOCUMENT, so the whole operator is a map-side "
     "projection plus one doc_id-keyed aggregation — no corpus-wide shuffle.",
 )
@@ -140,14 +143,10 @@ def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "n_lines",
             "n_dup_lines",
-            (F.col("n_dup_lines").cast("double") / F.col("n_lines")).alias(
-                "dup_line_frac"
-            ),
+            F.expr("n_dup_lines * 1000000L div n_lines").alias("dup_line_ppm"),
             "n_bigrams",
             "top_bigram_n",
-            (F.col("top_bigram_n").cast("double") / F.col("n_bigrams")).alias(
-                "top_bigram_frac"
-            ),
+            F.expr("top_bigram_n * 1000000L div n_bigrams").alias("top_bigram_ppm"),
         )
     )
 
@@ -408,7 +407,7 @@ _MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN = 2.0, 12.0
     WITH toks AS (SELECT doc_id, {_O_TOKENS} AS w FROM documents),
     base AS (
       SELECT doc_id, len(w) AS n_words,
-             CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w) AS mean_word_len
+             len(array_to_string(w, '')) AS n_letters
       FROM toks
     ),
     lines AS (
@@ -421,7 +420,8 @@ _MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN = 2.0, 12.0
     line_freq AS (SELECT doc_id, line, COUNT(*) AS n FROM lines GROUP BY doc_id, line),
     line_sig AS (
       SELECT doc_id,
-             CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS DOUBLE) / SUM(n) AS dup_line_frac
+             CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS BIGINT) AS n_dup_lines,
+             CAST(SUM(n) AS BIGINT) AS n_lines
       FROM line_freq GROUP BY doc_id
     ),
     bigrams AS (
@@ -431,17 +431,18 @@ _MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN = 2.0, 12.0
     ),
     bg_freq AS (SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg),
     bg_sig AS (
-      SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(n) AS BIGINT) AS n_bigrams
       FROM bg_freq GROUP BY doc_id
     )
     SELECT b.doc_id,
            CASE
              WHEN b.n_words < {_MIN_WORDS} THEN 'too_short'
              WHEN b.n_words > {_MAX_WORDS} THEN 'too_long'
-             WHEN b.mean_word_len < {_MIN_MEAN_WORD_LEN}
-               OR b.mean_word_len > {_MAX_MEAN_WORD_LEN} THEN 'word_len_outlier'
-             WHEN l.dup_line_frac > {_MAX_DUP_LINE_FRAC} THEN 'repeated_lines'
-             WHEN COALESCE(g.top_bigram_frac, 0.0) > {_MAX_TOP_BIGRAM_FRAC} THEN 'repeated_bigram'
+             WHEN b.n_letters < {int(_MIN_MEAN_WORD_LEN)} * b.n_words
+               OR b.n_letters > {int(_MAX_MEAN_WORD_LEN)} * b.n_words THEN 'word_len_outlier'
+             WHEN l.n_dup_lines * 10 > l.n_lines * 3 THEN 'repeated_lines'
+             WHEN g.top_bigram_n * 5 > g.n_bigrams THEN 'repeated_bigram'
              ELSE 'keep'
            END AS verdict
     FROM base b
@@ -450,23 +451,28 @@ _MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN = 2.0, 12.0
     """,
     section="2.10",
     doc="Composite pretraining curation filter (Gopher-rule shape, Rae et "
-    "al. 2021 §A1.1): word-count window, mean-word-length window, "
-    "duplicate-line fraction, and top-bigram mass, folded into one "
-    "keep/drop verdict with the FIRST violated rule as the reason — the "
-    "operator a corpus pipeline runs to gate documents before "
-    "tokenization. Same scale shape as text_repetition_signals: all "
-    "frequency tables are per-document, one doc_id-keyed aggregation "
-    "shuffle, no corpus-wide exchange; the rule cascade itself is a pure "
-    "projection.",
+    "al. 2021 §A1.1): word-count window, mean-word-length window "
+    "(2..12), duplicate-line fraction (> 0.30), and top-bigram mass "
+    "(> 0.20), folded into one keep/drop verdict with the FIRST violated "
+    "rule as the reason — the operator a corpus pipeline runs to gate "
+    "documents before tokenization. Every threshold is evaluated by "
+    "EXACT integer cross-multiplication (n_letters < 2*n_words, "
+    "10*n_dup > 3*n_lines, 5*top_bigram > n_bigrams, ...) — no double "
+    "ratio ever exists, so a document sitting exactly on a threshold "
+    "cannot flip between engines (aggregate-derived double ratios went "
+    "driver-red in r02 on diag_key_skew). A missing bigram row (1-token "
+    "doc) makes the bigram predicate NULL, which falls through to "
+    "'keep' in both engines' CASE semantics. Same scale shape as "
+    "text_repetition_signals: all frequency tables are per-document, "
+    "one doc_id-keyed aggregation shuffle, no corpus-wide exchange; the "
+    "rule cascade itself is a pure projection.",
 )
 def curation_filter_gopher(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents").select("doc_id", _TOKENS().alias("w"))
     base = d.select(
         "doc_id",
         F.size("w").alias("n_words"),
-        (
-            F.length(F.array_join("w", "")).cast("double") / F.size("w")
-        ).alias("mean_word_len"),
+        F.length(F.array_join("w", "")).alias("n_letters"),
     )
     lines = d.select("doc_id", F.explode(_lines(F.col("w"))).alias("line"))
     line_sig = (
@@ -474,10 +480,10 @@ def curation_filter_gopher(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("doc_id")
         .agg(
-            (
-                F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)).cast("double")
-                / F.sum("n")
-            ).alias("dup_line_frac")
+            F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)).alias(
+                "n_dup_lines"
+            ),
+            F.sum("n").alias("n_lines"),
         )
     )
     bigrams = d.filter(F.size("w") >= 2).select(
@@ -487,20 +493,19 @@ def curation_filter_gopher(spark: SparkSession, sf: str) -> DataFrame:
         bigrams.groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("doc_id")
-        .agg((F.max("n").cast("double") / F.sum("n")).alias("top_bigram_frac"))
+        .agg(F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams"))
     )
     joined = base.join(line_sig, "doc_id").join(bg_sig, "doc_id", "left")
     verdict = (
         F.when(F.col("n_words") < _MIN_WORDS, "too_short")
         .when(F.col("n_words") > _MAX_WORDS, "too_long")
         .when(
-            (F.col("mean_word_len") < _MIN_MEAN_WORD_LEN)
-            | (F.col("mean_word_len") > _MAX_MEAN_WORD_LEN),
+            (F.col("n_letters") < int(_MIN_MEAN_WORD_LEN) * F.col("n_words"))
+            | (F.col("n_letters") > int(_MAX_MEAN_WORD_LEN) * F.col("n_words")),
             "word_len_outlier",
         )
-        .when(F.col("dup_line_frac") > _MAX_DUP_LINE_FRAC, "repeated_lines")
-        .when(F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) > _MAX_TOP_BIGRAM_FRAC,
-              "repeated_bigram")
+        .when(F.col("n_dup_lines") * 10 > F.col("n_lines") * 3, "repeated_lines")
+        .when(F.col("top_bigram_n") * 5 > F.col("n_bigrams"), "repeated_bigram")
         .otherwise("keep")
     )
     return joined.select("doc_id", verdict.alias("verdict"))

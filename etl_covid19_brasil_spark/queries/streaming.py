@@ -20,7 +20,8 @@ from etl_covid19_brasil_spark.registry import T, query
 @query(
     "stream_tumbling_window",
     oracle="""
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+    SELECT time_bucket(INTERVAL '5 minutes',
+                       make_timestamp(epoch_ns(ts) // 1000)) AS window_start,
            event_type,
            COUNT(*) AS n_events
     FROM events
@@ -30,7 +31,10 @@ from etl_covid19_brasil_spark.registry import T, query
     doc="Tumbling 5-minute windowed counts per event type — "
     "groupBy(window('ts','5 minutes')) in both batch and streaming "
     "(streaming/jobs.py:tumbling_counts runs it with readStream + "
-    "watermark).",
+    "watermark). The oracle buckets the MICROSECOND-truncated timestamp "
+    "(epoch_ns // 1000 == Spark's ns->us parquet read) so an oracle "
+    "engine that reads the nanos parquet at full TIMESTAMP_NS precision "
+    "assigns every event to the same bucket Spark does.",
 )
 def stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
@@ -44,12 +48,15 @@ def stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "stream_sliding_window",
     oracle="""
-    WITH assigned AS (
-      SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type FROM events
+    WITH src AS (
+      SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts_us, event_type FROM events
+    ),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts_us) AS window_start, event_type FROM src
       UNION ALL
-      SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS window_start,
+      SELECT time_bucket(INTERVAL '10 minutes', ts_us, INTERVAL '5 minutes') AS window_start,
              event_type
-      FROM events
+      FROM src
     )
     SELECT window_start, event_type, COUNT(*) AS n_events
     FROM assigned GROUP BY 1, 2
@@ -57,7 +64,8 @@ def stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     section="2.9",
     doc="Sliding window (10 min length, 5 min slide): every event lands in "
     "two overlapping windows; the oracle reproduces the assignment with "
-    "two offset time_buckets.",
+    "two offset time_buckets over the microsecond-truncated timestamp "
+    "(matches Spark's ns->us parquet read under any oracle precision).",
 )
 def stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
@@ -71,21 +79,24 @@ def stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "stream_session_window",
     oracle="""
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL '30 minutes'
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    WITH src AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ),
+    marked AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       >= 1800000000
+                  OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM src
     ),
     sessions AS (
-      SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM marked
     )
-    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
     FROM sessions GROUP BY user_id, session_id
     """,
     section="2.9",
@@ -94,14 +105,22 @@ def stream_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     "Spark's session end is EXCLUSIVE (a gap of exactly 30 minutes opens "
     "a new session), so the oracle's gap predicate is >=, and both "
     "windows tie-break on event_id so adversarial equal-ts data stays "
-    "deterministic.",
+    "deterministic. The whole oracle runs on INTEGER microseconds "
+    "(epoch_ns // 1000 == Spark's ns->us parquet truncation) and the "
+    "session start is returned as integer micros on both sides, so "
+    "neither the gap boundary nor the output can shift under a "
+    "TIMESTAMP_NS-reading oracle engine.",
 )
 def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
     )
 
 
@@ -119,11 +138,14 @@ def stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "stream_interval_join",
     oracle="""
+    WITH src AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+    )
     SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
-    FROM events c JOIN events p
+           p.us - c.us AS lag_us
+    FROM src c JOIN src p
       ON c.user_id = p.user_id
-     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+     AND p.us >= c.us AND p.us <= c.us + 1800000000
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """,
     section="2.9",
@@ -147,7 +169,7 @@ def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
-           MAX(ts) AS last_ts
+           MAX(epoch_ns(ts) // 1000) AS last_ts_us
     FROM events GROUP BY user_id
     """,
     section="2.9",
@@ -182,7 +204,7 @@ def stream_arbitrary_state(spark: SparkSession, sf: str) -> DataFrame:
             "user_id",
             "n_events",
             (F.col("total_value_cents").cast("double") / 100.0).alias("total_value"),
-            "last_ts",
+            F.unix_micros(F.col("last_ts")).alias("last_ts_us"),
         )
     )
 
@@ -190,7 +212,8 @@ def stream_arbitrary_state(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "stream_static_enrich",
     oracle="""
-    SELECT time_bucket(INTERVAL '5 minutes', e.ts) AS window_start,
+    SELECT time_bucket(INTERVAL '5 minutes',
+                       make_timestamp(epoch_ns(e.ts) // 1000)) AS window_start,
            COALESCE(c.c_mktsegment, '(none)') AS segment,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
