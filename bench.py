@@ -109,6 +109,13 @@ def _etl_covid(spark, sf: float):
     return covid_pipeline(raw)
 
 
+def _env_versions() -> dict:
+    import duckdb
+    import pyspark
+
+    return {"pyspark": pyspark.__version__, "duckdb": duckdb.__version__}
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,6 +178,10 @@ def main() -> None:
                 "sf": sf_val,
                 "prev_round": prev_file,
                 "delta_vs_prev": delta,
+                # env fingerprint: oracle divergence (like r02's four
+                # hash-reds) is diagnosable only if the artifact records
+                # which engine versions produced the round's numbers.
+                "env": _env_versions(),
             }
         )
     )

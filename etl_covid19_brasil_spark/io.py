@@ -441,8 +441,8 @@ def register_jsonl_sink(spark: SparkSession) -> None:
     )
 
     class _Msg(WriterCommitMessage):
-        def __init__(self, path: str):
-            self.path = path
+        def __init__(self, tmp: str, final: str):
+            self.tmp, self.final = tmp, final
 
     class _Writer(DataSourceWriter):
         def __init__(self, options, overwrite: bool):
@@ -451,20 +451,34 @@ def register_jsonl_sink(spark: SparkSession) -> None:
                 raise ValueError("jsonl_sink requires a path option")
 
         def write(self, rows):
-            pid = TaskContext.get().partitionId()
-            out = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
-            with open(out, "w") as fh:
+            # Two-phase: tasks write to an ATTEMPT-UNIQUE temp name; only
+            # commit() (driver, after every task succeeded) renames to the
+            # final name. A task dying mid-write leaves a sweepable .tmp,
+            # never a torn final file; speculative duplicate attempts
+            # cannot interleave on one path.
+            ctx = TaskContext.get()
+            pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+            final = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            tmp = final + f".{attempt}.tmp"
+            with open(tmp, "w") as fh:
                 for row in rows:
                     fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
-            return _Msg(out)
+            return _Msg(tmp, final)
 
-        def commit(self, messages):  # files are final once every task reports
+        def commit(self, messages):
+            for m in messages:
+                _os.replace(m.tmp, m.final)
             return None
 
         def abort(self, messages):
             for m in messages:
-                if m is not None and _os.path.exists(m.path):
-                    _os.remove(m.path)
+                if m is not None and _os.path.exists(m.tmp):
+                    _os.remove(m.tmp)
+            # Sweep temp files from attempts that died before reporting.
+            import glob as _glob
+
+            for leftover in _glob.glob(_os.path.join(self.path, "*.tmp")):
+                _os.remove(leftover)
 
     class _JsonlSink(DataSource):
         @classmethod

@@ -101,18 +101,17 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _tiles(
-    vectors: DataFrame, id_col: str, vec_col: str, max_index_rows: int
+    vectors: DataFrame, id_col: str, vec_col: str, n_tiles: int
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Yield the index as (ids, normalized matrix) tiles of at most
-    ``max_index_rows`` rows each. One tile is resident at a time; tiles
+    """Yield the index as (ids, normalized matrix) tiles. One tile is
+    resident at a time — callers must consume lazily (never ``list()``
+    this generator, or every tile is live on the driver at once); tiles
     partition the index by a deterministic key hash."""
-    n = vectors.count()
     src = vectors.select(id_col, vec_col)
-    if n <= max_index_rows:
+    if n_tiles == 1:
         pdf = src.toPandas()
         yield pdf[id_col].to_numpy(dtype=np.int64), _normalize(np.stack(pdf[vec_col].to_numpy()))
         return
-    n_tiles = math.ceil(n / max_index_rows)
     for t in range(n_tiles):
         pdf = src.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)) == t).toPandas()
         if len(pdf):
@@ -134,14 +133,15 @@ def _tiled_scan(
     """Run ``make_kernel(broadcast)`` over the query stream once per index
     tile. Multi-tile partials are eagerly materialized (localCheckpoint)
     so each tile's broadcast is released before the next loads — peak
-    memory is one tile regardless of index size. Returns (partials,
-    single_tile)."""
+    memory is one tile regardless of index size (the generator is
+    consumed lazily; only the tile inside the loop body is live).
+    Returns (partials, single_tile)."""
     spark = queries.sparkSession
     src = _spread(queries.select(id_col, vec_col))
     partials: list[DataFrame] = []
-    tiles = list(_tiles(vectors, id_col, vec_col, max_index_rows))
-    single = len(tiles) == 1
-    for ids, mat in tiles:
+    n_tiles = max(1, math.ceil(vectors.count() / max_index_rows))
+    single = n_tiles == 1
+    for ids, mat in _tiles(vectors, id_col, vec_col, n_tiles):
         bc = spark.sparkContext.broadcast((ids, mat))
         part = src.mapInPandas(make_kernel(bc), schema=schema)
         if not single:

@@ -75,13 +75,19 @@ def bloom_semi_join(
     num_bits: int = 1 << 15,
     n_hashes: int = 3,
 ) -> DataFrame:
-    """``probe ⋉ build`` with bloom pre-pruning; result == plain semi-join."""
-    bf = build_bloom(build.select(build_key), build_key, num_bits, n_hashes)
+    """``probe ⋉ build`` with bloom pre-pruning; result == plain semi-join.
+
+    The filter column carries an internal name and the join condition uses
+    dataframe-qualified columns, so ``probe_key == build_key`` (the common
+    natural-key case) and a pre-existing ``bf`` column both work."""
+    bf = build_bloom(build.select(build_key), build_key, num_bits, n_hashes).withColumnRenamed(
+        "bf", "__bloom_bf"
+    )
     pruned = (
         probe.crossJoin(F.broadcast(bf))  # one-row build side: trivial broadcast
-        .filter(might_contain(F.col("bf"), F.col(probe_key), num_bits, n_hashes))
-        .drop("bf")
+        .filter(might_contain(F.col("__bloom_bf"), probe[probe_key], num_bits, n_hashes))
+        .drop("__bloom_bf")
     )
     return pruned.join(
-        build, F.col(probe_key) == build[build_key], "left_semi"
+        build, pruned[probe_key] == build[build_key], "left_semi"
     )

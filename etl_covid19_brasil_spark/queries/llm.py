@@ -705,15 +705,16 @@ def media_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     oracle=None,  # approximate by construction -> rows-only
     section="2.10",
     doc="IVF approximate nearest neighbors: coarse-quantize into Voronoi "
-    "cells, index vectors live in 1 cell, queries probe their 3 nearest "
-    "cells, candidates meet in an equi-join on the cell id — the second "
-    "ANN scale path next to ann_lsh_topk (recall floor pinned in "
-    "tests/test_ann_recall.py). See llm/ann.py:ivf_topk.",
+    "cells, index vectors live in 1 cell, queries probe their n_probe "
+    "nearest cells, candidates meet in an equi-join on the cell id — the "
+    "second ANN scale path next to ann_lsh_topk (recall >= 0.8 pinned in "
+    "tests/test_ann_recall.py; the near-random test embeddings need a "
+    "generous probe fraction — see llm/ann.py:ivf_topk probe-count note).",
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivf_topk
 
-    return ivf_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=5)
+    return ivf_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=10)
 
 
 @query(
@@ -1443,7 +1444,7 @@ def ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
 
     e = T(spark, sf, "embeddings")
     cents = kmeans_lloyd(e, k=16, iters=3)
-    return ivf_topk(e, k=5, n_probe=5, centroids=cents)
+    return ivf_topk(e, k=5, n_probe=10, centroids=cents)
 
 
 @query(
@@ -1539,16 +1540,16 @@ def corpus_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
     "candidates meet in trained IVF cells, the index side carries only "
     "8 one-byte PQ codes per vector (64x smaller than raw float64), and "
     "queries score candidates via per-subspace asymmetric-distance "
-    "lookup tables — the faiss IVFPQ layout on DataFrames. The "
+    "lookup tables — the faiss IVFPQ layout on DataFrames — and the "
+    "surviving rerank*k candidates per query join back to exact vectors "
+    "for a final exact-cosine re-rank (two-stage retrieval). The "
     "memory-bounded tier for vector corpora that outgrow float storage; "
-    "recall floor pinned in tests/test_ann_recall.py (~0.49 vs "
-    "IVF-flat's ~0.55 at the same probe budget, for 1/64 the index "
-    "bytes).",
+    "recall >= 0.8 pinned in tests/test_ann_recall.py.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
 
-    return ivfpq_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=5)
+    return ivfpq_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=10)
 
 
 @query(

@@ -327,6 +327,10 @@ def file_replay_stream_split(
     """
     from etl_covid19_brasil_spark.io import load_table
 
+    # HARNESS-ONLY full-table toPandas: this function is the local test
+    # rig that STAGES a replayable stream from the small fixture table —
+    # it is not an operator path. Production streams arrive from Kafka /
+    # files and never transit the driver.
     events = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
     # stage at microsecond precision: pandas' default ns timestamps would
     # round-trip as TIMESTAMP(NANOS) and hit the same legacy-long reading

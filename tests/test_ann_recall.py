@@ -8,8 +8,12 @@ shipping an ANN index that returns noise.
 Expected values (measured at sf0.01): hyperplane LSH at 4 planes x 5
 tables with 1-bit multi-probe ~0.97 recall of true top-5 neighbors
 (cosine ~0.5 => theta ~60 deg; per-table inclusion P(hamming<=1) ~0.59
-with probing vs ~0.20 signature-only); IVF probing 5/16 cells
-~0.55; MinHash banding at s>=0.8 has P(candidate) ~0.99+ by the S-curve,
+with probing vs ~0.20 signature-only); IVF probing 10/16 cells ~0.84
+untrained / ~0.89 trained (the near-random embeddings cluster weakly, so
+recall needs a generous probe fraction — 5/16 measured only ~0.55/~0.65);
+IVF-PQ with exact-cosine re-ranking of rerank*k ADC candidates recovers
+~the IVF-flat ceiling (raw ADC scores capped at ~0.6 from quantizer
+misranking); MinHash banding at s>=0.8 has P(candidate) ~0.99+ by the S-curve,
 so recall 1.0 of the >=0.8-Jaccard truth set with precision 1.0 (exact
 verification step). These floors sit safely below measurements but far
 above broken-implementation levels — the original motivation: a
@@ -53,7 +57,7 @@ def test_ivf_recall_floor(spark, truth_topk):
 
     rows = ivf_topk(load_table(spark, SF, "embeddings"), k=5).collect()
     r = _recall(rows, truth_topk)
-    assert r >= 0.45, f"IVF recall collapsed: {r:.3f}"
+    assert r >= 0.8, f"IVF recall collapsed: {r:.3f}"  # measured 0.837 @ n_probe=10
 
 
 def test_minhash_recall_of_true_near_dups(spark):
@@ -120,10 +124,10 @@ def test_ivf_trained_recall_floor(spark, truth_topk):
 
     e = load_table(spark, SF, "embeddings")
     cents = kmeans_lloyd(e, k=16, iters=3)
-    rows = ivf_topk(e, k=5, n_probe=5, centroids=cents).collect()
+    rows = ivf_topk(e, k=5, n_probe=10, centroids=cents).collect()
     r = _recall(rows, truth_topk)
     print(f"trained IVF recall: {r:.3f}")
-    assert r >= 0.45, f"trained IVF recall below untrained floor: {r:.3f}"
+    assert r >= 0.85, f"trained IVF recall collapsed: {r:.3f}"  # measured 0.894
 
 
 def test_pq_reconstruction_beats_mean_baseline(spark):
@@ -157,16 +161,17 @@ def test_pq_reconstruction_beats_mean_baseline(spark):
 
 
 def test_ivfpq_recall_floor(spark, truth_topk):
-    """IVF-PQ trades recall for a 64x smaller index; it must still find a
-    solid fraction of true neighbors (floor pinned ~10% under measured)."""
+    """IVF-PQ keeps a 64x smaller index; with exact-cosine re-ranking of
+    the ADC candidate set it must recover near the IVF-flat ceiling
+    (raw ADC ranking alone measured only ~0.49-0.60)."""
     from etl_covid19_brasil_spark.io import load_table
     from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
 
     e = load_table(spark, SF, "embeddings")
-    rows = ivfpq_topk(e, k=5, n_cells=16, n_probe=5).collect()
+    rows = ivfpq_topk(e, k=5, n_cells=16, n_probe=10).collect()
     r = _recall(rows, truth_topk)
-    print(f"IVFPQ recall: {r:.3f}")  # measured 0.486 at pq_k=256 (8x8-bit)
-    assert r >= 0.4, f"IVFPQ recall collapsed: {r:.3f}"
+    print(f"IVFPQ recall: {r:.3f}")
+    assert r >= 0.8, f"IVFPQ recall collapsed: {r:.3f}"
 
 
 def test_int8_quantization_error_is_bounded(spark):

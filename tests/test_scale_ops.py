@@ -241,6 +241,22 @@ def test_bloom_false_positive_rate_is_engineered(spark):
     assert pruned - matching <= 5, (pruned, matching)
 
 
+def test_bloom_same_name_key_and_bf_collision(spark):
+    """probe_key == build_key (natural semi-join) must not raise
+    AMBIGUOUS_REFERENCE, and a pre-existing probe column named 'bf' must
+    survive the internal filter column."""
+    from etl_covid19_brasil_spark.operators.bloom import bloom_semi_join
+
+    build = spark.range(100).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(1000).select(F.col("id").alias("k"), F.lit("keep").alias("bf"))
+    got = bloom_semi_join(probe, build, "k", "k")
+    want = probe.join(build, probe["k"] == build["k"], "left_semi")
+    assert got.columns == ["k", "bf"]
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_bloom_handles_negative_keys(spark):
     """xxhash64 goes negative on half its outputs; pmod must keep bit
     positions in range and the no-false-negative guarantee must hold for
