@@ -143,26 +143,46 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    timings: dict[str, float] = {}
+    # One broken query must not zero the whole round's bench artifact
+    # (r03/r04 lost ALL timings to a single AnalysisException): each
+    # query records null on failure and the run continues.
+    timings: dict[str, float | None] = {}
+    failed: list[str] = []
+
+    def run_one(name: str, build) -> None:
+        try:
+            timings[name] = timed(build)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            timings[name] = None
+            failed.append(name)
+            first = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+            print(f"[bench] {name} FAILED: {first}", file=sys.stderr)
+
     for name in HEADLINE:
-        timings[name] = timed(lambda: specs[name].spark(spark, SF_DIR))
-    timings["etl_covid_pipeline"] = timed(lambda: _etl_covid(spark, sf_val))
+        run_one(name, lambda: specs[name].spark(spark, SF_DIR))
+    run_one("etl_covid_pipeline", lambda: _etl_covid(spark, sf_val))
 
     # Self-reporting regressions: diff against the latest recorded round
     # (delta > 0 means slower than last round). Stderr commentary only —
     # stdout stays ONE JSON line by contract.
     prev_file, prev_queries = None, {}
-    benches = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
-    if benches:
+    # Walk back to the newest round that actually produced timings — a
+    # crashed round's artifact is {"parsed": null} (r03/r04) and must be
+    # skipped, not dereferenced.
+    for bench_path in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"), reverse=True):
         try:
-            prev = json.loads(benches[-1].read_text())
+            prev = json.loads(bench_path.read_text())
             # the driver wraps our JSON line under "parsed"
-            prev = prev.get("parsed", prev)
-            prev_file, prev_queries = benches[-1].name, prev.get("queries", {})
+            prev = prev.get("parsed", prev) or {}
+            if prev.get("queries"):
+                prev_file, prev_queries = bench_path.name, prev["queries"]
+                break
         except (OSError, ValueError):
-            pass
+            continue
     delta = {
-        q: round(t - prev_queries[q], 3) for q, t in timings.items() if q in prev_queries
+        q: round(t - prev_queries[q], 3)
+        for q, t in timings.items()
+        if q in prev_queries and t is not None and prev_queries[q] is not None
     }
     for q, d in sorted(delta.items(), key=lambda kv: -abs(kv[1])):
         if abs(d) >= 0.25:
@@ -172,9 +192,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(t for t in timings.values() if t is not None), 3),
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": sf_val,
                 "prev_round": prev_file,
                 "delta_vs_prev": delta,

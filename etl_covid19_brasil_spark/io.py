@@ -355,10 +355,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(df.dtypes).get("ts")
+    if ts_dtype == "bigint":
         import pyspark.sql.functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # Spark 4.1 reads TIMESTAMP(NANOS) parquet as timestamp_ntz;
+        # unix_micros()/withWatermark() require TIMESTAMP. The session TZ is
+        # pinned UTC above, so the cast is a relabel, not a wall-clock shift.
+        import pyspark.sql.functions as F
+
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -73,6 +73,19 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[b
     b = _normalize(oracle_pdf)
     for c in a.columns:
         sa, sb = a[c], b[c]
+        # Dtype-strict: the driver hashes values dtype-sensitively, so an
+        # int64 Spark column vs a float64 oracle column (DuckDB HUGEINT
+        # SUM -> pandas float) is a driver hash-FAIL even when every value
+        # is equal. r02-r04 shipped 10 such reds while this harness
+        # coerced them equal — never compare int to float as a pass.
+        if pd.api.types.is_integer_dtype(sa) != pd.api.types.is_integer_dtype(sb) or (
+            pd.api.types.is_float_dtype(sa) != pd.api.types.is_float_dtype(sb)
+        ):
+            return False, (
+                f"dtype mismatch in column {c!r}: spark={sa.dtype} "
+                f"oracle={sb.dtype} (driver hash is dtype-strict; "
+                f"CAST the oracle side)"
+            )
         if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
             eq = (sa.astype("float64").fillna(float("nan")).values == sb.astype("float64").fillna(float("nan")).values) | (
                 sa.isna().values & sb.isna().values

@@ -164,7 +164,7 @@ def fn_datetime_week(spark: SparkSession, sf: str) -> DataFrame:
              AS bal_ln_u6,
            CAST(floor(exp(c_acctbal / 10000) * 1000000 + 0.5) AS BIGINT)
              AS bal_exp_u6,
-           sign(c_acctbal - 5000) AS bal_sign,
+           CAST(sign(c_acctbal - 5000) AS DOUBLE) AS bal_sign,
            greatest(c_acctbal, 5000.0) AS bal_hi,
            least(c_acctbal, 5000.0) AS bal_lo,
            c_acctbal * c_acctbal AS bal_sq

@@ -76,7 +76,7 @@ def text_tokenize_freq(spark: SparkSession, sf: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST((SUM(n_chars) * 1000) // COUNT(*) AS BIGINT) AS avg_chars_milli,
-           SUM(len({_O_TOKENS})) AS total_tokens,
+           CAST(SUM(len({_O_TOKENS})) AS BIGINT) AS total_tokens,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents
     GROUP BY lang
@@ -697,7 +697,14 @@ def media_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.multimodal import documents_as_media, extract_features
 
     media = documents_as_media(T(spark, sf, "documents"))
-    return extract_features(media, fake=True)
+    # Feature vector joins to a scalar string: checked outputs must carry
+    # no array cells (the driver canonicalizer sorts every column).
+    return extract_features(media, fake=True).select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(F.col("feature").cast("array<string>"), ",").alias("feature"),
+    )
 
 
 @query(
@@ -782,7 +789,7 @@ def doc_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
                 THEN 'holdout' ELSE 'train' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -1209,11 +1216,12 @@ def _rp_sign(i: F.Column, j: int) -> F.Column:
       FROM embeddings
     )
     SELECT vec_id, label, mn AS scale_min, mx AS scale_max,
-           CASE WHEN mx = mn
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding,
-                       x -> CAST(round((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS INTEGER))
-           END AS q
+           array_to_string(
+             CASE WHEN mx = mn
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> CAST(round((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS INTEGER))
+             END, ',') AS q
     FROM s
     """,
     section="2.10",
@@ -1241,12 +1249,15 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("int"),
         )
     )
+    # Codes are emitted as a comma-joined string: driver-side result
+    # canonicalization sorts every output column, and array cells are
+    # unhashable there — scalar columns only in checked query outputs.
     return s.select(
         "vec_id",
         "label",
         F.col("mn").alias("scale_min"),
         F.col("mx").alias("scale_max"),
-        q.alias("q"),
+        F.array_join(q.cast("array<string>"), ",").alias("q"),
     )
 
 
@@ -1465,7 +1476,12 @@ def embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
 
     e = T(spark, sf, "embeddings")
     books = pq_train(e, m=8, k=16, iters=8)
-    return pq_encode(e, books)
+    # Byte codes join to a scalar string (no array cells in checked outputs).
+    return pq_encode(e, books).select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+        "recon_mse",
+    )
 
 
 # target mixture for corpus_mix_weighted: rebalance the en-heavy corpus
@@ -1490,7 +1506,7 @@ _MIX_W_SQL = "CASE lang " + " ".join(
     SELECT lang,
            CAST(round(({_MIX_W_SQL}) * b) AS BIGINT) AS quota,
            COUNT(*) AS n_taken,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM ranked, budget
     WHERE rk <= CAST(round(({_MIX_W_SQL}) * b) AS BIGINT)
     GROUP BY lang, b

@@ -84,8 +84,8 @@ def _bigrams(w: F.Column) -> F.Column:
     ),
     line_freq AS (SELECT doc_id, line, COUNT(*) AS n FROM lines GROUP BY doc_id, line),
     line_sig AS (
-      SELECT doc_id, SUM(n) AS n_lines,
-             COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS n_dup_lines
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_lines,
+             CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS BIGINT) AS n_dup_lines
       FROM line_freq GROUP BY doc_id
     ),
     bigrams AS (
@@ -96,7 +96,7 @@ def _bigrams(w: F.Column) -> F.Column:
     ),
     bg_freq AS (SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg),
     bg_sig AS (
-      SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bigram_n
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, MAX(n) AS top_bigram_n
       FROM bg_freq GROUP BY doc_id
     )
     SELECT l.doc_id, l.n_lines, l.n_dup_lines,
@@ -219,7 +219,7 @@ _CAPACITY = 256  # tokens per packed context bin
              AS BIGINT) AS bin
       FROM toks
     )
-    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+    SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
     FROM placed GROUP BY lang, bin
     """,
     section="2.10",
@@ -357,7 +357,7 @@ _DEFAULT_PCT = 50
                ELSE {_DEFAULT_PCT} END AS keep_pct
       FROM documents
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM gated WHERE slot < keep_pct GROUP BY lang
     """,
@@ -611,7 +611,7 @@ def dq_constraint_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT lang, bin,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            string_agg(norm_text, ' <|doc|> ' ORDER BY doc_id) AS packed_text
     FROM placed GROUP BY lang, bin
     """,

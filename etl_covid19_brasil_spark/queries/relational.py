@@ -1471,7 +1471,7 @@ def table_diff_by_key(spark: SparkSession, sf: str) -> DataFrame:
     ),
     topk AS (SELECT SUM(n) AS top10_rows
              FROM (SELECT n FROM freq ORDER BY n DESC, k ASC LIMIT 10))
-    SELECT s.n_keys, s.n_rows, s.max_key_rows,
+    SELECT s.n_keys, CAST(s.n_rows AS BIGINT) AS n_rows, s.max_key_rows,
            CAST(t.top10_rows AS BIGINT) AS top10_rows,
            CAST((s.max_key_rows * s.n_keys * 1000000) // s.n_rows AS BIGINT)
              AS skew_ppm,

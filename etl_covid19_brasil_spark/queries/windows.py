@@ -197,12 +197,12 @@ def win_percent_cume(spark: SparkSession, sf: str) -> DataFrame:
     "win_range_interval",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           SUM(CAST(l_quantity AS BIGINT))
+           CAST(SUM(CAST(l_quantity AS BIGINT))
              OVER (PARTITION BY l_suppkey
                    ORDER BY date_diff('day', DATE '1970-01-01',
                                       CAST(l_shipdate AS DATE))
                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-             AS qty_7d
+             AS BIGINT) AS qty_7d
     FROM lineitem
     """,
     section="2.5",
@@ -405,9 +405,10 @@ def win_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           SUM(new_session) OVER (
+           CAST(SUM(new_session) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
     FROM marked
     """,
     section="2.5",

@@ -50,8 +50,13 @@ def file_replay_stream(
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(str(stage))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # timestamp_ntz -> timestamp is a relabel under the UTC session TZ;
+        # withWatermark() requires TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

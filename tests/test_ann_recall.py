@@ -198,5 +198,8 @@ def test_int8_quantization_error_is_bounded(spark):
         scale = (row.scale_max - row.scale_min) / 255.0
         if scale == 0:
             continue
-        recon = row.scale_min + np.asarray(row.q, dtype=np.float64) * scale
+        # q is serialized as a comma-joined string (scalar-only output
+        # contract — see test_entry.py array/map guard).
+        codes = np.asarray(row.q.split(","), dtype=np.float64)
+        recon = row.scale_min + codes * scale
         assert np.abs(recon - x).max() <= scale / 2 + 1e-9

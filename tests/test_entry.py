@@ -40,3 +40,25 @@ def test_registry_names_are_unique_and_snake_case(spark):
     names = list(E.queries())
     assert len(names) == len(set(names))
     assert all(re.fullmatch(r"[a-z0-9_]+", n) for n in names)
+
+
+def test_no_array_or_map_columns_in_checked_outputs(spark):
+    """The driver's result canonicalizer sorts every output column with
+    pandas sort_values; array/map cells are unhashable there and crash
+    even rows-only checks (r04: embedding_quantize_int8,
+    media_decode_features, embedding_pq_codes). Checked query outputs
+    must be scalar-only — serialize arrays (concat_ws / array_join)
+    before returning."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = {}
+    for name, fn in E.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"array/map output columns: {offenders}"
