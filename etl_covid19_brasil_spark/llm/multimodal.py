@@ -63,6 +63,113 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real decoders — no external codecs required.
+#
+# PPM (P6) and WAV (RIFF) are fully parseable with numpy + the stdlib,
+# so the decode tier is genuinely real for those formats; PNG/JPEG route
+# through PIL when it is installed (import-gated — this container has no
+# media libs, real deployments pip-install Pillow and the same dispatcher
+# lights up).
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels) -> bytes:
+    """Serialize an (h, w, 3) uint8 array as a binary P6 PPM."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary P6 PPM: returns (width, height, (h, w, 3) uint8).
+
+    Real format parsing — magic, whitespace-delimited header tokens
+    (comments included), maxval check, then the raw pixel plane.
+    """
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 integer tokens; '#' comments run to end-of-line
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    plane = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, plane.reshape(h, w, 3)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Serialize int16 mono samples as a RIFF/WAV byte payload."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAV payload: returns (sample_rate, int16 sample array)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            raise ValueError("only 16-bit mono WAV supported")
+        rate = f.getframerate()
+        samples = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+    return rate, samples
+
+
+def decode_image(payload: bytes):
+    """Real image decode dispatcher: returns (width, height, pixel array).
+
+    P6 PPM decodes in-process; PNG/JPEG need PIL, which is import-gated
+    (absent in this container — deployments install Pillow and the same
+    call path decodes them with zero code change).
+    """
+    import numpy as np
+
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as exc:
+        raise NotImplementedError(
+            "PNG/JPEG decode needs Pillow (not installed here); "
+            "PPM payloads decode natively"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img)
+    return img.width, img.height, arr
+
+
 def decode_image_stub(payload: bytes, fake: bool) -> list[float]:
     """Decode kernel placeholder. Real deployments swap in PIL/libvips here.
 
@@ -101,6 +208,144 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def synth_ppm_media(documents: DataFrame) -> DataFrame:
+    """Synthesize a REAL P6 PPM image per document (deterministic pixels
+    derived from doc_id, width from n_chars) — gives the decode tier true
+    image bytes to parse without vendoring binary fixtures."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = max(int(n_chars), 1)
+                v = (int(doc_id) * 7 + np.arange(2 * w)) % 256
+                pixels = np.repeat(v.astype(np.uint8), 3).reshape(2, w, 3)
+                payloads.append(encode_ppm(pixels))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta_width": pdf["n_chars"].clip(lower=1).astype("int64"),
+                    "meta_height": 2,
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
+def image_ppm_features(media: DataFrame) -> DataFrame:
+    """Decode P6 PPM payloads (real format parsing, decode_ppm) and emit
+    scalar image statistics: dimensions, pixel count, integer luminance
+    sum and milli-mean — the exact-integer feature shape that stays
+    hash-comparable across engines."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                lum = int(arr[:, :, 0].astype("int64").sum())
+                rows.append(
+                    (
+                        int(media_id),
+                        w,
+                        h,
+                        w * h,
+                        lum,
+                        lum * 1000 // (w * h),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "sum_lum",
+                    "mean_lum_milli",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, width long, height long, n_pixels long, "
+            "sum_lum long, mean_lum_milli long"
+        ),
+    )
+
+
+def synth_wav_media(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Synthesize a REAL RIFF/WAV payload per document: constant-amplitude
+    int16 mono signal, n_samples from n_chars, amplitude from doc_id."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = max(int(n_chars), 1)
+                amp = int(doc_id) % 30000
+                payloads.append(
+                    encode_wav(np.full(n, amp, dtype="<i2"), sample_rate)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta_width": pdf["n_chars"].clip(lower=1).astype("int64"),
+                    "meta_height": 1,
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
+def audio_wav_features(media: DataFrame) -> DataFrame:
+    """Decode RIFF/WAV payloads (stdlib wave parser, decode_wav) and emit
+    scalar audio statistics: sample count/rate, integer duration, peak
+    amplitude."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                rows.append(
+                    (
+                        int(media_id),
+                        len(samples),
+                        rate,
+                        len(samples) * 1000 // rate,
+                        int(np.abs(samples.astype("int64")).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate", "duration_ms", "peak"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, n_samples long, sample_rate long, "
+            "duration_ms long, peak long"
+        ),
+    )
 
 
 def resize_images(

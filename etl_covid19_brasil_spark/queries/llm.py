@@ -708,6 +708,65 @@ def media_decode_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "media_image_ppm_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(greatest(n_chars, 1) AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           CAST(2 * greatest(n_chars, 1) AS BIGINT) AS n_pixels,
+           CAST(list_aggregate(
+             list_transform(range(0, 2 * greatest(n_chars, 1)),
+                            i -> (doc_id * 7 + i) % 256), 'sum')
+             AS BIGINT) AS sum_lum,
+           CAST(list_aggregate(
+             list_transform(range(0, 2 * greatest(n_chars, 1)),
+                            i -> (doc_id * 7 + i) % 256), 'sum') * 1000
+             // (2 * greatest(n_chars, 1)) AS BIGINT) AS mean_lum_milli
+    FROM documents
+    """,
+    section="2.10",
+    doc="REAL image decode, hash-checked end-to-end: synthesize a binary "
+    "P6 PPM per document (pixels derived from doc_id, width from "
+    "n_chars — llm/multimodal.py:synth_ppm_media), then parse the actual "
+    "format bytes back (magic, header tokens, raster plane — "
+    "decode_ppm) in an Arrow-batched mapInPandas kernel and emit "
+    "exact-integer luminance stats. The oracle recomputes the pixel "
+    "function arithmetically, so the encode->decode->aggregate loop is "
+    "verified bit-for-bit — no codec library involved; PNG/JPEG route "
+    "through the same decode_image dispatcher when Pillow is installed.",
+)
+def media_image_ppm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.multimodal import image_ppm_features, synth_ppm_media
+
+    return image_ppm_features(synth_ppm_media(T(spark, sf, "documents")))
+
+
+@query(
+    "media_audio_wav_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(greatest(n_chars, 1) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(greatest(n_chars, 1) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(doc_id % 30000 AS BIGINT) AS peak
+    FROM documents
+    """,
+    section="2.10",
+    doc="REAL audio decode, hash-checked end-to-end: synthesize a RIFF/WAV "
+    "payload per document (16-bit mono, constant amplitude doc_id % "
+    "30000, n_chars samples at 8 kHz — llm/multimodal.py:synth_wav_media)"
+    ", then parse the actual RIFF container back with the stdlib wave "
+    "reader (decode_wav) in an Arrow-batched mapInPandas kernel. The "
+    "oracle recomputes sample count, duration and peak arithmetically, "
+    "verifying the container encode->decode loop exactly.",
+)
+def media_audio_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.multimodal import audio_wav_features, synth_wav_media
+
+    return audio_wav_features(synth_wav_media(T(spark, sf, "documents")))
+
+
+@query(
     "ann_ivf_topk",
     oracle=None,  # approximate by construction -> rows-only
     section="2.10",

@@ -60,6 +60,69 @@ def file_replay_stream(
     return stream
 
 
+def rate_stream(
+    spark: SparkSession, rows_per_batch: int = 100, num_partitions: int = 4
+) -> DataFrame:
+    """Built-in deterministic rate source (SURVEY.md §2.9 stream_source,
+    non-file tier): ``rate-micro-batch`` emits exactly ``rows_per_batch``
+    rows per trigger with a monotonically advancing event time — the
+    broker-less generator for load tests and watermark/windowing drills.
+    Output is shaped like the events table (ts TIMESTAMP, user_id,
+    event_type, value) so every downstream job in this module accepts it
+    unchanged.
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", num_partitions)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60_000)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.when(F.col("value") % 3 == 0, "click")
+        .when(F.col("value") % 3 == 1, "view")
+        .otherwise("purchase")
+        .alias("event_type"),
+        (F.col("value") % 1000).cast("double").alias("value"),
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source constructor (SURVEY.md §2.9 stream_source, broker
+    tier): declares the standard ``format("kafka")`` reader and projects
+    the binary envelope to (key, value, topic, partition, offset, ts).
+    Needs the spark-sql-kafka connector package on the classpath and a
+    reachable broker at ``start()`` — neither exists in this sandbox, so
+    this path is exercised for construction only (tests assert the
+    projected schema); the downstream jobs are source-agnostic and accept
+    it unchanged.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("ts"),
+    )
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Tumbling 5-minute counts per event type with a late-data watermark."""
     return (

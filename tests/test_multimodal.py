@@ -83,3 +83,67 @@ def test_frame_sampler_udtf_lateral_join(spark, media):
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
     # frames are non-empty and deterministic slices
     assert all(len(bytes(r["frame_bytes"])) > 0 for r in rows)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    w, h, arr = decode_ppm(encode_ppm(pixels))
+    assert (w, h) == (9, 5)
+    assert (arr == pixels).all()
+    # header comments are part of the real format — must be skipped
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    w, h, arr = decode_ppm(commented)
+    assert (w, h, arr.sum()) == (2, 1, 0)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.multimodal import decode_wav, encode_wav
+
+    samples = np.array([0, 100, -100, 32767, -32768], dtype="<i2")
+    rate, got = decode_wav(encode_wav(samples, 16000))
+    assert rate == 16000
+    assert (got == samples).all()
+
+
+def test_decode_image_dispatcher_gates_png_on_pillow():
+    import importlib.util
+
+    import pytest as _pytest
+
+    from etl_covid19_brasil_spark.llm.multimodal import decode_image
+
+    w, h, arr = decode_image(b"P6\n1 1\n255\n\x10\x20\x30")
+    assert (w, h) == (1, 1) and list(arr.reshape(3)) == [0x10, 0x20, 0x30]
+    if importlib.util.find_spec("PIL") is None:
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_synth_decode_pipelines_match_documents(spark):
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        audio_wav_features,
+        image_ppm_features,
+        synth_ppm_media,
+        synth_wav_media,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(25)
+    img = image_ppm_features(synth_ppm_media(docs)).collect()
+    wav = audio_wav_features(synth_wav_media(docs)).collect()
+    by_id = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert len(img) == len(wav) == 25
+    for r in img:
+        w = max(by_id[r["media_id"]], 1)
+        assert r["width"] == w and r["height"] == 2 and r["n_pixels"] == 2 * w
+        assert r["mean_lum_milli"] == r["sum_lum"] * 1000 // (2 * w)
+    for r in wav:
+        n = max(by_id[r["media_id"]], 1)
+        assert r["n_samples"] == n and r["sample_rate"] == 8000
+        assert r["peak"] == r["media_id"] % 30000

@@ -392,3 +392,42 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     landed = spark.read.parquet(out)
     ids = sorted(r["event_id"] for r in landed.collect())
     assert ids == [1, 2, 3, 4], ids  # each row exactly once across the restart
+
+
+def test_rate_stream_feeds_windowed_aggregation(spark):
+    """The broker-less rate-micro-batch source must drive the same
+    windowed jobs the file-replay source does: run three deterministic
+    micro-batches through tumbling_counts and check exact totals."""
+    stream = jobs.rate_stream(spark, rows_per_batch=90, num_partitions=3)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    q = (
+        jobs.tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_rate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.table("t_rate").toPandas()
+    # rate-micro-batch with availableNow lands all backlog rows; counts
+    # split 30/30/30 across the three event types
+    assert int(got["n_events"].sum()) == 90
+    assert set(got["event_type"]) == {"click", "view", "purchase"}
+
+
+def test_kafka_stream_constructor_projects_envelope(spark):
+    """format('kafka') needs a connector jar + broker at start(); the
+    declared projection (the part this repo owns) must still resolve to
+    the documented envelope schema at construction time."""
+    try:
+        df = jobs.kafka_stream(spark, "broker:9092", "events")
+    except Exception as exc:  # connector jar absent in this sandbox
+        assert "kafka" in str(exc).lower()
+        return
+    assert [f.name for f in df.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "ts",
+    ]
