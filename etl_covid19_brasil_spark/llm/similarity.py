@@ -1,46 +1,48 @@
-"""Brute-force cosine top-k via bounded broadcast tiles + Arrow kernel
+"""Brute-force cosine top-k: broadcast kernel for bounded indexes, a
+cogrouped block-nested-loop for indexes beyond broadcast size
 (SURVEY.md §2.10 similarity_topk).
 
 The naive formulation — crossJoin + per-pair higher-order folds — is
 correct but interpreted per array element; at n=2000 vectors it spends
-~75 s materializing 4M pairs. This kernel keeps the same *numerical
+~75 s materializing 4M pairs. These kernels keep the same *numerical
 semantics* while vectorizing over pairs:
 
-- the (id, vector) index is collected and broadcast in **bounded tiles**
-  (block-nested-loop): at most ``max_index_rows`` rows are ever resident
-  on the driver or broadcast to an executor at once. A small index is
-  one tile (the classic broadcast-kNN shape); a corpus-sized index
-  becomes ceil(n / max_index_rows) sequential tiles whose per-tile
-  partial top-k results are materialized (localCheckpoint) so each
-  tile's broadcast can be released before the next is built — memory
-  stays bounded while semantics stay EXACT. Beyond a few tiles the ANN
-  tier (llm/ann.py) is the right tool; exact all-pairs at that scale is
-  a deliberate O(n_q x n) spend, and the pass count makes that cost
-  visible instead of OOMing the driver;
-- each Arrow batch of query vectors computes similarities against the
-  tile in numpy, **accumulating dimension-by-dimension in index order**
-  (``acc += a[:, i] * b[:, i]``) — the exact IEEE operation sequence of
-  ``F.aggregate(zip_with(a, b, *), 0.0, +)`` and DuckDB's
-  ``list_reduce`` fold, so results are bit-identical to the declarative
-  formulation and the SQL oracle (tile boundaries never change per-pair
-  arithmetic, and the global re-rank uses the same deterministic
-  (cosine desc, id asc) order as the single-tile lexsort);
-- vectors are L2-normalized once (element / norm, norm from the same
-  ordered fold), not per pair — removing 2/3 of the flops the naive plan
-  re-did for every pair.
+- a SMALL index (<= ``max_index_rows``) is collected once (bounded
+  constant, the same discipline as ann.py's training samples) and rides
+  a broadcast into an Arrow kernel over the query stream — the classic
+  broadcast-kNN shape: zero shuffle, embarrassingly parallel in the
+  queries;
+- a LARGE index never touches the driver: the index is hash-tiled, the
+  query stream is hash-salted into bounded blocks, and each (tile,
+  salt) pair of blocks meets in ONE ``cogroup().applyInPandas`` shuffle
+  — the doubly-blocked nested-loop join. Every (query, index) pair
+  meets exactly once (the query's salt x the index row's tile); peak
+  task memory is one index tile + one query block regardless of either
+  side's total size, and no single machine (driver included) ever
+  holds the index. Per-block partial top-k candidates (n_q x k x
+  n_tiles rows, never the similarity matrix) merge under one window
+  re-rank. Exact all-pairs at that scale is a deliberate O(n_q x n)
+  spend — the ANN tier (llm/ann.py) is the sub-linear path;
+- each kernel computes similarities **accumulating
+  dimension-by-dimension in index order** (``acc += a[:, i] * b[:, i]``)
+  — the exact IEEE operation sequence of ``F.aggregate(zip_with(a, b,
+  *), 0.0, +)`` and DuckDB's ``list_reduce`` fold, so results are
+  bit-identical to the declarative formulation and the SQL oracle
+  (block boundaries never change per-pair arithmetic, and the global
+  re-rank uses the same deterministic (cosine desc, id asc) order as
+  the single-tile lexsort);
+- vectors are L2-normalized once per block (element / norm, norm from
+  the same ordered fold), not per pair.
 
-Scale shape: zero shuffle in the single-tile path; queries stream
-through executors, index rides the broadcast. 100 TB of queries against
-an M-vector index is embarrassingly parallel; an index beyond broadcast
-size runs tile-sequentially with bounded memory (or moves to
-ann.lsh_topk / ivf_topk when approximate recall is acceptable).
+Scale shape: zero shuffle in the single-tile path. The cogrouped path
+shuffles n_q x n_tiles + n_index x n_salts rows — both sides spread
+across the cluster, driver out of the data path entirely.
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Callable, Iterator
-from functools import reduce
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -58,12 +60,24 @@ from pyspark.sql.types import (
 # comfortably inside executor/driver memory at local[32] and cluster alike.
 MAX_INDEX_ROWS = 200_000
 
+# Query rows per salt block in the cogrouped path: bounds the left side
+# of every applyInPandas group so task memory stays flat as n_q grows.
+QUERY_BLOCK_ROWS = 100_000
+
 TOPK_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
         StructField("neighbor_id", LongType()),
         StructField("cosine", DoubleType()),
         StructField("rank", IntegerType()),
+    ]
+)
+
+PAIRS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
     ]
 )
 
@@ -100,64 +114,114 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _tiles(
-    vectors: DataFrame, id_col: str, vec_col: str, n_tiles: int
-) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Yield the index as (ids, normalized matrix) tiles. One tile is
-    resident at a time — callers must consume lazily (never ``list()``
-    this generator, or every tile is live on the driver at once); tiles
-    partition the index by a deterministic key hash."""
-    src = vectors.select(id_col, vec_col)
-    if n_tiles == 1:
-        pdf = src.toPandas()
-        yield pdf[id_col].to_numpy(dtype=np.int64), _normalize(np.stack(pdf[vec_col].to_numpy()))
-        return
-    for t in range(n_tiles):
-        pdf = src.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)) == t).toPandas()
-        if len(pdf):
-            yield (
-                pdf[id_col].to_numpy(dtype=np.int64),
-                _normalize(np.stack(pdf[vec_col].to_numpy())),
-            )
+def _topk_block(
+    q_ids: np.ndarray, q_mat: np.ndarray, ids: np.ndarray, mat: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Local top-k of one (query block x index block): (nq, d) x (m, d)
+    similarities with dimension-ordered accumulation, then top-k by
+    (cosine desc, neighbor_id asc) in ONE 2D lexsort (stable, last key
+    primary). Each query's self-pair is set to -inf so it sorts last,
+    and any -inf that leaks into the top-k of a short index is dropped
+    after the gather — ranks stay contiguous because drops only happen
+    at the tail."""
+    sims = _ordered_dot(q_mat[:, None, :], mat[None, :, :])
+    sims[q_ids[:, None] == ids[None, :]] = -np.inf
+    kk = min(k, len(ids))
+    order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=-1)[:, :kk]
+    got = np.take_along_axis(sims, order, axis=1).reshape(-1)
+    keep = got > -np.inf
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(q_ids, kk)[keep],
+            "neighbor_id": ids[order].reshape(-1)[keep],
+            "cosine": got[keep],
+            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(q_ids))[keep],
+        }
+    )
 
 
-def _tiled_scan(
+def _pairs_block(
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    ids: np.ndarray,
+    mat: np.ndarray,
+    threshold: float,
+) -> pd.DataFrame:
+    """Qualifying (a < b) pairs of one (query block x index block); the
+    a < b guard emits each unordered pair exactly once across blocks."""
+    sims = _ordered_dot(q_mat[:, None, :], mat[None, :, :])
+    keep = (sims >= threshold) & (q_ids[:, None] < ids[None, :])
+    rows, cols = np.nonzero(keep)
+    return pd.DataFrame(
+        {"id_a": q_ids[rows], "id_b": ids[cols], "cosine": sims[rows, cols]}
+    )
+
+
+def _cogrouped_partials(
     queries: DataFrame,
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    max_index_rows: int,
-    make_kernel: Callable,
+    n_tiles: int,
+    n_salts: int,
+    block_fn,
     schema: StructType,
-) -> tuple[list[DataFrame], bool]:
-    """Run ``make_kernel(broadcast)`` over the query stream once per index
-    tile. Multi-tile partials are eagerly materialized (localCheckpoint)
-    so each tile's broadcast is released before the next loads — peak
-    memory is one tile regardless of index size (the generator is
-    consumed lazily; only the tile inside the loop body is live).
-    Returns (partials, single_tile)."""
-    spark = queries.sparkSession
-    src = _spread(queries.select(id_col, vec_col))
-    partials: list[DataFrame] = []
-    n_tiles = max(1, math.ceil(vectors.count() / max_index_rows))
-    single = n_tiles == 1
-    for ids, mat in _tiles(vectors, id_col, vec_col, n_tiles):
-        bc = spark.sparkContext.broadcast((ids, mat))
-        part = src.mapInPandas(make_kernel(bc), schema=schema)
-        if not single:
-            part = part.localCheckpoint(eager=True)
-            bc.unpersist()
-        partials.append(part)
-    return partials, single
+) -> DataFrame:
+    """Driver-free block-nested-loop: index hash-tiled, queries
+    hash-salted, every (tile, salt) block pair meets in one cogrouped
+    applyInPandas. The shuffle carries n_q * n_tiles + n_index * n_salts
+    rows; no collect, no broadcast, peak task memory = one index tile +
+    one query block."""
+    tiles = F.array([F.lit(t) for t in range(n_tiles)])
+    salts = F.array([F.lit(s) for s in range(n_salts)])
+    q_rep = (
+        queries.select(id_col, vec_col)
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        .withColumn("tile", F.explode(tiles))
+    )
+    # Distinct column names on the index side: a self-cogroup shares
+    # attribute ids across both groupings, and Spark dedups same-named
+    # attributes — the right-hand pandas frame would arrive without its
+    # id/vector columns.
+    idx_rep = (
+        vectors.select(
+            F.col(id_col).alias("_idx_id"), F.col(vec_col).alias("_idx_vec")
+        )
+        .withColumn("tile", F.pmod(F.xxhash64(F.col("_idx_id")), F.lit(n_tiles)))
+        .withColumn("salt", F.explode(salts))
+    )
+
+    _PD_DTYPES = {"bigint": "int64", "double": "float64", "int": "int32"}
+
+    def fold(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {
+                    f.name: pd.Series(dtype=_PD_DTYPES[f.dataType.simpleString()])
+                    for f in schema
+                }
+            )
+        q_ids = left[id_col].to_numpy(dtype=np.int64)
+        q_mat = _normalize(np.stack(left[vec_col].to_numpy()))
+        ids = right["_idx_id"].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(right["_idx_vec"].to_numpy()))
+        return block_fn(q_ids, q_mat, ids, mat)
+
+    return (
+        q_rep.groupby("tile", "salt")
+        .cogroup(idx_rep.groupby("tile", "salt"))
+        .applyInPandas(fold, schema=schema)
+    )
 
 
-PAIRS_SCHEMA = StructType(
-    [
-        StructField("id_a", LongType()),
-        StructField("id_b", LongType()),
-        StructField("cosine", DoubleType()),
-    ]
-)
+def _bounded_index(vectors: DataFrame, id_col: str, vec_col: str):
+    """Collect a small index ONCE as (ids, normalized matrix) — callers
+    guarantee the row bound, keeping this a constant-size transfer (the
+    same bounded-collect discipline as ann.py's training samples)."""
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    return pdf[id_col].to_numpy(dtype=np.int64), _normalize(
+        np.stack(pdf[vec_col].to_numpy())
+    )
 
 
 def cosine_pairs_above(
@@ -168,37 +232,37 @@ def cosine_pairs_above(
     max_index_rows: int = MAX_INDEX_ROWS,
 ) -> DataFrame:
     """All unordered pairs (id_a < id_b) with cosine >= threshold —
-    embedding-space near-duplicate detection. Same bounded-tile /
-    ordered-fold kernel as :func:`brute_force_topk`, so cosines are
-    bit-identical to the declarative SQL formulation. Tiles partition the
-    index, so each qualifying pair (a < b) is emitted exactly once: by
-    the single tile containing ``b``, when the query stream supplies
-    ``a``."""
+    embedding-space near-duplicate detection. Bounded index: broadcast
+    kernel. Beyond the bound: cogrouped block-nested-loop (no driver
+    transit). Cosines are bit-identical between paths and to the
+    declarative SQL formulation (same ordered fold)."""
+    n = vectors.count()
+    n_tiles = max(1, math.ceil(n / max_index_rows))
+    if n_tiles == 1:
+        spark = vectors.sparkSession
+        bc = spark.sparkContext.broadcast(_bounded_index(vectors, id_col, vec_col))
 
-    def make_kernel(bc):
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids, mat = bc.value
             for pdf in batches:
                 q_ids = pdf[id_col].to_numpy(dtype=np.int64)
                 q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
-                sims = _ordered_dot(q_mat[:, None, :], mat[None, :, :])
-                # keep (a, b) once: only emit from the smaller id's row
-                keep = (sims >= threshold) & (q_ids[:, None] < ids[None, :])
-                rows, cols = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {
-                        "id_a": q_ids[rows],
-                        "id_b": ids[cols],
-                        "cosine": sims[rows, cols],
-                    }
-                )
+                yield _pairs_block(q_ids, q_mat, ids, mat, threshold)
 
-        return kernel
-
-    partials, _ = _tiled_scan(
-        vectors, vectors, id_col, vec_col, max_index_rows, make_kernel, PAIRS_SCHEMA
+        return _spread(vectors.select(id_col, vec_col)).mapInPandas(
+            kernel, schema=PAIRS_SCHEMA
+        )
+    n_salts = max(1, math.ceil(n / QUERY_BLOCK_ROWS))
+    return _cogrouped_partials(
+        vectors,
+        vectors,
+        id_col,
+        vec_col,
+        n_tiles,
+        n_salts,
+        lambda q_ids, q_mat, ids, mat: _pairs_block(q_ids, q_mat, ids, mat, threshold),
+        PAIRS_SCHEMA,
     )
-    return reduce(DataFrame.unionByName, partials)
 
 
 def brute_force_topk(
@@ -212,51 +276,39 @@ def brute_force_topk(
     self excluded). Output: (query_id, neighbor_id, cosine, rank) with
     deterministic tie-break (cosine desc, neighbor_id asc).
 
-    Single tile: one broadcast, zero shuffle, ranks straight from the
-    kernel's lexsort. Multi-tile: each tile contributes its local top-k
-    (a superset of that tile's global-top-k members), then one window
-    re-rank merges them — the merge shuffles only n_q * k * n_tiles
-    candidate rows, never the raw similarity matrix."""
+    Bounded index: one broadcast, zero shuffle, ranks straight from the
+    kernel's lexsort. Beyond the bound: the cogrouped block-nested-loop
+    emits each block's local top-k (a superset of that block's
+    global-top-k members), then one window re-rank merges them — the
+    merge shuffles only n_q * k * n_tiles candidate rows, never the raw
+    similarity matrix, and the index never transits the driver."""
+    n = embeddings.count()
+    n_tiles = max(1, math.ceil(n / max_index_rows))
+    if n_tiles == 1:
+        spark = embeddings.sparkSession
+        bc = spark.sparkContext.broadcast(_bounded_index(embeddings, id_col, vec_col))
 
-    def make_kernel(bc):
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids, mat = bc.value
             for pdf in batches:
                 q_ids = pdf[id_col].to_numpy(dtype=np.int64)
                 q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
-                # (nq, d) x (m, d) -> (nq, m), dimension-ordered accumulation
-                sims = _ordered_dot(q_mat[:, None, :], mat[None, :, :])
-                # top-k by (cosine desc, neighbor_id asc) in ONE 2D lexsort
-                # (stable, last key primary); each query's self-pair is set
-                # to -inf so it sorts last, and any -inf that leaks into the
-                # top-k of a short index is dropped after the gather. Ranks
-                # stay contiguous because drops only happen at the tail.
-                sims[q_ids[:, None] == ids[None, :]] = -np.inf
-                kk = min(k, len(ids))
-                order = np.lexsort(
-                    (np.broadcast_to(ids, sims.shape), -sims), axis=-1
-                )[:, :kk]
-                got = np.take_along_axis(sims, order, axis=1).reshape(-1)
-                keep = got > -np.inf
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(q_ids, kk)[keep],
-                        "neighbor_id": ids[order].reshape(-1)[keep],
-                        "cosine": got[keep],
-                        "rank": np.tile(
-                            np.arange(1, kk + 1, dtype=np.int32), len(q_ids)
-                        )[keep],
-                    }
-                )
+                yield _topk_block(q_ids, q_mat, ids, mat, k)
 
-        return kernel
-
-    partials, single = _tiled_scan(
-        embeddings, embeddings, id_col, vec_col, max_index_rows, make_kernel, TOPK_SCHEMA
+        return _spread(embeddings.select(id_col, vec_col)).mapInPandas(
+            kernel, schema=TOPK_SCHEMA
+        )
+    n_salts = max(1, math.ceil(n / QUERY_BLOCK_ROWS))
+    merged = _cogrouped_partials(
+        embeddings,
+        embeddings,
+        id_col,
+        vec_col,
+        n_tiles,
+        n_salts,
+        lambda q_ids, q_mat, ids, mat: _topk_block(q_ids, q_mat, ids, mat, k),
+        TOPK_SCHEMA,
     )
-    if single:
-        return partials[0]
-    merged = reduce(DataFrame.unionByName, partials)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         merged.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -150,8 +150,12 @@ def test_cosine_pairs_tiled_equals_single(spark):
     from etl_covid19_brasil_spark.llm.similarity import cosine_pairs_above
 
     emb = load_table(spark, SF, "embeddings")
-    single = cosine_pairs_above(emb, threshold=0.5).toPandas()
-    tiled = cosine_pairs_above(emb, threshold=0.5, max_index_rows=64).toPandas()
+    # threshold 0.3 yields ~900 pairs on these near-random embeddings —
+    # a threshold with EMPTY output (0.5 here) makes the equivalence
+    # vacuous and the tiled path untested.
+    single = cosine_pairs_above(emb, threshold=0.3).toPandas()
+    tiled = cosine_pairs_above(emb, threshold=0.3, max_index_rows=64).toPandas()
+    assert len(single) > 100
     key = ["id_a", "id_b"]
     s = single.sort_values(key).reset_index(drop=True)
     t = tiled.sort_values(key).reset_index(drop=True)
