@@ -650,3 +650,140 @@ def pack_sequences_concat(spark: SparkSession, sf: str) -> DataFrame:
             "listagg(norm_text, ' <|doc|> ') WITHIN GROUP (ORDER BY doc_id)"
         ).alias("packed_text"),
     )
+
+
+_SOURCE_CAP = 150  # max documents any one source may contribute
+
+
+@query(
+    "curation_source_caps",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk > {_SOURCE_CAP} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN n_chars ELSE 0 END)
+             AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    section="2.10",
+    doc=f"Per-source contribution caps — the C4/RefinedWeb domain-cap "
+    f"move: no single source (domain, crawl, dump) may contribute more "
+    f"than {_SOURCE_CAP} documents, preventing one boilerplate-heavy "
+    f"site from dominating the mixture. Which documents survive is "
+    f"decided in content-hash order (md5-ranked — deterministic across "
+    f"engines, reruns, and partitionings; 'first N by crawl order' is "
+    f"none of those). One window shuffle on source; at 100 TB the rank "
+    f"runs per (source, shard-salt) exactly like pack_sequences_bins.",
+)
+def curation_source_caps(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    # hash before the shuffle: the window sort key carries 32 hex chars,
+    # not the document text
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (
+        d.select("source", "n_chars", "doc_id", F.md5("text").alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    kept = F.col("rk") <= _SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+# source priority for the cross-source canonical pick: lower = preferred
+_SOURCE_PRIO_SQL = "CASE source WHEN 'wiki' THEN 0 WHEN 'books' THEN 1 ELSE 2 END"
+
+
+@query(
+    "dedup_cross_source",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, 'mirror', text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    hashed AS (
+      SELECT doc_id, source, md5(text) AS h FROM corpus
+    ),
+    groups AS (
+      SELECT h, COUNT(*) AS n_copies, COUNT(DISTINCT source) AS n_sources,
+             MIN(doc_id) FILTER (WHERE prio = best) AS canonical_doc
+      FROM (SELECT *, {_SOURCE_PRIO_SQL} AS prio,
+                   MIN({_SOURCE_PRIO_SQL}) OVER (PARTITION BY h) AS best
+            FROM hashed)
+      GROUP BY h
+      HAVING COUNT(DISTINCT source) >= 2
+    )
+    SELECT n_sources,
+           COUNT(*) AS n_groups,
+           CAST(SUM(n_copies) AS BIGINT) AS n_copies,
+           MIN(canonical_doc) AS first_canonical,
+           MAX(canonical_doc) AS last_canonical
+    FROM groups
+    GROUP BY n_sources
+    """,
+    section="2.10",
+    doc="Provenance-aware exact dedup: find texts that appear in two or "
+    "more DIFFERENT sources (the cross-domain duplicates a naive "
+    "per-source dedup misses) and pick each group's canonical copy by "
+    "declared source priority (wiki > books > rest), tie-broken by "
+    "doc_id. The shape is one md5 group shuffle carrying (hash, source, "
+    "doc_id) — never the text — plus a window min over the same "
+    "partitioning; output is the per-multiplicity summary (group and "
+    "copy counts, canonical id range) so the checked result stays "
+    "small at any corpus size. The driver corpus has no natural exact "
+    "duplicates, so a deterministic 'mirror' source re-contributes every "
+    "10th document (the decontaminate_ngram_overlap stand-in trick) — "
+    "without it the operator would be verified against an always-empty "
+    "result.",
+)
+def dedup_cross_source(spark: SparkSession, sf: str) -> DataFrame:
+    base = T(spark, sf, "documents").select("doc_id", "source", "text")
+    mirror = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+    )
+    d = base.unionByName(mirror)
+    prio = (
+        F.when(F.col("source") == "wiki", 0)
+        .when(F.col("source") == "books", 1)
+        .otherwise(2)
+    )
+    hashed = d.select("doc_id", "source", F.md5("text").alias("h"), prio.alias("prio"))
+    best = Window.partitionBy("h")
+    tagged = hashed.withColumn("best", F.min("prio").over(best))
+    groups = (
+        tagged.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min(F.when(F.col("prio") == F.col("best"), F.col("doc_id"))).alias(
+                "canonical_doc"
+            ),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )
+    return groups.groupBy("n_sources").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_copies"),
+        F.min("canonical_doc").alias("first_canonical"),
+        F.max("canonical_doc").alias("last_canonical"),
+    )
