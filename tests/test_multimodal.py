@@ -147,3 +147,52 @@ def test_synth_decode_pipelines_match_documents(spark):
         n = max(by_id[r["media_id"]], 1)
         assert r["n_samples"] == n and r["sample_rate"] == 8000
         assert r["peak"] == r["media_id"] % 30000
+
+
+def test_ppm_roundtrip_property():
+    """Property: encode->decode is the identity for every uint8 image."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_covid19_brasil_spark.llm.multimodal import decode_ppm, encode_ppm
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=32),
+        h=st.integers(min_value=1, max_value=32),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(w, h, seed):
+        pixels = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        got_w, got_h, arr = decode_ppm(encode_ppm(pixels))
+        assert (got_w, got_h) == (w, h)
+        assert (arr == pixels).all()
+
+    roundtrip()
+
+
+def test_wav_roundtrip_property():
+    """Property: encode->decode is the identity for every int16 signal."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_covid19_brasil_spark.llm.multimodal import decode_wav, encode_wav
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=512
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def roundtrip(samples, rate):
+        sig = np.asarray(samples, dtype="<i2")
+        got_rate, got = decode_wav(encode_wav(sig, rate))
+        assert got_rate == rate
+        assert (got == sig).all()
+
+    roundtrip()

@@ -227,3 +227,22 @@ def test_multiway_join_broadcasts_all_dims(spark, specs):
     p = plan_of(q(specs, spark, "join_multiway_local_supplier"))
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "SortMergeJoin" not in p
+
+
+def test_source_caps_reuses_window_exchange(spark, specs):
+    # rank-within-source window and the per-source aggregate share the
+    # source hash partitioning: one exchange feeds both (a second would
+    # re-shuffle the whole corpus at 100 TB for nothing)
+    p = plan_of(q(specs, spark, "curation_source_caps"), mode="simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_cross_source_dedup_shuffles_hash_only_once(spark, specs):
+    # the md5-group window and the groupBy('h') reuse one exchange on h;
+    # the only other exchange moves the tiny per-multiplicity summary
+    p = plan_of(q(specs, spark, "dedup_cross_source"), mode="formatted")
+    # the text column is hashed before the shuffle — partitioning keys are
+    # h and the summary's n_sources, never the document text
+    exchanges = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(exchanges) <= 2, p
+    assert exchanges and all("text" not in ln for ln in exchanges), p
