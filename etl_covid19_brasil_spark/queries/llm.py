@@ -1489,6 +1489,60 @@ def text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM freq),
+    scored AS (
+      SELECT token,
+             CAST(floor(ln(CAST(big_n AS DOUBLE) / n) * 1000000 + 0.5)
+               AS BIGINT) AS nll_u6
+      FROM freq, total
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(s.nll_u6) AS BIGINT) AS nll_sum_u6,
+           CAST(SUM(s.nll_u6) // COUNT(*) AS BIGINT) AS avg_nll_u6
+    FROM toks t JOIN scored s ON t.token = s.token
+    GROUP BY t.doc_id
+    """,
+    section="2.10",
+    doc="Unigram negative-log-likelihood quality score — the in-engine "
+    "proxy for the CCNet/KenLM perplexity filter: pass 1 fits the "
+    "unigram model (one token-frequency shuffle, same as text_oov_rate); "
+    "each token's -ln p(token) is quantized to INTEGER micro-nats "
+    "(the fn_math floor(x*1e6 + 0.5) policy) BEFORE the per-document "
+    "sum, so the aggregation is associative integer arithmetic — a "
+    "double sum would hash-drift with summation order across engines "
+    "and partitionings. The scored vocabulary broadcasts into pass 2 "
+    "(vocabulary-sized, never corpus-sized); high avg_nll_u6 = "
+    "improbable token stream = the gibberish/boilerplate tail a corpus "
+    "curation pass drops.",
+)
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").cast("long").alias("big_n"))
+    scored = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(F.log(F.col("big_n").cast("double") / F.col("n")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("nll_u6"),
+    )
+    return (
+        toks.join(F.broadcast(scored), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_u6").alias("nll_sum_u6"),
+            F.expr("sum(nll_u6) div count(*)").alias("avg_nll_u6"),
+        )
+    )
+
+
+@query(
     "bpe_pair_counts",
     oracle=f"""
     WITH toks AS (SELECT unnest({_O_TOKENS}) AS t FROM documents),
