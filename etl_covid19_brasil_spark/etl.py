@@ -129,3 +129,37 @@ def ibge_pipeline(raw: DataFrame) -> DataFrame:
     nested JSON records -> dotted flat table -> audit column.
     """
     return with_audit_column(flatten_structs(raw))
+
+
+def run_data_lake(
+    covid_raw: DataFrame, ibge_raw: DataFrame, out_dir: str
+) -> dict[str, int]:
+    """The whole reference DAG as ONE Spark app, width-2 parallel.
+
+    ``get_data_covid`` and ``get_data_api`` are instantiated with no
+    dependency edge (dags/create-data-lake.py:108-109) — Airflow runs
+    them concurrently in separate workers. In Spark the same dataflow
+    width comes from submitting both sink actions on separate driver
+    threads: the scheduler interleaves their jobs across the shared
+    executors (documented thread-safe usage; with a FAIR pool both
+    pipelines make progress even when one is long). Returns
+    {table: landed row count} after both sinks commit — the 'covid' and
+    'microrregioes' tables of the reference lake
+    (dags/create-data-lake.py:83,104), parquet standing in for Postgres
+    (swap .parquet for .jdbc for exact sink parity, io.py:sink_jdbc_replace).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    pipelines = {
+        "covid": covid_pipeline(covid_raw),
+        "microrregioes": ibge_pipeline(ibge_raw),
+    }
+
+    def land(name: str, df: DataFrame) -> tuple[str, int]:
+        path = f"{out_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return name, df.sparkSession.read.parquet(path).count()
+
+    with ThreadPoolExecutor(max_workers=len(pipelines)) as pool:
+        futures = [pool.submit(land, n, df) for n, df in pipelines.items()]
+        return dict(f.result() for f in futures)

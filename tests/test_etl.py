@@ -125,3 +125,18 @@ def test_clean_numeric_property(spark_global, values):
 def spark_global(spark):
     # hypothesis forbids function-scoped fixtures; alias the session one
     return spark
+
+
+def test_run_data_lake_lands_both_tables_concurrently(spark, covid_raw, tmp_path):
+    """The reference DAG's two independent tasks run width-2 in one Spark
+    app (dags/create-data-lake.py:108-109): both sinks must land with the
+    same contents the sequential pipelines produce."""
+    ibge_raw = scan_http_json(
+        spark, "http://fixture", fetch=lambda _u: json.dumps([IBGE_RECORD])
+    )
+    got = etl.run_data_lake(covid_raw, ibge_raw, str(tmp_path / "lake"))
+    assert set(got) == {"covid", "microrregioes"}
+    assert got["covid"] == etl.covid_pipeline(covid_raw).count()
+    assert got["microrregioes"] == etl.ibge_pipeline(ibge_raw).count()
+    landed = spark.read.parquet(str(tmp_path / "lake" / "covid"))
+    assert "created_at_datalake" in landed.columns
