@@ -1736,3 +1736,60 @@ def project_lateral_alias(spark: SparkSession, sf: str) -> DataFrame:
         FROM la_orders
         """
     ).select("o_orderkey", "discounted", "tax_on_discounted", "total_due")
+
+
+_PR_ITER = (
+    "SELECT e.dst AS node, "
+    "CAST(150000 + (85 * SUM(p.r // od.d)) // 100 AS BIGINT) AS r "
+    "FROM {prev} p JOIN pr_outdeg od ON od.src = p.node "
+    "JOIN pr_edges e ON e.src = p.node GROUP BY e.dst"
+)
+
+
+@query(
+    "graph_pagerank_centrality",
+    oracle=f"""
+    WITH pr_edges AS (
+      SELECT DISTINCT 2*l_suppkey AS src, 2*l_partkey+1 AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT 2*l_partkey+1 AS src, 2*l_suppkey AS dst FROM lineitem
+    ),
+    pr_outdeg AS (SELECT src, COUNT(*) AS d FROM pr_edges GROUP BY src),
+    it0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r
+            FROM pr_edges
+            UNION SELECT DISTINCT dst, 1000000 FROM pr_edges),
+    it1 AS ({_PR_ITER.format(prev="it0")}),
+    it2 AS ({_PR_ITER.format(prev="it1")}),
+    it3 AS ({_PR_ITER.format(prev="it2")}),
+    it4 AS ({_PR_ITER.format(prev="it3")})
+    SELECT node, r AS rank_u6 FROM it4
+    """,
+    section="2.4",
+    doc="Iterative-algorithm tier: 4 power-method sweeps of INTEGER "
+    "PageRank (operators/pagerank.py) over the bidirectional "
+    "supplier-part supply graph (nodes 2*suppkey / 2*partkey+1 so the "
+    "two key spaces cannot collide; bidirection gives every node "
+    "out-degree >= 1, removing the dangling-mass term). The centrality "
+    "signal corpus curation runs over link graphs, expressed as the "
+    "same join+agg shuffle pair as everything else, repeated k times "
+    "with lineage truncation. Rank arithmetic is integer micro-units "
+    "end-to-end (r' = 150000 + (85*sum(r div outdeg)) div 100) — "
+    "order-independent and engine-independent, so a 4-deep iterative "
+    "computation still hash-matches the oracle exactly; a double-typed "
+    "PageRank cannot (shuffle-order float sums). Oracle = the same four "
+    "sweeps as chained CTEs.",
+)
+def graph_pagerank_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.pagerank import pagerank_integer
+
+    li = T(spark, sf, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank_integer(edges, iterations=4).select(
+        "node", "rank_u6"
+    )

@@ -274,3 +274,25 @@ def test_bloom_handles_negative_keys(spark):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# --- integer pagerank -----------------------------------------------------
+
+
+def test_pagerank_integer_known_graphs(spark):
+    from etl_covid19_brasil_spark.operators.pagerank import pagerank_integer
+
+    # 2-cycle: perfectly symmetric, ranks stay at the uniform fixed point
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank_u6"] for r in pagerank_integer(cyc, iterations=3).collect()}
+    assert got == {1: 1_000_000, 2: 1_000_000}
+
+    # star: hub 0 <-> spokes 1..4; hub must outrank every spoke, and
+    # total mass stays within integer-floor loss of n * 1e6
+    star_edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    star = spark.createDataFrame(star_edges, "src long, dst long")
+    ranks = {r["node"]: r["rank_u6"] for r in pagerank_integer(star, iterations=4).collect()}
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+    assert len(set(ranks[i] for i in range(1, 5))) == 1  # spokes symmetric
+    total = sum(ranks.values())
+    assert 5_000_000 * 0.999 < total <= 5_000_000
