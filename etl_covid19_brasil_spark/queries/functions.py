@@ -1234,3 +1234,51 @@ def fn_math_trig(spark: SparkSession, sf: str) -> DataFrame:
         u6(F.tan(b / 10000)).alias("tan_u6"),
         u6(F.radians(b / 100)).alias("rad_u6"),
     )
+
+
+_O_MASK = (
+    "regexp_replace(regexp_replace(regexp_replace({c}, "
+    "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')"
+)
+
+
+@query(
+    "fn_mask_redact",
+    oracle=f"""
+    SELECT c_custkey,
+           {_O_MASK.format(c='c_name')} AS name_masked,
+           {_O_MASK.format(c='c_mktsegment')} AS segment_masked,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_hash_digits,
+           substr(c_name, 1, 9) ||
+             {_O_MASK.format(c='substr(c_name, 10)')} AS name_keep_prefix
+    FROM customer
+    """,
+    section="2.8",
+    doc="Data-masking batch — the column-level redaction a lake applies "
+    "before exporting PII-adjacent tables: Spark's mask() (upper->X, "
+    "lower->x, digit->n, punctuation kept — structure stays legible for "
+    "debugging while content is destroyed), a digit-only variant with a "
+    "custom replacement char, and a keep-prefix pattern (the entity "
+    "prefix survives, the identifying suffix is masked). The oracle "
+    "rebuilds mask() as three chained regexp_replace calls — a pure "
+    "per-character map, so both engines agree byte-for-byte. "
+    "Complements text_scrub_pii (regex entity scrubbing INSIDE free "
+    "text) with whole-column redaction.",
+)
+def fn_mask_redact(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("name_masked"),
+        F.mask(F.col("c_mktsegment")).alias("segment_masked"),
+        F.mask(
+            F.col("c_name"),
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("#"),
+        ).alias("name_hash_digits"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, 9),
+            F.mask(F.expr("substring(c_name, 10)")),
+        ).alias("name_keep_prefix"),
+    )
