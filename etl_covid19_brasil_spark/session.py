@@ -51,9 +51,16 @@ def get_spark(
         # Small-dim broadcast threshold: every dim table in the star schema
         # (region/nation/customer/supplier/part) should broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # ANSI off => permissive casts (nullable on failure), matching the
-        # reference's lenient pandas coercions (dags/create-data-lake.py:74-79).
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI off by default => permissive casts (nullable on failure),
+        # matching the reference's lenient pandas coercions
+        # (dags/create-data-lake.py:74-79). SPARK_GRAFT_ANSI=true runs
+        # the engine under ANSI semantics — the full test suite passes
+        # either way (CI runs both), so a 100 TB job that prefers
+        # fail-loud arithmetic can turn it on without query changes.
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

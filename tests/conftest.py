@@ -1,6 +1,8 @@
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
 from pathlib import Path
 
 import pytest
@@ -10,6 +12,59 @@ sys.path.insert(0, str(REPO))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_GATE = "/root/testdata/sf0.01"
+
+# Known locations shipping a pure-python google.protobuf when the
+# package isn't pip-installed (the google-cloud-sdk bundles one).
+_PROTOBUF_HOSTS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def _ensure_protobuf() -> None:
+    """Make ``google.protobuf`` importable if a bundled copy exists.
+
+    transformWithState's Python-side state server speaks protobuf; the
+    sandbox has no pip access, but the google-cloud-sdk ships a full
+    pure-python protobuf. Exposing the WHOLE sdk platform dir would
+    shadow unrelated top-level names (api_server, demos, ...), so build
+    a tempdir shim holding only ``google/protobuf`` (symlink) and put it
+    on sys.path AND $PYTHONPATH — the latter BEFORE the JVM launches so
+    forked Python workers inherit it. No-op when protobuf is already
+    installed or no bundled copy exists (tests then skip as before)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    for host in _PROTOBUF_HOSTS:
+        src = Path(host) / "google" / "protobuf"
+        if not (src / "__init__.py").exists():
+            continue
+        shim = Path(tempfile.mkdtemp(prefix="pb_shim_")) / "google"
+        shim.mkdir()
+        (shim / "__init__.py").write_text(
+            "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+        )
+        (shim / "protobuf").symlink_to(src)
+        sys.path.insert(0, str(shim.parent))
+        os.environ["PYTHONPATH"] = (
+            str(shim.parent) + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+        # The sdk bundle can trail pyspark's gencode by a minor version
+        # (6.32 runtime vs 6.33 gencode); the strict same-or-newer check
+        # would reject an otherwise wire-compatible pairing. Scoped to
+        # the shim path only — a pip-installed protobuf returns above.
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        try:
+            import google.protobuf  # noqa: F401
+
+            return
+        except ImportError:
+            sys.path.remove(str(shim.parent))
+
+
+_ensure_protobuf()
 
 
 @pytest.fixture(scope="session")

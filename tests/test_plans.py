@@ -246,3 +246,28 @@ def test_cross_source_dedup_shuffles_hash_only_once(spark, specs):
     exchanges = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
     assert len(exchanges) <= 2, p
     assert exchanges and all("text" not in ln for ln in exchanges), p
+
+
+def test_dynamic_partition_pruning_on_partitioned_lake(spark, tmp_path):
+    """SURVEY.md §4: the lake story (sink_parquet partition_by) promises
+    partition pruning at scale. Static pushdown is pinned above; this
+    pins the DYNAMIC side — a dim-filtered join over a lake partitioned
+    on the join key must carry a dynamicpruningexpression on the fact
+    scan, so at 100 TB only the dim-selected partitions are read."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.io import load_table, sink_parquet
+
+    lake = str(tmp_path / "customer_by_nation")
+    sink_parquet(
+        load_table(spark, SF, "customer"), lake, partition_by=["c_nationkey"]
+    )
+    fact = spark.read.parquet(lake)
+    # filter on a NON-join dim column: a join-key literal would constant-
+    # propagate into a static prune and never exercise DPP
+    dim = load_table(spark, SF, "nation").filter(F.col("n_regionkey") == 1)
+    joined = fact.join(
+        dim, fact.c_nationkey == dim.n_nationkey
+    ).groupBy("n_name").agg(F.count(F.lit(1)).alias("n"))
+    p = plan_of(joined).lower()
+    assert "dynamicpruning" in p, p

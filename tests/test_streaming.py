@@ -265,14 +265,29 @@ def test_inactivity_timers_fire_and_are_correct(spark):
     except ImportError:
         pytest.skip("transformWithState state server requires protobuf")
 
-    stream = jobs.file_replay_stream_split(spark, SF, n_files=5)
-    q = jobs.run_to_memory(
-        jobs.user_inactivity_timeouts(stream, gap_minutes=60), "t_timers", mode="append"
+    # transformWithState needs multiple state column families (values +
+    # timers) — RocksDB only; the default HDFSBacked provider rejects it
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        fired = spark.table("t_timers").toPandas()
+        stream = jobs.file_replay_stream_split(spark, SF, n_files=5)
+        q = jobs.run_to_memory(
+            jobs.user_inactivity_timeouts(stream, gap_minutes=60),
+            "t_timers",
+            mode="append",
+        )
+        try:
+            fired = spark.table("t_timers").toPandas()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
     assert len(fired) > 0, "no timers fired — watermark never advanced past an idle gap"
 
