@@ -261,11 +261,32 @@ def _estimate_rows(df: DataFrame) -> int:
         rc = stats.rowCount()
         if rc.isDefined():
             return max(1, int(str(rc.get())))
+    except Exception:  # py4j surface drift — fall through
+        pass
+    # Parquet footers: exact pre-filter row counts from file METADATA
+    # (KBs per file, driver-side, no job). Pre-filter is an upper bound
+    # — safe: over-estimating only takes the always-correct tiled path.
+    # Sample at most 64 footers and extrapolate by file count.
+    try:
+        files = [f for f in df.inputFiles() if f.startswith(("file:", "/"))]
+        if files and files[0].endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            sample = files[:64]
+            rows = sum(
+                pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+                for f in sample
+            )
+            return max(1, (rows * len(files)) // len(sample))
+    except Exception:
+        pass
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
         size = int(str(stats.sizeInBytes()))
         if 0 < size < (1 << 62):  # defined, not the unknown-stats default
             width = max(1, df._jdf.schema().defaultSize())
             return max(1, (size * 4) // width)
-    except Exception:  # py4j surface drift — degrade to the exact path
+    except Exception:
         pass
     return df.count()
 

@@ -65,8 +65,9 @@ def query(
     return wrap
 
 
-def _driver_check_history() -> tuple[dict[str, int], set[str]]:
-    """Per-query driver-check count plus the set of currently-red queries.
+def _driver_check_history() -> tuple[dict[str, int], set[str], dict[str, int]]:
+    """Per-query driver-check count, currently-red set, and the round
+    number of each query's LATEST driver row.
 
     The driver verifies an insertion-order *prefix* of the registry each
     round (round 1 covered only the first 50 of 114 entries). To get every
@@ -86,48 +87,58 @@ def _driver_check_history() -> tuple[dict[str, int], set[str]]:
 
     counts: dict[str, int] = {}
     latest_ok: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
+            rnd = int(path.stem.split("_r")[-1])
         except (OSError, ValueError):
             continue
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
             counts[name] = counts.get(name, 0) + 1
+            last_round[name] = max(last_round.get(name, 0), rnd)
             if isinstance(row, dict):
+                err = row.get("err")
+                # "no_oracle" with rows delivered is the rows-only
+                # contract PASSING, not a failure — treating it as red
+                # would pin the 8 rows-only queries to the top of every
+                # round's prefix forever
+                err_ok = err is None or (
+                    err == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+                )
                 ok = (
-                    row.get("err") is None
+                    err_ok
                     and row.get("rows_match", True) is not False
                     and row.get("schema_match", True) is not False
                     and row.get("hash_match", True) is not False
                 )
                 latest_ok[name] = ok  # later files overwrite: latest round wins
     red = {name for name, ok in latest_ok.items() if not ok}
-    return counts, red
+    return counts, red, last_round
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _ensure_loaded()
-    checked, red = _driver_check_history()
+    checked, red, last_round = _driver_check_history()
     order = {name: i for i, name in enumerate(_REGISTRY)}
     # Priority tiers: (0) red on the latest driver round — a fix needs its
-    # green row next round, (1) everything else least-checked-first. Among
-    # equally-checked, the never-driver-validated tiers the north star
-    # weighs most come first (§2.9 streaming — small, fits whole — then
-    # §2.10 LLM/curation ops), then oracled queries before rows-only ones
-    # (a hash-green row is worth more than a rows-only row), then stable
-    # registration order.
-    section_prio = {"2.9": 0, "2.10": 1}
+    # green row next round; (1) STALEST-first: the round of each query's
+    # latest driver row, ascending, so queries whose green predates recent
+    # shared-code changes (e.g. the r5 load-path fix) re-earn a row before
+    # freshly-checked ones; (2) least-checked-first; then oracled queries
+    # before rows-only ones (a hash-green row is worth more than a
+    # rows-only row), then stable registration order.
     return {
         name: _REGISTRY[name]
         for name in sorted(
             _REGISTRY,
             key=lambda n: (
                 n not in red,
+                last_round.get(n, 0),
                 checked.get(n, 0),
-                section_prio.get(_REGISTRY[n].section, 2),
                 _REGISTRY[n].oracle is None,
                 order[n],
             ),
