@@ -20,6 +20,7 @@ mode (no parallelism at all).
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,6 +183,9 @@ def sink_jdbc_replace(
     properties: dict[str, str] | None = None,
     batchsize: int = 10_000,
     num_partitions: int = 8,
+    truncate: bool = False,
+    create_table_column_types: str | None = None,
+    isolation_level: str | None = None,
 ) -> None:
     """Create-or-replace a relational table and bulk-load it — the Spark
     equivalent of the reference's ``df[:0].to_sql(if_exists='replace')`` +
@@ -191,6 +195,20 @@ def sink_jdbc_replace(
     fixes the reference's unquoted-comma COPY corruption bug
     (dags/create-data-lake.py:60; SURVEY.md §2.12). ``num_partitions``
     caps connection fan-out.
+
+    Dialect knobs (the Postgres-parity surface — the reference's real
+    sink is Postgres, docker-compose-local.yml:14-23):
+
+    - ``truncate=True``: on overwrite, TRUNCATE and reload instead of
+      DROP+CREATE — keeps grants/indexes/views on the target table (the
+      production-Postgres fast path; Spark falls back to drop when the
+      dialect can't truncate safely).
+    - ``create_table_column_types``: explicit DDL type overrides, e.g.
+      ``"city VARCHAR(128), rate NUMERIC(12,2)"`` — pins dialect type
+      mapping where the default (TEXT/DOUBLE PRECISION on Postgres,
+      CLOB/DOUBLE on Derby) is not the reference's DDL.
+    - ``isolation_level``: e.g. ``READ_COMMITTED``; NONE disables
+      transactions for bulk loads on engines where that is faster.
     """
     writer = (
         df.coalesce(num_partitions)
@@ -199,11 +217,50 @@ def sink_jdbc_replace(
         .option("url", url)
         .option("dbtable", table)
         .option("batchsize", str(batchsize))
-        .option("truncate", "false")
+        .option("truncate", "true" if truncate else "false")
     )
+    if create_table_column_types:
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
+    if isolation_level:
+        writer = writer.option("isolationLevel", isolation_level)
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def jdbc_target(
+    dialect: str, workdir: str | None = None
+) -> tuple[str, dict[str, str]] | None:
+    """(url, properties) for a named JDBC dialect, or None if that
+    dialect is unreachable here.
+
+    - ``derby``: embedded, always available (the jars ship with Spark
+      for the Hive metastore); a fresh database under ``workdir``.
+    - ``postgres``: the reference's real sink. Reachable only when
+      $SPARK_GRAFT_PG_URL (jdbc:postgresql://...) is set AND the pgjdbc
+      driver is on the classpath; credentials ride $SPARK_GRAFT_PG_USER
+      / $SPARK_GRAFT_PG_PASSWORD. Returns None otherwise so callers
+      (and the dialect-matrix tests) skip cleanly.
+    """
+    if dialect == "derby":
+        import tempfile
+
+        dbdir = workdir or tempfile.mkdtemp(prefix="derby_dialect_")
+        return (
+            f"jdbc:derby:{dbdir}/lakedb;create=true",
+            {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+        )
+    if dialect == "postgres":
+        url = os.environ.get("SPARK_GRAFT_PG_URL")
+        if not url:
+            return None
+        props = {"driver": "org.postgresql.Driver"}
+        if os.environ.get("SPARK_GRAFT_PG_USER"):
+            props["user"] = os.environ["SPARK_GRAFT_PG_USER"]
+        if os.environ.get("SPARK_GRAFT_PG_PASSWORD"):
+            props["password"] = os.environ["SPARK_GRAFT_PG_PASSWORD"]
+        return url, props
+    raise ValueError(f"unknown JDBC dialect: {dialect}")
 
 
 def sink_csv(df: DataFrame, path: str, header: bool = False, mode: str = "overwrite") -> None:

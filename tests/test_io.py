@@ -96,6 +96,69 @@ def test_jdbc_sink_and_scan_roundtrip(spark, tmp_path):
     assert io.scan_jdbc(spark, url, "nation_lake", properties=props).count() == 5
 
 
+@pytest.mark.parametrize("dialect", ["derby", "postgres"])
+def test_jdbc_dialect_matrix_roundtrip(spark, tmp_path, dialect):
+    """Dialect-parameterized replace/scan parity (VERDICT r5 item 6):
+    the same sink_jdbc_replace surface must hold on the reference's real
+    Postgres sink (docker-compose-local.yml:14-23) the day one is
+    reachable — type mapping across the reference's column types,
+    batchsize variation, truncate-vs-drop replace, and explicit DDL type
+    overrides. Green on embedded Derby always; the postgres leg skips
+    cleanly unless $SPARK_GRAFT_PG_URL points at a live server."""
+    import pyspark.sql.functions as F
+
+    target = io.jdbc_target(dialect, workdir=str(tmp_path))
+    if target is None:
+        pytest.skip(f"no {dialect} server reachable (set SPARK_GRAFT_PG_URL)")
+    url, props = target
+    if dialect == "postgres":
+        try:  # driver jar must also be on the classpath
+            spark._jvm.java.lang.Class.forName("org.postgresql.Driver")
+        except Exception:
+            pytest.skip("postgres JDBC driver not on classpath")
+
+    # the covid lake's column shapes: ints, doubles, strings, date,
+    # timestamp, decimal, boolean (dags/create-data-lake.py:69-79)
+    src = (
+        io.load_table(spark, SF, "nation")
+        .limit(10)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("n_regionkey").cast("int").alias("region_i"),
+            (F.col("n_nationkey") * 1.5).alias("rate_d"),
+            F.lit("2020-03-01").cast("date").alias("dt"),
+            F.lit("2020-03-01 10:30:00").cast("timestamp").alias("ts"),
+            F.col("n_nationkey").cast("decimal(10,2)").alias("amount"),
+            (F.col("n_nationkey") % 2 == 0).alias("flag"),
+        )
+    )
+
+    def roundtrip(**kw):
+        io.sink_jdbc_replace(src, url, "dialect_lake", properties=props, **kw)
+        back = io.scan_jdbc(spark, url, "dialect_lake", properties=props)
+        back = back.toDF(*[c.lower() for c in back.columns])
+        got = {
+            (r["n_nationkey"], r["n_name"], r["region_i"], float(r["rate_d"]),
+             str(r["dt"]), str(r["ts"]), float(r["amount"]), bool(r["flag"]))
+            for r in back.collect()
+        }
+        want = {
+            (r["n_nationkey"], r["n_name"], r["region_i"], float(r["rate_d"]),
+             str(r["dt"]), str(r["ts"]), float(r["amount"]), bool(r["flag"]))
+            for r in src.collect()
+        }
+        assert got == want
+        return back
+
+    # default DDL mapping + small batch (multiple insert batches)
+    roundtrip(num_partitions=2, batchsize=3)
+    # truncate replace: reload into the EXISTING table, no drop+create
+    roundtrip(num_partitions=1, truncate=True)
+    # explicit dialect DDL override for the string column
+    roundtrip(create_table_column_types="n_name VARCHAR(64)")
+
+
 def test_partitioned_lake_prunes_partitions(spark, tmp_path):
     """Static partition pruning: a filter on the partition column must show
     up as PartitionFilters (directories skipped), not a post-scan filter —
