@@ -1812,3 +1812,153 @@ def text_clean_repeated_lines(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.expr("listagg(line, ' ') WITHIN GROUP (ORDER BY pos)").alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relevance ranking (TF-IDF / BM25) — the retrieval side of a corpus engine
+# ---------------------------------------------------------------------------
+
+_RANK_TERMS = ("join", "vector", "stream", "filter")
+_RT_SQL = "(" + ", ".join(f"'{t}'" for t in _RANK_TERMS) + ")"
+
+# BM25 per-(doc, term) weight (k1=1.2, b=0.75), quantized to integer
+# micro-units BEFORE the per-doc sum. The SAME expression string runs in
+# Spark SQL and DuckDB: both parse it to the identical left-associative
+# IEEE op tree over integer-derived doubles, so the double arithmetic is
+# bit-identical per row and the aggregation is associative integer math
+# (the fn_math / text_unigram_logprob quantization policy).
+_BM25_W_U6 = (
+    "CAST(floor("
+    "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    " * (CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+    " (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "rank_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents
+                  ),
+    qtoks AS (SELECT doc_id, token FROM toks WHERE token IN {_RT_SQL}),
+    n_total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qtoks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             tf.tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS w_u6
+      FROM tf JOIN df ON tf.token = df.token, n_total
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(w_u6) AS BIGINT) AS score_u6
+    FROM scored GROUP BY doc_id
+    ORDER BY score_u6 DESC, doc_id LIMIT 10
+    """,
+    section="2.10",
+    doc="TF-IDF top-10 retrieval for a fixed term set — the ranking half "
+    "of a corpus search engine. idf = ln(N/df) is quantized to integer "
+    "micro-units per TERM (vocabulary-sized table, broadcast), so the "
+    "per-document score tf*idf_u6 is exact integer arithmetic — "
+    "hash-stable across engines. Scale shape: the term filter prunes "
+    "the exploded token stream BEFORE both aggregations, df and the "
+    "1-row corpus count broadcast into the scoring join, and the final "
+    "ranking is a TakeOrderedAndProject (top-k short-circuit), never a "
+    "global sort.",
+)
+def rank_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    qtoks = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token").isin(*_RANK_TERMS))
+    )
+    n_total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+                    " * 1000000.0 + 0.5) AS BIGINT)"
+                )
+            ).alias("w_u6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("w_u6").cast("long").alias("score_u6"),
+        )
+        .orderBy(F.desc("score_u6"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "rank_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(len({_O_TOKENS})) AS BIGINT) AS sum_dl
+              FROM documents),
+    dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+           WHERE token IN {_RT_SQL} GROUP BY doc_id, token),
+    dfs AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+            WHERE token IN {_RT_SQL} GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, {_BM25_W_U6} AS w_u6
+      FROM tf JOIN dfs ON tf.token = dfs.token
+              JOIN dls ON tf.doc_id = dls.doc_id, stats
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(w_u6) AS BIGINT) AS score_u6
+    FROM scored GROUP BY doc_id
+    ORDER BY score_u6 DESC, doc_id LIMIT 10
+    """,
+    section="2.10",
+    doc="Okapi BM25 top-10 retrieval (k1=1.2, b=0.75) — the "
+    "length-normalized ranking a retrieval-augmented pipeline runs over "
+    "its corpus. The per-(doc, term) weight is ONE expression string "
+    "evaluated by both engines (identical left-associative IEEE tree "
+    "over integer-derived doubles), quantized to micro-units before the "
+    "associative integer per-doc sum. Scale shape: document length and "
+    "term frequency are both doc-keyed aggregates off one exploded "
+    "token stream (two token shuffles, partial-agg absorbed); df and "
+    "the 1-row (N, sum_dl) stats broadcast; dl joins tf on the doc key; "
+    "final ranking is top-k short-circuit.",
+)
+def rank_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens()).cast("long")).alias("sum_dl"),
+    )
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtoks = toks.filter(F.col("token").isin(*_RANK_TERMS))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfs), "token")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_W_U6).alias("w_u6"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("w_u6").cast("long").alias("score_u6"),
+        )
+        .orderBy(F.desc("score_u6"), F.asc("doc_id"))
+        .limit(10)
+    )

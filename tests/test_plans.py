@@ -271,3 +271,17 @@ def test_dynamic_partition_pruning_on_partitioned_lake(spark, tmp_path):
     ).groupBy("n_name").agg(F.count(F.lit(1)).alias("n"))
     p = plan_of(joined).lower()
     assert "dynamicpruning" in p, p
+
+
+def test_bm25_ranking_is_topk_with_broadcast_stats(spark, specs):
+    """The retrieval tier's scale posture: df + corpus stats broadcast
+    (vocabulary/1-row sized), the final ranking is a top-k short-circuit
+    (TakeOrderedAndProject), never a global Sort, and nothing cross-joins
+    beyond the broadcast stats row."""
+    p = plan_of(q(specs, spark, "rank_bm25_topk"))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    pt = plan_of(q(specs, spark, "rank_tfidf_topk"))
+    assert "TakeOrderedAndProject" in pt, pt
+    assert "CartesianProduct" not in pt, pt
