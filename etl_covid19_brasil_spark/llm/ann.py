@@ -61,18 +61,21 @@ _BANDED_SCHEMA = StructType(
         StructField("tbl", IntegerType()),
         StructField("bucket", IntegerType()),
         StructField("is_index", IntegerType()),  # 1 in the signature bucket
+        StructField("qs", IntegerType()),  # query-salt sub-group
+        StructField("qrole", IntegerType()),  # 0 = index replica, no querying
     ]
 )
 
 
 def _bucket_topk_kernel(k: int):
-    """Per-bucket kernel: rows with ``is_index=1`` are candidates (they
-    also query); probe-only rows (``is_index=0``) just query. Emit each
-    query's local top-k over the bucket's candidates. Dots use the
-    dimension-ordered accumulation so a pair colliding in several buckets
-    yields the SAME double everywhere (BLAS matmul may vary summation
-    order with matrix shape) — required for the downstream dedup + global
-    ranking to be deterministic."""
+    """Per-bucket kernel: rows with ``is_index=1`` are candidates; rows
+    with ``qrole=1`` query (index replicas fanned to other query salts
+    carry ``qrole=0`` so each vector queries exactly once per (tbl,
+    bucket)). Emit each query's local top-k over the bucket's
+    candidates. Dots use the dimension-ordered accumulation so a pair
+    colliding in several buckets yields the SAME double everywhere
+    (BLAS matmul may vary summation order with matrix shape) — required
+    for the downstream dedup + global ranking to be deterministic."""
     from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
 
     empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
@@ -81,12 +84,15 @@ def _bucket_topk_kernel(k: int):
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         idx_mask = pdf["is_index"].to_numpy() == 1
-        if not idx_mask.any():
+        q_mask = pdf["qrole"].to_numpy() == 1
+        if not idx_mask.any() or not q_mask.any():
             return empty
-        q_ids = pdf["vid"].to_numpy(dtype=np.int64)
-        q_mat = _normalize(np.stack(pdf["vec"].to_numpy()))
-        i_ids = q_ids[idx_mask]
-        i_mat = q_mat[idx_mask]
+        all_ids = pdf["vid"].to_numpy(dtype=np.int64)
+        all_mat = _normalize(np.stack(pdf["vec"].to_numpy()))
+        q_ids = all_ids[q_mask]
+        q_mat = all_mat[q_mask]
+        i_ids = all_ids[idx_mask]
+        i_mat = all_mat[idx_mask]
         sims = _ordered_dot(q_mat[:, None, :], i_mat[None, :, :])
         # a vid appears at most once per (tbl, bucket) in each role, so
         # "not self" is the id match; -inf sorts it past every real
@@ -118,18 +124,49 @@ def _global_topk(local: DataFrame, k: int) -> DataFrame:
     return dedup.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# Target expected bucket membership when auto-sizing the plane count:
+# per-bucket kernel work is O(|bucket|^2), so holding |bucket| constant
+# as the corpus grows keeps TOTAL kernel work linear in n.
+_TARGET_BUCKET_ROWS = 256
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 5,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = True,
+    q_salts: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors per vector via hyperplane LSH
     with multi-probe querying.
+
+    ``q_salts`` splits each (table, bucket) group's QUERY side across
+    that many sub-groups (index rows replicate into every sub-group,
+    flagged ``qrole=0`` so they don't re-query): sign buckets of real
+    data are skewed (measured 4x the mean at 64k vectors), per-bucket
+    kernel work is quadratic in membership, and applyInPandas groups
+    are indivisible units AQE cannot split — salting is the
+    skew-mitigation for UDF groups, the same trick join_skew_salted
+    pins for joins. Each (query, index) pair still meets exactly once.
+    Default (None): 4 once the plane count leaves the small-corpus
+    floor (where hot buckets start to dominate task time), 1 below it
+    (a small corpus finishes before skew matters; salting there only
+    adds group count and replica shuffle).
+
+    ``n_planes=None`` (default) derives the plane count from the corpus
+    size — ``max(4, ceil(log2(n / 256)))`` — so the EXPECTED bucket
+    size stays ~constant as the corpus grows. With a fixed plane count
+    the per-bucket kernel (O(|bucket|^2)) turns quadratic in n: the 8x
+    scale probe measured 20x runtime before this derivation, ~8x after.
+    More planes per table lowers per-table recall (P(collide)^P); the
+    d=1 multi-probe fan compensates partially, and at genuinely large n
+    callers should raise ``n_tables`` alongside — the classic LSH
+    compute-for-recall trade, now made explicit instead of silently
+    degrading into quadratic buckets.
 
     Every vector lands in its signature bucket as an index candidate
     (``is_index=1``); with ``multi_probe`` each vector ALSO queries the
@@ -146,6 +183,15 @@ def lsh_topk(
     Output: (query_id, neighbor_id, cosine, rank) — same shape as the
     brute-force similarity_topk so callers can swap tiers.
     """
+    if n_planes is None:
+        import math
+
+        from etl_covid19_brasil_spark.llm.similarity import _estimate_rows
+
+        n_est = _estimate_rows(embeddings)
+        n_planes = max(4, math.ceil(math.log2(max(2, n_est / _TARGET_BUCKET_ROWS))))
+    if q_salts is None:
+        q_salts = 4 if n_planes > 4 else 1
     planes = _planes(n_tables, n_planes, dim)
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(planes)
@@ -155,31 +201,61 @@ def lsh_topk(
         t_n, p_n = pl.shape[0], pl.shape[1]
         flat = pl.reshape(t_n * p_n, -1)
         weights = (1 << np.arange(p_n)).astype(np.int64)
-        fan = 1 + (p_n if multi_probe else 0)  # roles per (vector, table)
+        # Probe the LEAST-CONFIDENT bits only (smallest |projection| —
+        # the classic multi-probe refinement): capping the probe fan at
+        # 4 keeps banding fan-out and kernel work independent of the
+        # auto-scaled plane count (probing all P flips reintroduces a
+        # (1+P) ~ log(n) factor the 8x scale probe measured); at the
+        # default small-corpus P=4 this IS the exhaustive d=1 fan.
+        n_flips = min(p_n, 4) if multi_probe else 0
+        fan = 1 + n_flips  # querying roles per (vector, table)
+        s_n = max(1, q_salts)
+        rows = fan + (s_n - 1)  # + non-querying index replicas
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ flat.T > 0).reshape(len(ids), t_n, p_n)
+            proj = (mat @ flat.T).reshape(len(ids), t_n, p_n)
+            bits = proj > 0
             buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, T)
             # (n, T, fan): signature bucket first, then 1-bit flips
             probes = buckets[:, :, None]
-            if multi_probe:
-                flips = buckets[:, :, None] ^ (1 << np.arange(p_n, dtype=np.int32))
+            if n_flips:
+                least = np.argsort(np.abs(proj), axis=2)[:, :, :n_flips]
+                flips = buckets[:, :, None] ^ (1 << least).astype(np.int32)
                 probes = np.concatenate([probes, flips], axis=2)
-            is_index = np.zeros((len(ids), t_n, fan), dtype=np.int32)
+            own_salt = (ids % s_n).astype(np.int32)  # (n,)
+            # layout per (vector, table): [sig, probe*n_flips,
+            # index-replica*(s_n-1)]; replicas land in the OTHER salts
+            # of the signature bucket with qrole=0
+            other = np.arange(1, s_n, dtype=np.int32)  # offsets 1..s-1
+            salts = np.concatenate(
+                [
+                    np.repeat(own_salt[:, None], fan, axis=1),
+                    (own_salt[:, None] + other[None, :]) % s_n,
+                ],
+                axis=1,
+            )  # (n, rows)
+            repl_bucket = np.repeat(buckets[:, :, None], s_n - 1, axis=2)
+            all_buckets = np.concatenate([probes, repl_bucket], axis=2)  # (n,T,rows)
+            is_index = np.zeros((len(ids), t_n, rows), dtype=np.int32)
             is_index[:, :, 0] = 1
+            is_index[:, :, fan:] = 1
+            qrole = np.zeros((len(ids), t_n, rows), dtype=np.int32)
+            qrole[:, :, :fan] = 1
             yield pd.DataFrame(
                 {
-                    "vid": np.repeat(ids, t_n * fan),
+                    "vid": np.repeat(ids, t_n * rows),
                     # list-of-ndarray: Arrow consumes each row's ndarray
                     # directly; exploding to Python float lists boxed
                     # n*t*d values and dominated this stage.
-                    "vec": list(np.repeat(mat, t_n * fan, axis=0)),
+                    "vec": list(np.repeat(mat, t_n * rows, axis=0)),
                     "tbl": np.tile(
-                        np.repeat(np.arange(t_n, dtype=np.int32), fan), len(ids)
+                        np.repeat(np.arange(t_n, dtype=np.int32), rows), len(ids)
                     ),
-                    "bucket": probes.reshape(-1),
+                    "bucket": all_buckets.reshape(-1),
                     "is_index": is_index.reshape(-1),
+                    "qs": np.repeat(salts[:, None, :], t_n, axis=1).reshape(-1),
+                    "qrole": qrole.reshape(-1),
                 }
             )
 
@@ -188,7 +264,7 @@ def lsh_topk(
     banded = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         sign_kernel, schema=_BANDED_SCHEMA
     )
-    local = banded.groupBy("tbl", "bucket").applyInPandas(
+    local = banded.groupBy("tbl", "bucket", "qs").applyInPandas(
         _bucket_topk_kernel(k), schema="query_id long, neighbor_id long, cosine double"
     )
     return _global_topk(local, k)

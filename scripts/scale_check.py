@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Scaling probe: do the headline plans stay ~linear one order of
+magnitude up from the bench scale? (VERDICT r5 item 8 — no sf1.0
+testdata ships, so an 8x corpus is DERIVED from sf0.1 with disjoint
+per-replica key/token spaces.)
+
+Construction keeps the workload's *structure* linear by design, so a
+superlinear runtime is a PLAN defect, not a data artifact:
+
+- documents: 8 replicas; replica r suffixes every token with ``_r`` and
+  shifts doc_id by r * 10^9. Replicas live in disjoint token universes,
+  so near-dup pairs, LSH bucket sizes, and connected components each
+  grow exactly 8x (cross-replica Jaccard = 0) — the LSH bucket-skew and
+  CC-iteration nonlinearities the small scale hides become visible.
+- embeddings: 8 replicas; replica r rolls the vector by r dims and
+  shifts vec_id. Within-replica cosine structure is preserved.
+- lineitem/orders: 8 replicas with orderkey/partkey/suppkey shifted per
+  replica — join fan-out and agg group counts scale 8x.
+
+Usage: python scripts/scale_check.py [--replicas 8]
+Prints one JSON line: {"queries": {name: {"t_base": s, "t_big": s,
+"ratio": r}}, "replicas": 8}. A plan scales acceptably when ratio is
+O(replicas) — the harness flags ratio > replicas * 2.5.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from etl_covid19_brasil_spark import get_spark, registry  # noqa: E402
+from etl_covid19_brasil_spark.io import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "text_tokenize_freq",
+    "exact_dedup",
+    "near_dedup_minhash",
+    "dedup_connected_components",
+    "ann_lsh_topk",
+    "agg_groupby_pricing",
+    "join_inner_revenue",
+]
+
+
+def build_scaled_dir(spark, replicas: int) -> str:
+    out = Path(tempfile.mkdtemp(prefix=f"scale{replicas}x_"))
+    docs = load_table(spark, BASE, "documents")
+    emb = load_table(spark, BASE, "embeddings")
+    li = load_table(spark, BASE, "lineitem")
+    orders = load_table(spark, BASE, "orders")
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+
+    # documents: disjoint token space per replica (token -> token_r for
+    # r > 0) keeps every dedup/LSH/CC quantity exactly linear
+    d = docs.select("*", reps).select(
+        (F.col("doc_id") + F.col("rep").cast("long") * F.lit(10**9)).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("_"), F.col("rep").cast("string")),
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    d.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    # embeddings: roll dims per replica; ids shifted
+    e = emb.select("*", reps).select(
+        (F.col("vec_id") + F.col("rep").cast("long") * F.lit(10**9)).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("embedding"), F.col("rep") + 1, F.size("embedding")),
+            F.slice(F.col("embedding"), 1, F.col("rep")),
+        ).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    e.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+
+    shift = F.col("rep").cast("long") * F.lit(10**9)
+    li.select("*", reps).select(
+        *[
+            (F.col(c) + shift).alias(c)
+            if c in ("l_orderkey", "l_partkey", "l_suppkey")
+            else F.col(c)
+            for c in li.columns
+        ]
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    orders.select("*", reps).select(
+        *[
+            (F.col(c) + shift).alias(c)
+            if c in ("o_orderkey", "o_custkey")
+            else F.col(c)
+            for c in orders.columns
+        ]
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+
+    # small dims: copy as-is (queries join them by the unshifted keys of
+    # replica 0 only where keys shifted; revenue query joins orders ->
+    # customer? keep nation/customer/supplier/part/region/events intact)
+    for t in ("region", "nation", "customer", "supplier", "part", "events"):
+        src = Path(BASE) / f"{t}.parquet"
+        dst = out / f"{t}.parquet"
+        if src.is_dir():
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    return str(out)
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    spec = registry.all_specs()[name]
+    # warm plan caches once at tiny scale elsewhere; time one full run
+    t0 = time.monotonic()
+    spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=8)
+    args = ap.parse_args()
+    spark = get_spark(app_name="scale-check")
+    big = build_scaled_dir(spark, args.replicas)
+    out = {}
+    for name in QUERIES:
+        t_base = min(time_query(spark, name, BASE) for _ in range(2))
+        t_big = time_query(spark, name, big)
+        out[name] = {
+            "t_base": round(t_base, 3),
+            "t_big": round(t_big, 3),
+            "ratio": round(t_big / t_base, 2),
+        }
+        print(f"# {name}: {t_base:.2f}s -> {t_big:.2f}s ({t_big / t_base:.1f}x)",
+              file=sys.stderr)
+    print(json.dumps({"queries": out, "replicas": args.replicas}))
+
+
+if __name__ == "__main__":
+    main()
