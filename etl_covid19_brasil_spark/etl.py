@@ -24,6 +24,9 @@ immutable and null handling is version-stable (SURVEY.md §2.12).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from typing import Any
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
@@ -131,8 +134,64 @@ def ibge_pipeline(raw: DataFrame) -> DataFrame:
     return with_audit_column(flatten_structs(raw))
 
 
+def run_tasks_parallel(
+    tasks: "dict[str, Callable[[], Any]]",
+    retries: int = 0,
+    retry_delay_s: float = 0.0,
+    on_task_failure: "Callable[[str, int, BaseException], None] | None" = None,
+) -> "dict[str, Any]":
+    """Width-N parallel task runner with per-task retry — the Airflow
+    ``default_args`` semantics the reference DAG declares
+    (``retries`` / ``retry_delay`` / failure callback,
+    dags/create-data-lake.py:8-20; the reference sets retries=0 and
+    disables email, so the DEFAULT here matches its effective
+    behavior while a caller can turn the knobs the DAG exposes).
+
+    Tasks are independent (no dependency edges, like the reference's
+    two unlinked operators): each runs on its own driver thread, each
+    retries on its own clock, and one task's permanent failure does NOT
+    cancel the others — every task either returns or exhausts its
+    retries before this function raises the FIRST failure (Airflow
+    marks the failed task and finishes the rest of the width).
+    ``on_task_failure(name, attempt, exc)`` fires per failed attempt —
+    the engine-side stand-in for ``email_on_retry``/``email_on_failure``.
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def attempt_loop(name: str, fn: "Callable[[], Any]"):
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                return fn()
+            except Exception as exc:
+                if on_task_failure is not None:
+                    on_task_failure(name, attempt, exc)
+                if attempt > retries:
+                    raise
+                time.sleep(retry_delay_s)
+
+    with ThreadPoolExecutor(max_workers=max(1, len(tasks))) as pool:
+        futures = {n: pool.submit(attempt_loop, n, fn) for n, fn in tasks.items()}
+        results, first_err = {}, None
+        for n, f in futures.items():
+            try:
+                results[n] = f.result()
+            except Exception as exc:  # keep draining the other tasks
+                first_err = first_err or exc
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 def run_data_lake(
-    covid_raw: DataFrame, ibge_raw: DataFrame, out_dir: str
+    covid_raw: DataFrame,
+    ibge_raw: DataFrame,
+    out_dir: str,
+    retries: int = 0,
+    retry_delay_s: float = 0.0,
+    on_task_failure: "Callable[[str, int, BaseException], None] | None" = None,
 ) -> dict[str, int]:
     """The whole reference DAG as ONE Spark app, width-2 parallel.
 
@@ -140,26 +199,31 @@ def run_data_lake(
     dependency edge (dags/create-data-lake.py:108-109) — Airflow runs
     them concurrently in separate workers. In Spark the same dataflow
     width comes from submitting both sink actions on separate driver
-    threads: the scheduler interleaves their jobs across the shared
-    executors (documented thread-safe usage; with a FAIR pool both
-    pipelines make progress even when one is long). Returns
-    {table: landed row count} after both sinks commit — the 'covid' and
-    'microrregioes' tables of the reference lake
-    (dags/create-data-lake.py:83,104), parquet standing in for Postgres
-    (swap .parquet for .jdbc for exact sink parity, io.py:sink_jdbc_replace).
+    threads via :func:`run_tasks_parallel` (documented thread-safe
+    usage; with a FAIR pool both pipelines make progress even when one
+    is long), which also carries the DAG's retry/failure-callback
+    semantics. Returns {table: landed row count} after both sinks
+    commit — the 'covid' and 'microrregioes' tables of the reference
+    lake (dags/create-data-lake.py:83,104), parquet standing in for
+    Postgres (swap .parquet for .jdbc for exact sink parity,
+    io.py:sink_jdbc_replace).
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     pipelines = {
         "covid": covid_pipeline(covid_raw),
         "microrregioes": ibge_pipeline(ibge_raw),
     }
 
-    def land(name: str, df: DataFrame) -> tuple[str, int]:
-        path = f"{out_dir}/{name}"
-        df.write.mode("overwrite").parquet(path)
-        return name, df.sparkSession.read.parquet(path).count()
+    def land(name: str, df: DataFrame) -> "Callable[[], int]":
+        def go() -> int:
+            path = f"{out_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path).count()
 
-    with ThreadPoolExecutor(max_workers=len(pipelines)) as pool:
-        futures = [pool.submit(land, n, df) for n, df in pipelines.items()]
-        return dict(f.result() for f in futures)
+        return go
+
+    return run_tasks_parallel(
+        {n: land(n, df) for n, df in pipelines.items()},
+        retries=retries,
+        retry_delay_s=retry_delay_s,
+        on_task_failure=on_task_failure,
+    )

@@ -140,3 +140,53 @@ def test_run_data_lake_lands_both_tables_concurrently(spark, covid_raw, tmp_path
     assert got["microrregioes"] == etl.ibge_pipeline(ibge_raw).count()
     landed = spark.read.parquet(str(tmp_path / "lake" / "covid"))
     assert "created_at_datalake" in landed.columns
+
+
+def test_run_tasks_parallel_retries_transient_failures():
+    """The Airflow default_args semantics the reference DAG declares
+    (retries / retry_delay / failure callback, dags/create-data-lake.py:
+    8-20): a transiently-failing task succeeds within its retry budget,
+    and the callback sees each failed attempt."""
+    from etl_covid19_brasil_spark import etl
+
+    calls = {"n": 0}
+    seen = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    got = etl.run_tasks_parallel(
+        {"flaky": flaky, "steady": lambda: 42},
+        retries=3,
+        retry_delay_s=0.0,
+        on_task_failure=lambda name, attempt, exc: seen.append((name, attempt)),
+    )
+    assert got == {"flaky": "ok", "steady": 42}
+    assert seen == [("flaky", 1), ("flaky", 2)]
+
+
+def test_run_tasks_parallel_failure_does_not_cancel_siblings():
+    """One task exhausting its retries raises AFTER the width drains —
+    the sibling task still completes (Airflow: independent tasks run to
+    their own terminal state)."""
+    import pytest as _pytest
+
+    from etl_covid19_brasil_spark import etl
+
+    landed = []
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    def lands():
+        landed.append(True)
+        return 1
+
+    with _pytest.raises(RuntimeError, match="permanent"):
+        etl.run_tasks_parallel(
+            {"bad": always_fails, "good": lands}, retries=1, retry_delay_s=0.0
+        )
+    assert landed == [True]
