@@ -685,12 +685,15 @@ def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
     "signatures with 1-bit multi-probe querying (recall ~0.97 pinned in "
     "tests/test_ann_recall.py), candidates restricted to probed buckets "
-    "— the linear-shuffle scale path for similarity_topk. See llm/ann.py.",
+    "— the linear-shuffle scale path for similarity_topk. Library "
+    "DEFAULTS on purpose: the plane count auto-scales with corpus size "
+    "(llm/ann.py) — an explicit n_planes here silently reintroduced "
+    "quadratic buckets at 8x in the round-6 scale probe.",
 )
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import lsh_topk
 
-    return lsh_topk(T(spark, sf, "embeddings"), k=5, n_planes=4, n_tables=8)
+    return lsh_topk(T(spark, sf, "embeddings"), k=5)
 
 
 @query(

@@ -787,3 +787,58 @@ def dedup_cross_source(spark: SparkSession, sf: str) -> DataFrame:
         F.min("canonical_doc").alias("first_canonical"),
         F.max("canonical_doc").alias("last_canonical"),
     )
+
+
+# A-ES (Efraimidis–Spirakis) weighted-reservoir score, quantized to
+# integer micro-units for the output/order key. ONE expression string
+# for both engines: u in (0,1) derives from the first 8 md5 hex digits
+# of the key (the engine-portable hash trick sample_stratified_hash
+# pins), the weight is the exact-cents money value, and
+# score = ln(u)/w is the log-domain A-ES key (u^(1/w) order-isomorphic).
+_WRES_SCORE_U6 = (
+    "CAST(floor("
+    "ln((CAST(h32 AS DOUBLE) + 0.5) / 4294967296.0)"
+    " / (CAST(w_cents AS DOUBLE) / 100.0)"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h32,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w_cents
+      FROM orders
+    ),
+    scored AS (SELECT o_orderkey, w_cents, {_WRES_SCORE_U6} AS score_u6 FROM keyed)
+    SELECT o_orderkey, w_cents, score_u6
+    FROM scored ORDER BY score_u6 DESC, o_orderkey LIMIT 50
+    """,
+    section="2.10",
+    doc="Deterministic WEIGHTED sampling without replacement (A-ES, "
+    "Efraimidis–Spirakis 2006): each row draws u from its key's md5 "
+    "(reproducible across engines and partitionings, unlike rand()), "
+    "keys sort by ln(u)/weight — order-isomorphic to u^(1/w) — and the "
+    "top-k IS a weighted sample without replacement. High-value orders "
+    "are proportionally favored; the score is quantized to integer "
+    "micro-units so the cross-engine order key is integer, with "
+    "o_orderkey breaking ties. Scale shape: pure map-side scoring, one "
+    "TakeOrderedAndProject — no shuffle beyond the top-k merge; the "
+    "standard corpus-curation move for value-weighted subset selection.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w_cents"),
+    )
+    return (
+        keyed.select("o_orderkey", "w_cents", F.expr(_WRES_SCORE_U6).alias("score_u6"))
+        .orderBy(F.desc("score_u6"), F.asc("o_orderkey"))
+        .limit(50)
+    )

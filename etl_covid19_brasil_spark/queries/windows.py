@@ -444,3 +444,69 @@ def win_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.sum(new_session).over(run).alias("session_seq"),
     )
+
+
+@query(
+    "events_funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    section="2.5",
+    doc="Ordered conversion funnel (view -> first later click -> first "
+    "later purchase) per user — the product-analytics sequence query. "
+    "Each stage is a type-filtered min-timestamp aggregate joined on "
+    "the user key with a strictly-later predicate, so the funnel "
+    "respects event ORDER, not mere co-occurrence. Scale shape: the "
+    "event_type filters push to the scan, all three aggregates and "
+    "both assembly joins shuffle on the same user_id key (AQE reuses "
+    "the partitioning), and no window materializes the full per-user "
+    "event list.",
+)
+def events_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            stage.cast("long").alias("stage"),
+        )
+    )
