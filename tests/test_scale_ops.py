@@ -351,3 +351,15 @@ def test_pagerank_integer_exact_odd_damping(spark):
     # symmetric 2-cycle fixed point survives any damping exactly:
     # r = (1e6 - d) + d*r/1e6 has fixed point r = 1e6
     assert got == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_estimate_rows_exact_from_parquet_footers(spark):
+    """The similarity/LSH tier choice reads row counts from parquet
+    footer METADATA (no Spark job): exact on file-scan frames, and the
+    caller hint always wins. A wrong estimate can only cost performance
+    (both tiers are bit-identical), but an exact one keeps small tables
+    on the zero-shuffle broadcast path."""
+    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows
+
+    emb = load_table(spark, SF, "embeddings")
+    assert _estimate_rows(emb) == emb.count()
