@@ -842,3 +842,47 @@ def sample_weighted_reservoir(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("score_u6"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+@query(
+    "corpus_shard_assign",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(h32 % 16 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h32 % 16 ORDER BY h32 // 16, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+    section="2.10",
+    doc="Deterministic training-shard assignment: the corpus -> N-shard "
+    "epoch-shuffle step a pretraining pipeline runs before packing. "
+    "Shard = content-independent hash slot (md5 of the key — "
+    "reproducible across engines/partitionings, unlike rand or "
+    "monotonically_increasing_id); within-shard position = rank of the "
+    "REMAINING hash bits (doc_id tie-break), so the order inside each "
+    "shard is a reshuffle uncorrelated with the shard choice itself. "
+    "ONE shuffle on the shard key; each shard orders independently "
+    "(window per partition, no global sort); downstream "
+    "pack_sequences_* consumes (shard, pos) as its processing order.",
+)
+def corpus_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    h32 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    keyed = d.select("doc_id", "n_chars", h32.alias("h32"))
+    w = Window.partitionBy(F.col("h32") % 16).orderBy(
+        F.expr("h32 div 16"), F.col("doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        "n_chars",
+        (F.col("h32") % 16).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
