@@ -510,3 +510,40 @@ def events_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
             stage.cast("long").alias("stage"),
         )
     )
+
+
+@query(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH kept AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber <> 2
+    ),
+    nexts AS (
+      SELECT l_orderkey, l_linenumber AS gap_after,
+             LEAD(l_linenumber) OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber) AS next_ln
+      FROM kept
+    )
+    SELECT l_orderkey, CAST(gap_after AS BIGINT) AS gap_after,
+           CAST(next_ln AS BIGINT) AS next_ln
+    FROM nexts WHERE next_ln - gap_after > 1
+    """,
+    section="2.5",
+    doc="Sequence-integrity audit (gaps detection): per order, adjacent "
+    "line numbers compared via LEAD — a hole (next - current > 1) "
+    "means a lost/unloaded row, the completeness check an ingestion "
+    "pipeline runs on sequenced feeds. The test data is gap-free by "
+    "construction, so line 2 is excluded first to give the audit "
+    "deterministic findings. Scale shape: ONE window shuffle on the "
+    "sequence's partition key (never a global sort), emitted rows are "
+    "only the violations.",
+)
+def dq_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").filter(F.col("l_linenumber") != 2)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    nexts = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("gap_after"),
+        F.lead(F.col("l_linenumber").cast("long")).over(w).alias("next_ln"),
+    )
+    return nexts.filter(F.col("next_ln") - F.col("gap_after") > 1)
