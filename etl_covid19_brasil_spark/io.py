@@ -87,6 +87,10 @@ def scan_http_json(
     url: str,
     schema: StructType | None = None,
     fetch: Any = None,
+    retries: int = 3,
+    backoff_base_sec: float = 0.5,
+    sleep: Any = None,
+    landing_dir: str | None = None,
 ) -> DataFrame:
     """GET a REST endpoint and parallelize the parsed JSON array
     (reference: requests.get + json.loads + json_normalize,
@@ -95,6 +99,22 @@ def scan_http_json(
     Driver-side by design: the reference's payload is a ~5,570-row
     dimension table; a distributed HTTP source buys nothing. ``fetch`` is
     injectable for tests (no network in CI); defaults to urllib.
+
+    Fault tolerance mirrors the reference DAG's ``default_args`` retry
+    semantics (dags/create-data-lake.py:8-14): the fetch is retried
+    ``retries`` times with bounded exponential backoff
+    (``backoff_base_sec * 2**attempt``); ``sleep`` is injectable so
+    tests run without wall-clock delay. The final failure re-raises the
+    fetch's own exception.
+
+    Schema-less payloads are LANDED as a JSONL file (under
+    ``landing_dir`` or a temp dir) and scanned with ``spark.read.json``
+    — full multi-row schema inference with no deprecated ``.rdd`` hop,
+    and the scan is re-runnable from disk (a task retry re-reads the
+    landed file; the old driver-memory formulation would have pinned
+    recomputation to driver state). This is the lake "land then scan"
+    ingest pattern. With an explicit ``schema`` the payload goes through
+    ``from_json`` directly — no landing file, no inference pass.
     """
     if fetch is None:
 
@@ -104,16 +124,37 @@ def scan_http_json(
             with urlopen(u, timeout=60) as resp:  # noqa: S310
                 return resp.read().decode("utf-8")
 
-    body = fetch(url)
+    if sleep is None:
+        import time as _time
+
+        sleep = _time.sleep
+
+    for attempt in range(retries + 1):
+        try:
+            body = fetch(url)
+            break
+        except Exception:
+            if attempt == retries:
+                raise
+            sleep(backoff_base_sec * (2**attempt))
+
     records = json.loads(body)
     if not isinstance(records, list):
         records = [records]
-    text_df = spark.createDataFrame([(json.dumps(r),) for r in records], ["json"])
-    if schema is None:
-        return spark.read.json(text_df.rdd.map(lambda r: r.json))
-    import pyspark.sql.functions as F
+    if schema is not None:
+        import pyspark.sql.functions as F
 
-    return text_df.select(F.from_json("json", schema).alias("rec")).select("rec.*")
+        text_df = spark.createDataFrame([(json.dumps(r),) for r in records], ["json"])
+        return text_df.select(F.from_json("json", schema).alias("rec")).select("rec.*")
+    import tempfile
+
+    fd, landing = tempfile.mkstemp(
+        suffix=".jsonl", prefix="http_json_landed_", dir=landing_dir
+    )
+    with os.fdopen(fd, "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+    return spark.read.json(landing)
 
 
 def scan_jdbc(

@@ -266,28 +266,42 @@ def _estimate_rows(df: DataFrame) -> int:
     # Parquet footers: exact pre-filter row counts from file METADATA
     # (KBs per file, driver-side, no job). Pre-filter is an upper bound
     # — safe: over-estimating only takes the always-correct tiled path.
-    # Sample at most 64 footers and extrapolate by file count.
+    # Sample at most 64 footers SPREAD across the file list (a prefix
+    # sample under-estimates when many small part files list first —
+    # ADVICE r6) and extrapolate by file count.
+    footer_est, footer_exact = 0, False
     try:
         files = [f for f in df.inputFiles() if f.startswith(("file:", "/"))]
         if files and files[0].endswith(".parquet"):
             import pyarrow.parquet as pq
 
-            sample = files[:64]
+            stride = max(1, len(files) // 64)
+            sample = files[::stride][:64]
             rows = sum(
                 pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
                 for f in sample
             )
-            return max(1, (rows * len(files)) // len(sample))
+            footer_est = max(1, (rows * len(files)) // len(sample))
+            footer_exact = len(sample) == len(files)
     except Exception:
         pass
+    if footer_exact:
+        return footer_est  # every footer read — this IS the row count
+    # sizeInBytes inversion as a second opinion when the footer count was
+    # EXTRAPOLATED from a subsample; take the MAX so a skewed sample (many
+    # small part files) cannot under-bound the index collect — the
+    # conservative direction is always "more rows" (ADVICE r6).
+    size_est = 0
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         size = int(str(stats.sizeInBytes()))
         if 0 < size < (1 << 62):  # defined, not the unknown-stats default
             width = max(1, df._jdf.schema().defaultSize())
-            return max(1, (size * 4) // width)
+            size_est = max(1, (size * 4) // width)
     except Exception:
         pass
+    if footer_est or size_est:
+        return max(footer_est, size_est)
     return df.count()
 
 

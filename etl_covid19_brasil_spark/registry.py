@@ -107,7 +107,7 @@ def _driver_check_history() -> tuple[dict[str, int], set[str], dict[str, int]]:
                 # would pin the 8 rows-only queries to the top of every
                 # round's prefix forever
                 err_ok = err is None or (
-                    err == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+                    err == "no_oracle" and row.get("spark_rows") is not None
                 )
                 ok = (
                     err_ok

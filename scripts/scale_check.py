@@ -50,6 +50,12 @@ QUERIES = [
     "ann_lsh_topk",
     "agg_groupby_pricing",
     "join_inner_revenue",
+    # r7 extension (VERDICT r6 item 3): the remaining heavy tier.
+    "ann_ivf_trained",
+    "ann_ivfpq_topk",
+    "rank_bm25_topk",
+    "near_dedup_embedding",
+    "similarity_topk",
 ]
 
 
@@ -64,22 +70,30 @@ def build_scaled_dir(spark, replicas: int) -> str:
 
     # documents: disjoint token space per replica (token -> token_r for
     # r > 0) keeps every dedup/LSH/CC quantity exactly linear
-    d = docs.select("*", reps).select(
-        (F.col("doc_id") + F.col("rep").cast("long") * F.lit(10**9)).alias("doc_id"),
-        F.when(F.col("rep") == 0, F.col("text"))
-        .otherwise(
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.concat(t, F.lit("_"), F.col("rep").cast("string")),
-                ),
-                " ",
+    d = (
+        docs.select("*", reps)
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("long") * F.lit(10**9)).alias(
+                "doc_id"
+            ),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit("_"), F.col("rep").cast("string")),
+                    ),
+                    " ",
+                )
             )
+            .alias("text"),
+            "lang",
+            "source",
         )
-        .alias("text"),
-        "lang",
-        "source",
-        "n_chars",
+        # n_chars must track the suffixed replica text, not the replica-0
+        # length, so n_chars-dependent queries (gopher filter, quota
+        # sampling) see values consistent with text (ADVICE r6).
+        .withColumn("n_chars", F.length("text").cast(dict(docs.dtypes)["n_chars"]))
     )
     d.write.mode("overwrite").parquet(str(out / "documents.parquet"))
 
@@ -136,11 +150,17 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=8)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the probe set (default: all)",
+    )
     args = ap.parse_args()
+    names = args.queries.split(",") if args.queries else QUERIES
     spark = get_spark(app_name="scale-check")
     big = build_scaled_dir(spark, args.replicas)
     out = {}
-    for name in QUERIES:
+    for name in names:
         t_base = min(time_query(spark, name, BASE) for _ in range(2))
         t_big = time_query(spark, name, big)
         out[name] = {
