@@ -829,6 +829,43 @@ def media_image_ppm_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "media_image_png_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(least(greatest(n_chars, 1), 256) AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           CAST(2 * least(greatest(n_chars, 1), 256) AS BIGINT) AS n_pixels,
+           CAST(list_aggregate(
+             list_transform(range(0, 2 * least(greatest(n_chars, 1), 256)),
+                            i -> (doc_id * 7 + i) % 256), 'sum')
+             AS BIGINT) AS sum_lum,
+           CAST(list_aggregate(
+             list_transform(range(0, 2 * least(greatest(n_chars, 1), 256)),
+                            i -> (doc_id * 7 + i) % 256), 'sum') * 1000
+             // (2 * least(greatest(n_chars, 1), 256)) AS BIGINT) AS mean_lum_milli
+    FROM documents
+    """,
+    section="2.10",
+    doc="REAL PNG decode, hash-checked end-to-end and PURE STDLIB: "
+    "synthesize a genuine PNG per document (same deterministic pixel "
+    "function as the PPM query, width capped at 256, per-row filter "
+    "type cycling over all five PNG filters — "
+    "llm/multimodal.py:synth_png_media), then parse the actual format "
+    "back (chunk walk with CRC verification, IHDR validation, zlib "
+    "inflate, per-scanline unfilter — decode_png, via the decode_image "
+    "dispatcher) in an Arrow-batched mapInPandas kernel. The oracle "
+    "recomputes the pixel function arithmetically, so chunk framing + "
+    "deflate + all five unfilter branches are verified bit-for-bit — "
+    "PNG is the format real image corpora actually contain, and this "
+    "path needs no Pillow.",
+)
+def media_image_png_decode(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.multimodal import image_features, synth_png_media
+
+    return image_features(synth_png_media(T(spark, sf, "documents")))
+
+
+@query(
     "media_audio_wav_decode",
     oracle="""
     SELECT doc_id AS media_id,

@@ -51,6 +51,37 @@ def test_lsh_recall_floor(spark, truth_topk):
     assert r >= 0.9, f"LSH recall collapsed: {r:.3f}"
 
 
+def test_lsh_salted_layout_is_result_invariant(spark, truth_topk):
+    """Query-salting and the capped multi-probe layout are pure
+    SKEW-mitigation: with n_planes forced above the small-corpus floor
+    (engaging the replica/qrole bookkeeping that production-scale
+    corpora hit but CI's auto-derived P=4/q_salts=1 path never does),
+    the (query_id, neighbor_id, cosine) set must be IDENTICAL to the
+    unsalted run — each (query, index) pair meets exactly once either
+    way. Guards the scale path a layout regression would otherwise
+    ship silently through (ADVICE r6)."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import lsh_topk
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def result_set(q_salts):
+        rows = lsh_topk(emb, k=5, n_planes=6, q_salts=q_salts).collect()
+        return {(r["query_id"], r["neighbor_id"], round(r["cosine"], 12)) for r in rows}
+
+    unsalted = result_set(1)
+    salted = result_set(4)
+    assert salted == unsalted
+    # and the configuration is actually exercising the salted path:
+    # recall stays sane at 6 planes (sanity that the run wasn't empty;
+    # 0.676 measured — more planes = lower per-table recall, the
+    # documented compute-for-recall trade; the real floor lives in
+    # test_lsh_recall_floor at production defaults)
+    assert len(unsalted) > 0
+    got = {(q, n) for q, n, _ in salted}
+    assert len(got & truth_topk) / len(truth_topk) >= 0.6
+
+
 def test_ivf_recall_floor(spark, truth_topk):
     from etl_covid19_brasil_spark.io import load_table
     from etl_covid19_brasil_spark.llm.ann import ivf_topk

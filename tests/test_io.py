@@ -44,6 +44,96 @@ def test_scan_http_json_with_injected_fetch(spark):
     assert df.select("nested.v").orderBy("id").rdd.map(lambda r: r[0]).collect() == ["a", "b"]
 
 
+def test_scan_http_json_retries_with_backoff(spark):
+    """A fetch failing twice recovers on attempt 3; sleeps follow the
+    bounded exponential schedule (reference DAG retry semantics,
+    dags/create-data-lake.py:8-14)."""
+    calls, naps = [], []
+
+    def flaky(_u):
+        calls.append(1)
+        if len(calls) < 3:
+            raise ConnectionError(f"transient #{len(calls)}")
+        return json.dumps([{"id": 1}])
+
+    df = io.scan_http_json(
+        spark, "http://unused", fetch=flaky, retries=3,
+        backoff_base_sec=0.5, sleep=naps.append,
+    )
+    assert df.count() == 1
+    assert len(calls) == 3
+    assert naps == [0.5, 1.0]
+
+
+def test_scan_http_json_retries_exhaust_reraises(spark):
+    calls, naps = [], []
+
+    def dead(_u):
+        calls.append(1)
+        raise TimeoutError("down")
+
+    with pytest.raises(TimeoutError, match="down"):
+        io.scan_http_json(
+            spark, "http://unused", fetch=dead, retries=2, sleep=naps.append
+        )
+    assert len(calls) == 3  # initial + 2 retries
+    assert naps == [0.5, 1.0]
+
+
+def test_scan_http_json_schemaless_lands_and_infers(spark, tmp_path):
+    """Schema-less payloads are landed as JSONL and inferred by
+    spark.read.json — multi-row schema merge, no .rdd hop."""
+    payload = [{"id": 1, "extra": "only-here"}, {"id": 2, "nested": {"v": "b"}}]
+    df = io.scan_http_json(
+        spark,
+        "http://unused",
+        fetch=lambda _u: json.dumps(payload),
+        landing_dir=str(tmp_path),
+    )
+    # fields present in EITHER record appear (inference merges rows)
+    assert {"id", "extra", "nested"} <= set(df.columns)
+    assert df.count() == 2
+    assert df.filter(F.col("id") == 2).select("nested.v").first()[0] == "b"
+    landed = list(tmp_path.glob("http_json_landed_*.jsonl"))
+    assert len(landed) == 1  # payload is on disk: scan is re-runnable
+
+
+def test_scan_sink_scheme_agnostic_file_uri(spark, tmp_path):
+    """Paths and file:// URIs take the same scan/sink code path (the
+    s3a:// support story: scheme resolution lives in the Hadoop
+    FileSystem layer, not in io.py)."""
+    src = io.scan_parquet(spark, f"{SF}/nation.parquet")
+    out_uri = f"file://{tmp_path}/lake_uri"
+    io.sink_parquet(src, out_uri)
+    via_uri = io.scan_parquet(spark, out_uri).orderBy("n_nationkey").collect()
+    via_path = io.scan_parquet(spark, f"{tmp_path}/lake_uri").orderBy(
+        "n_nationkey"
+    ).collect()
+    assert via_uri == via_path and len(via_uri) == 25
+
+
+def test_s3a_conf_surface_shape():
+    from etl_covid19_brasil_spark.session import s3a_conf, s3a_conf_from_env
+
+    conf = s3a_conf(
+        endpoint="http://fixture:9000",
+        access_key="k",
+        secret_key="s",
+        path_style_access=True,
+    )
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://fixture:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert all(k.startswith("spark.hadoop.fs.s3a.") for k in conf)
+    anon = s3a_conf(anonymous=True)
+    assert "AnonymousAWSCredentialsProvider" in anon[
+        "spark.hadoop.fs.s3a.aws.credentials.provider"
+    ]
+    assert "spark.hadoop.fs.s3a.access.key" not in anon
+    # unset env => None (callers skip cleanly)
+    assert s3a_conf_from_env() is None
+
+
 def test_sink_parquet_partitioned_roundtrip(spark, tmp_path):
     src = io.scan_parquet(spark, f"{SF}/nation.parquet")
     out = str(tmp_path / "lake")

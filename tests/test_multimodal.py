@@ -112,18 +112,135 @@ def test_wav_roundtrip():
     assert (got == samples).all()
 
 
-def test_decode_image_dispatcher_gates_png_on_pillow():
+def test_decode_image_dispatcher_gates_jpeg_on_pillow():
     import importlib.util
 
+    import numpy as np
     import pytest as _pytest
 
-    from etl_covid19_brasil_spark.llm.multimodal import decode_image
+    from etl_covid19_brasil_spark.llm.multimodal import decode_image, encode_png
 
     w, h, arr = decode_image(b"P6\n1 1\n255\n\x10\x20\x30")
     assert (w, h) == (1, 1) and list(arr.reshape(3)) == [0x10, 0x20, 0x30]
+    # PNG decodes NATIVELY through the dispatcher (stdlib codec, no PIL)
+    pixels = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    w, h, arr = decode_image(encode_png(pixels))
+    assert (w, h) == (2, 2) and (arr == pixels).all()
     if importlib.util.find_spec("PIL") is None:
         with _pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n")
+            decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_png_roundtrip_all_filters():
+    """Every PNG scanline filter type encodes/decodes to identity."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.multimodal import decode_png, encode_png
+
+    pixels = np.random.default_rng(7).integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    for ftype in range(5):
+        w, h, arr = decode_png(encode_png(pixels, filters=ftype))
+        assert (w, h) == (9, 6)
+        assert (arr == pixels).all(), f"filter {ftype} roundtrip broke"
+    # mixed per-row filters (the synth query's layout)
+    w, h, arr = decode_png(encode_png(pixels, filters=[0, 1, 2, 3, 4, 2]))
+    assert (arr == pixels).all()
+
+
+def test_png_roundtrip_property():
+    """Property: encode->decode is the identity for every uint8 image
+    under every per-row filter assignment."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_covid19_brasil_spark.llm.multimodal import decode_png, encode_png
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        filters = rng.integers(0, 5, h).tolist()
+        got_w, got_h, arr = decode_png(encode_png(pixels, filters=filters))
+        assert (got_w, got_h) == (w, h)
+        assert (arr == pixels).all()
+
+    roundtrip()
+
+
+def test_png_crc_corruption_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_covid19_brasil_spark.llm.multimodal import decode_png, encode_png
+
+    payload = bytearray(
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8) + 77)
+    )
+    # flip one IDAT byte (after the 8-byte sig + 25-byte IHDR chunk)
+    payload[8 + 25 + 12] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
+def test_png_grayscale_and_rgba_color_types():
+    """The decoder handles color types 0 (gray) and 6 (RGBA) — built by
+    hand here since the encoder only writes RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    def build(w, h, color, bpp, raster):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        scan = b"".join(
+            b"\x00" + raster[y * w * bpp : (y + 1) * w * bpp] for y in range(h)
+        )
+        return (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    gw, gh, garr = decode_png(build(3, 2, 0, 1, bytes([10, 20, 30, 40, 50, 60])))
+    assert (gw, gh) == (3, 2)
+    assert (garr[:, :, 0] == garr[:, :, 1]).all() and garr[1, 2, 2] == 60
+
+    rgba = bytes([1, 2, 3, 255, 4, 5, 6, 0])
+    rw, rh, rarr = decode_png(build(2, 1, 6, 4, rgba))
+    assert (rw, rh) == (2, 1)
+    assert rarr.shape == (1, 2, 3)
+    assert list(rarr[0, 1]) == [4, 5, 6]  # alpha dropped
+
+
+def test_synth_png_decode_matches_documents(spark):
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        image_features,
+        synth_png_media,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(25)
+    got = image_features(synth_png_media(docs)).collect()
+    by_id = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert len(got) == 25
+    for r in got:
+        w = min(max(by_id[r["media_id"]], 1), 256)
+        expect_lum = sum((r["media_id"] * 7 + i) % 256 for i in range(2 * w))
+        assert r["width"] == w and r["height"] == 2 and r["n_pixels"] == 2 * w
+        assert r["sum_lum"] == expect_lum
+        assert r["mean_lum_milli"] == expect_lum * 1000 // (2 * w)
 
 
 def test_synth_decode_pipelines_match_documents(spark):
