@@ -270,10 +270,35 @@ def lsh_topk(
     return _global_topk(local, k)
 
 
+_TARGET_CELL_ROWS = 512
+
+
+def auto_n_cells(n_est: int) -> int:
+    """IVF cell count holding the EXPECTED cell size at ~_TARGET_CELL_ROWS
+    as the corpus grows (floor 16 — the small-corpus regime every pinned
+    recall measurement uses).
+
+    With a FIXED cell count, per-cell membership grows linearly in n and
+    the per-cell query×index kernel grows quadratically — the r7 32x
+    probe measured 73x runtime at 32x data for 16 fixed cells; the same
+    failure mode as fixed-plane LSH in r6. Constant-size cells make
+    per-query probed work (n_probe × cell size) independent of n, so
+    total query work is linear. The recall trade: probing a fixed
+    NUMBER of constant-size cells covers a shrinking FRACTION of a
+    growing corpus — on clustered real data that is exactly how IVF is
+    meant to operate (neighbors concentrate in few cells; faiss sizing
+    guidance); on cluster-free random data recall necessarily decays
+    with n, and n_probe is the caller's recall-for-compute knob.
+    """
+    import math
+
+    return max(16, math.ceil(n_est / _TARGET_CELL_ROWS))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -307,12 +332,14 @@ def ivf_topk(
     corpus reaches that with far fewer probes (and production sizes
     n_cells ~ sqrt(n), probing ~10%).
     """
-    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows, _normalize, _ordered_dot
 
     spark = embeddings.sparkSession
     if centroids is not None:
         cent_mat = _normalize(np.asarray(centroids, dtype=np.float64))
     else:
+        if n_cells is None:  # corpus-size-derived (see auto_n_cells)
+            n_cells = auto_n_cells(_estimate_rows(embeddings))
         cent_pdf = (
             embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
         )
@@ -542,7 +569,7 @@ def pq_encode(
 def ivfpq_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 10,
     m: int = 8,
     pq_k: int = 256,
@@ -572,9 +599,11 @@ def ivfpq_topk(
     64x index compression is preserved; recall floor pinned in
     tests/test_ann_recall.py.
     """
-    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows, _normalize, _ordered_dot
 
     spark = embeddings.sparkSession
+    if n_cells is None:  # corpus-size-derived (see auto_n_cells)
+        n_cells = auto_n_cells(_estimate_rows(embeddings))
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
     books = pq_train(embeddings, m=m, k=pq_k, id_col=id_col, vec_col=vec_col)
     bc_c = spark.sparkContext.broadcast(cents)
@@ -683,3 +712,45 @@ def ivfpq_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_pairs_above(
+    embeddings: DataFrame,
+    threshold: float,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Approximate cosine-threshold near-duplicate PAIRS via the LSH
+    top-k machinery — the linear-shuffle scale twin of
+    ``similarity.cosine_pairs_above`` (which is exact but quadratic by
+    construction: it scores all n^2 pairs; the r7 8x probe measured 39x
+    runtime at 8x data, i.e. the algorithm, not the plan).
+
+    Shape: every vector queries its LSH buckets (auto-scaled planes,
+    capped multi-probe — all of :func:`lsh_topk`'s linearization
+    applies), keeps neighbors with cosine >= ``threshold``, and each
+    unordered pair is canonicalized (least, greatest) + deduped across
+    tables/directions. Cosines come from the same ordered fold as the
+    exact kernel, so every emitted pair carries the bit-identical value
+    the exact tier would report — the approximation is RECALL only
+    (a pair whose vectors never share a bucket is missed; at near-dup
+    thresholds (>= 0.9, angle <= 26 deg) hyperplane collision
+    probability per table is (1 - theta/pi)^P, recall pinned in
+    tests/test_ann_recall.py). ``k`` bounds neighbors per vector: for
+    DEDUP semantics duplicates cluster small, so a handful suffices;
+    raise it if a vector can have many >=threshold twins.
+    """
+    topk = lsh_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col, **lsh_kwargs)
+    return (
+        topk.filter(F.col("cosine") >= threshold)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )

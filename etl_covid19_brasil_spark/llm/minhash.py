@@ -164,11 +164,16 @@ def minhash_near_dup_pairs(
 
     The distinct-token corpus is materialized once (lazy localCheckpoint,
     see :func:`_shared_scan`) and reused by the signature stage and both
-    verification sides; the candidate set (tiny by the S-curve)
-    broadcasts into the verification joins so the corpus is never
-    shuffled. Block lifetime is automatic — freed when the returned
-    DataFrame is dropped — so a long-lived session invoking this
-    repeatedly does not accumulate cached blocks.
+    verification sides. The candidate pairs hash-join to their token
+    arrays on each id — two ordinary shuffle joins whose volume is the
+    candidate count (a tiny FRACTION of all pairs by the S-curve, but
+    still O(corpus) in absolute rows: the r7 32x probe OOM'd the
+    previous formulation, which broadcast candidates-with-token-arrays
+    and therefore built an O(corpus) table on the driver; a broadcast
+    side must be O(1) in corpus size, never O(n)). Block lifetime is
+    automatic — freed when the returned DataFrame is dropped — so a
+    long-lived session invoking this repeatedly does not accumulate
+    cached blocks.
     """
     rows_per_band = num_perms // bands
     toks = _shared_scan(
@@ -179,7 +184,7 @@ def minhash_near_dup_pairs(
 
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("toks_a"))
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("toks_b"))
-    joined = tb.join(F.broadcast(ta.join(F.broadcast(cand), "id_a")), "id_b")
+    joined = cand.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union

@@ -703,7 +703,7 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
-             list_prepend(CAST(embedding[1] AS DOUBLE) + 1.0,
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
                           list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS e
       FROM embeddings WHERE vec_id % 4 = 0
     ),
@@ -720,8 +720,12 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     section="2.10",
     doc="Embedding-cosine near-duplicate pairs (threshold 0.9) over the "
     "embeddings table plus a perturbed copy of every fourth vector "
-    "(+1.0 on the first coordinate -> cosine ~0.99 vs its source, while "
-    "unrelated pairs top out at ~0.51). Runs the broadcast-index "
+    "(+0.05 on the first coordinate of the UNIT-NORM vectors -> cosine "
+    "~0.9987 vs its source, while unrelated pairs top out at ~0.51, so "
+    "the truth set is exactly the 125 mutant-source pairs; the original "
+    "+1.0 perturbation produced cosine 0.56-0.83 on unit vectors — "
+    "BELOW the 0.9 threshold — so the query had been vacuously matching "
+    "an empty oracle since r3, caught r7). Runs the broadcast-index "
     "threshold kernel (llm/similarity.py:cosine_pairs_above) — zero "
     "shuffle, bit-identical cosines to the SQL formulation.",
 )
@@ -734,7 +738,7 @@ def near_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     mutated = e.filter(F.col("vec_id") % 4 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.concat(
-            F.array(F.element_at("e", 1) + F.lit(1.0)),
+            F.array(F.element_at("e", 1) + F.lit(0.05)),
             F.slice(F.col("e"), F.lit(2), F.size("e") - 1),
         ).alias("e"),
     )
@@ -904,7 +908,9 @@ def media_audio_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivf_topk
 
-    return ivf_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=10)
+    # n_cells stays library-default (corpus-size-derived, auto_n_cells) —
+    # an explicit fixed count here reintroduces quadratic cells at scale.
+    return ivf_topk(T(spark, sf, "embeddings"), k=5, n_probe=10)
 
 
 @query(
@@ -1688,10 +1694,15 @@ def text_entropy(spark: SparkSession, sf: str) -> DataFrame:
     "tests/test_ann_recall.py).",
 )
 def ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_covid19_brasil_spark.llm.ann import ivf_topk, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.ann import auto_n_cells, ivf_topk, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows
 
     e = T(spark, sf, "embeddings")
-    cents = kmeans_lloyd(e, k=16, iters=3)
+    # cell count must track corpus size like the library default does —
+    # a fixed k=16 here silently reintroduced quadratic per-cell kernels
+    # at 32x in the r7 scale probe (the registry-wrapper-bypass failure
+    # mode r6 documented for LSH planes).
+    cents = kmeans_lloyd(e, k=auto_n_cells(_estimate_rows(e)), iters=3)
     return ivf_topk(e, k=5, n_probe=10, centroids=cents)
 
 
@@ -1802,7 +1813,9 @@ def corpus_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
 def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
 
-    return ivfpq_topk(T(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=10)
+    # n_cells stays library-default (corpus-size-derived, auto_n_cells) —
+    # an explicit fixed count here reintroduces quadratic cells at scale.
+    return ivfpq_topk(T(spark, sf, "embeddings"), k=5, n_probe=10)
 
 
 @query(
@@ -2002,3 +2015,163 @@ def rank_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("score_u6"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents),
+    first AS (SELECT token, MIN(doc_id) AS doc_id FROM tok GROUP BY token),
+    newd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+             FROM first GROUP BY doc_id)
+    SELECT doc_id, new_types,
+           CAST(SUM(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+    FROM newd
+    """,
+    section="2.10",
+    doc="Vocabulary growth curve (Heaps' law profile): for each document "
+    "position in doc_id order, how many NEVER-SEEN-BEFORE token types it "
+    "introduces and the cumulative vocabulary size after it — the "
+    "diminishing-returns signal data-mixture planning reads to decide "
+    "when a source is exhausted. Plan: explode is map-side; one shuffle "
+    "derives each type's first document (min over token), one more "
+    "counts new types per document; the cumulative window then runs "
+    "over AT MOST |vocabulary| rows (documents introducing nothing "
+    "drop out) — domain-bounded, not corpus-bounded, and vocabulary "
+    "grows sublinearly (that is the law being measured).",
+)
+def corpus_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    first = tok.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    newd = first.groupBy("doc_id").agg(F.count(F.lit(1)).alias("new_types"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return newd.select(
+        "doc_id",
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+    )
+
+
+# Synthetic noisy URLs for canonicalization: mixed-case scheme/host, an
+# explicit default port, tracking params and fragments — the variation
+# profile of real crawl data. Spark and the oracle build the SAME string
+# from orders keys. Regexes avoid backslash escapes entirely ('[?]' not
+# '\?') so the pattern text is literally identical under Spark SQL's
+# escaped string literals and DuckDB's standard SQL strings.
+_URL_RAW_SPARK = (
+    "concat('HTTPS://Shop-', cast(o_custkey % 40 as string), "
+    "'.Example.COM:443/item/', cast(o_orderkey % 500 as string), "
+    "case when o_orderkey % 3 = 0 then '?utm_source=feed&utm_campaign=x' "
+    "when o_orderkey % 3 = 1 then '?ref=home&utm_medium=email' "
+    "else '' end, "
+    "case when o_orderkey % 2 = 0 then '#frag' else '' end)"
+)
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT 'HTTPS://Shop-' || (o_custkey % 40) ||
+             '.Example.COM:443/item/' || (o_orderkey % 500) ||
+             CASE WHEN o_orderkey % 3 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                  WHEN o_orderkey % 3 = 1 THEN '?ref=home&utm_medium=email'
+                  ELSE '' END ||
+             CASE WHEN o_orderkey % 2 = 0 THEN '#frag' ELSE '' END AS u
+      FROM orders
+    ), nf AS (SELECT u, regexp_replace(u, '#.*$', '') AS v FROM raw),
+    qn AS (
+      SELECT u, v,
+             regexp_replace(regexp_replace(
+               regexp_extract(v, '[?]([^#]*)', 1),
+               '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS qc
+      FROM nf
+    ), canon AS (
+      SELECT u,
+             lower(regexp_extract(v, '^([A-Za-z]+)://', 1)) || '://' ||
+             regexp_replace(
+               lower(regexp_extract(v, '^[A-Za-z]+://([^/?#]+)', 1)),
+               ':443$', '') ||
+             regexp_extract(v, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) ||
+             CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canonical_url
+      FROM qn
+    )
+    SELECT canonical_url,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_raw_variants,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM canon GROUP BY canonical_url
+    """,
+    section="2.10",
+    doc="URL canonicalization dedup — the first pass of web-corpus "
+    "curation: case-fold scheme and host (NOT path), strip the "
+    "protocol-default port, drop fragments, remove utm_* tracking "
+    "params while preserving meaningful ones, then group by the "
+    "canonical form counting raw variants collapsed into each. Pure "
+    "per-row regex projection (codegen'd, zero shuffle) followed by "
+    "one hash-aggregate on the canonical key; at crawl scale the "
+    "canonical key also becomes the dedup/sharding key so recrawls "
+    "land on the same reducer. Regex patterns avoid backslash escapes "
+    "so Spark SQL and the DuckDB oracle execute byte-identical "
+    "pattern text.",
+)
+def dedup_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    u = o.select(F.expr(_URL_RAW_SPARK).alias("u"))
+    nf = u.select("u", F.expr("regexp_replace(u, '#.*$', '')").alias("v"))
+    qn = nf.select(
+        "u",
+        "v",
+        F.expr(
+            "regexp_replace(regexp_replace("
+            "regexp_extract(v, '[?]([^#]*)', 1), "
+            "'(^|&)utm_[^&]*', ''), '^&', '')"
+        ).alias("qc"),
+    )
+    canon = qn.select(
+        "u",
+        F.expr(
+            "concat("
+            "lower(regexp_extract(v, '^([A-Za-z]+)://', 1)), '://', "
+            "regexp_replace(lower(regexp_extract(v, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', ''), "
+            "regexp_extract(v, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), "
+            "case when qc <> '' then concat('?', qc) else '' end)"
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.countDistinct("u").alias("n_raw_variants"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "near_dedup_embedding_lsh",
+    oracle=None,  # approximate recall by construction -> rows-only
+    section="2.10",
+    doc="LSH-bucketed embedding near-duplicate pairs — the SCALE TWIN of "
+    "near_dedup_embedding: the exact tier scores all n^2 pairs "
+    "(quadratic by construction — the r7 8x probe measured 39x runtime "
+    "at 8x data), while this tier routes the same corpus (embeddings + "
+    "perturbed copies of every fourth vector) through the linearized "
+    "LSH machinery (llm/ann.py:lsh_pairs_above: auto-scaled planes, "
+    "capped multi-probe, salted buckets) and emits canonicalized "
+    "(id_a < id_b) pairs with cosine >= 0.9. Emitted cosines are "
+    "bit-identical to the exact kernel's (same ordered fold) — only "
+    "recall is approximate, pinned >= 0.9 with perfect precision in "
+    "tests/test_ann_recall.py.",
+)
+def near_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import lsh_pairs_above
+
+    e = T(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    mutated = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("e", 1) + F.lit(0.05)),
+            F.slice(F.col("e"), F.lit(2), F.size("e") - 1),
+        ).alias("e"),
+    )
+    corpus = e.unionByName(mutated)
+    return lsh_pairs_above(corpus, threshold=0.9, id_col="vec_id", vec_col="e")

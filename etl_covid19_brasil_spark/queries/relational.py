@@ -1798,3 +1798,120 @@ def graph_pagerank_centrality(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank_integer(edges, iterations=4).select(
         "node", "rank_u6"
     )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_returnflag, qty, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, qty ASC) AS rk
+      FROM counts
+    )
+    SELECT l_returnflag, qty AS mode_qty, CAST(n AS BIGINT) AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+    section="2.4",
+    doc="Statistical mode per group with a DETERMINISTIC tie-break "
+    "(highest count, then smallest value) — Spark 4's builtin mode() "
+    "returns an arbitrary value on ties, which can never hash-match "
+    "another engine, so the engine formulation is count -> "
+    "row_number() == 1: two shuffles total (count keys, then the "
+    "per-group window over the tiny count relation), both partial-"
+    "aggregated map-side. The window runs over |distinct (flag, qty)| "
+    "rows — domain-bounded, not row-bounded, so the plan is identical "
+    "at 100 TB.",
+)
+def agg_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "dq_ks_drift",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), per AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS b
+      FROM v GROUP BY v
+    ), cum AS (
+      SELECT CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS cb
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM v
+    )
+    SELECT n1, n2,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(ca * n2 - cb * n1)) * 1000000
+                // (n1 * n2) AS BIGINT) AS ks_micro
+    FROM cum, tot GROUP BY n1, n2
+    """,
+    section="2.4",
+    doc="Two-sample Kolmogorov-Smirnov drift statistic between the "
+    "fulfilled ('F') and open ('O') order-price distributions — the "
+    "distribution-shift monitor a training-data pipeline runs between "
+    "ingest batches before accepting a new snapshot. EXACT integer "
+    "formulation: values quantized to cents, per-value cohort counts "
+    "(one shuffle over distinct values), cumulative counts via an "
+    "ordered window, and D expressed as the integer numerator "
+    "max|ca*n2 - cb*n1| over the common denominator n1*n2 (reported "
+    "quantized to ppm) — no float CDFs, so it hash-matches any engine. "
+    "The global-order window runs over DISTINCT cent values only "
+    "(domain-bounded; price domains don't grow with row count), and "
+    "the count products stay in int64 up to ~3e9 rows per cohort — "
+    "beyond that, switch the final ratio to double (D itself needs no "
+    "exactness at that scale, only the counts do).",
+)
+def dq_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus").isin("F", "O"))
+    v = o.select(
+        F.col("o_orderstatus").alias("g"), cents("o_totalprice").alias("v")
+    )
+    per = v.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    tot = v.agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    return (
+        cum.crossJoin(tot)
+        .groupBy("n1", "n2")
+        .agg(F.max(F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))).alias("ks_num"))
+        .select(
+            "n1",
+            "n2",
+            "ks_num",
+            F.expr("ks_num * 1000000L div (n1 * n2)").alias("ks_micro"),
+        )
+    )

@@ -141,7 +141,10 @@ def build_scaled_dir(spark, replicas: int) -> str:
 
 def time_query(spark, name: str, sf_dir: str) -> float:
     spec = registry.all_specs()[name]
-    # warm plan caches once at tiny scale elsewhere; time one full run
+    # GC outside the timed region (same hygiene as bench.py): earlier
+    # queries' heap otherwise inflates later timings — rank_bm25_topk at
+    # 32x measured 69 s inside a shared probe JVM vs 34 s standalone.
+    spark.sparkContext._jvm.System.gc()
     t0 = time.monotonic()
     spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.monotonic() - t0

@@ -234,3 +234,44 @@ def test_int8_quantization_error_is_bounded(spark):
         codes = np.asarray(row.q.split(","), dtype=np.float64)
         recon = row.scale_min + codes * scale
         assert np.abs(recon - x).max() <= scale / 2 + 1e-9
+
+
+def test_lsh_pairs_recall_and_precision_of_embedding_near_dups(spark):
+    """The LSH near-dup tier must find >= 0.9 of the exact tier's
+    >=0.9-cosine pairs with PERFECT precision and bit-identical cosine
+    values (same ordered fold) — the contract that lets a pipeline swap
+    the quadratic exact tier for the linear LSH tier at scale."""
+    from etl_covid19_brasil_spark.queries.llm import (
+        near_dedup_embedding,
+        near_dedup_embedding_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in near_dedup_embedding(spark, SF).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in near_dedup_embedding_lsh(spark, SF).collect()
+    }
+    assert approx <= exact, f"false positives: {sorted(approx - exact)[:5]}"
+    assert len(approx) / len(exact) >= 0.9, (
+        f"pair recall collapsed: {len(approx)}/{len(exact)}"
+    )
+
+
+def test_auto_n_cells_scaling_regime():
+    """Cell count derivation: small corpora stay in the 16-cell regime
+    every pinned recall figure was measured in; past the floor the cell
+    SIZE (not count) is held ~constant — the linearization the r7 32x
+    probe forced (fixed 16 cells measured 73x runtime at 32x data)."""
+    from etl_covid19_brasil_spark.llm.ann import _TARGET_CELL_ROWS, auto_n_cells
+
+    assert auto_n_cells(500) == 16     # sf0.01 — recall-pinned regime
+    assert auto_n_cells(2000) == 16    # sf0.1 — bench regime
+    assert auto_n_cells(16 * _TARGET_CELL_ROWS) == 16  # boundary
+    big = 64_000  # the 32x derived corpus
+    assert auto_n_cells(big) == -(-big // _TARGET_CELL_ROWS)
+    # cell size stays bounded as n grows
+    for n in (10**5, 10**6, 10**7):
+        assert n / auto_n_cells(n) <= _TARGET_CELL_ROWS

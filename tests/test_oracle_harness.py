@@ -50,3 +50,60 @@ def test_bitwise_float_difference_fails():
     b = pd.DataFrame({"x": [np.nextafter(v, 2.0)]})
     ok, _ = compare_frames(a, b)
     assert not ok
+
+
+def test_rank_quantization_away_from_float_boundaries(spark):
+    """rank_tfidf_topk / rank_bm25_topk hash-exactness rests on Spark's
+    and DuckDB's libm agreeing on ln() to ~1 ulp AND no quantized value
+    sitting at a floor(x*1e6 + 0.5) boundary where a 1-ulp divergence
+    would flip the integer. This makes that assumption CHECKABLE for the
+    shipped corpora (ADVICE r6): for every (doc, term) the pre-floor
+    value must sit > 1e-6 away from the nearest integer — ~3 orders of
+    magnitude above the ulp of the largest weights."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.queries.llm import _RANK_TERMS, _tokens
+
+    y_bm25 = (
+        "(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+        " * (CAST(tf AS DOUBLE) * 2.2)"
+        " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+        " (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        " * 1000000.0 + 0.5)"
+    )
+    y_idf = "(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000.0 + 0.5)"
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+        stats = d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_tokens()).cast("long")).alias("sum_dl"),
+        )
+        dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        qtoks = toks.filter(F.col("token").isin(*_RANK_TERMS))
+        tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        dfs = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+        row = (
+            tf.join(dfs, "token")
+            .join(dls, "doc_id")
+            .crossJoin(stats)
+            .select(
+                F.expr(
+                    f"least({y_bm25} - floor({y_bm25}), ceil({y_bm25}) - {y_bm25})"
+                ).alias("d_bm25"),
+                F.expr(
+                    f"least({y_idf} - floor({y_idf}), ceil({y_idf}) - {y_idf})"
+                ).alias("d_idf"),
+            )
+            .agg(F.min("d_bm25").alias("m_bm25"), F.min("d_idf").alias("m_idf"))
+            .first()
+        )
+        assert row["m_bm25"] is not None, f"no scored rows at {sf_dir}"
+        assert row["m_bm25"] > 1e-6, f"{sf_dir}: bm25 weight at boundary ({row['m_bm25']})"
+        assert row["m_idf"] > 1e-6, f"{sf_dir}: idf weight at boundary ({row['m_idf']})"
