@@ -312,6 +312,57 @@ def sink_csv(df: DataFrame, path: str, header: bool = False, mode: str = "overwr
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def sink_fixed_width(
+    df: DataFrame, path: str, widths: dict[str, int], mode: str = "overwrite"
+) -> None:
+    """Serialize columns as fixed-width text records (the mainframe /
+    legacy-feed wire format: no delimiters, field position IS the
+    schema). Numeric columns are left-padded, strings right-padded; a
+    value wider than its declared field raises at write time (truncation
+    would corrupt silently — the classic fixed-width feed bug).
+    Distributed text sink: one line per row via ``df.write.text``.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import NumericType
+
+    fields = dict(zip(df.schema.fieldNames(), df.schema.fields))
+    parts = []
+    for col, width in widths.items():
+        s = F.col(col).cast("string")
+        guard = F.when(
+            F.length(s) > width,
+            F.raise_error(
+                F.concat(F.lit(f"fixed-width overflow in {col}: "), s)
+            ),
+        ).otherwise(s)
+        if isinstance(fields[col].dataType, NumericType):
+            parts.append(F.lpad(guard, width, " "))
+        else:
+            parts.append(F.rpad(guard, width, " "))
+    df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)
+
+
+def scan_fixed_width(
+    spark: SparkSession, path: str, spec: list[tuple[str, int, str]]
+) -> DataFrame:
+    """Parse fixed-width text records back into typed columns.
+    ``spec`` = [(name, width, dtype), ...] in record order; fields are
+    sliced by position (``substring``), trimmed, and cast — all
+    codegen'd per-row expressions, so the scan parallelizes like any
+    text source and pushes column pruning into the projection.
+    """
+    import pyspark.sql.functions as F
+
+    raw = spark.read.text(path)
+    cols, pos = [], 1
+    for name, width, dtype in spec:
+        cols.append(
+            F.trim(F.substring("value", pos, width)).cast(dtype).alias(name)
+        )
+        pos += width
+    return raw.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Lakehouse maintenance (the operations a 100 TB parquet lake needs to stay
 # fast: clustering for min/max pruning, partition-level upsert, key-level

@@ -362,3 +362,31 @@ def scan_file_metadata(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@query(
+    "sink_scan_fixed_width_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section="2.1",
+    doc="Fixed-width text roundtrip (io.py sink_fixed_width / "
+    "scan_fixed_width) — the mainframe/legacy-feed wire format where "
+    "field POSITION is the schema: nation keys and names serialize as "
+    "padded 10/25/10 records (numerics left-padded, strings "
+    "right-padded, width overflow raises instead of truncating) and "
+    "parse back by substring slicing + trim + cast. Pure per-row "
+    "codegen'd expressions both directions; the text sink/scan "
+    "parallelize like any file source. TPC-H names carry no "
+    "leading/trailing spaces, so trim() is lossless here — feeds whose "
+    "values can, must widen the spec or switch to a delimited sink.",
+)
+def sink_scan_fixed_width_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _scratch("fixedwidth_nation", sf)
+    io.sink_fixed_width(
+        src, path, {"n_nationkey": 10, "n_name": 25, "n_regionkey": 10}
+    )
+    return io.scan_fixed_width(
+        spark,
+        path,
+        [("n_nationkey", 10, "bigint"), ("n_name", 25, "string"), ("n_regionkey", 10, "bigint")],
+    )

@@ -1915,3 +1915,110 @@ def dq_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("ks_num * 1000000L div (n1 * n2)").alias("ks_micro"),
         )
     )
+
+
+@query(
+    "dq_benford_profile",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT c.digit, c.n,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+           CAST(floor(ln(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) / ln(10.0)
+                      * 1000000.0 + 0.5) AS BIGINT) AS benford_ppm
+    FROM counts c, tot t
+    """,
+    section="2.4",
+    doc="Benford first-digit profile of order prices — the anomaly / "
+    "fabricated-data screen auditors run on financial columns: observed "
+    "first-significant-digit frequency (quantized to ppm) next to the "
+    "Benford expectation log10(1 + 1/d). The digit is extracted from "
+    "the INTEGER-CENTS string (integer-to-text formatting is identical "
+    "across engines; float-to-text is not, and a float log10 at a "
+    "power-of-ten boundary could misclassify the digit). One count "
+    "shuffle over a 9-value domain, one 1-row total crossJoin; "
+    "log10(1+1/d) follows the house transcendental policy (ln/ln, "
+    "engines agree to ~1 ulp, quantization boundaries far away).",
+)
+def dq_benford_profile(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    return counts.crossJoin(tot).select(
+        "digit",
+        "n",
+        F.expr("n * 1000000L div total").alias("obs_ppm"),
+        F.expr(
+            "CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("benford_ppm"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH wv AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, qty, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM wv
+    ),
+    hit AS (
+      SELECT l_returnflag, qty,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY qty) AS rk
+      FROM cum WHERE 2 * cw >= total
+    )
+    SELECT l_returnflag, qty AS weighted_median_qty FROM hit WHERE rk = 1
+    """,
+    section="2.4",
+    doc="Weighted median: the smallest quantity v whose cumulative "
+    "revenue weight reaches half the group's total — the robust center "
+    "a price-weighted distribution summary needs (plain median treats "
+    "a 1-cent and a 10k-dollar line item alike). EXACT integer "
+    "formulation: weights are summed as cents per distinct value (one "
+    "shuffle over the value domain), the cumulative/total windows run "
+    "over DISTINCT values only (domain-bounded), and the 2*cw >= total "
+    "comparison is pure int64 — no double quantile interpolation, so "
+    "it hash-matches any engine.",
+)
+def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    wv = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.sum(cents("l_extendedprice")).alias("w"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = wv.select(
+        "l_returnflag",
+        "qty",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    hit = cum.filter(2 * F.col("cw") >= F.col("total")).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("l_returnflag").orderBy("qty")),
+    )
+    return hit.filter(F.col("rk") == 1).select(
+        "l_returnflag", F.col("qty").alias("weighted_median_qty")
+    )

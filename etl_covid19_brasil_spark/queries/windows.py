@@ -547,3 +547,160 @@ def dq_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
         F.lead(F.col("l_linenumber").cast("long")).over(w).alias("next_ln"),
     )
     return nexts.filter(F.col("next_ln") - F.col("gap_after") > 1)
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od,
+             o_orderkey
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, od, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_priority
+      FROM src
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+    ),
+    transitions AS (
+      SELECT o_custkey, o_orderpriority, od, o_orderkey
+      FROM changes
+      WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+    ),
+    dim AS (
+      SELECT o_custkey,
+             o_orderpriority AS priority,
+             od AS valid_from,
+             lead(od) OVER w2 AS valid_to,
+             CAST(row_number() OVER w2 AS BIGINT) AS version
+      FROM transitions
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+    ),
+    facts AS (
+      SELECT o_orderkey AS fact_key, o_custkey,
+             od + 30 AS event_date
+      FROM src
+    )
+    SELECT f.fact_key, f.o_custkey, f.event_date, d.priority, d.version
+    FROM facts f JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND d.valid_from <= f.event_date
+     AND (d.valid_to IS NULL OR f.event_date < d.valid_to)
+    """,
+    section="2.5",
+    doc="SCD2 point-in-time (as-of) lookup — the READ side of the "
+    "scd2_dimension_build pattern: every fact row (orders with a "
+    "+30-day event date) joins to the dimension version effective at "
+    "its event time (valid_from <= t < valid_to, open-ended current "
+    "row). The half-open ranges partition each key's timeline, so "
+    "every in-range fact matches exactly one version. Plan shape: ONE "
+    "equi-shuffle on the dimension key with the range predicate as a "
+    "join residual — never a cross product; at 100 TB the dim side is "
+    "orders of magnitude smaller than facts and broadcasts.",
+)
+def scd2_asof_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    transitions = o.withColumn(
+        "prev_priority", F.lag("o_orderpriority").over(w)
+    ).filter(
+        F.col("prev_priority").isNull()
+        | (F.col("prev_priority") != F.col("o_orderpriority"))
+    )
+    dim = transitions.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("od").alias("valid_from"),
+        F.lead("od").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+    facts = o.select(
+        F.col("o_orderkey").alias("fact_key"),
+        "o_custkey",
+        F.date_add("od", 30).alias("event_date"),
+    )
+    return facts.join(
+        dim,
+        (facts.o_custkey == dim.o_custkey)
+        & (dim.valid_from <= facts.event_date)
+        & (dim.valid_to.isNull() | (facts.event_date < dim.valid_to)),
+    ).select("fact_key", facts.o_custkey, "event_date", "priority", "version")
+
+
+@query(
+    "win_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INTEGER) AS e
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT o_custkey, s, e,
+             SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT o_custkey, CAST(island AS BIGINT) AS island,
+           MIN(s) AS merged_from, MAX(e) AS merged_to,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM islands GROUP BY o_custkey, island
+    """,
+    section="2.5",
+    doc="Overlapping-interval merge (gaps-and-islands): per customer, "
+    "coalesce order-activity intervals [orderdate, orderdate + "
+    "orderkey%20 days] into maximal disjoint spans. Classic single-"
+    "shuffle formulation: sort within key, flag rows whose start "
+    "exceeds the running max end (a new island), number islands with a "
+    "running sum of flags, then aggregate each island — lag-free, no "
+    "self-join, no quadratic interval pairing. The same one-shuffle "
+    "sort serves the max-end window, the island counter, and feeds the "
+    "final partial-aggregated groupBy; NULL new_island on each key's "
+    "first row counts as 0 in both engines' SUM.",
+)
+def win_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 20 AS INT))"
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w_run).cast("long")
+    )
+    return islands.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("merged_from"),
+        F.max("e").alias("merged_to"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
