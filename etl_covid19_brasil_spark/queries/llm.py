@@ -2175,3 +2175,146 @@ def near_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
     corpus = e.unionByName(mutated)
     return lsh_pairs_above(corpus, threshold=0.9, id_col="vec_id", vec_col="e")
+
+
+@query(
+    "doc_top_terms_tfidf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents),
+    n_total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, token),
+    dfs AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS w_u6
+      FROM tf JOIN dfs ON tf.token = dfs.token, n_total
+    ),
+    ranked AS (
+      SELECT doc_id, token, w_u6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY w_u6 DESC, token ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, w_u6, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    section="2.10",
+    doc="Per-document keyword extraction: each document's top-3 terms by "
+    "tf-idf over the FULL vocabulary (rank_tfidf_topk ranks documents "
+    "for fixed query terms; this ranks terms within each document — "
+    "the tagging/labeling pass of corpus curation). idf quantized to "
+    "integer micro-units per (N, df) pair, so per-doc scores are exact "
+    "integer products; deterministic tie-break (weight desc, token "
+    "asc). Scale shape: one token shuffle each for tf and df, a "
+    "token-keyed join (both sides already token-partitioned), the "
+    "1-row count broadcast, then a per-doc window over that doc's "
+    "distinct terms only.",
+)
+def doc_top_terms_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    n_total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfs = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dfs, "token")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+                    " * 1000000.0 + 0.5) AS BIGINT)"
+                )
+            ).alias("w_u6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("w_u6"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "w_u6", "rk")
+    )
+
+
+@query(
+    "embedding_covariance_milli",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, u.i, u.qi
+      FROM (SELECT vec_id,
+                   list_transform(qv, (x, idx) -> {'i': idx - 1, 'qi': x}) AS ps
+            FROM q), unnest(ps) AS t(u)
+    ),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j, a.qi AS qi, b.qi AS qj
+      FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+    ),
+    sums AS (
+      SELECT i, j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qi * qj) AS BIGINT) AS sxy,
+             CAST(SUM(qi) AS BIGINT) AS sx,
+             CAST(SUM(qj) AS BIGINT) AS sy
+      FROM pairs GROUP BY i, j
+    )
+    SELECT i, j, n, n * sxy - sx * sy AS comoment_num
+    FROM sums
+    """,
+    section="2.10",
+    doc="Embedding covariance structure (the PCA/whitening prep pass of "
+    "embedding-space analysis): every (i <= j) dimension pair's exact "
+    "integer co-moment n*Sum(xy) - Sum(x)*Sum(y) over components "
+    "quantized to milli-units (floor(x*1000 + 0.5) — pure arithmetic "
+    "on identical doubles, no transcendental, so both engines land on "
+    "the same integer by construction; divide by n^2 downstream for "
+    "the covariance). Scale shape: components explode map-side, the "
+    "d^2 pair blowup is absorbed by partial aggregation (the shuffle "
+    "carries (i, j) partial sums — d(d+1)/2 keys per partition, not "
+    "n*d^2 rows), one hash shuffle total. int64 envelope: |q| <= 1e3, "
+    "so n can reach ~1e12 rows before n*sxy overflows.",
+)
+def embedding_covariance_milli(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
+        ).alias("qv"),
+    )
+    comp = q.select("vec_id", F.posexplode("qv").alias("i", "qi"))
+    a = comp.select("vec_id", F.col("i"), F.col("qi"))
+    b = comp.select(
+        F.col("vec_id").alias("vid_b"), F.col("i").alias("j"), F.col("qi").alias("qj")
+    )
+    pairs = a.join(b, (a.vec_id == b.vid_b) & (a.i <= b.j))
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("qi") * F.col("qj")).cast("long").alias("sxy"),
+            F.sum("qi").cast("long").alias("sx"),
+            F.sum("qj").cast("long").alias("sy"),
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "comoment_num"
+            ),
+        )
+    )

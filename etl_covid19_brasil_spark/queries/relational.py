@@ -2022,3 +2022,55 @@ def agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     return hit.filter(F.col("rk") == 1).select(
         "l_returnflag", F.col("qty").alias("weighted_median_qty")
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS key, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                  WHEN o_orderkey % 10 < 4 THEN 'U'
+                  ELSE 'I' END AS op,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val_cents
+      FROM orders
+    ),
+    latest AS (
+      SELECT key, seq, op, val_cents,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rk
+      FROM log
+    )
+    SELECT key, seq AS applied_seq, op AS last_op, val_cents
+    FROM latest WHERE rk = 1 AND op <> 'D'
+    """,
+    section="2.5",
+    doc="CDC changelog application — collapse an insert/update/delete "
+    "change stream (synthesized from orders: op from the order key, "
+    "sequence = the key itself) into the final table state: latest "
+    "change per key wins, keys whose last operation is a DELETE leave "
+    "the snapshot. This is what Delta/Iceberg MERGE-from-CDC compiles "
+    "to for last-writer-wins semantics — one shuffle on the merge key, "
+    "a per-key window over that key's changes, a filter; the full "
+    "dedup_latest_by_key shape plus tombstone handling. Deterministic: "
+    "the sequence column totally orders each key's changes.",
+)
+def cdc_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(k % 10 == 0, "D").when(k % 10 < 4, "U").otherwise("I").alias("op"),
+        cents("o_totalprice").alias("val_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("seq").alias("applied_seq"),
+            F.col("op").alias("last_op"),
+            "val_cents",
+        )
+    )

@@ -107,3 +107,20 @@ def test_rank_quantization_away_from_float_boundaries(spark):
         assert row["m_bm25"] is not None, f"no scored rows at {sf_dir}"
         assert row["m_bm25"] > 1e-6, f"{sf_dir}: bm25 weight at boundary ({row['m_bm25']})"
         assert row["m_idf"] > 1e-6, f"{sf_dir}: idf weight at boundary ({row['m_idf']})"
+
+        # doc_top_terms_tfidf quantizes idf for EVERY vocabulary df value,
+        # not just the rank terms — check the whole (n_docs, df) domain.
+        all_dfs = toks.groupBy("token").agg(
+            F.countDistinct("doc_id").alias("df")
+        ).select("df").distinct()
+        full = (
+            all_dfs.crossJoin(stats)
+            .select(
+                F.expr(
+                    f"least({y_idf} - floor({y_idf}), ceil({y_idf}) - {y_idf})"
+                ).alias("d")
+            )
+            .agg(F.min("d").alias("m"))
+            .first()
+        )
+        assert full["m"] > 1e-6, f"{sf_dir}: full-vocab idf at boundary ({full['m']})"

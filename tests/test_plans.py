@@ -285,3 +285,50 @@ def test_bm25_ranking_is_topk_with_broadcast_stats(spark, specs):
     pt = plan_of(q(specs, spark, "rank_tfidf_topk"))
     assert "TakeOrderedAndProject" in pt, pt
     assert "CartesianProduct" not in pt, pt
+
+
+def test_scd2_asof_lookup_is_equi_join_with_residual(spark, specs):
+    """The point-in-time lookup must plan as an equi-join on the key with
+    the range predicate as a residual — a cross product or BNL over
+    facts x dim would be the 100 TB killer."""
+    p = plan_of(q(specs, spark, "scd2_asof_lookup"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_interval_merge_single_sort_serves_windows(spark, specs):
+    """Both windows (running max-end, island counter) and the final
+    aggregate run off one key-partitioned sort — no self-join, no
+    cartesian interval pairing, and at most the window shuffle + the
+    (key, island) aggregate shuffle."""
+    p = plan_of(q(specs, spark, "win_interval_merge"))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # the merge is windows + agg, never a self-join
+    assert p.count("Exchange") <= 4  # window hash + agg hash (AQE may tag reads)
+
+
+def test_weighted_median_windows_over_distinct_values_only(spark, specs):
+    """The cumulative windows must run AFTER the per-value aggregation
+    (domain-bounded), not over raw lineitem rows."""
+    p = plan_of(q(specs, spark, "agg_weighted_median"))
+    # HashAggregate (per-value) must appear before Window in the plan tree
+    assert "Window" in p and "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_verification_never_broadcasts_corpus(spark, specs):
+    """The r7 32x probe OOM'd on a broadcast of candidates-with-token-
+    arrays (an O(corpus) side). The verification joins must carry no
+    explicit broadcast hint — AQE may still broadcast a genuinely small
+    side at runtime from REAL sizes, which is fine; a static hint that
+    grows with the corpus is not."""
+    from etl_covid19_brasil_spark.llm.minhash import minhash_near_dup_pairs
+    import pyspark.sql.functions as F
+    from etl_covid19_brasil_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    pairs = minhash_near_dup_pairs(docs, id_col="doc_id", tokens_col="toks")
+    logical = pairs._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical, "explicit broadcast hint reintroduced"
