@@ -1282,3 +1282,71 @@ def fn_mask_redact(spark: SparkSession, sf: str) -> DataFrame:
             F.mask(F.expr("substring(c_name, 10)")),
         ).alias("name_keep_prefix"),
     )
+
+
+# Haversine great-circle distance in integer meters. ONE expression
+# string evaluated by both engines (identical function names and
+# left-associative IEEE tree in Spark SQL and DuckDB): transcendentals
+# agree to ~1 ulp (the fn_math policy) and the +0.5-floor quantization
+# boundary sits whole meters away from any ulp-scale divergence.
+def _haversine_m(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    s_lat = f"sin((radians({lat2}) - radians({lat1})) / 2.0)"
+    s_lon = f"sin((radians({lon2}) - radians({lon1})) / 2.0)"
+    h = (
+        f"{s_lat} * {s_lat} + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * {s_lon} * {s_lon}"
+    )
+    return f"CAST(floor(2.0 * 6371000.0 * asin(sqrt({h})) + 0.5) AS BIGINT)"
+
+
+# Synthetic geocoding: deterministic lat/lon from an integer key,
+# confined to |lat| <= 49.5 deg (fixed-degree grid cells keep a usable
+# minimum longitudinal width) and |lon| <= 169.75 deg (no points within
+# grid-radius of the antimeridian seam, which a rectangular cell grid
+# cannot see across but haversine wraps through) — the correctness
+# envelope join_spatial_grid's +-1-cell neighborhood relies on.
+def _geo_lat(key: str) -> str:
+    return f"CAST({key} % 100 AS DOUBLE) - 50.0 + 0.5"
+
+
+def _geo_lon(key: str) -> str:
+    return f"CAST(({key} * 7) % 340 AS DOUBLE) - 170.0 + 0.25"
+
+
+@query(
+    "fn_geo_haversine",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {_geo_lat('c_custkey')} AS lat,
+             {_geo_lon('c_custkey')} AS lon
+      FROM customer
+    )
+    SELECT c_custkey, lat, lon,
+           {_haversine_m('lat', 'lon', '-23.55', '-46.63')} AS dist_sao_paulo_m
+    FROM pts
+    """,
+    section="2.8",
+    doc="Great-circle (haversine) distance — the geo scalar a spatial "
+    "enrichment pass needs: every synthesized customer point's distance "
+    "to a fixed reference (Sao Paulo), in INTEGER METERS. The same "
+    "expression string runs in Spark SQL and DuckDB (radians/sin/cos/"
+    "asin/sqrt agree to ~1 ulp; meter-floor quantization is 9 orders "
+    "of magnitude above that). Pure per-row projection — zero shuffle "
+    "at any scale.",
+)
+def fn_geo_haversine(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        F.expr(_geo_lat("c_custkey")).alias("lat"),
+        F.expr(_geo_lon("c_custkey")).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.expr(_haversine_m("lat", "lon", "-23.55", "-46.63")).alias(
+            "dist_sao_paulo_m"
+        ),
+    )

@@ -1577,8 +1577,15 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("nll_u6"),
     )
+    # No broadcast hint on the scored vocabulary: Heaps'-law growth is
+    # sublinear but unbounded, so a pinned hint eventually materializes
+    # a multi-GB table on every executor (the minhash-OOM class of bug,
+    # r7 audit). Hint-free, AQE broadcasts from REAL sizes while the
+    # vocab fits and falls back to a linear token shuffle when it
+    # doesn't; the capped-vocab variant of this pattern is
+    # text_oov_rate (top-K vocabulary, always broadcastable).
     return (
-        toks.join(F.broadcast(scored), "token")
+        toks.join(scored, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -587,10 +587,13 @@ def dq_constraint_audit(spark: SparkSession, sf: str) -> DataFrame:
     ).unionByName(
         rule("bad_status_domain", ~F.col("o_orderstatus").isin("O", "F", "P"), o)
     )
+    # Hint-free referential check: the dim grows with the data, so the
+    # broadcast decision belongs to AQE's runtime sizes, not a pinned
+    # hint (r7 broadcast audit — the minhash-OOM failure class).
     orphans = rule(
         "orphan_custkey",
         F.col("c_custkey").isNull(),
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left"),
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left"),
     )
     return scans.unionByName(orphans)
 

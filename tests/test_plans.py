@@ -332,3 +332,12 @@ def test_minhash_verification_never_broadcasts_corpus(spark, specs):
     pairs = minhash_near_dup_pairs(docs, id_col="doc_id", tokens_col="toks")
     logical = pairs._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical, "explicit broadcast hint reintroduced"
+
+
+def test_spatial_grid_join_is_equi_not_cartesian(spark, specs):
+    """The grid join must meet candidates in an equi-join on the cell id
+    — the full cross-join-and-filter it replaces (its own oracle) is the
+    thing that must NOT appear in the plan."""
+    p = plan_of(q(specs, spark, "join_spatial_grid"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
