@@ -2325,3 +2325,85 @@ def embedding_covariance_milli(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKENS} AS t FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    cbi AS (SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY bg),
+    cleft AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+              FROM cbi GROUP BY 1),
+    scored AS (
+      SELECT bg, CAST(floor(ln(CAST(c1 AS DOUBLE) / CAST(c12 AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT) AS nll_u6
+      FROM cbi JOIN cleft ON split_part(bg, ' ', 1) = w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_u6) AS BIGINT) AS nll_sum_u6,
+           CAST(SUM(nll_u6) // COUNT(*) AS BIGINT) AS avg_nll_u6
+    FROM bi JOIN scored USING (bg)
+    GROUP BY doc_id
+    """,
+    section="2.10",
+    doc="Bigram conditional language-model scoring — one order up from "
+    "text_unigram_logprob: each document's mean -ln p(w2 | w1) under "
+    "the corpus bigram MLE, the stronger gibberish/boilerplate signal "
+    "(token-salad text has plausible unigrams but improbable "
+    "transitions). Bigrams form map-side from the token array (an "
+    "index-lambda transform, no self-join on position), conditional "
+    "probabilities are count ratios quantized to integer micro-nats "
+    "per DISTINCT bigram, and the per-doc sum is associative integer "
+    "math. Joins are hint-free: the bigram table grows with vocab^2 in "
+    "the worst case, so the broadcast decision belongs to AQE's "
+    "runtime sizes (r7 broadcast-audit policy).",
+)
+def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    t = _tokens()
+    bi = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                )
+            ).alias("bg"),
+        )
+    )
+    cbi = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    cleft = cbi.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")).agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
+    scored = cbi.join(
+        cleft, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1")
+    ).select(
+        "bg",
+        F.floor(
+            F.log(F.col("c1").cast("double") / F.col("c12").cast("double"))
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("nll_u6"),
+    )
+    return (
+        bi.join(scored, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_u6").cast("long").alias("nll_sum_u6"),
+            F.expr("CAST(sum(nll_u6) div count(*) AS LONG)").alias("avg_nll_u6"),
+        )
+    )

@@ -704,3 +704,93 @@ def win_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.max("e").alias("merged_to"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+    joined AS (
+      SELECT e.user_id, c.cohort_wk,
+             date_diff('day', c.cohort_wk, e.wk) // 7 AS week_offset
+      FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+    )
+    SELECT cohort_wk, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM joined GROUP BY cohort_wk, week_offset
+    """,
+    section="2.5",
+    doc="Cohort retention matrix — the product-analytics staple: users "
+    "grouped by first-activity week (their cohort), counted distinct in "
+    "every later week offset. ISO-Monday week truncation matches "
+    "between engines; offsets are exact integer day-diffs "
+    "floor-divided by 7. Scale shape: one user-keyed shuffle derives "
+    "cohorts, the activity stream joins back on the user key (a dim "
+    "that is DISTINCT-USERS sized, AQE-broadcastable), then one "
+    "(cohort, offset) count-distinct shuffle.",
+)
+def user_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = ev.join(cohorts, "user_id").select(
+        "user_id",
+        "cohort_wk",
+        F.expr("datediff(wk, cohort_wk) div 7").alias("week_offset"),
+    )
+    return joined.groupBy("cohort_wk", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+    section="2.5",
+    doc="Running DISTINCT count per key — a window shape Spark (and SQL) "
+    "has no native frame for (COUNT(DISTINCT) OVER a running frame is "
+    "unsupported everywhere): decompose into a first-occurrence flag "
+    "(row_number over (key, value) = 1) plus a running sum of flags "
+    "over the key's timeline. Two windows, but the second reuses the "
+    "(user) partitioning of the first — one shuffle family; the same "
+    "first-seen trick corpus_vocab_growth uses globally, here per key. "
+    "Feature-engineering staple: 'how many distinct behaviors has this "
+    "user shown so far' as of every event.",
+)
+def win_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )
