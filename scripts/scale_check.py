@@ -126,10 +126,22 @@ def build_scaled_dir(spark, replicas: int) -> str:
         ]
     ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
 
+    # events: disjoint user/event spaces per replica — sessionize, funnel,
+    # retention, sequence-gap and running-distinct quantities all grow
+    # exactly linearly (cross-replica users never interleave). Read via
+    # load_table (nanos handling) and write normalized micros.
+    ev = load_table(spark, BASE, "events")
+    ev.select("*", reps).select(
+        (F.col("event_id") + shift).alias("event_id"),
+        "ts",
+        (F.col("user_id") + shift).alias("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
     # small dims: copy as-is (queries join them by the unshifted keys of
     # replica 0 only where keys shifted; revenue query joins orders ->
-    # customer? keep nation/customer/supplier/part/region/events intact)
-    for t in ("region", "nation", "customer", "supplier", "part", "events"):
+    # customer? keep nation/customer/supplier/part/region intact)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         src = Path(BASE) / f"{t}.parquet"
         dst = out / f"{t}.parquet"
         if src.is_dir():
