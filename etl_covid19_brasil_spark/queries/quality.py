@@ -889,3 +889,57 @@ def corpus_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("h32") % 16).cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@query(
+    "sample_balanced_class",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    floor_n AS (SELECT MIN(n) AS min_n FROM sized),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM ranked, floor_n
+    WHERE rk <= min_n
+    GROUP BY lang
+    """,
+    section="2.10",
+    doc="Class-balanced downsampling: every language keeps exactly "
+    "min-class-count documents, chosen by content-hash order "
+    "(md5(text), doc_id tie-break) — the deterministic, engine-"
+    "portable version of 'shuffle each class and take N', used to "
+    "equalize class priors before training a classifier (langid, "
+    "quality) on the corpus. Scale shape: one |langs|-row count "
+    "aggregate broadcasts the floor, one lang-keyed window ranks each "
+    "class (the same single shuffle a per-class sort needs), map-side "
+    "filter. Differs from sample_quota_per_lang (fixed byte budget) "
+    "and sample_stratified_hash (fixed keep RATES): the target here is "
+    "derived from the data — equal class sizes.",
+)
+def sample_balanced_class(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = T(spark, sf, "documents")
+    floor_n = d.groupBy("lang").count().agg(F.min("count").alias("min_n"))
+    w = W.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    ranked = d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("min_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
