@@ -236,3 +236,52 @@ def stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
     c = T(spark, sf, "customer")
     # the batch twin of the streaming job: identical plan minus the watermark
     return static_enrich_segment_sums(e, c)
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '10 minutes',
+                         make_timestamp(epoch_ns(ts) // 1000)) AS window_start,
+             event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type ASC) AS rk
+      FROM counts
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 2
+    """,
+    section="2.9",
+    doc="Per-window top-k: the 2 most frequent event types in every "
+    "tumbling 10-minute window (deterministic count-desc/type-asc "
+    "order). Ranking is not an incremental aggregate, so the streaming "
+    "execution is the standard two-stage shape: the windowed COUNT "
+    "runs incrementally under a watermark (streaming/jobs.py tumbling "
+    "plan), and the per-window rank re-derives per trigger in a "
+    "foreachBatch sink over the updated windows — only windows touched "
+    "by the trigger re-rank, closed windows are final. The batch "
+    "formulation here IS that final state, which is what the oracle "
+    "checks.",
+)
+def stream_windowed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf, "events")
+    counts = (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+    )

@@ -451,3 +451,37 @@ def test_kafka_stream_constructor_projects_envelope(spark):
     assert [f.name for f in df.schema.fields] == [
         "key", "value", "topic", "partition", "offset", "ts",
     ]
+
+
+def test_windowed_topk_stream_matches_batch(spark, stream_events):
+    """The incremental half of stream_windowed_topk (windowed counts) runs
+    as a REAL stream; the per-window re-rank applied to its final state
+    must equal the registered batch query — the foreachBatch-re-rank
+    contract the query's docstring claims."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.queries.streaming import stream_windowed_topk
+
+    counts = (
+        stream_events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = jobs.run_to_memory(counts, "t_win_topk_counts", mode="complete")
+    try:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        got = (
+            spark.table("t_win_topk_counts")
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 2)
+        )
+        want = stream_windowed_topk(spark, SF)
+        pd.testing.assert_frame_equal(
+            _sorted(got.toPandas()), _sorted(want.toPandas()), check_dtype=False
+        )
+    finally:
+        q.stop()
