@@ -2169,3 +2169,135 @@ def join_spatial_grid(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey", "s_suppkey", dist.alias("dist_m"))
         .filter(F.col("dist_m") <= 80000)
     )
+
+
+@query(
+    "dq_null_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_status_nonopen', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(NULLIF(o_orderstatus, 'O')) AS BIGINT),
+           CAST(COUNT(DISTINCT NULLIF(o_orderstatus, 'O')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+    section="2.4",
+    doc="Column profiling (null counts + distinct cardinality per "
+    "column) — the first pass any data-quality/contract system runs on "
+    "a new table. The Spark side computes every column's metrics in "
+    "ONE scan + one aggregate (count/count-distinct pairs side by "
+    "side) and unpivots to long form map-side; the oracle spells the "
+    "same thing as per-column UNION ALL aggregates. One column "
+    "(o_orderstatus with 'O' nulled) is profiled via NULLIF so nonzero "
+    "null counts are exercised. At 100 TB: exact count-distinct per "
+    "column shuffles each column's domain — swap in "
+    "approx_count_distinct for the profile-only use case (that tier "
+    "exists as agg_approx_count_distinct).",
+)
+def dq_null_profile(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").withColumn(
+        "o_status_n", F.expr("NULLIF(o_orderstatus, 'O')")
+    )
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderstatus").alias("c1"),
+        F.countDistinct("o_orderstatus").alias("d1"),
+        F.count("o_orderpriority").alias("c2"),
+        F.countDistinct("o_orderpriority").alias("d2"),
+        F.count("o_status_n").alias("c3"),
+        F.countDistinct("o_status_n").alias("d3"),
+        F.count("o_custkey").alias("c4"),
+        F.countDistinct("o_custkey").alias("d4"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("column_name"),
+                    F.col("n_rows"),
+                    (F.col("n_rows") - F.col("c1")).alias("n_null"),
+                    F.col("d1").alias("n_distinct"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("column_name"),
+                    F.col("n_rows"),
+                    (F.col("n_rows") - F.col("c2")).alias("n_null"),
+                    F.col("d2").alias("n_distinct"),
+                ),
+                F.struct(
+                    F.lit("o_status_nonopen").alias("column_name"),
+                    F.col("n_rows"),
+                    (F.col("n_rows") - F.col("c3")).alias("n_null"),
+                    F.col("d3").alias("n_distinct"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("column_name"),
+                    F.col("n_rows"),
+                    (F.col("n_rows") - F.col("c4")).alias("n_null"),
+                    F.col("d4").alias("n_distinct"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.column_name", "p.n_rows", "p.n_null", "p.n_distinct")
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_key,
+             substr(c_name, 1, 10) || 'x' || substr(c_name, 12) AS dirty_name
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    clean AS (SELECT c_custkey AS clean_key, c_name FROM customer)
+    SELECT clean_key, dirty_key,
+           CAST(levenshtein(c_name, dirty_name) AS BIGINT) AS edit_dist
+    FROM clean JOIN dirty
+      ON substr(c_name, 15, 4) = substr(dirty_name, 15, 4)
+    WHERE levenshtein(c_name, dirty_name) <= 2
+    """,
+    section="2.3",
+    doc="Fuzzy (edit-distance) join with blocking — the entity-"
+    "resolution workhorse: a corrupted copy of every third customer "
+    "name (one character overwritten) re-links to its clean source by "
+    "levenshtein <= 2, but candidates meet ONLY within a blocking key "
+    "(the name's last-4-digit substring, untouched by the corruption) "
+    "— an equi-join whose candidate volume is block-size bounded, "
+    "never the |clean| x |dirty| cross product a naive distance join "
+    "needs. Same blocking discipline as join_spatial_grid (grid "
+    "cells) and the LSH tiers (hash buckets): cheap exact key first, "
+    "expensive residual predicate second. levenshtein agrees exactly "
+    "between engines (integer DP, no floats).",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.substring("c_name", 1, 10), F.lit("x"), F.expr("substring(c_name, 12)")
+        ).alias("dirty_name"),
+    )
+    clean = c.select(F.col("c_custkey").alias("clean_key"), "c_name")
+    joined = clean.join(
+        dirty,
+        F.substring("c_name", 15, 4) == F.substring("dirty_name", 15, 4),
+    )
+    return joined.select(
+        "clean_key",
+        "dirty_key",
+        F.levenshtein("c_name", "dirty_name").cast("long").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 2)

@@ -794,3 +794,51 @@ def win_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "win_streak_longest",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grouped AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_len
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(streak_len) AS longest_streak_days,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+    section="2.5",
+    doc="Longest consecutive-day activity streak per user — the classic "
+    "gaps-and-islands date trick: distinct active days, then "
+    "date - row_number is CONSTANT within a consecutive run (each day "
+    "forward steps both by one), so grouping by that anchor date counts "
+    "each streak. One user-keyed shuffle serves the distinct, the "
+    "window and both aggregates (same partitioning throughout). The "
+    "engagement metric behind retention/churn features.",
+)
+def win_streak_longest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak_days"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+    )
