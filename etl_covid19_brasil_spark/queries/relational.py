@@ -2301,3 +2301,152 @@ def join_fuzzy_blocked(spark: SparkSession, sf: str) -> DataFrame:
         "dirty_key",
         F.levenshtein("c_name", "dirty_name").cast("long").alias("edit_dist"),
     ).filter(F.col("edit_dist") <= 2)
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS seg,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    ranked AS (
+      SELECT seg, x,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY x, x) AS i,
+             COUNT(*) OVER (PARTITION BY seg) AS n_seg
+      FROM v
+    ),
+    sums AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM((2 * i - n_seg - 1) * x) AS BIGINT) AS gini_num
+      FROM ranked GROUP BY seg
+    )
+    SELECT seg, n, gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST(floor(CAST(gini_num AS DOUBLE) / CAST(n * sx AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS gini_ppm
+    FROM sums
+    """,
+    section="2.4",
+    doc="Gini coefficient of order value per market segment — the "
+    "inequality/concentration statistic (is revenue dominated by a few "
+    "giant orders?). Sorted-rank identity G = Sum((2i - n - 1) * x_i) "
+    "/ (n * Sum(x)): values as cents, ranks from a per-segment sort "
+    "(ties ordered by value, so any tie permutation yields the same "
+    "numerator — equal x under adjacent i). The exact int64 numerator "
+    "and denominator are OUTPUT; the ppm figure divides them as "
+    "doubles (identical int64->double rounding and one division in "
+    "both engines — deterministic cross-engine at any magnitude, "
+    "unlike numerator*1e6 integer math, which overflows int64 past "
+    "~sf0.1). One segment-keyed window + one aggregate — the same "
+    "single sort a percentile needs.",
+)
+def agg_gini_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    v = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), cents("o_totalprice").alias("x")
+    )
+    w = Window.partitionBy("seg").orderBy("x")
+    ranked = v.withColumn("i", F.row_number().over(w)).withColumn(
+        "n_seg", F.count(F.lit(1)).over(Window.partitionBy("seg"))
+    )
+    sums = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum((2 * F.col("i") - F.col("n_seg") - 1) * F.col("x"))
+        .cast("long")
+        .alias("gini_num"),
+    )
+    return sums.select(
+        "seg",
+        "n",
+        "gini_num",
+        (F.col("n") * F.col("sx")).alias("gini_den"),
+        F.expr(
+            "CAST(floor(CAST(gini_num AS DOUBLE) / CAST(n * sx AS DOUBLE)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, o_orderkey AS key_a,
+             CAST(o_orderdate AS DATE) AS s_a,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 15 AS INTEGER) AS e_a
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+      SELECT o_custkey, o_orderkey AS key_b,
+             CAST(o_orderdate AS DATE) AS s_b,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 10 AS INTEGER) AS e_b
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT a.o_custkey, key_a, key_b,
+           CAST(date_diff('day',
+                          greatest(s_a, s_b),
+                          least(e_a, e_b)) + 1 AS BIGINT) AS overlap_days
+    FROM a JOIN b ON a.o_custkey = b.o_custkey
+    WHERE s_a <= e_b AND s_b <= e_a
+    """,
+    section="2.3",
+    doc="Interval-overlap join (temporal twin of join_spatial_grid): two "
+    "per-customer interval sets (even/odd orders with orderkey-derived "
+    "durations) pair where their date ranges intersect, reporting the "
+    "overlap length. Scale shape: each interval explodes map-side to "
+    "the 7-day buckets it covers (spans <= 15 days -> <= 4 buckets), "
+    "candidates meet in a (custkey, bucket) equi-join, duplicate "
+    "bucket-pairings collapse with one distinct, and the exact overlap "
+    "predicate filters residually — candidate volume is O(intervals x "
+    "temporal density), never a per-key cross product (the oracle "
+    "formulation, correct here only because synthetic customers have "
+    "few orders). The same bucket-join discipline as join_range / "
+    "join_spatial_grid / the LSH tiers.",
+)
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+
+    def side(parity: int, span_mod: int, tag: str):
+        return o.filter(F.col("o_orderkey") % 2 == parity).select(
+            "o_custkey",
+            F.col("o_orderkey").alias(f"key_{tag}"),
+            F.col("o_orderdate").cast("date").alias(f"s_{tag}"),
+            F.expr(
+                f"date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % {span_mod} AS INT))"
+            ).alias(f"e_{tag}"),
+        )
+
+    def with_buckets(df, tag: str):
+        epoch = f"datediff(s_{tag}, DATE '1970-01-01')"
+        epoch_e = f"datediff(e_{tag}, DATE '1970-01-01')"
+        return df.withColumn(
+            "bucket",
+            F.explode(F.expr(f"sequence({epoch} div 7, {epoch_e} div 7)")),
+        )
+
+    a = with_buckets(side(0, 15, "a"), "a")
+    b = with_buckets(side(1, 10, "b"), "b")
+    return (
+        a.join(b, ["o_custkey", "bucket"])
+        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+        .select(
+            "o_custkey",
+            "key_a",
+            "key_b",
+            (
+                F.datediff(
+                    F.least("e_a", "e_b"), F.greatest("s_a", "s_b")
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .distinct()
+    )
