@@ -2407,3 +2407,43 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("CAST(sum(nll_u6) div count(*) AS LONG)").alias("avg_nll_u6"),
         )
     )
+
+
+@query(
+    "dedup_minhash_components",
+    oracle=None,  # minhash candidates are probabilistic -> rows-only
+    section="2.10",
+    doc="The FULL production near-dedup path composed end-to-end: "
+    "MinHash signatures -> banded LSH candidates -> exact-Jaccard "
+    "verification (llm/minhash.py) -> connected components "
+    "(operators/concomp.py) -> per-document duplicate-group "
+    "assignment with component size. This is the pipeline a 100 TB "
+    "corpus actually runs (the exact-pair tier that "
+    "dedup_connected_components clusters is quadratic and exists as "
+    "the oracle); every stage here is linear-shuffle. Approximate "
+    "only in candidate RECALL — and because MinHash recall is 1.0 on "
+    "this corpus (pinned in tests/test_ann_recall.py), the composed "
+    "result must equal the exact-pair clustering exactly, which "
+    "tests/test_concomp.py asserts.",
+)
+def dedup_minhash_components(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.minhash import minhash_near_dup_pairs
+    from etl_covid19_brasil_spark.operators.concomp import connected_components
+
+    d = _near_dup_corpus(spark, sf).select(
+        "doc_id", _shingle_hashes(F.col("w")).alias("sh")
+    )
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", tokens_col="sh", threshold=0.8
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(
+        edges, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component_id"))
+        .alias("component_size"),
+    )

@@ -115,3 +115,51 @@ def test_long_path_converges_within_log_rounds(spark):
     e = _edges(spark, [(i, i + 1) for i in range(1, 200)])
     got = _result(connected_components(e, max_iter=12))
     assert got == {(i, 1) for i in range(1, 201)}
+
+
+def test_minhash_components_equal_exact_pair_components(spark):
+    """The composed approximate pipeline (minhash -> LSH -> verify ->
+    concomp, dedup_minhash_components) must produce EXACTLY the same
+    duplicate groups as clustering the exact >=0.8-Jaccard pair set on
+    this corpus — MinHash recall is 1.0 here (pinned), verification
+    guarantees precision 1.0, and component ids are member-minimum, so
+    any divergence means a pipeline stage broke."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.operators.concomp import connected_components
+    from etl_covid19_brasil_spark.queries.llm import (
+        dedup_minhash_components,
+        near_dedup_jaccard,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    got = {
+        (r["doc_id"], r["component_id"], r["component_size"])
+        for r in dedup_minhash_components(spark, SF).collect()
+    }
+    # exact-pair clustering over the SAME corpus (near_dedup_jaccard's
+    # _JACCARD_CAP does not bind at sf0.01, so its pair set is complete)
+    from etl_covid19_brasil_spark.queries.llm import _near_dup_corpus
+
+    pairs = near_dedup_jaccard(spark, SF)
+    nodes = (
+        _near_dup_corpus(spark, SF)
+        .select(F.col("doc_id").alias("node"))
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        nodes=nodes,
+    )
+    from pyspark.sql.window import Window
+
+    want = {
+        (r["node"], r["component_id"], r["component_size"])
+        for r in comp.select(
+            "node",
+            "component_id",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("component_id"))
+            .alias("component_size"),
+        ).collect()
+    }
+    assert got == want
