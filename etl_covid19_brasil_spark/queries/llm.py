@@ -2447,3 +2447,84 @@ def dedup_minhash_components(spark: SparkSession, sf: str) -> DataFrame:
         .over(Window.partitionBy("component_id"))
         .alias("component_size"),
     )
+
+
+# Per-token Jensen-Shannon contribution, quantized to integer NANO-nats
+# BEFORE the vocabulary sum (a double sum over the vocab would be
+# summation-order-sensitive). One shared expression tree: p = ca/na,
+# q = cb/nb as doubles from exact int64 counts; zero-count sides
+# contribute their limit (0) via CASE.
+_JS_TERM_N9 = (
+    "CAST(floor((" 
+    " 0.5 * (CASE WHEN ca = 0 THEN 0.0 ELSE"
+    "  (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    "  * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    "       / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    "          + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) END)"
+    " + 0.5 * (CASE WHEN cb = 0 THEN 0.0 ELSE"
+    "  (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    "  * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    "       / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    "          + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) END)"
+    ") * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "corpus_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS grp,
+             unnest({_O_TOKENS}) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM toks GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM counts
+    )
+    SELECT na, nb,
+           CAST(COUNT(*) AS BIGINT) AS vocab_union,
+           CAST(SUM({_JS_TERM_N9}) AS BIGINT) AS js_nano
+    FROM counts, tot
+    GROUP BY na, nb
+    """,
+    section="2.10",
+    doc="Jensen-Shannon divergence between two source-groups' unigram "
+    "distributions — the corpus-comparison statistic mixture planning "
+    "uses to quantify how different two data sources actually are "
+    "(0 = identical distributions, ln 2 = disjoint support). Groups = "
+    "short- vs long-named sources (a deterministic split). Per-token "
+    "JS contributions are quantized to integer nano-nats BEFORE the "
+    "vocabulary sum (the associative-integer policy — a raw double "
+    "sum over the vocab is summation-order-sensitive); probabilities "
+    "come from exact int64 counts through one shared expression tree. "
+    "Scale shape: one token-count shuffle, the 1-row totals broadcast "
+    "(crossJoin), one vocabulary-sized integer sum.",
+)
+def corpus_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        F.when(F.length("source") == 4, "a").otherwise("b").alias("grp"),
+        F.explode(_tokens()).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_union"),
+            F.sum(F.expr(_JS_TERM_N9)).cast("long").alias("js_nano"),
+        )
+    )

@@ -2450,3 +2450,165 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# Welch's t from exact integer sums, evaluated as ONE shared double
+# expression tree (identical int64->double conversions and IEEE ops in
+# both engines; sum-of-squares stays integer until the division, and
+# the naive sum^2/n term is computed in doubles because sum^2 overflows
+# int64 — determinism comes from identical operand trees, not integer
+# exactness).
+_WELCH_T_MICRO = (
+    "CAST(floor(("
+    " (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt("
+    "   ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    "     / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))"
+    "    / CAST(n1 AS DOUBLE)"
+    "   + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    "     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))"
+    "    / CAST(n2 AS DOUBLE)"
+    " )) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "dq_welch_t_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 'F' THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN g = 'F' THEN x * x ELSE 0 END) AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g = 'O' THEN x ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN g = 'O' THEN x * x ELSE 0 END) AS BIGINT) AS q2
+      FROM v
+    )
+    SELECT n1, n2, {_WELCH_T_MICRO} AS t_micro FROM s
+    """,
+    section="2.4",
+    doc="Welch's two-sample t statistic between the fulfilled/open "
+    "order-price cohorts — the parametric mean-shift companion to "
+    "dq_ks_drift's distribution-shape test (a drift monitor typically "
+    "runs both: KS catches shape changes, t catches mean drift with "
+    "more power). Count/sum/sum-of-squares accumulate as exact int64 "
+    "in ONE aggregate over the scan (x*x <= ~4e14 per row, sums safe "
+    "to ~2e4 rows per 1e18; beyond that pre-scale cents to dollars); "
+    "the t value itself is one shared double expression tree, "
+    "quantized to micro-units. Zero shuffles beyond the single "
+    "partial-agg reduce.",
+)
+def dq_welch_t_drift(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus").isin("F", "O"))
+    x = cents("o_totalprice")
+    g = F.col("o_orderstatus")
+    s = o.agg(
+        F.sum(F.when(g == "F", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(g == "F", x).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(g == "F", x * x).otherwise(0)).cast("long").alias("q1"),
+        F.sum(F.when(g == "O", 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(g == "O", x).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(g == "O", x * x).otherwise(0)).cast("long").alias("q2"),
+    )
+    return s.select("n1", "n2", F.expr(_WELCH_T_MICRO).alias("t_micro"))
+
+
+@query(
+    "join_nearest_value",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             (o_orderstatus = 'F') AS is_f
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    w AS (
+      SELECT o_custkey, o_orderkey, x, is_f,
+             LAST_VALUE(CASE WHEN is_f THEN x END IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY x, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_x,
+             LAST_VALUE(CASE WHEN is_f THEN o_orderkey END IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY x, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_k,
+             FIRST_VALUE(CASE WHEN is_f THEN x END IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY x, o_orderkey
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_x,
+             FIRST_VALUE(CASE WHEN is_f THEN o_orderkey END IGNORE NULLS)
+               OVER (PARTITION BY o_custkey ORDER BY x, o_orderkey
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_k
+      FROM v
+    )
+    SELECT o_custkey, o_orderkey AS query_key, x AS query_cents,
+           CASE WHEN prev_x IS NULL THEN next_k
+                WHEN next_x IS NULL THEN prev_k
+                WHEN x - prev_x <= next_x - x THEN prev_k
+                ELSE next_k END AS nearest_key,
+           CASE WHEN prev_x IS NULL THEN next_x - x
+                WHEN next_x IS NULL THEN x - prev_x
+                WHEN x - prev_x <= next_x - x THEN x - prev_x
+                ELSE next_x - x END AS dist_cents
+    FROM w
+    WHERE NOT is_f
+      AND (prev_x IS NOT NULL OR next_x IS NOT NULL)
+    """,
+    section="2.3",
+    doc="1-D nearest-neighbor join: every open order finds its "
+    "customer's fulfilled order with the CLOSEST price — the "
+    "bidirectional generalization of the as-of join (as-of keeps only "
+    "the most-recent-<=; nearest considers both sides and picks the "
+    "smaller distance, ties to the lower value). Same one-shuffle "
+    "union+window shape as join_asof: both sets sort once per key by "
+    "value, last/first IGNORE NULLS carry the flanking candidates to "
+    "every probe row, a CASE picks the winner — candidate volume is "
+    "2 per probe, never a per-key cross product, and all distances "
+    "are exact integer cents.",
+)
+def join_nearest_value(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus").isin("F", "O"))
+    v = o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents("o_totalprice").alias("x"),
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+    )
+    ord_w = Window.partitionBy("o_custkey").orderBy("x", "o_orderkey")
+    prev_w = ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    next_w = ord_w.rowsBetween(1, Window.unboundedFollowing)
+    fx = F.when(F.col("is_f"), F.col("x"))
+    fk = F.when(F.col("is_f"), F.col("o_orderkey"))
+    w = v.select(
+        "o_custkey",
+        "o_orderkey",
+        "x",
+        "is_f",
+        F.last(fx, ignorenulls=True).over(prev_w).alias("prev_x"),
+        F.last(fk, ignorenulls=True).over(prev_w).alias("prev_k"),
+        F.first(fx, ignorenulls=True).over(next_w).alias("next_x"),
+        F.first(fk, ignorenulls=True).over(next_w).alias("next_k"),
+    )
+    pick_prev = (F.col("x") - F.col("prev_x")) <= (F.col("next_x") - F.col("x"))
+    return (
+        w.filter(~F.col("is_f"))
+        .filter(F.col("prev_x").isNotNull() | F.col("next_x").isNotNull())
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("query_key"),
+            F.col("x").alias("query_cents"),
+            F.when(F.col("prev_x").isNull(), F.col("next_k"))
+            .when(F.col("next_x").isNull(), F.col("prev_k"))
+            .when(pick_prev, F.col("prev_k"))
+            .otherwise(F.col("next_k"))
+            .alias("nearest_key"),
+            F.when(F.col("prev_x").isNull(), F.col("next_x") - F.col("x"))
+            .when(F.col("next_x").isNull(), F.col("x") - F.col("prev_x"))
+            .when(pick_prev, F.col("x") - F.col("prev_x"))
+            .otherwise(F.col("next_x") - F.col("x"))
+            .alias("dist_cents"),
+        )
+    )
