@@ -341,3 +341,30 @@ def test_spatial_grid_join_is_equi_not_cartesian(spark, specs):
     p = plan_of(q(specs, spark, "join_spatial_grid"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_nearest_value_join_is_windows_not_join(spark, specs):
+    """The 1-D nearest-neighbor 'join' must compile to one union+window
+    family — a real join node would mean the per-key pairing fallback."""
+    p = plan_of(q(specs, spark, "join_nearest_value"))
+    assert "Window" in p
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_interval_overlap_is_equi_join(spark, specs):
+    p = plan_of(q(specs, spark, "join_interval_overlap"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cdc_apply_single_shuffle_window(spark, specs):
+    """latest-per-key + tombstone filter = one merge-key shuffle feeding
+    one window; no join, no extra exchange family."""
+    p = plan_of(q(specs, spark, "cdc_apply_changes"))
+    assert "Window" in p and "Join" not in p
+
+
+def test_retention_cohort_join_is_not_cartesian(spark, specs):
+    p = plan_of(q(specs, spark, "user_retention_cohorts"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
