@@ -390,3 +390,47 @@ def sink_scan_fixed_width_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         path,
         [("n_nationkey", 10, "bigint"), ("n_name", 25, "string"), ("n_regionkey", 10, "bigint")],
     )
+
+
+@query(
+    "sink_scan_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section="2.1",
+    doc="Native JSON-lines sink then scan with explicit schema: the "
+    "interchange format half the reference's world speaks (its IBGE "
+    "source is JSON; this certifies the engine can also WRITE it "
+    "losslessly). Explicit schema on re-read — JSON inference would "
+    "widen integers and is an extra scan; the custom Python "
+    "DataSource JSONL sink (sink_python_datasource_roundtrip) covers "
+    "the extension-point variant of the same wire format.",
+)
+def sink_scan_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "nation")
+    path = _scratch("json_nation", sf)
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(src.schema).json(path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "sink_scan_csv_gzip_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    section="2.1",
+    doc="Gzip-compressed CSV roundtrip — the wire format compressed "
+    "text feeds actually arrive in. Spark's text sources decompress "
+    "by extension transparently; the caveat that matters at 100 TB is "
+    "SPLITTABILITY: a .csv.gz file is one stream = one task, so "
+    "compressed feeds must arrive as MANY files (this sink writes one "
+    "gz per partition, which is exactly that layout) or be landed to "
+    "a splittable codec before heavy processing.",
+)
+def sink_scan_csv_gzip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _scratch("csv_gz_supplier", sf)
+    src.write.mode("overwrite").option("compression", "gzip").option(
+        "header", False
+    ).csv(path)
+    return spark.read.schema(src.schema).option("header", False).csv(path)
