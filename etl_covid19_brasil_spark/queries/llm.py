@@ -2528,3 +2528,123 @@ def corpus_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.expr(_JS_TERM_N9)).cast("long").alias("js_nano"),
         )
     )
+
+
+# One BPE training step as SQL text (x <> y restriction makes greedy
+# left-to-right merging order-free: overlapping matches are impossible,
+# so the merge is a pure per-position decision — window lag/lead, no
+# sequential fold). {i} = step index, {prev} = previous sequence CTE.
+_O_BPE_STEP = """
+    s{i} AS (
+      SELECT doc_id, pos, tok,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+             LAG(tok)  OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+      FROM {prev}
+    ),
+    c{i} AS (
+      SELECT tok AS x, nxt AS y, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s{i} WHERE nxt IS NOT NULL AND tok <> nxt
+      GROUP BY tok, nxt
+    ),
+    t{i} AS (SELECT x, y, n FROM c{i} ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+    seq{i} AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             CASE WHEN tok = x AND nxt = y THEN tok || '_' || y
+                  ELSE tok END AS tok
+      FROM s{i}, t{i}
+      WHERE prv IS NULL OR prv <> x OR tok <> y
+    )"""
+
+
+@query(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH seq0 AS (
+      SELECT doc_id, u.i AS pos, u.tok
+      FROM (SELECT doc_id,
+                   list_transform({_O_TOKENS},
+                                  (t, idx) -> {{'i': idx, 'tok': t}}) AS ps
+            FROM documents), unnest(ps) AS t(u)
+    ),
+    {_O_BPE_STEP.format(i=1, prev='seq0')},
+    {_O_BPE_STEP.format(i=2, prev='seq1')},
+    {_O_BPE_STEP.format(i=3, prev='seq2')}
+    SELECT 1 AS step, x || ' ' || y AS pair, n AS n_merges FROM t1
+    UNION ALL
+    SELECT 2, x || ' ' || y, n FROM t2
+    UNION ALL
+    SELECT 3, x || ' ' || y, n FROM t3
+    """,
+    section="2.10",
+    doc="Distributed BPE merge training — the iterative-algorithm tier "
+    "next to graph_pagerank_centrality: 3 rounds of (count adjacent "
+    "token pairs -> pick the most frequent -> merge every occurrence "
+    "corpus-wide), returning the learned merge table. The x <> y "
+    "restriction makes greedy merging ORDER-FREE (overlapping matches "
+    "cannot exist), so each round is pure relational algebra: one "
+    "lag/lead window per round (doc-keyed shuffle), a pair-count "
+    "aggregate (vocabulary-bounded), a 1-row top pick broadcast back, "
+    "a per-position CASE merge, and a renumbering window on the SAME "
+    "doc partitioning. Everything is integer/string-deterministic "
+    "(count-desc, lexicographic tie-break) so a 3-deep iterative "
+    "computation hash-matches the chained-CTE oracle exactly. "
+    "Lineage is truncated per round (localCheckpoint) like the "
+    "pagerank sweeps. Real BPE trains on sampled statistics with "
+    "thousands of merges; the per-round plan is identical.",
+)
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    seq = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    tops = []
+    for step_no in (1, 2, 3):
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        s = seq.select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.lead("tok").over(w).alias("nxt"),
+            F.lag("tok").over(w).alias("prv"),
+        )
+        c = (
+            s.filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+            .groupBy(F.col("tok").alias("x"), F.col("nxt").alias("y"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        t = c.orderBy(F.desc("n"), F.asc("x"), F.asc("y")).limit(1)
+        tops.append(
+            t.select(
+                F.lit(step_no).alias("step"),
+                F.concat_ws(" ", "x", "y").alias("pair"),
+                F.col("n").alias("n_merges"),
+            )
+        )
+        merged = (
+            s.crossJoin(F.broadcast(t))
+            .filter(
+                F.col("prv").isNull()
+                | (F.col("prv") != F.col("x"))
+                | (F.col("tok") != F.col("y"))
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    (F.col("tok") == F.col("x")) & (F.col("nxt") == F.col("y")),
+                    F.concat("tok", F.lit("_"), F.col("y")),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+        )
+        seq = merged.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("pos"))
+            .alias("pos"),
+            "tok",
+        ).localCheckpoint(eager=False)
+    out = tops[0]
+    for t_df in tops[1:]:
+        out = out.unionByName(t_df)
+    return out
