@@ -2648,3 +2648,92 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     for t_df in tops[1:]:
         out = out.unionByName(t_df)
     return out
+
+
+@query(
+    "bpe_apply_merges",
+    oracle=f"""
+    WITH seq0 AS (
+      SELECT doc_id, u.i AS pos, u.tok
+      FROM (SELECT doc_id,
+                   list_transform({_O_TOKENS},
+                                  (t, idx) -> {{'i': idx, 'tok': t}}) AS ps
+            FROM documents), unnest(ps) AS t(u)
+    ),
+    {_O_BPE_STEP.format(i=1, prev='seq0')},
+    {_O_BPE_STEP.format(i=2, prev='seq1')},
+    {_O_BPE_STEP.format(i=3, prev='seq2')},
+    before AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_raw
+               FROM seq0 GROUP BY doc_id),
+    after AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_bpe
+              FROM seq3 GROUP BY doc_id)
+    SELECT b.doc_id, n_tokens_raw, n_tokens_bpe,
+           n_tokens_raw - n_tokens_bpe AS n_merged
+    FROM before b JOIN after a ON b.doc_id = a.doc_id
+    """,
+    section="2.10",
+    doc="BPE APPLICATION — the tokenize-with-learned-merges side of "
+    "bpe_train_merges: the same 3 trained merges applied corpus-wide, "
+    "reporting each document's token count before and after (the "
+    "compression a tokenizer actually delivers, the statistic used to "
+    "size context windows and shard budgets). Same per-round plan as "
+    "training (the merge table is re-derived in-flow — a production "
+    "run would broadcast a frozen merge list and skip the count "
+    "rounds, making apply a pure map-side pass per merge).",
+)
+def bpe_apply_merges(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    seq = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    before = seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_raw")
+    )
+    for _ in range(3):
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        s = seq.select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.lead("tok").over(w).alias("nxt"),
+            F.lag("tok").over(w).alias("prv"),
+        )
+        c = (
+            s.filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+            .groupBy(F.col("tok").alias("x"), F.col("nxt").alias("y"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        t = c.orderBy(F.desc("n"), F.asc("x"), F.asc("y")).limit(1)
+        seq = (
+            s.crossJoin(F.broadcast(t))
+            .filter(
+                F.col("prv").isNull()
+                | (F.col("prv") != F.col("x"))
+                | (F.col("tok") != F.col("y"))
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    (F.col("tok") == F.col("x")) & (F.col("nxt") == F.col("y")),
+                    F.concat("tok", F.lit("_"), F.col("y")),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .select(
+                "doc_id",
+                F.row_number()
+                .over(Window.partitionBy("doc_id").orderBy("pos"))
+                .alias("pos"),
+                "tok",
+            )
+            .localCheckpoint(eager=False)
+        )
+    after = seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_bpe")
+    )
+    return before.join(after, "doc_id").select(
+        "doc_id",
+        "n_tokens_raw",
+        "n_tokens_bpe",
+        (F.col("n_tokens_raw") - F.col("n_tokens_bpe")).alias("n_merged"),
+    )
