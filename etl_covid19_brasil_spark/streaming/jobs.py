@@ -393,21 +393,35 @@ def file_replay_stream_split(
     event-time TIMERS, which only fire when a later batch's watermark
     passes their expiry (a single-batch replay never fires any).
     """
+    import shutil
+
+    from pyspark.sql.window import Window
+
     from etl_covid19_brasil_spark.io import load_table
 
-    # HARNESS-ONLY full-table toPandas: this function is the local test
-    # rig that STAGES a replayable stream from the small fixture table —
-    # it is not an operator path. Production streams arrive from Kafka /
-    # files and never transit the driver.
-    events = load_table(spark, sf_dir, "events").orderBy("ts").toPandas()
-    # stage at microsecond precision: pandas' default ns timestamps would
-    # round-trip as TIMESTAMP(NANOS) and hit the same legacy-long reading
-    # the raw events table needs load_table for
-    events["ts"] = events["ts"].astype("datetime64[us]")
+    # Spark-native staging (r7 — previously a full-table toPandas, the
+    # last driver-transit in the tree): slice the fixture into
+    # time-ordered ntiles and write each slice with Spark, renaming the
+    # single part file to a controlled, ordered name so the file stream
+    # source replays slices in event-time order. The global ntile window
+    # is fixture-rig-only (production streams arrive from Kafka/files
+    # and are never re-staged at all).
+    ev = load_table(spark, sf_dir, "events")
+    sliced = ev.withColumn(
+        "__slice", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    )
     stage = Path(tempfile.mkdtemp(prefix="events_stream_split_"))
-    step = max(1, -(-len(events) // n_files))
-    for i in range(0, len(events), step):
-        events.iloc[i : i + step].to_parquet(stage / f"slice_{i // step:03d}.parquet")
+    for i in range(1, n_files + 1):
+        tmp_i = stage / f"_tmp_{i}"
+        (
+            sliced.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.parquet(str(tmp_i))
+        )
+        part = next(Path(tmp_i).glob("part-*.parquet"))
+        part.rename(stage / f"slice_{i - 1:03d}.parquet")
+        shutil.rmtree(tmp_i)
     schema = spark.read.parquet(str(stage / "slice_000.parquet")).schema
     stream = (
         spark.readStream.schema(schema)
