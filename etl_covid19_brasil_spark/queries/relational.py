@@ -2612,3 +2612,153 @@ def join_nearest_value(spark: SparkSession, sf: str) -> DataFrame:
             .alias("dist_cents"),
         )
     )
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT s, p, o,
+             CAST(SUM(o) OVER (PARTITION BY s) AS BIGINT) AS row_n,
+             CAST(SUM(o) OVER (PARTITION BY p) AS BIGINT) AS col_n,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(
+             (CAST(o AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chi2_micro
+    FROM margins
+    """,
+    section="2.4",
+    doc="Chi-square test of independence between order status and "
+    "priority — the categorical-association screen completing the "
+    "drift-statistics trio (dq_ks_drift: distribution shape, "
+    "dq_welch_t_drift: mean shift, this: categorical dependence). "
+    "Observed counts are exact int64 from one contingency aggregate; "
+    "expected counts and per-cell terms are one shared double tree, "
+    "each cell quantized to micro BEFORE the (tiny, domain-bounded) "
+    "sum — associative integer math over a |statuses|x|priorities| "
+    "table. Margins via windows over the contingency table, which is "
+    "domain-bounded regardless of row count.",
+)
+def agg_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    margins = obs.select(
+        "s",
+        "p",
+        "o",
+        F.sum("o").over(Window.partitionBy("s")).cast("long").alias("row_n"),
+        F.sum("o").over(Window.partitionBy("p")).cast("long").alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    term = (
+        "CAST(floor((CAST(o AS DOUBLE)"
+        " - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(o AS DOUBLE)"
+        " - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_rows"),
+        F.sum(F.expr(term)).cast("long").alias("chi2_micro"),
+    )
+
+
+@query(
+    "agg_market_basket_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, l_partkey % 50 AS item
+      FROM lineitem GROUP BY l_orderkey, l_partkey % 50
+    ),
+    n_baskets AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb
+                  FROM baskets),
+    item_n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM baskets GROUP BY item),
+    pair_n AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    ),
+    scored AS (
+      SELECT item_a, item_b, c_ab, ia.c AS c_a, ib.c AS c_b,
+             CAST(floor(CAST(c_ab AS DOUBLE) * CAST(nb AS DOUBLE)
+                        / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+      FROM pair_n JOIN item_n ia ON item_a = ia.item
+                  JOIN item_n ib ON item_b = ib.item, n_baskets
+      WHERE c_ab >= 5
+    )
+    SELECT item_a, item_b, c_ab, c_a, c_b, lift_micro
+    FROM scored
+    ORDER BY lift_micro DESC, item_a ASC, item_b ASC LIMIT 15
+    """,
+    section="2.4",
+    doc="Market-basket association (pairwise lift) — the classic retail "
+    "co-occurrence analysis: which item pairs appear in the same order "
+    "more than independence predicts. Items are hashed part groups; "
+    "pairs form by a self-equi-join ON THE BASKET KEY (per-basket "
+    "fanout is |basket|^2 with baskets of ~4 items — bounded by data "
+    "shape, never corpus-size quadratic), counts are exact int64 with "
+    "a minimum-support cut BEFORE scoring, lift is one shared double "
+    "tree quantized to micro, and the result is a deterministic "
+    "top-15. The same support-threshold-then-score shape as "
+    "A-priori's first pass.",
+)
+def agg_market_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    baskets = li.groupBy(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).agg(F.lit(1).alias("_one")).drop("_one")
+    nb = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("nb")
+    )
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = baskets.select(F.col("l_orderkey"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("l_orderkey"), F.col("item").alias("item_b"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("c").alias("c_a"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("c").alias("c_b"))
+    scored = (
+        pair_n.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST(floor(CAST(c_ab AS DOUBLE) * CAST(nb AS DOUBLE)"
+                " / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_micro"), F.asc("item_a"), F.asc("item_b")
+    ).limit(15)
