@@ -434,3 +434,75 @@ def sink_scan_csv_gzip_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "header", False
     ).csv(path)
     return spark.read.schema(src.schema).option("header", False).csv(path)
+
+
+@query(
+    "scan_csv_quarantine_malformed",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0 THEN 'bad'
+                  ELSE CAST(n_nationkey * 10 AS VARCHAR) END AS v
+      FROM nation
+    )
+    SELECT CAST(SUM(CASE WHEN v = 'bad' THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN v = 'bad' THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN v = 'bad' THEN 0
+                         ELSE n_nationkey * 10 END) AS BIGINT) AS clean_value_sum
+    FROM src
+    """,
+    section="2.1",
+    doc="Malformed-row quarantine on CSV ingest — the robustness pattern "
+    "a production feed needs: rows that fail the declared schema land "
+    "in the PERMISSIVE-mode corrupt-record column instead of killing "
+    "the job or silently vanishing. A CSV is synthesized with a "
+    "deterministic 20% of rows carrying a non-numeric value in a "
+    "BIGINT field; the scan declares the strict schema plus "
+    "_corrupt_record, and the query reports clean/quarantined counts "
+    "and the clean-side checksum — which the oracle recomputes from "
+    "the corruption rule. (FAILFAST and DROPMALFORMED are the other "
+    "two contract modes; PERMISSIVE + quarantine column is the one "
+    "that loses nothing.)",
+)
+def scan_csv_quarantine_malformed(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = T(spark, sf, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 5 == 0, "bad")
+        .otherwise((F.col("n_nationkey") * 10).cast("string"))
+        .alias("v"),
+    )
+    path = _scratch("csv_quarantine", sf)
+    src.write.mode("overwrite").option("header", False).csv(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("v", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # corrupt-record semantics require materializing the raw columns
+    # before aggregation (Spark requires a non-pruned reference);
+    # cache-free: a select barrier suffices.
+    raw = raw.select("n_nationkey", "v", "_corrupt_record").localCheckpoint(
+        eager=False
+    )
+    return raw.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("clean_value_sum"),
+    )

@@ -2737,3 +2737,85 @@ def bpe_apply_merges(spark: SparkSession, sf: str) -> DataFrame:
         "n_tokens_bpe",
         (F.col("n_tokens_raw") - F.col("n_tokens_bpe")).alias("n_merged"),
     )
+
+
+@query(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_O_TOKENS}) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rk
+      FROM freq
+    ),
+    top AS (
+      SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lx,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ly
+      FROM ranked WHERE rk <= 100
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(lx) AS BIGINT) AS sx,
+             CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy
+      FROM top
+    )
+    SELECT m,
+           CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS zipf_slope_micro
+    FROM s
+    """,
+    section="2.10",
+    doc="Zipf's-law slope: least-squares fit of ln(frequency) against "
+    "ln(rank) over the top-100 token types — the corpus-law diagnostic "
+    "next to corpus_vocab_growth's Heaps curve (natural text fits "
+    "slope ~ -1; spam/boilerplate-heavy corpora flatten or steepen "
+    "it). House-policy order-independence throughout: each ln term is "
+    "quantized to integer MICRO per row BEFORE the moment sums (the "
+    "JS-divergence discipline — raw double moment sums would be "
+    "summation-order-sensitive even over 100 rows), the sums are "
+    "exact int64 (micro-scaled squares stay < 2^63 at m=100), and "
+    "the final slope divides them through one shared double tree. "
+    "One count shuffle + a top-100 short-circuit; the regression "
+    "itself touches a fixed 100-row relation.",
+)
+def corpus_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    freq = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("token")))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 100)
+    lx = F.floor(F.log(F.col("rk").cast("double")) * 1000000 + 0.5).cast("long")
+    ly = F.floor(F.log(F.col("n").cast("double")) * 1000000 + 0.5).cast("long")
+    q = ranked.select(lx.alias("lx"), ly.alias("ly"))
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "m",
+        F.expr(
+            "CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("zipf_slope_micro"),
+    )

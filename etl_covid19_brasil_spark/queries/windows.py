@@ -842,3 +842,94 @@ def win_streak_longest(spark: SparkSession, sf: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak_days"),
         F.sum("streak_len").cast("long").alias("n_active_days"),
     )
+
+
+@query(
+    "win_changepoint_cusum",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    keyed AS (
+      SELECT o_custkey, o_orderkey, x,
+             CAST(SUM(x) OVER (PARTITION BY o_custkey) AS BIGINT) AS sx,
+             CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+      FROM v
+    ),
+    dev AS (
+      SELECT o_custkey, o_orderkey, n,
+             CAST(SUM(x * n - sx)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS d
+      FROM keyed
+    ),
+    peaks AS (
+      SELECT o_custkey, o_orderkey, n, ABS(d) AS ad,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY ABS(d) DESC, o_orderkey ASC) AS rk
+      FROM dev
+    )
+    SELECT o_custkey,
+           o_orderkey AS changepoint_key,
+           ad AS max_drift_num,
+           n AS drift_den
+    FROM peaks WHERE rk = 1 AND n >= 5
+    """,
+    section="2.5",
+    doc="Offline CUSUM-style changepoint detection per key: the position "
+    "where the cumulative deviation from the key's mean peaks — the "
+    "point a level shift most plausibly occurred (the max-|CUSUM| "
+    "estimator). EXACT integer formulation: deviations are scaled by "
+    "the key's count (x*n - sum instead of x - mean) so the running "
+    "sum is pure int64 arithmetic — the reported drift is a "
+    "numerator over denominator n (divide downstream for the "
+    "mean-scaled statistic). Two windows on ONE key partitioning "
+    "(the per-key totals, then the ordered cumulative), a per-key "
+    "argmax with deterministic ties, keys with < 5 points dropped. "
+    "int64 envelope: |x*n| <= cents * rows-per-key — fine to ~1e5 "
+    "orders per customer at 1e9 cents.",
+)
+def win_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    v = o.select("o_custkey", "o_orderkey", cents("o_totalprice").alias("x"))
+    w_all = Window.partitionBy("o_custkey")
+    keyed = v.select(
+        "o_custkey",
+        "o_orderkey",
+        "x",
+        F.sum("x").over(w_all).cast("long").alias("sx"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = keyed.select(
+        "o_custkey",
+        "o_orderkey",
+        "n",
+        F.sum(F.col("x") * F.col("n") - F.col("sx"))
+        .over(w_cum)
+        .cast("long")
+        .alias("d"),
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.abs(F.col("d"))), F.asc("o_orderkey")
+    )
+    peaks = dev.select(
+        "o_custkey",
+        "o_orderkey",
+        "n",
+        F.abs(F.col("d")).alias("ad"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    return peaks.filter((F.col("rk") == 1) & (F.col("n") >= 5)).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("changepoint_key"),
+        F.col("ad").alias("max_drift_num"),
+        F.col("n").alias("drift_den"),
+    )
