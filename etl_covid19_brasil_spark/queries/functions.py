@@ -1350,3 +1350,55 @@ def fn_geo_haversine(spark: SparkSession, sf: str) -> DataFrame:
             "dist_sao_paulo_m"
         ),
     )
+
+
+@query(
+    "fn_parse_dates_multiformat",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+               WHEN 1 THEN strftime(CAST(o_orderdate AS DATE), '%d/%m/%Y')
+               ELSE strftime(CAST(o_orderdate AS DATE), '%Y%m%d')
+             END AS raw_date
+      FROM orders
+    )
+    SELECT o_orderkey, raw_date,
+           CAST(COALESCE(try_strptime(raw_date, '%Y-%m-%d'),
+                         try_strptime(raw_date, '%d/%m/%Y'),
+                         try_strptime(raw_date, '%Y%m%d')) AS DATE) AS parsed
+    FROM raw
+    """,
+    section="2.8",
+    doc="Multi-format date parsing — the messy-feed staple: dates arrive "
+    "in three wire formats (ISO, day-first slashed, compact) and a "
+    "COALESCE of per-format try-parses recovers every row without a "
+    "job-killing cast (try_to_date chain on Spark, try_strptime chain "
+    "on the oracle — Java and strptime pattern LANGUAGES differ, so "
+    "each engine states its own patterns for the same three formats; "
+    "the FORMATS, not the pattern strings, are the shared contract). "
+    "Ambiguity note baked into the design: format order matters — "
+    "'%d/%m/%Y' never collides with ISO because the separators "
+    "differ, and the compact form only parses when the others "
+    "failed. Pure per-row projection, zero shuffle.",
+)
+def fn_parse_dates_multiformat(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    raw = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format(d, "dd/MM/yyyy"))
+        .otherwise(F.date_format(d, "yyyyMMdd"))
+        .alias("raw_date"),
+    )
+    return raw.select(
+        "o_orderkey",
+        "raw_date",
+        F.coalesce(
+            F.expr("try_to_date(raw_date, 'yyyy-MM-dd')"),
+            F.expr("try_to_date(raw_date, 'dd/MM/yyyy')"),
+            F.expr("try_to_date(raw_date, 'yyyyMMdd')"),
+        ).alias("parsed"),
+    )

@@ -2762,3 +2762,49 @@ def agg_market_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift_micro"), F.asc("item_a"), F.asc("item_b")
     ).limit(15)
+
+
+@query(
+    "agg_weekday_seasonality",
+    oracle="""
+    WITH v AS (
+      SELECT isodow(CAST(o_orderdate AS DATE)) - 1 AS weekday,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    per AS (
+      SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(x) AS BIGINT) AS rev_cents
+      FROM v GROUP BY weekday
+    ),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM per)
+    SELECT weekday, n_orders, rev_cents,
+           CAST(rev_cents * 1000000 // total AS BIGINT) AS rev_share_ppm
+    FROM per, tot
+    """,
+    section="2.4",
+    doc="Weekday seasonality profile: order count, exact-cents revenue "
+    "and revenue share (ppm) per ISO weekday (0 = Monday — Spark's "
+    "weekday() and DuckDB's isodow()-1 agree on that convention; "
+    "Spark's dayofweek() and DuckDB's dayofweek() do NOT agree with "
+    "each other, the classic cross-engine calendar trap this query "
+    "pins down). One 7-group aggregate + a 1-row total crossJoin — "
+    "the shape every calendar-dimension BI rollup takes.",
+)
+def agg_weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    v = o.select(
+        F.weekday(F.col("o_orderdate").cast("date")).alias("weekday"),
+        cents("o_totalprice").alias("x"),
+    )
+    per = v.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("x").cast("long").alias("rev_cents"),
+    )
+    tot = per.agg(F.sum("rev_cents").cast("long").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "n_orders",
+        "rev_cents",
+        F.expr("rev_cents * 1000000L div total").alias("rev_share_ppm"),
+    )
