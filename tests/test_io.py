@@ -365,3 +365,24 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "src", "added"}
     rows = {r["id"]: (r["src"], r["added"]) for r in merged.collect()}
     assert rows[0] == ("v1", None) and rows[4] == ("v2", 40)
+
+
+def test_fixed_width_overflow_raises_not_truncates(spark, tmp_path):
+    """A value wider than its declared field must fail the write loudly —
+    silent truncation is the classic fixed-width feed corruption."""
+    df = spark.createDataFrame([(1, "short"), (2, "much too long")], ["k", "s"])
+    with pytest.raises(Exception, match="fixed-width overflow|raise_error|SparkRuntimeException|USER_RAISED"):
+        io.sink_fixed_width(df, str(tmp_path / "fw"), {"k": 5, "s": 8})
+
+
+def test_fixed_width_roundtrip_negative_and_padding(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(-42, "a b"), (7, "x")], ["k", "s"]
+    )
+    out = str(tmp_path / "fw2")
+    io.sink_fixed_width(df, out, {"k": 6, "s": 5})
+    back = io.scan_fixed_width(
+        spark, out, [("k", 6, "bigint"), ("s", 5, "string")]
+    )
+    got = {(r["k"], r["s"]) for r in back.collect()}
+    assert got == {(-42, "a b"), (7, "x")}
