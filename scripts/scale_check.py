@@ -170,6 +170,11 @@ def main() -> None:
         default=None,
         help="comma-separated subset of the probe set (default: all)",
     )
+    ap.add_argument(
+        "--keep-derived",
+        action="store_true",
+        help="keep the derived corpus dir after the run (default: delete)",
+    )
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else QUERIES
     spark = get_spark(app_name="scale-check")
@@ -186,6 +191,11 @@ def main() -> None:
         print(f"# {name}: {t_base:.2f}s -> {t_big:.2f}s ({t_big / t_base:.1f}x)",
               file=sys.stderr)
     print(json.dumps({"queries": out, "replicas": args.replicas}))
+    # derived corpora are ~100-300 MB each and one is built per
+    # invocation — reclaim the scratch space unless asked to keep it
+    # for a follow-up run (--keep-derived)
+    if not args.keep_derived:
+        shutil.rmtree(big, ignore_errors=True)
 
 
 if __name__ == "__main__":
