@@ -2819,3 +2819,57 @@ def corpus_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
             " * 1000000.0 + 0.5) AS BIGINT)"
         ).alias("zipf_slope_micro"),
     )
+
+
+@query(
+    "dedup_prefix_truncation",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, md5(text) AS full_h,
+             md5(array_to_string(list_slice({_O_TOKENS}, 1, 20), ' ')) AS prefix_h,
+             len({_O_TOKENS}) AS n_tokens
+      FROM documents
+    ),
+    fams AS (
+      SELECT prefix_h,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT full_h) AS BIGINT) AS n_variants,
+             MIN(doc_id) AS family_id,
+             CAST(MIN(n_tokens) AS BIGINT) AS shortest_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS longest_tokens
+      FROM toks GROUP BY prefix_h
+    )
+    SELECT family_id, n_docs, n_variants, shortest_tokens, longest_tokens
+    FROM fams WHERE n_docs > 1 AND n_variants > 1
+    """,
+    section="2.10",
+    doc="Truncation-family detection — the dedup blind spot exact "
+    "full-text hashing misses: documents sharing their first 20 tokens "
+    "but differing afterwards are usually the SAME source document cut "
+    "at different lengths (pagination, extraction limits, feed "
+    "truncation), and a corpus should keep only the longest. Families "
+    "key on the prefix hash (one hash-aggregate shuffle, hashes "
+    "carried, never text), reporting member/variant counts and the "
+    "token-length spread that identifies which member to keep — the "
+    "complement of dedup_canonical_pick's longest-survivor rule, "
+    "applied to prefix families instead of near-dup components.",
+)
+def dedup_prefix_truncation(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    t = _tokens()
+    toks = d.select(
+        "doc_id",
+        F.md5("text").alias("full_h"),
+        F.md5(F.concat_ws(" ", F.slice(t, 1, 20))).alias("prefix_h"),
+        F.size(t).cast("long").alias("n_tokens"),
+    )
+    fams = toks.groupBy("prefix_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("full_h").alias("n_variants"),
+        F.min("doc_id").alias("family_id"),
+        F.min("n_tokens").cast("long").alias("shortest_tokens"),
+        F.max("n_tokens").cast("long").alias("longest_tokens"),
+    )
+    return fams.filter((F.col("n_docs") > 1) & (F.col("n_variants") > 1)).select(
+        "family_id", "n_docs", "n_variants", "shortest_tokens", "longest_tokens"
+    )
