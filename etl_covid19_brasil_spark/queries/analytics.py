@@ -1,0 +1,471 @@
+"""Round-8 analytics tier: graph algorithms, sequence/transition analysis,
+customer segmentation, distribution analytics.
+
+These extend SURVEY.md §2.4/§2.5's statistics family with the remaining
+warehouse-analytics workhorses a 100 TB deployment runs daily: triangle
+counting and hierarchy flattening (graph tier beside
+``graph_pagerank_centrality`` and ``dedup_connected_components``), Markov
+event transitions, RFM segmentation, Pareto concentration, equi-depth
+histograms (the range-partitioner's pre-pass), and skyline queries.
+
+Every query follows the registry's determinism policy: money in exact
+integer cents, ratios as integer ppm (``x * 1000000 DIV total``), doubles
+only through shared expression trees identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from etl_covid19_brasil_spark.registry import T, cents, query
+
+# ---------------------------------------------------------------------------
+# Graph tier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH cand AS (
+      SELECT l_partkey
+      FROM lineitem GROUP BY l_partkey
+      HAVING COUNT(DISTINCT l_suppkey) BETWEEN 2 AND 5
+    ),
+    ps AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l JOIN cand c ON l.l_partkey = c.l_partkey
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+      SELECT e1.u AS u, e1.v AS v, e2.v AS w
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT node AS suppkey, COUNT(*) AS triangles
+    FROM members GROUP BY node
+    """,
+    section="2.4",
+    doc="Triangle counting over the co-supply graph (suppliers joined by a "
+    "shared part) — the clustering-coefficient primitive of graph "
+    "analytics, beside graph_pagerank_centrality (centrality) and "
+    "dedup_connected_components (components). Built as the standard "
+    "ordered-edge join: direct every edge small-id -> large-id, join "
+    "edges on the shared middle vertex to enumerate wedges, then "
+    "semi-close each wedge against the edge set — every triangle is "
+    "found exactly once as u<v<w, all three steps plain equi-joins "
+    "(no cartesian). Scale: edge generation fans out per part but the "
+    "2..5-distinct-supplier blocking cap bounds it at C(5,2)=10 pairs "
+    "per part (the same bounded-blocking argument as "
+    "join_fuzzy_blocked); the wedge join's fanout is the ordered "
+    "degree, which the cap also bounds. Per-node counts (not one "
+    "global scalar) make the value hash structural.",
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    cand = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns").between(2, 5))
+        .select("l_partkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct().join(cand, "l_partkey")
+    a = ps.alias("a")
+    b = ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w"))
+    )
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return members.groupBy(F.col("node").alias("suppkey")).agg(F.count("*").alias("triangles")).select(
+        "suppkey", "triangles"
+    )
+
+
+@query(
+    "graph_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT p_partkey AS key, p_partkey AS anc, 0 AS depth FROM part
+      UNION ALL
+      SELECT key, anc // 10, depth + 1 FROM r WHERE anc >= 10
+    )
+    SELECT key, anc AS root, depth
+    FROM r WHERE anc < 10
+    """,
+    section="2.4",
+    doc="Hierarchy flattening / transitive closure (BOM explosion, org "
+    "chart, category tree): every part climbs a synthetic decimal-trie "
+    "hierarchy (parent(k) = k DIV 10, roots are keys < 10) to its root, "
+    "reporting (root, depth). The reference's world models this as "
+    "WITH RECURSIVE (the DuckDB oracle does exactly that); Spark has no "
+    "recursive CTE, so the engine iterates: each round, every "
+    "still-climbing row joins the broadcast-free parent RULE (here a "
+    "pure expression — in the general adjacency-table case the same "
+    "loop joins the edge table, exactly like operators/concomp.py). "
+    "Rounds = tree height = O(log n); the loop terminates via one "
+    "scalar max() aggregate per round (the concomp fingerprint "
+    "pattern, bounded driver traffic). Depth never exceeds "
+    "len(str(max_key)), so the 12-round safety cap is unreachable.",
+)
+def graph_hierarchy_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    p = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_partkey").alias("anc"),
+        F.lit(0).alias("depth"),
+    )
+    # Iterative climb: anc := anc DIV 10 while anc >= 10. The parent rule
+    # is an expression, so each round is a narrow map (no join needed for
+    # this hierarchy); the loop structure is what a general adjacency
+    # table would use, and the termination check is one scalar aggregate.
+    for _ in range(12):
+        still = p.agg(F.max(F.col("anc"))).collect()[0][0]
+        if still is None or still < 10:
+            break
+        p = p.select(
+            "key",
+            F.when(F.col("anc") >= 10, F.expr("anc DIV 10")).otherwise(F.col("anc")).alias("anc"),
+            F.when(F.col("anc") >= 10, F.col("depth") + 1).otherwise(F.col("depth")).alias("depth"),
+        ).localCheckpoint(eager=False)
+    return p.select("key", F.col("anc").alias("root"), "depth")
+
+
+# ---------------------------------------------------------------------------
+# Sequence / transition analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cnt AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           n * 1000000 // CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT) AS prob_ppm
+    FROM cnt
+    """,
+    section="2.5",
+    doc="First-order Markov transition matrix over the event stream: for "
+    "each (current, next) event-type pair per user timeline, the count "
+    "and the transition probability in integer ppm (count*1e6 DIV "
+    "row-count — exact integer arithmetic, no float division). The "
+    "product-analytics companion to events_funnel_stages (funnel = "
+    "chosen path; this = full transition structure, feeding next-action "
+    "prediction and anomalous-flow detection). One window shuffle on "
+    "user_id orders each timeline (ties broken by event_id), one "
+    "aggregate shuffle on the type pair — the pair domain is "
+    "|types|^2, tiny, so the second shuffle is trivial and the "
+    "per-cur normalizing window runs over that tiny domain.",
+)
+def events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("cur")
+    return cnt.select(
+        "cur",
+        "nxt",
+        "n",
+        F.expr("n * 1000000 DIV sum(n) OVER (PARTITION BY cur)").alias("prob_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segmentation / concentration analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_day, frequency,
+           CAST(m_cents AS DOUBLE) / 100.0 AS monetary,
+           NTILE(4) OVER (ORDER BY last_day DESC, custkey) AS r_q,
+           NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_q,
+           NTILE(4) OVER (ORDER BY m_cents DESC, custkey) AS m_q
+    FROM base
+    """,
+    section="2.5",
+    doc="RFM (recency / frequency / monetary) customer segmentation — the "
+    "classic marketing-warehouse quartile assignment: one aggregate "
+    "over orders per customer, then three NTILE(4) rankings with "
+    "deterministic tie-breaks (custkey). NTILE's definition (equal "
+    "buckets, remainder to the front) is identical in Spark and "
+    "DuckDB, so the assignment is hash-exact given the total order. "
+    "Scale note: a global NTILE is a single-partition sort of the "
+    "per-customer AGGREGATE (|customers| rows, not |orders|); at true "
+    "100 TB scale the same quartiles come from approx_percentile "
+    "cutpoints + a map-side bucket lookup — the exact formulation here "
+    "is the oracle for that rewrite, like near_dedup_jaccard is for "
+    "the LSH tiers.",
+)
+def user_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("m_cents"),
+    )
+    wr = Window.orderBy(F.col("last_day").desc(), "custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "custkey")
+    wm = Window.orderBy(F.col("m_cents").desc(), "custkey")
+    return base.select(
+        "custkey",
+        "last_day",
+        "frequency",
+        (F.col("m_cents").cast("double") / F.lit(100.0)).alias("monetary"),
+        F.ntile(4).over(wr).alias("r_q"),
+        F.ntile(4).over(wf).alias("f_q"),
+        F.ntile(4).over(wm).alias("m_q"),
+    )
+
+
+@query(
+    "win_pareto_cumshare",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             o_orderkey
+      FROM orders
+    ),
+    w AS (
+      SELECT prio, x,
+             CAST(SUM(x) OVER (PARTITION BY prio ORDER BY x DESC, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY prio ORDER BY x DESC, o_orderkey) AS rn,
+             CAST(SUM(x) OVER (PARTITION BY prio) AS BIGINT) AS total,
+             COUNT(*) OVER (PARTITION BY prio) AS n_orders
+      FROM v
+    )
+    SELECT prio, n_orders, total AS revenue_cents, rn AS n_top80,
+           rn * 1000000 // n_orders AS top_frac_ppm,
+           cum * 1000000 // total AS share_ppm
+    FROM w
+    WHERE 5 * cum >= 4 * total AND 5 * (cum - x) < 4 * total
+    """,
+    section="2.5",
+    doc="Pareto 80/20 concentration: per order priority, how many of the "
+    "largest orders carry 80% of revenue. One window shuffle on the "
+    "group key does everything (descending cumulative sum, row number, "
+    "group totals share the same partition); the crossing row is "
+    "selected purely in exact integer cents (5*cum >= 4*total picks "
+    "the first row reaching 80% — no float threshold, no second "
+    "join). Reports group size, revenue, the crossing rank and its "
+    "ppm shares. Complements agg_gini_coefficient (scalar "
+    "inequality) with the actionable 'top-N carries X%' form.",
+)
+def win_pareto_cumshare(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        cents("o_totalprice").alias("x"),
+        "o_orderkey",
+    )
+    wo = Window.partitionBy("prio").orderBy(F.col("x").desc(), "o_orderkey")
+    wp = Window.partitionBy("prio")
+    w = o.select(
+        "prio",
+        "x",
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.row_number().over(wo).alias("rn"),
+        F.sum("x").over(wp).alias("total"),
+        F.count("*").over(wp).alias("n_orders"),
+    )
+    return w.filter((5 * F.col("cum") >= 4 * F.col("total")) & (5 * (F.col("cum") - F.col("x")) < 4 * F.col("total"))).select(
+        "prio",
+        "n_orders",
+        F.col("total").alias("revenue_cents"),
+        F.col("rn").alias("n_top80"),
+        F.expr("rn * 1000000 DIV n_orders").alias("top_frac_ppm"),
+        F.expr("cum * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x, o_orderkey
+      FROM orders
+    ),
+    b AS (
+      SELECT x, NTILE(16) OVER (ORDER BY x, o_orderkey) AS bucket FROM v
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(MIN(x) AS DOUBLE) / 100.0 AS lo,
+           CAST(MAX(x) AS DOUBLE) / 100.0 AS hi
+    FROM b GROUP BY bucket
+    """,
+    section="2.4",
+    doc="Equi-depth (equi-height) histogram of order value: 16 buckets of "
+    "equal row count with their [lo, hi] bounds — the statistics pass "
+    "behind range partitioning, sort-merge skew planning and the "
+    "optimizer's selectivity estimates (complements "
+    "agg_histogram_width_bucket's equi-WIDTH profile: equi-depth "
+    "adapts bucket bounds to density). NTILE with a deterministic "
+    "tie-break is hash-exact across engines. Scale note: the exact "
+    "global NTILE is one total sort; the 100 TB path samples bounds "
+    "(repartitionByRange does exactly this internally) — "
+    "sink_sorted_lake_layout exercises that sampled path, this query "
+    "is its exact oracle.",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    v = T(spark, sf, "orders").select(cents("o_totalprice").alias("x"), "o_orderkey")
+    b = v.select("x", F.ntile(16).over(Window.orderBy("x", "o_orderkey")).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.min("x").cast("double") / F.lit(100.0)).alias("lo"),
+        (F.max("x").cast("double") / F.lit(100.0)).alias("hi"),
+    )
+
+
+@query(
+    "skyline_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             MIN(o_orderkey) AS okey
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY 1, 2
+    ),
+    sweep AS (
+      SELECT day, x, okey,
+             MIN(x) OVER (ORDER BY day DESC, x ASC, okey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+      FROM pts
+    )
+    SELECT okey AS o_orderkey, day, CAST(x AS DOUBLE) / 100.0 AS price
+    FROM sweep WHERE best IS NULL OR x < best
+    """,
+    section="2.5",
+    doc="Skyline / Pareto-frontier query: open orders not dominated in "
+    "(recency, price) — no other order is both at-least-as-recent and "
+    "at-least-as-cheap (with one strict). Computed as the classic "
+    "sort-sweep: distinct (day, price) points (min orderkey as the "
+    "deterministic representative), sorted by day DESC then price ASC, "
+    "keep a point iff it is strictly cheaper than every more-recent "
+    "point (running MIN over the preceding window). One aggregate + "
+    "one global-sort window — the sweep replaces the naive O(n^2) "
+    "NOT-EXISTS anti-join formulation entirely. Scale note: the "
+    "frontier sweep is sequential by nature but runs on the DISTINCT "
+    "point set; a 100 TB deployment pre-aggregates per (day, cents) "
+    "exactly as done here, shrinking the sorted set to the value "
+    "domain.",
+)
+def skyline_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    pts = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            cents("o_totalprice").alias("x"),
+        )
+        .agg(F.min("o_orderkey").alias("okey"))
+    )
+    w = Window.orderBy(F.col("day").desc(), F.col("x").asc(), "okey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sweep = pts.select("day", "x", "okey", F.min("x").over(w).alias("best"))
+    return sweep.filter(F.col("best").isNull() | (F.col("x") < F.col("best"))).select(
+        F.col("okey").alias("o_orderkey"),
+        "day",
+        (F.col("x").cast("double") / F.lit(100.0)).alias("price"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT NULLIF(c_nationkey % 7, 3) AS grp, COUNT(*) AS customers
+      FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT NULLIF(s_nationkey % 7, 3) AS grp,
+             COUNT(*) AS suppliers,
+             SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents
+      FROM supplier GROUP BY 1
+    )
+    SELECT c.grp, c.customers, s.suppliers,
+           CAST(s.bal_cents AS DOUBLE) / 100.0 AS supplier_bal
+    FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+    """,
+    section="2.3",
+    doc="Null-safe equi-join (Spark <=> / eqNullSafe, SQL IS NOT DISTINCT "
+    "FROM): the NULL partition on each side joins like any other key "
+    "instead of silently dropping — the semantics ETL needs when the "
+    "join key itself carries a 'unknown' bucket (here NULLIF-derived "
+    "groups). Ordinary inner equi-join physically (null-safe equality "
+    "is still hash-partitionable: Spark plans a regular "
+    "SortMergeJoin/HashJoin on the coalesced key, no nested loop). "
+    "Both sides pre-aggregate so the join is dim-sized.",
+)
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        T(spark, sf, "customer")
+        .groupBy(F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("grp"))
+        .agg(F.count("*").alias("customers"))
+    )
+    s = (
+        T(spark, sf, "supplier")
+        .groupBy(F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("sgrp"))
+        .agg(
+            F.count("*").alias("suppliers"),
+            F.sum(cents("s_acctbal")).alias("bal_cents"),
+        )
+    )
+    return c.join(s, F.col("grp").eqNullSafe(F.col("sgrp"))).select(
+        "grp",
+        "customers",
+        "suppliers",
+        (F.col("bal_cents").cast("double") / F.lit(100.0)).alias("supplier_bal"),
+    )
