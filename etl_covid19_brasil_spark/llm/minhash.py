@@ -85,9 +85,16 @@ def bucket_pairs(grouped_ids: F.Column) -> F.Column:
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str, tokens_col: str, num_perms: int = 32
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_perms: int = 32,
+    tokens_hashed: bool = False,
 ) -> DataFrame:
     """(id, tokens[]) -> (id, sig: array<long>[num_perms]).
+
+    With ``tokens_hashed=True`` the column already holds xxhash64 token
+    hashes (array<long>) and the string-hash pass is skipped.
 
     One xxhash64 per token, then permutation p is ``xxhash64(h, p)``
     (hashing the long, not the string — ANSI-safe) minimized over the
@@ -104,7 +111,12 @@ def minhash_signatures(
     the same hash).
     """
     hashed = docs.select(
-        id_col, F.transform(F.col(tokens_col), lambda t: F.xxhash64(t)).alias("__h")
+        id_col,
+        (
+            F.col(tokens_col)
+            if tokens_hashed
+            else F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
+        ).alias("__h"),
     )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perms - 1)),
@@ -176,14 +188,27 @@ def minhash_near_dup_pairs(
     cached blocks.
     """
     rows_per_band = num_perms // bands
+    # The shared per-doc representation is the distinct TOKEN-HASH array
+    # (xxhash64 per token, once): the signature stage permutes these
+    # longs anyway, and the verification joins then shuffle 8-byte longs
+    # instead of token strings — same exact Jaccard (set intersection is
+    # preserved under the injective-in-practice 64-bit hash; a collision
+    # merges two tokens corpus-wide with probability ~|vocab|^2/2^64,
+    # far below the pinned recall floors of this rows-only tier) at a
+    # fraction of the shuffle bytes.
     toks = _shared_scan(
-        docs.select(F.col(id_col), F.array_distinct(F.col(tokens_col)).alias("__toks"))
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
+            ).alias("__th"),
+        )
     )
-    sigs = minhash_signatures(toks, id_col, "__toks", num_perms)
+    sigs = minhash_signatures(toks, id_col, "__th", num_perms, tokens_hashed=True)
     cand = lsh_candidates(sigs, id_col, bands, rows_per_band)
 
-    ta = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("toks_a"))
-    tb = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("toks_b"))
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("__th").alias("toks_a"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("__th").alias("toks_b"))
     joined = cand.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter

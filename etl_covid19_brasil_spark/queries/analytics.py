@@ -422,6 +422,279 @@ def skyline_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Data-quality statistics
+# ---------------------------------------------------------------------------
+
+# Two-proportion z statistic from exact integer counts, micro-quantized.
+# Shared expression tree (identical text runs as Spark F.expr and DuckDB
+# SQL) — the _WELCH_T_MICRO policy from queries/relational.py.
+_Z2P_MICRO = (
+    "CAST(floor(("
+    " (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "  - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt("
+    "   (CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    "   * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    "   * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))"
+    " )) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+# Pearson r from exact integer sums, micro-quantized (same policy).
+_ACF_R_MICRO = (
+    "CAST(floor(("
+    " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    ") * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "dq_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    med AS (
+      SELECT status, CAST(2 * quantile_cont(x, 0.5) AS BIGINT) AS m2
+      FROM v GROUP BY status
+    ),
+    dev AS (
+      SELECT v.status, v.x, med.m2, ABS(2 * v.x - med.m2) AS d2
+      FROM v JOIN med USING (status)
+    ),
+    mad AS (
+      SELECT status, CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4
+      FROM dev GROUP BY status
+    )
+    SELECT dev.status, COUNT(*) AS n,
+           CAST(ANY_VALUE(dev.m2) AS DOUBLE) / 200.0 AS median_price,
+           CAST(ANY_VALUE(mad.mad4) AS DOUBLE) / 400.0 AS mad_price,
+           CAST(SUM(CASE WHEN 1349 * dev.d2 > 3500 * mad.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (status)
+    GROUP BY dev.status
+    """,
+    section="2.4",
+    doc="Robust outlier detection via the modified z-score (median absolute "
+    "deviation): per order status, the median price, the MAD and the "
+    "count of rows whose modified z-score 0.6745*|x-med|/MAD exceeds "
+    "3.5 — the robust-statistics screen that survives the heavy tails "
+    "that break stddev-based rules. Exactness: medians are interpolated "
+    "percentiles over integer cents, so 2*median is an exact integer "
+    "(x.0 or x.5 halves only); deviations stay in doubled-cents "
+    "integers and the 3.5/0.6745 threshold becomes the pure integer "
+    "test 1349*d2 > 3500*mad4 — no float comparison anywhere. Two "
+    "grouped percentile passes + broadcast-back of the tiny per-group "
+    "stats (|status| rows), the same two-pass shape as dq_ks_drift.",
+)
+def dq_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    v = T(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("status"), cents("o_totalprice").alias("x")
+    )
+    med = v.groupBy("status").agg(
+        (2 * F.percentile("x", 0.5)).cast("long").alias("m2")
+    )
+    dev = v.join(F.broadcast(med), "status").select(
+        "status", "x", "m2", F.abs(2 * F.col("x") - F.col("m2")).alias("d2")
+    )
+    mad = dev.groupBy("status").agg(
+        (2 * F.percentile("d2", 0.5)).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "status")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            (F.any_value("m2").cast("double") / F.lit(200.0)).alias("median_price"),
+            (F.any_value("mad4").cast("double") / F.lit(400.0)).alias("mad_price"),
+            F.sum(
+                F.when(1349 * F.col("d2") > 3500 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "agg_two_proportion_ztest",
+    oracle=f"""
+    WITH v AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN seg = 'BUILDING' THEN hit ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN hit ELSE 0 END) AS BIGINT) AS x2
+      FROM v
+    )
+    SELECT n1, x1, n2, x2, {_Z2P_MICRO} AS z_micro FROM s
+    """,
+    section="2.4",
+    doc="Two-proportion z-test (pooled) between customer segments on the "
+    "order-fulfillment rate — the A/B-test primitive for conversion "
+    "metrics, completing the drift-statistics trio (dq_welch_t_drift: "
+    "means, dq_ks_drift: distributions, this: proportions). All four "
+    "counts accumulate as exact int64 in ONE aggregate after the "
+    "dim-broadcast join; the z value is one shared double expression "
+    "tree micro-quantized (sqrt is correctly rounded per IEEE 754 in "
+    "both JVM and libm, so the tree is bit-identical).",
+)
+def agg_two_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    o = T(spark, sf, "orders")
+    v = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    s = v.agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("hit")).otherwise(0)).cast("long").alias("x1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", F.col("hit")).otherwise(0)).cast("long").alias("x2"),
+    )
+    return s.select("n1", "x1", "n2", "x2", F.expr(_Z2P_MICRO).alias("z_micro"))
+
+
+@query(
+    "ts_acf_daily_orders",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    shifted AS (
+      SELECT d.day + CAST(k AS INTEGER) AS day, CAST(k AS INTEGER) AS k, d.c
+      FROM daily d, generate_series(1, 7) AS t(k)
+    ),
+    pairs AS (
+      SELECT s.k, daily.c AS x, s.c AS y
+      FROM shifted s JOIN daily ON daily.day = s.day
+    ),
+    sums AS (
+      SELECT k, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY k
+    )
+    SELECT k AS lag_days, n AS n_pairs, {_ACF_R_MICRO} AS acf_micro FROM sums
+    """,
+    section="2.4",
+    doc="Autocorrelation function of the daily order-count series at lags "
+    "1..7 days — the time-series diagnostic behind seasonality "
+    "detection (a weekly cycle shows as a lag-7 peak; complements "
+    "agg_weekday_seasonality's calendar profile with the "
+    "model-agnostic statistic). Lagged pairs come from ONE join: each "
+    "daily point emits 7 shifted copies (explode of sequence(1,7)) "
+    "that equi-join back to the series — no per-lag rescan, gaps in "
+    "the calendar drop out naturally. Pearson r per lag from exact "
+    "int64 sums via the shared micro-quantized expression tree. The "
+    "series is a per-day AGGREGATE so every stage after the first "
+    "group-by runs on |days| rows.",
+)
+def ts_acf_daily_orders(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        T(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    shifted = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"), "day", "c"
+    ).select(F.expr("date_add(day, k)").alias("day"), "k", "c")
+    pairs = shifted.alias("s").join(daily.alias("d"), "day").select(
+        F.col("s.k").alias("k"), F.col("d.c").alias("x"), F.col("s.c").alias("y")
+    )
+    sums = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return sums.select(
+        F.col("k").alias("lag_days"),
+        F.col("n").alias("n_pairs"),
+        F.expr(_ACF_R_MICRO).alias("acf_micro"),
+    )
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    ords AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    audit_orders AS (
+      SELECT 'orders->customer' AS fk,
+             COUNT(*) AS total,
+             SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphans
+      FROM orders o LEFT JOIN cust c ON o.o_custkey = c.c_custkey
+    ),
+    audit_lineitem AS (
+      SELECT 'lineitem->orders' AS fk,
+             COUNT(*) AS total,
+             SUM(CASE WHEN x.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphans
+      FROM lineitem l LEFT JOIN ords x ON l.l_orderkey = x.o_orderkey
+    )
+    SELECT fk, total, CAST(orphans AS BIGINT) AS orphans,
+           CAST(orphans AS BIGINT) * 1000000 // total AS orphan_ppm
+    FROM (SELECT * FROM audit_orders UNION ALL SELECT * FROM audit_lineitem)
+    """,
+    section="2.4",
+    doc="Referential-integrity audit: orphan-row counts and rates for the "
+    "orders->customer and lineitem->orders foreign keys, with 'lost' "
+    "dimension rows simulated by modulus filters (the test data's FKs "
+    "are fully consistent by construction). The contract-check every "
+    "warehouse runs after each load. Physically an anti-join counted "
+    "inside a left join (null-probe side counted map-side after the "
+    "join); at 100 TB the same audit rides the existing join shuffle "
+    "of the downstream pipeline — or the bloom-filter pre-screen of "
+    "join_bloom_prefilter when only the rate is needed.",
+)
+def dq_referential_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    cust = T(spark, sf, "customer").filter(F.col("c_custkey") % 97 != 0).select("c_custkey")
+    ords = T(spark, sf, "orders").filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    a1 = (
+        o.join(cust, o.o_custkey == cust.c_custkey, "left")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).cast("long").alias("orphans"),
+        )
+        .select(F.lit("orders->customer").alias("fk"), "total", "orphans")
+    )
+    a2 = (
+        li.join(ords.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).cast("long").alias("orphans"),
+        )
+        .select(F.lit("lineitem->orders").alias("fk"), "total", "orphans")
+    )
+    return a1.unionAll(a2).select(
+        "fk", "total", "orphans", F.expr("orphans * 1000000 DIV total").alias("orphan_ppm")
+    )
+
+
 @query(
     "join_null_safe",
     oracle="""

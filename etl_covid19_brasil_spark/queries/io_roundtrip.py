@@ -506,3 +506,67 @@ def scan_csv_quarantine_malformed(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("clean_value_sum"),
     )
+
+
+@query(
+    "sink_sorted_lake_layout",
+    oracle="""
+    SELECT 8 AS n_files, 0 AS overlapping_pairs,
+           COUNT(*) AS rows_total,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS global_lo,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS global_hi
+    FROM orders
+    """,
+    section="2.1",
+    doc="Range-clustered lake layout: orders written via "
+    "repartitionByRange(8, o_totalprice) + sortWithinPartitions — the "
+    "data layout that makes min/max parquet footer pruning effective "
+    "for range predicates (a filter on price then skips whole files; "
+    "the zorder_interleave_key query is the 2-D sibling of this 1-D "
+    "layout). repartitionByRange SAMPLES partition bounds — the 100 TB "
+    "path, no global sort — and the audit proves the contract the "
+    "sample must deliver: re-reading the lake with the _metadata file "
+    "column, per-file [min,max] price ranges must be pairwise "
+    "NON-overlapping (0 pairs), with the row count and global "
+    "min/max preserved. The pairwise audit joins the 8-row per-file "
+    "stats frame with itself — dim-sized, not data-sized.",
+)
+def sink_sorted_lake_layout(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "orders")
+    path = _scratch("sorted_lake_orders", sf)
+    (
+        src.repartitionByRange(8, F.col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.col("_metadata.file_name").alias("f"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    per_file = back.groupBy("f").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
+    )
+    a = per_file.alias("a")
+    b = per_file.alias("b")
+    overlaps = a.join(
+        b,
+        (F.col("a.f") < F.col("b.f"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")),
+    ).agg(F.count("*").alias("overlapping_pairs"))
+    stats = per_file.agg(
+        F.count("*").alias("n_files"),
+        F.sum("n").alias("rows_total"),
+        (F.min("lo").cast("double") / F.lit(100.0)).alias("global_lo"),
+        (F.max("hi").cast("double") / F.lit(100.0)).alias("global_hi"),
+    )
+    return stats.crossJoin(overlaps).select(
+        F.col("n_files").cast("int").alias("n_files"),
+        F.col("overlapping_pairs").cast("int").alias("overlapping_pairs"),
+        "rows_total",
+        "global_lo",
+        "global_hi",
+    )

@@ -2873,3 +2873,184 @@ def dedup_prefix_truncation(spark: SparkSession, sf: str) -> DataFrame:
     return fams.filter((F.col("n_docs") > 1) & (F.col("n_variants") > 1)).select(
         "family_id", "n_docs", "n_variants", "shortest_tokens", "longest_tokens"
     )
+
+
+@query(
+    "dedup_substring_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKENS} AS t FROM documents),
+    sh_all AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 7),
+                    i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS s
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM sh_all),
+    g AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s),
+    dup AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN g USING (s)
+      WHERE g.nd >= 2 AND g.nd <= 64
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM dup a JOIN dup b USING (s) WHERE a.doc_id <> b.doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    dups AS (SELECT doc_id, COUNT(*) AS dup_shingles FROM dup GROUP BY doc_id),
+    partners AS (SELECT d1 AS doc_id, COUNT(*) AS partner_docs FROM pairs GROUP BY d1)
+    SELECT t.doc_id, t.n_shingles, d.dup_shingles, p.partner_docs
+    FROM tot t JOIN dups d USING (doc_id) JOIN partners p USING (doc_id)
+    """,
+    section="2.10",
+    doc="Exact substring-level duplication profile (the Lee et al. 2022 "
+    "'Deduplicating Training Data' primitive): every 8-token shingle "
+    "that recurs across documents marks copied SPANS — boilerplate, "
+    "quoted passages, mirrored paragraphs — that document-level and "
+    "near-dup hashing both miss when the rest of the document differs. "
+    "Per document: distinct shingles, how many of them are shared with "
+    "other documents, and the number of partner documents sharing at "
+    "least one span. Scale shape: shingles explode map-side from the "
+    "token array (no self-join on text); the recurrence profile is one "
+    "hash-aggregate on the shingle; partner pairs join only SHARED "
+    "shingles, with ubiquitous shingles (>64 docs — stop-phrase "
+    "boilerplate) excluded exactly like minhash banding caps its "
+    "bucket fanout, so the pair fanout is bounded per shingle. A "
+    "production pass would hash shingles to int64 first (the "
+    "doc_fingerprint path); strings are kept here so the oracle is "
+    "engine-portable.",
+)
+def dedup_substring_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    d = _spread(spark, T(spark, sf, "documents"))
+    t = _tokens()
+    W = 8
+    shingles = F.when(
+        F.size(t) >= W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        d.select("doc_id", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    g = sh.groupBy("s").agg(F.count("*").alias("nd"))
+    dup = sh.join(g.filter((F.col("nd") >= 2) & (F.col("nd") <= 64)), "s").select(
+        "doc_id", "s"
+    )
+    a = dup.alias("a")
+    b = dup.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    dups = dup.groupBy("doc_id").agg(F.count("*").alias("dup_shingles"))
+    partners = pairs.groupBy("doc_id").agg(F.count("*").alias("partner_docs"))
+    return (
+        tot.join(dups, "doc_id")
+        .join(partners, "doc_id")
+        .select("doc_id", "n_shingles", "dup_shingles", "partner_docs")
+    )
+
+
+@query(
+    "embedding_class_centroids",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, u.i, u.qi
+      FROM (SELECT label,
+                   list_transform(qv, (x, idx) -> {'i': idx - 1, 'qi': x}) AS ps
+            FROM q), unnest(ps) AS t(u)
+    )
+    SELECT label, i AS dim, COUNT(*) AS n,
+           CAST(SUM(qi) AS BIGINT) AS sum_milli,
+           CAST(CAST(SUM(qi) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000.0
+             AS centroid
+    FROM comp GROUP BY label, i
+    """,
+    section="2.10",
+    doc="Per-class embedding centroids — the prototype vectors behind "
+    "nearest-centroid classification, class-balance diagnostics and "
+    "IVF-style seeding (ann_ivf_trained's Lloyd iterations compute "
+    "exactly this per cell). Components quantized to milli-units "
+    "explode map-side; ONE partial-aggregated shuffle carries (label, "
+    "dim) partial sums — |labels|*d keys total, independent of row "
+    "count — and the centroid is the exact integer sum through two "
+    "identical IEEE divisions. The same shape computes per-SOURCE "
+    "centroids for corpus-drift monitoring at 100 TB.",
+)
+def embedding_class_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    q = e.select(
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
+        ).alias("qv"),
+    )
+    comp = q.select("label", F.posexplode("qv").alias("i", "qi"))
+    return comp.groupBy("label", F.col("i").alias("dim")).agg(
+        F.count("*").alias("n"),
+        F.sum("qi").cast("long").alias("sum_milli"),
+        (
+            F.sum("qi").cast("long").cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1000.0)
+        ).alias("centroid"),
+    )
+
+
+@query(
+    "text_lexical_mattr",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKENS} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, len(t) // 50 - 1),
+                    c -> len(list_distinct(list_slice(t, c * 50 + 1, c * 50 + 50)))))
+               AS distinct_in_chunk
+      FROM toks WHERE len(t) >= 50
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(distinct_in_chunk) AS BIGINT) * 1000000
+             // (COUNT(*) * 50) AS mattr_ppm
+    FROM chunks GROUP BY doc_id
+    """,
+    section="2.10",
+    doc="Windowed type-token ratio (MATTR-style lexical diversity): each "
+    "document is cut into fixed 50-token chunks and the mean "
+    "distinct-token fraction across chunks is reported in integer ppm. "
+    "Plain per-doc TTR decays with document length (longer text "
+    "repeats more), so fixed-window TTR is the comparable-across-"
+    "lengths diversity score quality filters actually use (low MATTR "
+    "= TEMPLATE/keyword-stuffing spam even when the document-level "
+    "stats look fine — complements text_repetition_signals' n-gram "
+    "repetition and text_entropy's character distribution). Entirely "
+    "map-side per document (array ops on the token array), one "
+    "aggregate shuffle on doc_id.",
+)
+def text_lexical_mattr(spark: SparkSession, sf: str) -> DataFrame:
+    d = _spread(spark, T(spark, sf, "documents"))
+    t = _tokens()
+    W = 50
+    chunks = F.transform(
+        F.sequence(F.lit(0), (F.size(t) / W).cast("long") - 1),
+        lambda c: F.size(F.array_distinct(F.slice(t, c * W + 1, W))),
+    )
+    ex = d.filter(F.size(t) >= W).select(
+        "doc_id", F.explode(chunks).alias("distinct_in_chunk")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.expr("CAST(sum(distinct_in_chunk) AS BIGINT) * 1000000 DIV (count(*) * 50)").alias(
+            "mattr_ppm"
+        ),
+    )
