@@ -2914,34 +2914,68 @@ def dedup_prefix_truncation(spark: SparkSession, sf: str) -> DataFrame:
     "hash-aggregate on the shingle; partner pairs join only SHARED "
     "shingles, with ubiquitous shingles (>64 docs — stop-phrase "
     "boilerplate) excluded exactly like minhash banding caps its "
-    "bucket fanout, so the pair fanout is bounded per shingle. A "
-    "production pass would hash shingles to int64 first (the "
-    "doc_fingerprint path); strings are kept here so the oracle is "
-    "engine-portable.",
+    "bucket fanout, so the pair fanout is bounded per shingle. "
+    "Shingles are hashed to int64 map-side (xxhash64) so no shuffle "
+    "ever carries shingle STRINGS — the oracle stays portable because "
+    "it compares the per-doc PROFILE, which is hash-agnostic "
+    "(collisions are ~|shingles|^2/2^64, vanishing; verified "
+    "hash-exact on the fixed corpora).",
 )
 def dedup_substring_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     d = _spread(spark, T(spark, sf, "documents"))
-    t = _tokens()
     W = 8
+    # Two-stage shingling with a MATERIALIZATION BARRIER between
+    # tokenize and shingle. Single-stage formulations are a trap: the
+    # per-position lambda references the token-array expression, and
+    # after CollapseProject inlines it, non-codegen evaluation re-runs
+    # the tokenizer REGEX once per position — O(len^2 * regex) per
+    # document (thread dumps at the 8x probe showed all 32 cores inside
+    # RegExpReplace.nullSafeEval; 200+ s for ~2 s of real work). The
+    # localCheckpoint pins (doc_id, token-hash array) as computed data,
+    # so the shingle pass slides over materialized LONGS — O(len * W)
+    # hashing, immune to expression-inlining and codegen-mode changes.
+    # Shingles themselves are xxhash64-of-slice longs, never strings:
+    # no shuffle carries text, and collisions merge two shingles
+    # corpus-wide with probability ~|shingles|^2/2^64 — negligible
+    # (same argument as the minhash verification tier).
+    th_df = d.select(
+        "doc_id",
+        F.transform(_tokens(), lambda x: F.xxhash64(x)).alias("th"),
+    ).localCheckpoint(eager=False)
     shingles = F.when(
-        F.size(t) >= W,
+        F.size(F.col("th")) >= W,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (W - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, W)),
+            F.sequence(F.lit(1), F.size(F.col("th")) - (W - 1)),
+            lambda i: F.xxhash64(F.slice(F.col("th"), i, W)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     sh = (
-        d.select("doc_id", F.explode(shingles).alias("s"))
+        th_df.select("doc_id", F.explode(shingles).alias("s"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     g = sh.groupBy("s").agg(F.count("*").alias("nd"))
-    dup = sh.join(g.filter((F.col("nd") >= 2) & (F.col("nd") <= 64)), "s").select(
-        "doc_id", "s"
+    # EVERY side of every join below is O(corpus): the recurrence
+    # profile, the dup set, and the per-doc aggregates all grow with the
+    # data, so none may broadcast (the minhash-verification lesson:
+    # a broadcast side must be O(1) in corpus size). Left hint-free,
+    # Catalyst broadcast EVERY join here (12 builds, each serially
+    # materializing a growing subtree — measured 203 s at the 8x probe
+    # vs ~20 s of actual stage work); shuffle_hash hints pin the
+    # hash-partitioned plan. dup additionally checkpoints because three
+    # consumers would otherwise inline its join+aggregate subtree.
+    dup = (
+        sh.join(g.filter((F.col("nd") >= 2) & (F.col("nd") <= 64)).hint("shuffle_hash"), "s")
+        .select("doc_id", "s")
+        .localCheckpoint(eager=False)
     )
     a = dup.alias("a")
     b = dup.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
@@ -2949,8 +2983,8 @@ def dedup_substring_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     dups = dup.groupBy("doc_id").agg(F.count("*").alias("dup_shingles"))
     partners = pairs.groupBy("doc_id").agg(F.count("*").alias("partner_docs"))
     return (
-        tot.join(dups, "doc_id")
-        .join(partners, "doc_id")
+        tot.join(dups.hint("shuffle_hash"), "doc_id")
+        .join(partners.hint("shuffle_hash"), "doc_id")
         .select("doc_id", "n_shingles", "dup_shingles", "partner_docs")
     )
 

@@ -56,6 +56,23 @@ QUERIES = [
     "rank_bm25_topk",
     "near_dedup_embedding",
     "similarity_topk",
+    # r8 additions. Not probeable (read only unreplicated dims, scale
+    # argument structural): graph_hierarchy_rollup (part),
+    # agg_two_proportion_ztest + user_rfm via customer joins where noted.
+    "dedup_substring_ngrams",
+    "graph_triangle_count",
+    "events_markov_transitions",
+    "user_rfm_segments",
+    "win_pareto_cumshare",
+    "agg_equidepth_histogram",
+    "skyline_pareto_frontier",
+    "dq_mad_outliers",
+    "ts_acf_daily_orders",
+    "dq_referential_orphans",
+    "agg_count_min_sketch",
+    "text_lexical_mattr",
+    "embedding_class_centroids",
+    "embedding_pca_power",
 ]
 
 
