@@ -274,13 +274,21 @@ def token_count_bpeish(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ngram_profile(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
-    toks = _tokens()
+    # Tokenize behind a materialization barrier, then shingle over the
+    # stored array — the per-position lambda otherwise re-evaluates the
+    # tokenizer regex per bigram (O(len^2) per doc; the
+    # dedup_substring_ngrams lesson, found via thread dump at the 8x
+    # probe).
+    tok_df = _spread(spark, d).select(
+        "doc_id", _tokens().alias("tk")
+    ).localCheckpoint(eager=False)
+    tk = F.col("tk")
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        tok_df.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
@@ -950,7 +958,11 @@ def doc_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
     K, W, M = 7, 4, 1_000_000_007
     d = _spread(spark, T(spark, sf, "documents")).filter(F.length("text") >= 10)
     chars = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
-    with_chars = d.select("doc_id", chars.alias("chars"))
+    # Each stage checkpoints before the next positional lambda consumes
+    # it: adjacent Projects otherwise collapse and the char/hash array
+    # expressions re-evaluate per position (O(len^2) per doc — the
+    # dedup_substring_ngrams lesson).
+    with_chars = d.select("doc_id", chars.alias("chars")).localCheckpoint(eager=False)
     hashes = F.transform(
         F.sequence(F.lit(1), F.size(F.col("chars")) - (K - 1)),
         lambda i: F.aggregate(
@@ -959,7 +971,9 @@ def doc_fingerprint_winnow(spark: SparkSession, sf: str) -> DataFrame:
             lambda acc, c: (acc * 31 + c) % M,
         ),
     )
-    with_hashes = with_chars.select("doc_id", hashes.alias("hashes"))
+    with_hashes = with_chars.select("doc_id", hashes.alias("hashes")).localCheckpoint(
+        eager=False
+    )
     mins = F.transform(
         F.sequence(F.lit(1), F.size(F.col("hashes")) - (W - 1)),
         lambda j: F.array_min(F.slice(F.col("hashes"), j, W)),
@@ -1181,7 +1195,11 @@ def line_dedup_global(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     )
-    w = _tokens()
+    # Tokenize behind a barrier before the per-chunk lambda (the
+    # dedup_substring_ngrams lesson: inlined token expressions re-run
+    # the regex per chunk, O(len^2) per doc).
+    tok_df = corpus.select("doc_id", _tokens().alias("w")).localCheckpoint(eager=False)
+    w = F.col("w")
     chunks = F.transform(
         F.sequence(F.lit(1), F.ceil(F.size(w) / F.lit(5.0)).cast("long")),
         lambda i: F.struct(
@@ -1189,7 +1207,7 @@ def line_dedup_global(spark: SparkSession, sf: str) -> DataFrame:
             F.concat_ws(" ", F.slice(w, (i - 1) * 5 + 1, 5)).alias("line"),
         ),
     )
-    lines = corpus.select("doc_id", F.explode(chunks).alias("c")).select(
+    lines = tok_df.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", F.col("c.pos").alias("pos"), F.col("c.line").alias("line")
     )
     freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n"))
@@ -3073,13 +3091,19 @@ def embedding_class_centroids(spark: SparkSession, sf: str) -> DataFrame:
 )
 def text_lexical_mattr(spark: SparkSession, sf: str) -> DataFrame:
     d = _spread(spark, T(spark, sf, "documents"))
-    t = _tokens()
     W = 50
+    # Materialization barrier between tokenize and the per-chunk lambda
+    # (the dedup_substring_ngrams lesson): without it the token-array
+    # expression is re-evaluated — full regex tokenize — once per chunk
+    # reference, O(len^2) per doc (this query measured 29.2x at the 32x
+    # probe before the barrier, 10.9x after).
+    tok_df = d.select("doc_id", _tokens().alias("tk")).localCheckpoint(eager=False)
+    tk = F.col("tk")
     chunks = F.transform(
-        F.sequence(F.lit(0), (F.size(t) / W).cast("long") - 1),
-        lambda c: F.size(F.array_distinct(F.slice(t, c * W + 1, W))),
+        F.sequence(F.lit(0), (F.size(tk) / W).cast("long") - 1),
+        lambda c: F.size(F.array_distinct(F.slice(tk, c * W + 1, W))),
     )
-    ex = d.filter(F.size(t) >= W).select(
+    ex = tok_df.filter(F.size(tk) >= W).select(
         "doc_id", F.explode(chunks).alias("distinct_in_chunk")
     )
     return ex.groupBy("doc_id").agg(
