@@ -812,3 +812,175 @@ def agg_count_min_sketch(spark: SparkSession, sf: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_n")).cast("int").alias("overestimate"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT MIN(o.o_orderdate) FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+             AS asof_o_orderdate
+    FROM events e
+    """,
+    section="2.3",
+    doc="FORWARD as-of join (pandas merge_asof direction='forward'): the "
+    "next order at-or-after each event — the lookahead twin of "
+    "join_asof's most-recent-record semantics, needed for "
+    "time-to-next-action and label-construction pipelines (what "
+    "happened AFTER the signal?). Same operators/joins.py machinery "
+    "with direction='forward' (one union + one descending-time window "
+    "per key — a single shuffle, no join explosion); unmatched events "
+    "are kept with NULL, which the correlated-subquery oracle mirrors.",
+)
+def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators import asof_join
+
+    e = T(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        T(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate")
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    out = asof_join(
+        e,
+        o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "asof_o_orderdate")
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_id
+      FROM events
+    )
+    SELECT COALESCE(touch_type, 'none') AS channel,
+           COUNT(*) AS conversions,
+           COUNT(DISTINCT user_id) AS users
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    section="2.5",
+    doc="Last-touch marketing attribution: every purchase is credited to "
+    "the user's most recent preceding touch event (click/view), "
+    "'none' when the purchase had no prior touch — the conversion-"
+    "credit query behind every channel-ROI dashboard, and the "
+    "in-timeline special case of as-of semantics (the carry is LAST_"
+    "VALUE IGNORE NULLS over the ordered user timeline, exactly the "
+    "operators/joins.py asof mechanism without the union because both "
+    "streams already share the table). One user-keyed window shuffle, "
+    "then a tiny channel aggregate.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch_type"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count("*").alias("conversions"),
+            F.count_distinct("user_id").alias("users"),
+        )
+    )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    trended AS (
+      SELECT day, rev,
+             CAST(SUM(rev) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS win_sum,
+             COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_n
+      FROM daily
+    ),
+    resid AS (
+      SELECT (isodow(day) - 1) AS weekday,
+             7 * rev - win_sum AS resid7
+      FROM trended WHERE win_n = 7
+    )
+    SELECT weekday, COUNT(*) AS n_days,
+           CAST(SUM(resid7) AS BIGINT) AS resid7_sum,
+           CAST(CAST(SUM(resid7) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_resid7
+    FROM resid GROUP BY weekday
+    """,
+    section="2.5",
+    doc="Additive seasonal decomposition of the daily revenue series: "
+    "7-day centered moving-average trend, residual = observation minus "
+    "trend, mean residual per ISO weekday = the seasonal component "
+    "(complements agg_weekday_seasonality's raw shares and "
+    "ts_acf_daily_orders' lag structure: this isolates the weekday "
+    "effect FROM the trend instead of mixing both). Exactness: the "
+    "centered mean is kept as the integer pair (7*rev - window_sum) — "
+    "no division until the final shared one; edge days without a full "
+    "7-day window drop out (win_n = 7), matching the classical "
+    "decomposition's trimmed ends. The series is a per-day aggregate, "
+    "so every window runs on |days| rows; weekday() == (dayofweek+5)%7 "
+    "pins the cross-engine calendar (the agg_weekday_seasonality "
+    "lesson).",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        T(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("win_sum"),
+        F.count("*").over(w).alias("win_n"),
+    )
+    resid = trended.filter(F.col("win_n") == 7).select(
+        F.weekday("day").alias("weekday"),
+        (7 * F.col("rev") - F.col("win_sum")).alias("resid7"),
+    )
+    # Mean residual as ONE shared double division (integer DIV would
+    # diverge cross-engine on negative sums: Spark truncates, DuckDB
+    # floors).
+    return resid.groupBy("weekday").agg(
+        F.count("*").alias("n_days"),
+        F.sum("resid7").cast("long").alias("resid7_sum"),
+        (
+            F.sum("resid7").cast("long").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_resid7"),
+    )

@@ -27,7 +27,18 @@ def test_query_and_oracle_maps_are_consistent(spark):
     # rows-only queries are the documented approximate/streaming tiers only
     rows_only = set(qs) - set(osql)
     assert all(
-        any(tok in n for tok in ("minhash", "simhash", "ann_", "media_decode", "pq_", "embedding_lsh"))
+        any(
+            tok in n
+            for tok in (
+                "minhash",
+                "simhash",
+                "ann_",
+                "media_decode",
+                "pq_",
+                "embedding_lsh",
+                "pca_power",  # iterative linear algebra — numpy-replay-pinned
+            )
+        )
         for n in rows_only
     ), rows_only
     # oracle SQL strings are non-empty and reference at least one table/CTE

@@ -407,3 +407,22 @@ def test_cms_counter_build_partial_aggregates(spark, specs):
     build one cheap pass at 100 TB."""
     p = plan_of(q(specs, spark, "agg_count_min_sketch"))
     assert "partial_count" in p or "Partial" in p, p
+
+
+def test_tokenizer_not_inlined_into_positional_lambdas(spark, specs):
+    """The tokenize-then-shingle BARRIER (SCALECHECK_r08): positional
+    lambdas referencing a token-array EXPRESSION re-run the tokenizer per
+    position once projections inline (O(len^2)/doc, thread-dump-verified).
+    The checkpoint barrier keeps the tokenizer out of the shingle plan
+    entirely — pinned by counting regexp occurrences in the final plan:
+    the barrier side computes the regex; the consumer side must show none
+    beyond the checkpoint build itself."""
+    for name, cap in [
+        ("dedup_substring_ngrams", 2),
+        ("text_lexical_mattr", 2),
+        ("ngram_profile", 2),
+        ("line_dedup_global", 3),  # union of two corpus branches
+    ]:
+        p = plan_of(q(specs, spark, name))
+        n = p.count("regexp_replace")
+        assert n <= cap, f"{name}: tokenizer regex appears {n}x in plan (cap {cap})"
