@@ -984,3 +984,187 @@ def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("mean_resid7"),
     )
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders WHERE o_orderstatus = 'P'
+      GROUP BY 1
+    ),
+    bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ),
+    calendar AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    joined AS (
+      SELECT c.day, d.rev,
+             LAST_VALUE(d.rev IGNORE NULLS) OVER (ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rev,
+             LAST_VALUE(CASE WHEN d.rev IS NOT NULL THEN c.day END IGNORE NULLS)
+               OVER (ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             FIRST_VALUE(d.rev IGNORE NULLS) OVER (ORDER BY c.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rev,
+             FIRST_VALUE(CASE WHEN d.rev IS NOT NULL THEN c.day END IGNORE NULLS)
+               OVER (ORDER BY c.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM calendar c LEFT JOIN daily d USING (day)
+    )
+    SELECT day,
+           (rev IS NULL) AS was_gap,
+           CASE WHEN rev IS NOT NULL THEN rev
+                ELSE (prev_rev * (next_day - day) + next_rev * (day - prev_day))
+                     // (next_day - prev_day)
+           END AS rev_filled
+    FROM joined
+    """,
+    section="2.5",
+    doc="Calendar gap filling with linear interpolation — the series-"
+    "repair pass every time-series consumer needs before modeling: a "
+    "complete day calendar is generated from the observed bounds "
+    "(sequence/generate_series — no driver loop), missing days take "
+    "the linearly interpolated value between their flanking "
+    "observations. The interpolation stays EXACT integer: "
+    "(prev*(next-d) + next*(d-prev)) DIV (next-prev) — all weights "
+    "are positive day-distances, so truncating and flooring division "
+    "agree cross-engine and no float ratio is compared. The flanking "
+    "carry is the LOCF window pair (win_ignore_nulls' mechanism, "
+    "applied bidirectionally like join_nearest_value). Series is a "
+    "per-day aggregate; a 100 TB deployment partitions the same "
+    "windows by series key.",
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev"))
+    )
+    cal = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    j = cal.join(daily, "day", "left")
+    back = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    w = j.select(
+        "day",
+        "rev",
+        F.last("rev", ignorenulls=True).over(back).alias("prev_rev"),
+        F.last(F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(back)
+        .alias("prev_day"),
+        F.first("rev", ignorenulls=True).over(fwd).alias("next_rev"),
+        F.first(F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(fwd)
+        .alias("next_day"),
+    )
+    staged = w.select(
+        "day",
+        "rev",
+        (
+            F.col("prev_rev") * F.datediff(F.col("next_day"), F.col("day"))
+            + F.col("next_rev") * F.datediff(F.col("day"), F.col("prev_day"))
+        )
+        .cast("long")
+        .alias("fill_num"),
+        F.datediff(F.col("next_day"), F.col("prev_day")).cast("long").alias("fill_den"),
+    )
+    return staged.select(
+        "day",
+        F.col("rev").isNull().alias("was_gap"),
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .otherwise(F.expr("fill_num DIV fill_den"))
+        .alias("rev_filled"),
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT MAX(o.o_orderdate) FROM orders o
+             WHERE o.o_custkey = e.user_id
+               AND o.o_orderdate <= e.ts
+               AND o.o_orderdate >= e.ts - INTERVAL 90 DAY)
+             AS asof_o_orderdate
+    FROM events e
+    """,
+    section="2.3",
+    doc="As-of join with a TOLERANCE bound (pandas merge_asof tolerance=): "
+    "the most recent order per user at event time, but only within a "
+    "90-day lookback — stale matches become NULL instead of silently "
+    "attaching years-old state (the correctness guard real feature "
+    "pipelines need: a 'latest price' older than the staleness budget "
+    "is worse than no price). Same one-shuffle union+window operator "
+    "as join_asof; the tolerance is one post-carry comparison, no "
+    "extra join or shuffle.",
+)
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators import asof_join
+
+    e = T(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        T(spark, sf, "orders")
+        .select("o_custkey", "o_orderdate")
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    out = asof_join(
+        e, o, on="user_id", left_ts="ts", right_ts="o_orderdate", value_cols=["o_orderdate"]
+    )
+    within = F.col("asof_o_orderdate") >= F.col("ts") - F.expr("INTERVAL 90 DAY")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("asof_o_orderdate")).alias("asof_o_orderdate"),
+    )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, MAX(ts) AS latest, COUNT(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(latest) AS global_latest FROM per_type)
+    SELECT event_type, n, latest,
+           (CAST(epoch(global_latest) AS BIGINT)
+            - CAST(epoch(latest) AS BIGINT)) // 60 AS lag_minutes,
+           (CAST(epoch(global_latest) AS BIGINT)
+            - CAST(epoch(latest) AS BIGINT)) // 60 > 1440 AS is_stale
+    FROM per_type, g
+    """,
+    section="2.4",
+    doc="Feed-freshness audit: per event type, the latest arrival, its "
+    "lag behind the freshest feed in minutes, and a staleness flag at "
+    "the 24 h budget — the first alarm a streaming-lake SLO monitor "
+    "fires (complements dq_sequence_gaps' completeness check with a "
+    "RECENCY check). One aggregate + a one-row crossJoin; lag is the "
+    "FLOOR of elapsed seconds over 60 in both engines — "
+    "date_diff('minute') would count minute-BOUNDARY crossings and "
+    "drift off by one (the calendar-trap family, see "
+    "agg_weekday_seasonality).",
+)
+def dq_freshness_lag(spark: SparkSession, sf: str) -> DataFrame:
+    per_type = (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("latest"), F.count("*").alias("n"))
+    )
+    g = per_type.agg(F.max("latest").alias("global_latest"))
+    lag = (
+        (F.unix_timestamp("global_latest") - F.unix_timestamp("latest")) / 60
+    ).cast("long")
+    return per_type.crossJoin(g).select(
+        "event_type",
+        "n",
+        "latest",
+        lag.alias("lag_minutes"),
+        (lag > 1440).alias("is_stale"),
+    )
