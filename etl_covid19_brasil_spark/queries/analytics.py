@@ -1168,3 +1168,131 @@ def dq_freshness_lag(spark: SparkSession, sf: str) -> DataFrame:
         lag.alias("lag_minutes"),
         (lag > 1440).alias("is_stale"),
     )
+
+
+@query(
+    "id_assign_contiguous",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rid
+    FROM orders
+    """,
+    section="2.6",
+    doc="Contiguous global surrogate-key assignment (1..N in "
+    "(o_orderdate, o_orderkey) order) WITHOUT a single-reducer global "
+    "sort — the naive ROW_NUMBER() OVER (ORDER BY ...) funnels the "
+    "whole table through one task at 100 TB, and "
+    "monotonically_increasing_id() leaves gaps. Mechanism: "
+    "repartitionByRange on the key (the sampled range partitioner "
+    "keeps partitions ordered AND non-overlapping), count rows per "
+    "partition, prefix-sum those counts into per-partition offsets "
+    "(a window over <=|partitions| rows — bounded, never data-sized), "
+    "broadcast the offsets back, and emit row_number within each "
+    "partition plus its offset. The result is invariant to where the "
+    "sampled boundaries land because the key order is total "
+    "(o_orderkey is unique); the lazy localCheckpoint pins the sampled "
+    "boundaries so the counts pass and the id pass see identical "
+    "partition ids. This is the DataFrame-native equivalent of RDD "
+    "zipWithIndex, kept declarative so Catalyst still prunes and "
+    "pushes down the scan.",
+)
+def id_assign_contiguous(spark: SparkSession, sf: str) -> DataFrame:
+    src = (
+        T(spark, sf, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .repartitionByRange(
+            spark.sparkContext.defaultParallelism, "o_orderdate", "o_orderkey"
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # counts + ids must see the SAME pids
+    )
+    counts = src.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("off"),
+    )
+    w = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
+    return src.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey",
+        (F.row_number().over(w).cast("long") + F.col("off")).alias("rid"),
+    )
+
+
+@query(
+    "dq_winsorize_clip",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM d
+    ),
+    cuts AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN rn = (n + 19) // 20 THEN v END) AS lo,
+             MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN v END) AS hi
+      FROM r GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN r.v < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN r.v > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+           c.lo AS p05_cents, c.hi AS p95_cents,
+           CAST(SUM(LEAST(GREATEST(r.v, c.lo), c.hi)) AS BIGINT) AS sum_winsor_cents
+    FROM r JOIN cuts c USING (o_orderpriority)
+    GROUP BY r.o_orderpriority, c.lo, c.hi
+    """,
+    section="2.4",
+    doc="Winsorization audit: per order priority, clip order totals at the "
+    "EXACT rank-based p05/p95 (value at row ceil(p*n) of the sorted "
+    "group — the discrete percentile, no interpolation, so the cutpoint "
+    "is an integer cents value both engines agree on bit-for-bit; "
+    "interpolated percentile_cont would put a non-dyadic double into "
+    "the hash). Reports clip counts on each tail and the winsorized "
+    "sum — the outlier-robust alternative to dropping rows, sibling of "
+    "dq_mad_outliers' detection pass. One per-group window shuffle "
+    "serves rank and count; cutpoints broadcast back (5 rows). The "
+    "value at a rank is tie-order-invariant, so ORDER BY v alone is "
+    "deterministic. At 100 TB the exact tier runs per partition-key "
+    "slice; the approx path swaps in approx_percentile cutpoints "
+    "(user_rfm_segments' documented rewrite).",
+)
+def dq_winsorize_clip(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("v")
+    )
+    grp = Window.partitionBy("o_orderpriority")
+    ranked = d.select(
+        "o_orderpriority",
+        "v",
+        F.row_number().over(grp.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+    )
+    cuts = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("v"))).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(cuts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias("n_clip_low"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0)).alias("n_clip_high"),
+            F.min("lo").alias("p05_cents"),
+            F.max("hi").alias("p95_cents"),
+            F.sum(F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))).alias(
+                "sum_winsor_cents"
+            ),
+        )
+    )

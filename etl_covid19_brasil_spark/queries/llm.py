@@ -3214,3 +3214,92 @@ def embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         .select("dim", (F.col("vm") * F.col("sign")).alias("v_milli"))
         .orderBy("dim")
     )
+
+
+@query(
+    "near_dedup_prefix_filter",
+    oracle=f"""
+    WITH corpus AS ({_O_CORPUS}),
+    t AS (SELECT doc_id, {_O_SHINGLES.format(w='w')} AS sh FROM corpus
+          WHERE doc_id % 1000000 < {_JACCARD_CAP}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST((c.inter * 1000000) // (len(sa.sh) + len(sb.sh) - c.inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM cand c
+    JOIN t sa ON sa.doc_id = c.doc_a
+    JOIN t sb ON sb.doc_id = c.doc_b
+    WHERE c.inter * 10 >= (len(sa.sh) + len(sb.sh) - c.inter) * 7
+    """,
+    section="2.10",
+    doc="PPJoin-style PREFIX-FILTERED exact Jaccard join (threshold 0.7) — "
+    "the third dedup tier between the full posting-list join "
+    "(near_dedup_jaccard) and approximate LSH banding: shingles are "
+    "globally ordered by ascending document frequency (rarest first, "
+    "hash tiebreak), each doc posts only its first |A| - ceil(0.7|A|) + 1 "
+    "shingles, and candidates come from the prefix-only equi-join plus "
+    "the length filter 10*min(|A|,|B|) >= 7*max — any pair with "
+    "J >= 0.7 must share a prefix shingle (Chaudhuri/Xiao prefix "
+    "lemma with per-doc t = ceil(0.7|X|)), so the result is EXACT while "
+    "the join fans out only on rare tokens instead of every posting. "
+    "Survivors are verified with array_intersect on the full hashed "
+    "shingle sets; the 0.7 gate is integer cross-multiplication and "
+    "jaccard is integer ppm, so no double is compared. Shingle "
+    "identity rides xxhash64 longs (string shingles in the oracle — "
+    "same counts modulo ~n^2/2^64 collisions, the near_dedup_jaccard "
+    "argument). Scale: one df-count shuffle, one doc-keyed window for "
+    "prefix ranks, candidate join restricted to prefixes — the "
+    "standard exact set-similarity join used at corpus scale.",
+)
+def near_dedup_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        _near_dup_corpus(spark, sf)
+        .filter(F.col("doc_id") % 1_000_000 < _JACCARD_CAP)
+        .select("doc_id", F.array_distinct(_shingle_hashes(F.col("w"))).alias("sh"))
+        .localCheckpoint(eager=False)  # feeds postings, prefix ranks, verify
+    )
+    ex = d.select(
+        "doc_id", F.size("sh").cast("long").alias("sz"), F.explode("sh").alias("s")
+    )
+    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(df_tbl, "s").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    )
+    # prefix length = sz - ceil(0.7*sz) + 1; ceil(7x/10) = (7x + 9) DIV 10.
+    # Checkpointed: both sides of the self-join read it, and expr-id
+    # differences keep Catalyst's ReuseExchange from deduplicating the
+    # df-join + rank window underneath on its own.
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.expr("(7 * sz + 9) DIV 10") + 1
+    ).localCheckpoint(eager=False)
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") * 7 <= F.col("b.sz") * 10)
+            & (F.col("b.sz") * 7 <= F.col("a.sz") * 10),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("long")
+    return (
+        cand.join(d.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(d.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("inter", inter)
+        .withColumn(
+            "uni",
+            F.size(F.col("sa.sh")).cast("long")
+            + F.size(F.col("sb.sh")).cast("long")
+            - F.col("inter"),
+        )
+        .filter(F.col("inter") * 10 >= F.col("uni") * 7)
+        .select("doc_a", "doc_b", F.expr("inter * 1000000 DIV uni").alias("jaccard_ppm"))
+    )

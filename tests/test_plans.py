@@ -426,3 +426,47 @@ def test_tokenizer_not_inlined_into_positional_lambdas(spark, specs):
         p = plan_of(q(specs, spark, name))
         n = p.count("regexp_replace")
         assert n <= cap, f"{name}: tokenizer regex appears {n}x in plan (cap {cap})"
+
+
+def test_prefix_filter_join_is_cartesian_free_and_prunes(spark, specs):
+    """near_dedup_prefix_filter's whole value is candidate PRUNING: the
+    self-join must stay an equi-join on prefix shingles (no cross
+    product), and the prefix postings it fans out on must be a strict
+    fraction of the full posting list (prefix length ~ 0.3*|A| + 1 at
+    the 0.7 threshold)."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.queries.llm import (
+        _JACCARD_CAP,
+        _near_dup_corpus,
+        _shingle_hashes,
+    )
+
+    p = plan_of(q(specs, spark, "near_dedup_prefix_filter")).lower()
+    assert "cartesianproduct" not in p, p
+    assert "broadcastnestedloop" not in p, p
+
+    d = (
+        _near_dup_corpus(spark, SF)
+        .filter(F.col("doc_id") % 1_000_000 < _JACCARD_CAP)
+        .select(F.size(F.array_distinct(_shingle_hashes(F.col("w")))).cast("long").alias("sz"))
+        .filter("sz > 0")
+    )
+    totals = d.agg(
+        F.sum("sz").alias("full_postings"),
+        F.sum(F.expr("sz - (7 * sz + 9) DIV 10 + 1")).alias("prefix_postings"),
+    ).first()
+    assert totals.prefix_postings < totals.full_postings * 0.5, totals
+
+
+def test_id_assign_data_never_moves_to_single_partition(spark, specs):
+    """id_assign_contiguous exists to avoid the ROW_NUMBER()-over-
+    everything single-reducer sort: the ONLY SinglePartition exchange in
+    its plan is the per-partition-counts prefix sum (<= |partitions|
+    rows); the data itself moves through the sampled range partitioner
+    and pid-hash window exchanges only."""
+    p = plan_of(q(specs, spark, "id_assign_contiguous"))
+    single = [ln for ln in p.splitlines() if "SinglePartition" in ln]
+    assert len(single) <= 1, p
+    hash_ex = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert hash_ex and all("pid" in ln for ln in hash_ex), p
