@@ -1402,3 +1402,57 @@ def fn_parse_dates_multiformat(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("try_to_date(raw_date, 'yyyyMMdd')"),
         ).alias("parsed"),
     )
+
+
+@query(
+    "fn_timezone_convert",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts + (event_id % 365) * INTERVAL 1 DAY AS ts2
+      FROM events
+    )
+    SELECT event_id,
+           strftime(ts2, '%Y-%m-%d %H:%M') AS utc_wall,
+           strftime((ts2 AT TIME ZONE 'UTC') AT TIME ZONE 'America/Sao_Paulo',
+                    '%Y-%m-%d %H:%M') AS sao_paulo_wall,
+           strftime((ts2 AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+                    '%Y-%m-%d %H:%M') AS new_york_wall,
+           strftime((ts2 AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata',
+                    '%Y-%m-%d %H:%M') AS kolkata_wall,
+           CAST((ts2 AT TIME ZONE 'UTC') AT TIME ZONE 'America/Sao_Paulo' AS DATE)
+             <> CAST(ts2 AS DATE) AS day_shifted
+    FROM e
+    """,
+    section="2.8",
+    doc="IANA timezone conversion batch — the localization pass the "
+    "reference's Brasilia-time COVID feed implies (its timestamps are "
+    "wall-clock Brazilian dates; any cross-feed join must normalize "
+    "instants first). Event instants are spread across a full year "
+    "(+event_id%365 days) so the check crosses real DST transitions: "
+    "America/New_York shifts in Mar/Nov 2024, America/Sao_Paulo is "
+    "fixed -03:00 post-2019 abolition, Asia/Kolkata exercises the "
+    "half-hour offset. Both engines resolve the SAME IANA zone ids "
+    "(JVM tzdata vs DuckDB ICU) and results are compared as formatted "
+    "wall-clock strings — a one-minute divergence in any rule would "
+    "hash-fail. day_shifted flags rows whose local calendar date "
+    "differs from UTC (the silent killer in daily-partitioned lakes). "
+    "Pure per-row expressions: no shuffle, fully codegen'd.",
+)
+def fn_timezone_convert(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select(
+        "event_id",
+        F.expr("timestampadd(DAY, CAST(event_id % 365 AS INT), ts)").alias("ts2"),
+    )
+    def wall(tz: str) -> F.Column:
+        return F.date_format(F.from_utc_timestamp(F.col("ts2"), tz), "yyyy-MM-dd HH:mm")
+    return e.select(
+        "event_id",
+        F.date_format("ts2", "yyyy-MM-dd HH:mm").alias("utc_wall"),
+        wall("America/Sao_Paulo").alias("sao_paulo_wall"),
+        wall("America/New_York").alias("new_york_wall"),
+        wall("Asia/Kolkata").alias("kolkata_wall"),
+        (
+            F.to_date(F.from_utc_timestamp(F.col("ts2"), "America/Sao_Paulo"))
+            != F.to_date("ts2")
+        ).alias("day_shifted"),
+    )

@@ -570,3 +570,78 @@ def sink_sorted_lake_layout(spark: SparkSession, sf: str) -> DataFrame:
         "global_lo",
         "global_hi",
     )
+
+
+@query(
+    "scan_json_rescue",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey AS k,
+             CASE WHEN n_nationkey % 4 = 0 THEN NULL
+                  ELSE n_nationkey * 7 END AS v
+      FROM nation
+    )
+    SELECT CAST(SUM(CASE WHEN v IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued,
+           CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS clean_value_sum
+    FROM src
+    """,
+    section="2.1",
+    doc="Corrupt-line rescue on JSONL ingest — the JSON twin of "
+    "scan_csv_quarantine_malformed: a feed is synthesized with a "
+    "deterministic 25% of lines TRUNCATED mid-object (the failure mode "
+    "real firehose feeds actually produce: a writer died mid-record), "
+    "read back in PERMISSIVE mode with a declared schema plus "
+    "_corrupt_record, and the query proves nothing is lost: clean rows "
+    "parse to typed columns, broken lines land VERBATIM in the rescue "
+    "column for replay. The select barrier before aggregation "
+    "materializes the corrupt column (Spark refuses to aggregate a "
+    "pruned corrupt-record reference). At 100 TB the same scan "
+    "shape applies per file split; rescue rows shuffle nowhere — the "
+    "audit is a map-side count.",
+)
+def scan_json_rescue(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = T(spark, sf, "nation").select(
+        F.when(
+            F.col("n_nationkey") % 4 == 0,
+            F.concat(F.lit('{"k": '), F.col("n_nationkey").cast("string"), F.lit(', "v": ')),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("n_nationkey").alias("k"),
+                    (F.col("n_nationkey") * 7).alias("v"),
+                )
+            )
+        )
+        .alias("value")
+    )
+    path = _scratch("json_rescue", sf)
+    src.write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    raw = raw.select("k", "v", "_corrupt_record").localCheckpoint(eager=False)
+    return raw.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rescued"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("clean_value_sum"),
+    )

@@ -943,3 +943,68 @@ def sample_balanced_class(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "corpus_upsample_weighted",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 1500
+                       WHEN 'es' THEN 2300 WHEN 'zh' THEN 1000
+                       ELSE 3400 END AS wm,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000 AS slot
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             wm // 1000 + CASE WHEN slot < wm % 1000 THEN 1 ELSE 0 END AS copies
+      FROM d
+    )
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_idx
+    FROM c WHERE copies >= 1
+    """,
+    section="2.10",
+    doc="Weighted corpus UP/DOWN-sampling with stochastic rounding — the "
+    "epoch-multiplier materialization step of a training mix: each "
+    "language carries a milli-weight (en 0.7x down, es 2.3x, fr 3.4x "
+    "up, ...) and every document is emitted floor(w) times plus one "
+    "more iff its content-hash slot falls under frac(w) — so expected "
+    "multiplicity equals the weight EXACTLY, per-document, with zero "
+    "RNG state (the md5-slot idiom of sample_stratified_hash: "
+    "reproducible across engines, runs, and partitionings). "
+    "Complements corpus_mix_weighted (which PLANS the mix; this one "
+    "EMITS it) and sample_weighted_reservoir (bounded output; this is "
+    "the unbounded epoch replication). Map-side explode of a "
+    "sequence(1..copies) — no shuffle, no driver loop; at 100 TB the "
+    "fan-out is bounded by max weight and each replica carries only "
+    "(doc_id, copy_idx), the text joining back lazily downstream.",
+)
+def corpus_upsample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    wm = F.coalesce(
+        F.element_at(
+            F.create_map(
+                F.lit("en"), F.lit(700),
+                F.lit("de"), F.lit(1500),
+                F.lit("es"), F.lit(2300),
+                F.lit("zh"), F.lit(1000),
+            ),
+            F.col("lang"),
+        ),
+        F.lit(3400),
+    ).cast("long")
+    slot = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 1000
+    staged = (
+        T(spark, sf, "documents")
+        .select("doc_id", "lang", wm.alias("wm"), slot.alias("slot"))
+        .withColumn(
+            "copies",
+            F.expr("wm DIV 1000 + CASE WHEN slot < wm % 1000 THEN 1 ELSE 0 END"),
+        )
+    )
+    return staged.filter(F.col("copies") >= 1).select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("copies"))).alias("copy_idx"),
+    )
