@@ -32,7 +32,7 @@ from etl_covid19_brasil_spark.registry import T, cents, query
     WITH cand AS (
       SELECT l_partkey
       FROM lineitem GROUP BY l_partkey
-      HAVING COUNT(DISTINCT l_suppkey) BETWEEN 2 AND 5
+      HAVING COUNT(DISTINCT l_suppkey) BETWEEN 2 AND 15
     ),
     ps AS (
       SELECT DISTINCT l.l_partkey, l.l_suppkey
@@ -67,9 +67,12 @@ from etl_covid19_brasil_spark.registry import T, cents, query
     "semi-close each wedge against the edge set — every triangle is "
     "found exactly once as u<v<w, all three steps plain equi-joins "
     "(no cartesian). Scale: edge generation fans out per part but the "
-    "2..5-distinct-supplier blocking cap bounds it at C(5,2)=10 pairs "
-    "per part (the same bounded-blocking argument as "
-    "join_fuzzy_blocked); the wedge join's fanout is the ordered "
+    "2..15-distinct-supplier blocking cap bounds it at C(15,2)=105 "
+    "pairs per part (the same bounded-blocking argument as "
+    "join_fuzzy_blocked; the cap is sized so the gate corpora produce "
+    "REAL triangles — the original 2..5 cap matched zero parts at "
+    "every shipped SF, making the check vacuous); the wedge join's "
+    "fanout is the ordered "
     "degree, which the cap also bounds. Per-node counts (not one "
     "global scalar) make the value hash structural.",
 )
@@ -78,7 +81,7 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     cand = (
         li.groupBy("l_partkey")
         .agg(F.count_distinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns").between(2, 5))
+        .filter(F.col("ns").between(2, 15))
         .select("l_partkey")
     )
     ps = li.select("l_partkey", "l_suppkey").distinct().join(cand, "l_partkey")
@@ -1295,4 +1298,153 @@ def dq_winsorize_clip(spark: SparkSession, sf: str) -> DataFrame:
                 "sum_winsor_cents"
             ),
         )
+    )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle="""
+    WITH RECURSIVE cand AS (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey
+      HAVING COUNT(DISTINCT l_suppkey) BETWEEN 2 AND 15
+    ),
+    ps AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l JOIN cand c ON l.l_partkey = c.l_partkey
+    ),
+    half AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    ),
+    edges AS (SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half),
+    srcs AS (SELECT DISTINCT u AS node FROM edges WHERE u % 10 = 3),
+    bfs(node, lvl) AS (
+      SELECT node, CAST(0 AS BIGINT) AS lvl FROM srcs
+      UNION
+      SELECT e.v, b.lvl + 1 FROM bfs b JOIN edges e ON e.u = b.node
+      WHERE b.lvl < 4
+    )
+    SELECT node AS suppkey, CAST(MIN(lvl) AS BIGINT) AS bfs_level
+    FROM bfs GROUP BY node
+    """,
+    section="2.4",
+    doc="Multi-source BFS levels over the co-supply graph (seed-set "
+    "expansion: 'everything within 4 hops of these suppliers' — the "
+    "neighborhood/blast-radius primitive next to pagerank's "
+    "centrality, concomp's partition and triangle_count's clustering). "
+    "Iterative frontier expansion, 4 fixed rounds: frontier joins the "
+    "edge list, new nodes are anti-joined against the visited set and "
+    "stamped with the round number = their MINIMUM hop distance. Each "
+    "round is one equi-join + one anti-join; localCheckpoint per round "
+    "keeps the plan from growing a join per iteration (the pagerank "
+    "pattern) and the frontier only ever shrinks toward the fringe. "
+    "The oracle is a recursive CTE with UNION dedup — DuckDB's "
+    "fixpoint semantics against Spark's explicit loop, two genuinely "
+    "different evaluation strategies agreeing on the hash. Scale: "
+    "rounds are O(diameter-capped); per-round cost is |frontier "
+    "adjacency|, never |V|x|E|.",
+)
+def graph_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    cand = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns").between(2, 15))
+        .select("l_partkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct().join(cand, "l_partkey")
+    a, b = ps.alias("a"), ps.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    frontier = (
+        edges.select("u").distinct()
+        .filter(F.col("u") % 10 == 3)
+        .select(F.col("u").alias("node"))
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier.select("node", F.lit(0).cast("long").alias("bfs_level"))
+    for lvl in range(1, 5):
+        nxt = (
+            frontier.join(edges, F.col("node") == F.col("u"))
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(
+            nxt.select("node", F.lit(lvl).cast("long").alias("bfs_level"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select(F.col("node").alias("suppkey"), "bfs_level")
+
+
+@query(
+    "win_ewma_truncated",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, rev,
+             """ + ",\n             ".join(
+                 f"LAG(rev, {k}) OVER (ORDER BY day) AS l{k}" for k in range(8)
+             ) + """
+      FROM daily
+    )
+    SELECT day, rev,
+           ("""
+           + " + ".join(f"COALESCE(l{k}, 0) * {128 >> k}" for k in range(8))
+           + """) * 1000
+           // ("""
+           + " + ".join(
+               f"CASE WHEN l{k} IS NOT NULL THEN {128 >> k} ELSE 0 END"
+               for k in range(8)
+           )
+           + """) AS ewma_milli_cents
+    FROM lagged
+    """,
+    section="2.5",
+    doc="Truncated exponentially-weighted moving average (alpha = 1/2, "
+    "8 taps) of the daily revenue series — the smoothing pass real "
+    "monitoring uses where the plain moving average lags too hard. "
+    "The geometric weights 128,64,...,1 are exact powers of two, the "
+    "numerator and the present-tap denominator are exact int64 sums, "
+    "and the result is one integer floor-division in milli-cents — so "
+    "the recursive definition (not expressible as an associative "
+    "window aggregate) becomes 8 LAG taps with NO double anywhere. "
+    "Partial windows at the series head renormalize over the taps "
+    "that exist (denominator sums only present weights) instead of "
+    "biasing toward zero. Per-day aggregate first; the window runs on "
+    "|days| rows (ts_acf pattern) — a 100 TB deployment partitions "
+    "the same taps by series key.",
+)
+def win_ewma_truncated(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        T(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day", "rev", *[F.lag("rev", k).over(w).alias(f"l{k}") for k in range(8)]
+    )
+    num = " + ".join(f"coalesce(l{k}, 0L) * {128 >> k}" for k in range(8))
+    den = " + ".join(
+        f"CASE WHEN l{k} IS NOT NULL THEN {128 >> k} ELSE 0 END" for k in range(8)
+    )
+    return lagged.select(
+        "day", "rev", F.expr(f"(({num}) * 1000) DIV ({den})").alias("ewma_milli_cents")
     )

@@ -645,3 +645,47 @@ def scan_json_rescue(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("clean_value_sum"),
     )
+
+
+@query(
+    "scan_parquet_merge_schema",
+    oracle="""
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_with_name_len,
+           CAST(SUM(length(n_name)) AS BIGINT) AS name_len_sum,
+           CAST(2 AS BIGINT) AS n_batches
+    FROM nation
+    """,
+    section="2.1",
+    doc="Schema-evolution scan over a parquet lake: batch=1 was written "
+    "before the n_name_len column existed, batch=2 after; the read "
+    "declares option(mergeSchema) so Spark reconciles the per-file "
+    "footers into the union schema (old files surface the new column "
+    "as NULL — no backfill rewrite, the additive-evolution contract "
+    "every long-lived lake relies on) and partition discovery "
+    "recovers the batch id from the directory name. The audit proves "
+    "the old rows are present, NULL-padded, and the new column's "
+    "values survived. set_union_evolved_schema covers the same "
+    "contract DataFrame-side; this is the STORAGE-side twin. Note "
+    "mergeSchema costs a footer read per file — at 100 TB pin the "
+    "merged schema in a catalog and pass it explicitly; this scan "
+    "shape is the migration-window fallback.",
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "nation")
+    path = _scratch("merge_schema_lake", sf)
+    src.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        path + "/batch=1"
+    )
+    src.select(
+        "n_nationkey",
+        "n_name",
+        F.length("n_name").cast("long").alias("n_name_len"),
+    ).write.mode("overwrite").parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_name_len").alias("n_with_name_len"),
+        F.sum("n_name_len").alias("name_len_sum"),
+        F.countDistinct("batch").alias("n_batches"),
+    )

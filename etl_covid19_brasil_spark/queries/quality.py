@@ -1008,3 +1008,61 @@ def corpus_upsample_weighted(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         F.explode(F.sequence(F.lit(1).cast("long"), F.col("copies"))).alias("copy_idx"),
     )
+
+
+@query(
+    "sample_temporal_split",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(ts) AS DATE) + 21 AS cutoff FROM events),
+    e AS (SELECT user_id, CAST(ts AS DATE) < cutoff AS is_train FROM events, b),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS nv
+      FROM e GROUP BY user_id
+    )
+    SELECT (SELECT cutoff FROM b) AS cutoff,
+           CAST(SUM(nt) AS BIGINT) AS n_train,
+           CAST(SUM(nv) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_users,
+           CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS test_users,
+           CAST(SUM(CASE WHEN nt > 0 AND nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leak_users
+    FROM u
+    """,
+    section="2.10",
+    doc="Temporal train/test split with a LEAKAGE audit — the eval-set "
+    "discipline every model pipeline needs: the cutoff is derived "
+    "in-engine (first event date + 21 days), events partition into "
+    "train (before) and test (at/after) by local calendar date, and "
+    "the audit counts users appearing on BOTH sides — the population "
+    "whose test rows leak training-time signal (user-level "
+    "contamination, the temporal sibling of "
+    "decontaminate_ngram_overlap's content-level check). One "
+    "user-keyed aggregate + one scalar rollup; the cutoff rides a "
+    "one-row crossJoin (dq_freshness_lag pattern). Disjoint-by-user "
+    "splits would swap the date predicate for sample_hash_split's "
+    "hash band — this query MEASURES why: leak_users > 0 quantifies "
+    "the overlap a purely temporal cut leaves.",
+)
+def sample_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select("user_id", "ts")
+    b = e.agg(F.date_add(F.to_date(F.min("ts")), 21).alias("cutoff"))
+    per_user = (
+        e.crossJoin(b)
+        .withColumn("is_train", F.to_date("ts") < F.col("cutoff"))
+        .groupBy("user_id", "cutoff")
+        .agg(
+            F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("nv"),
+        )
+    )
+    return per_user.groupBy("cutoff").agg(
+        F.sum("nt").cast("long").alias("n_train"),
+        F.sum("nv").cast("long").alias("n_test"),
+        F.sum(F.when(F.col("nt") > 0, 1).otherwise(0)).cast("long").alias("train_users"),
+        F.sum(F.when(F.col("nv") > 0, 1).otherwise(0)).cast("long").alias("test_users"),
+        F.sum(F.when((F.col("nt") > 0) & (F.col("nv") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("leak_users"),
+    )
