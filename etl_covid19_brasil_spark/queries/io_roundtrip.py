@@ -44,7 +44,7 @@ from pyspark.sql.types import StructType
 
 from etl_covid19_brasil_spark import io
 from etl_covid19_brasil_spark.etl import covid_pipeline, ibge_pipeline
-from etl_covid19_brasil_spark.registry import T, query
+from etl_covid19_brasil_spark.registry import T, cents, query
 
 _SCRATCH = "/tmp/etl_spark_roundtrip"
 
@@ -688,4 +688,102 @@ def scan_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
         F.count("n_name_len").alias("n_with_name_len"),
         F.sum("n_name_len").alias("name_len_sum"),
         F.countDistinct("batch").alias("n_batches"),
+    )
+
+
+@query(
+    "sink_bucketed_join_colocated",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    section="2.1",
+    doc="Bucketed-table CO-LOCATED join — the shuffle-elimination "
+    "mechanism the 100 TB design leans on: both sides are written with "
+    "bucketBy(8, key) + sortBy(key) (external tables, explicit paths), "
+    "so at read time Spark knows rows with equal keys share a bucket "
+    "file index and plans the SortMergeJoin with NO Exchange on either "
+    "side (pinned in tests/test_plans.py). Pre-shuffling once at write "
+    "time amortizes the join shuffle across every downstream query — "
+    "the batch sibling of join_broadcast (which eliminates the "
+    "shuffle only while the dim stays small). The audit is the plain "
+    "segment revenue rollup, hash-identical to an unbucketed join.",
+)
+def sink_bucketed_join_colocated(spark: SparkSession, sf: str) -> DataFrame:
+    tag = Path(sf).name.replace(".", "_")
+    o_name, c_name = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    o = T(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    for df, name, key in ((o, o_name, "o_custkey"), (c, c_name, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _scratch(name, sf))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    ob, cb = spark.table(o_name), spark.table(c_name)
+    # hint("merge"): at test SFs the dim fits the auto-broadcast
+    # threshold and Catalyst would pick BroadcastHashJoin, never touching
+    # the bucket layout; at 100 TB both sides exceed it and SortMergeJoin
+    # is what Catalyst picks anyway — the hint makes the test exercise
+    # the plan the design is about (no Exchange on either bucketed side).
+    return (
+        ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT CAST(64 AS BIGINT) AS files_before,
+           CAST(4 AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    """,
+    section="2.1",
+    doc="Small-file compaction as lake maintenance: orders is landed as "
+    "64 deliberately tiny files (the shape a per-trigger streaming "
+    "sink accretes), then compact_parquet rewrites it to 4 balanced "
+    "files through a staged directory swap (crash-safe: two renames "
+    "with a recovery copy). The audit proves the operation is "
+    "metadata-only from the data's perspective — file count drops "
+    "16x, row count and the cents checksum are byte-preserved. At "
+    "scan time each file costs a task plus footer/open overhead, so "
+    "periodic compaction keeps a 100 TB scan sized by bytes, not by "
+    "file count.",
+)
+def sink_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.io import compact_parquet
+
+    src = T(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    path = _scratch("compact_lake", sf)
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    n_before = len([p for p in Path(path).glob("*.parquet")])
+    compact_parquet(spark, path, target_files=4)
+    n_after = len([p for p in Path(path).glob("*.parquet")])
+    return (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .select(
+            F.lit(n_before).cast("long").alias("files_before"),
+            F.lit(n_after).cast("long").alias("files_after"),
+            "n_rows",
+            "total_cents",
+        )
     )

@@ -470,3 +470,15 @@ def test_id_assign_data_never_moves_to_single_partition(spark, specs):
     assert len(single) <= 1, p
     hash_ex = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
     assert hash_ex and all("pid" in ln for ln in hash_ex), p
+
+
+def test_bucketed_join_has_no_join_key_exchange(spark, specs):
+    """sink_bucketed_join_colocated's whole point: both sides written
+    bucketBy(8, key) so the SortMergeJoin consumes the bucket layout
+    directly — the ONLY hash exchange in the plan is the downstream
+    groupBy on c_mktsegment, never o_custkey/c_custkey."""
+    p = plan_of(q(specs, spark, "sink_bucketed_join_colocated"))
+    assert "SortMergeJoin" in p, p
+    assert p.count("Bucketed: true") == 2, p
+    hash_ex = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert all("custkey" not in ln for ln in hash_ex), hash_ex
