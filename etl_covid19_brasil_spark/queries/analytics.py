@@ -1448,3 +1448,91 @@ def win_ewma_truncated(spark: SparkSession, sf: str) -> DataFrame:
     return lagged.select(
         "day", "rev", F.expr(f"(({num}) * 1000) DIV ({den})").alias("ewma_milli_cents")
     )
+
+
+@query(
+    "events_survival_curve",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             MIN(CAST(e.ts AS DATE) - CAST(s.t0 AS DATE)) AS cd
+      FROM events e JOIN s0 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+      GROUP BY e.user_id
+    ),
+    cal AS (SELECT CAST(unnest(range(0, 15)) AS BIGINT) AS day),
+    cc AS (SELECT cd, CAST(COUNT(*) AS BIGINT) AS n FROM conv GROUP BY cd),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s0)
+    SELECT day,
+           COALESCE(cc.n, 0) AS n_converted_day,
+           CAST(SUM(COALESCE(cc.n, 0)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_converted_cum,
+           CAST(n.total - SUM(COALESCE(cc.n, 0)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_surviving,
+           CAST((n.total - SUM(COALESCE(cc.n, 0)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000
+             // n.total AS BIGINT) AS survival_ppm
+    FROM cal LEFT JOIN cc ON cc.cd = cal.day, n
+    """,
+    section="2.5",
+    doc="Time-to-event survival table (signup -> first purchase, 14-day "
+    "horizon): per signup cohort member, days until the first "
+    "at-or-after-signup purchase; per horizon day, the hazard "
+    "(conversions that day), cumulative conversions, survivors still "
+    "unconverted and the survival fraction in integer ppm — the "
+    "Kaplan-Meier-shaped at-risk table (no censoring weights needed: "
+    "one cohort, fixed horizon, users past the horizon simply stay in "
+    "the surviving count). Heavy lifting is two user-keyed aggregates; "
+    "the curve itself is a 15-row calendar joined to the day-count "
+    "table with one running sum — data-sized work never touches the "
+    "calendar. The cohort total rides a one-row crossJoin "
+    "(dq_freshness_lag pattern).",
+)
+def events_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select("user_id", "ts", "event_type")
+    s0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s0, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.datediff(F.to_date("ts"), F.to_date("t0"))).alias("cd"))
+    )
+    cc = conv.groupBy("cd").agg(F.count(F.lit(1)).alias("n"))
+    cal = spark.range(0, 15).select(F.col("id").alias("day"))
+    total = s0.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cal.join(cc, cal.day == cc.cd, "left")
+        .crossJoin(total)
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_converted_day"),
+            "total",
+        )
+        .select(
+            "day",
+            "n_converted_day",
+            F.sum("n_converted_day").over(w).alias("n_converted_cum"),
+            "total",
+        )
+        .select(
+            "day",
+            "n_converted_day",
+            "n_converted_cum",
+            (F.col("total") - F.col("n_converted_cum")).alias("n_surviving"),
+            F.expr("(total - n_converted_cum) * 1000000 DIV total").alias(
+                "survival_ppm"
+            ),
+        )
+    )

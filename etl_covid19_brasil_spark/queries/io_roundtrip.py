@@ -787,3 +787,53 @@ def sink_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
             "total_cents",
         )
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN 2 * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+    section="2.1",
+    doc="Dynamic partition overwrite — the BACKFILL primitive of a "
+    "partitioned lake: with partitionOverwriteMode=dynamic, an "
+    "overwrite-mode write replaces ONLY the partitions present in the "
+    "incoming frame and leaves every other partition untouched (static "
+    "mode would silently drop them — the classic lake data-loss "
+    "footgun). The full orders table lands partitioned by status, then "
+    "a corrected 'P' slice (prices doubled) is overwritten in; the "
+    "audit proves F/O survived byte-identical while P carries the "
+    "correction. The conf is set per-query and restored in a finally "
+    "(session hygiene — the driver reuses one session). At 100 TB "
+    "this is exactly how a bad ingestion day is re-landed without "
+    "rewriting the lake.",
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _scratch("dyn_overwrite_lake", sf)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    try:
+        spark.conf.set(key, "dynamic")
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        fix = src.filter(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        fix.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .select(F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "n", "total_cents")
+    )

@@ -3303,3 +3303,87 @@ def near_dedup_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("inter") * 10 >= F.col("uni") * 7)
         .select("doc_a", "doc_b", F.expr("inter * 1000000 DIV uni").alias("jaccard_ppm"))
     )
+
+
+@query(
+    "near_dedup_containment",
+    oracle=f"""
+    WITH corpus AS ({_O_CORPUS}),
+    t AS (SELECT doc_id, {_O_SHINGLES.format(w='w')} AS sh FROM corpus
+          WHERE doc_id % 1000000 < {_JACCARD_CAP}),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sized AS (
+      SELECT c.doc_a, c.doc_b, c.inter,
+             len(sa.sh) AS sz_a, len(sb.sh) AS sz_b
+      FROM cand c
+      JOIN t sa ON sa.doc_id = c.doc_a
+      JOIN t sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a AS doc_sub, doc_b AS doc_sup,
+           CAST((inter * 1000000) // sz_a AS BIGINT) AS containment_ppm
+    FROM sized WHERE inter * 10 >= sz_a * 9
+    UNION ALL
+    SELECT doc_b AS doc_sub, doc_a AS doc_sup,
+           CAST((inter * 1000000) // sz_b AS BIGINT) AS containment_ppm
+    FROM sized WHERE inter * 10 >= sz_b * 9
+    """,
+    section="2.10",
+    doc="Set CONTAINMENT near-dup detection (threshold 0.9): directed "
+    "pairs where |A∩B|/|A| >= 0.9 — the asymmetric complement of "
+    "Jaccard that catches SUBSET duplication (a document embedded "
+    "whole inside a longer one: quote inclusion, boilerplate "
+    "wrapping, truncated re-crawls), which symmetric Jaccard misses "
+    "whenever the container is much longer than the contained. The "
+    "synthesized corpus makes this concrete: every mutated replica "
+    "(first 3 tokens dropped) is near-fully contained in its source "
+    "while their Jaccard can sit below any dedup threshold. Same "
+    "posting-list candidate join as near_dedup_jaccard (pairs sharing "
+    "no shingle never materialize), then BOTH directions of each "
+    "candidate are tested with integer cross-multiplication and "
+    "reported as integer ppm — no double in the hash. Scale posture "
+    "identical to the jaccard tier; the prefix-filter rewrite applies "
+    "here too with per-side prefix length |A| - ceil(0.9|A|) + 1.",
+)
+def near_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        _near_dup_corpus(spark, sf)
+        .filter(F.col("doc_id") % 1_000_000 < _JACCARD_CAP)
+        .select("doc_id", F.array_distinct(_shingle_hashes(F.col("w"))).alias("sh"))
+        .localCheckpoint(eager=False)  # feeds postings twice + sizing
+    )
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = d.select("doc_id", F.size("sh").cast("long").alias("sz"))
+    sized = (
+        cand.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "inter",
+            F.col("sa.sz").alias("sz_a"), F.col("sb.sz").alias("sz_b"),
+        )
+        .localCheckpoint(eager=False)  # both direction filters read it
+    )
+    fwd = sized.filter(F.col("inter") * 10 >= F.col("sz_a") * 9).select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        F.expr("inter * 1000000 DIV sz_a").alias("containment_ppm"),
+    )
+    rev = sized.filter(F.col("inter") * 10 >= F.col("sz_b") * 9).select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        F.expr("inter * 1000000 DIV sz_b").alias("containment_ppm"),
+    )
+    return fwd.unionByName(rev)
