@@ -1536,3 +1536,46 @@ def events_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_burst_rate_flag",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id
+               ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 43200 PRECEDING AND CURRENT ROW) AS c
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(c) AS BIGINT) AS max_burst_12h,
+           MAX(c) >= 6 AS is_burst
+    FROM b GROUP BY user_id
+    """,
+    section="2.5",
+    doc="Burst-rate (bot/abuse) screen: per user, the maximum number of "
+    "events inside ANY trailing 12-hour window, flagged at >= 6 — the "
+    "rate-anomaly filter run before user-generated data enters a "
+    "training corpus (complements win_sessionize_events' grouping and "
+    "text_repetition_signals' content screen with a BEHAVIORAL one). "
+    "The sliding count is a rangeBetween frame over epoch seconds — "
+    "the calendar-correct form; a rowsBetween frame would measure "
+    "event count, not time (win_moving_avg's calendar lesson). Both "
+    "engines floor the epoch to whole seconds before the range "
+    "compare (DuckDB's epoch() returns fractional seconds; Spark's "
+    "unix_timestamp truncates — unfloored, boundary rows diverge). "
+    "One user-keyed shuffle serves the frame and the per-user rollup.",
+)
+def events_burst_rate_flag(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-43200, 0)
+    b = e.select("user_id", F.count(F.lit(1)).over(w).alias("c"))
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("c").cast("long").alias("max_burst_12h"),
+        (F.max("c") >= 6).alias("is_burst"),
+    )

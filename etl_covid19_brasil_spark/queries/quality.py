@@ -1066,3 +1066,79 @@ def sample_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("leak_users"),
     )
+
+
+@query(
+    "corpus_token_apportion",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CAST(SUM(len(string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g')), ' +'))) AS BIGINT) AS toks
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM s),
+    q AS (
+      SELECT s.lang, s.toks,
+             (100000 * s.toks) // t.total AS floor_q,
+             (100000 * s.toks) % t.total AS rem
+      FROM s, t
+    ),
+    k AS (SELECT CAST(100000 - SUM(floor_q) AS BIGINT) AS leftover FROM q),
+    r AS (
+      SELECT lang, toks, floor_q,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM q
+    )
+    SELECT r.lang, r.toks,
+           CAST(r.floor_q + CASE WHEN r.rk <= k.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM r, k
+    """,
+    section="2.10",
+    doc="Token-budget apportionment by the largest-remainder (Hamilton) "
+    "method: a 100k-token budget is split across languages "
+    "proportionally to their corpus token mass — integer floor quotas "
+    "first, then the leftover units go to the largest fractional "
+    "remainders (deterministic lang tie-break), so the allocations sum "
+    "EXACTLY to the budget with no float rounding drift (naive "
+    "round(budget*share) over- or under-shoots). This is the planning "
+    "step corpus_mix_weighted's sampling executes and "
+    "corpus_upsample_weighted materializes. One corpus aggregate; the "
+    "quota arithmetic runs on |langs| rows (scalar totals ride one-row "
+    "crossJoins; the remainder rank is a window over |langs| rows, "
+    "never data-sized).",
+)
+def corpus_token_apportion(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")), " +"
+        )
+    ).cast("long")
+    s = (
+        T(spark, sf, "documents")
+        .select("lang", toks.alias("tk"))
+        .groupBy("lang")
+        .agg(F.sum("tk").alias("toks"))
+    )
+    t = s.agg(F.sum("toks").alias("total"))
+    q = s.crossJoin(t).select(
+        "lang",
+        "toks",
+        F.expr("(100000 * toks) DIV total").alias("floor_q"),
+        F.expr("(100000 * toks) % total").alias("rem"),
+    )
+    k = q.agg((F.lit(100000) - F.sum("floor_q")).cast("long").alias("leftover"))
+    r = q.select(
+        "lang",
+        "toks",
+        "floor_q",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "lang")).alias("rk"),
+    )
+    return r.crossJoin(k).select(
+        "lang",
+        "toks",
+        (F.col("floor_q") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
