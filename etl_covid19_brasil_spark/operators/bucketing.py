@@ -25,15 +25,21 @@ def write_bucketed(
     num_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` hash-bucketed (and optionally sorted) on
     ``bucket_cols``. Joins/aggregations between tables bucketed identically
     on the join key skip their shuffles; sorted buckets also skip the
-    sort-merge sort.
+    sort-merge sort. With ``path`` the table is EXTERNAL (data at the
+    given location, bucket metadata still in the catalog) — the form the
+    registered sink_bucketed_join_colocated query uses so its data lands
+    in per-SF scratch space instead of the warehouse dir.
     """
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -716,16 +716,14 @@ def scan_parquet_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
 def sink_bucketed_join_colocated(spark: SparkSession, sf: str) -> DataFrame:
     tag = Path(sf).name.replace(".", "_")
     o_name, c_name = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    from etl_covid19_brasil_spark.operators.bucketing import write_bucketed
+
     o = T(spark, sf, "orders").select("o_custkey", "o_totalprice")
     c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     for df, name, key in ((o, o_name, "o_custkey"), (c, c_name, "c_custkey")):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.bucketBy(8, key)
-            .sortBy(key)
-            .option("path", _scratch(name, sf))
-            .mode("overwrite")
-            .saveAsTable(name)
+        write_bucketed(
+            df, name, [key], num_buckets=8, sort_cols=[key], path=_scratch(name, sf)
         )
     ob, cb = spark.table(o_name), spark.table(c_name)
     # hint("merge"): at test SFs the dim fits the auto-broadcast
