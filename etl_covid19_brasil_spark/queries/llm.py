@@ -3387,3 +3387,38 @@ def near_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("inter * 1000000 DIV sz_b").alias("containment_ppm"),
     )
     return fwd.unionByName(rev)
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY doc_id, bucket
+    """,
+    section="2.10",
+    doc="Hashing-trick featurization: tokens map straight to a fixed "
+    "64-dim count vector by content hash — no vocabulary pass, no "
+    "fit/transform state, memory independent of vocabulary size (the "
+    "property that makes it the streaming/OOV-proof alternative to "
+    "TF-IDF's two-pass vocabulary build in doc_top_terms_tfidf). "
+    "Collisions are the accepted trade (two tokens sharing a bucket "
+    "add their counts) and at 100 TB the dim is raised, not the "
+    "algorithm changed. The bucket is the md5-slot idiom "
+    "(sample_stratified_hash) so both engines hash identically; "
+    "map-side explode + one (doc, bucket) aggregate, output bounded "
+    "by docs x 64.",
+)
+def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    d = _spread(spark, T(spark, sf, "documents"))
+    bucket = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long") % 64
+    return (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -568,3 +568,30 @@ def user_inactivity_timeouts_pandas_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_backfill_available_now(
+    df: DataFrame, name: str, mode: str = "complete", timeout_seconds: float = 120.0
+) -> bool:
+    """Trigger.AvailableNow catch-up run — the BACKFILL mode of a
+    streaming job: process everything pending at start as a bounded
+    sequence of micro-batches (still honoring source rate limits like
+    maxFilesPerTrigger, unlike the deprecated one-shot Trigger.Once),
+    then terminate on its own. This is how a stopped pipeline replays a
+    gap or a new deployment bootstraps state before switching to a
+    continuous trigger — same plan, same checkpoint, different trigger.
+    Returns True when the query ended by itself within the timeout (the
+    bounded-backfill contract); on False the caller gets a stopped query
+    and a failed assertion.
+    """
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+    return finished

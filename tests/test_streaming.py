@@ -485,3 +485,18 @@ def test_windowed_topk_stream_matches_batch(spark, stream_events):
         )
     finally:
         q.stop()
+
+
+def test_available_now_backfill_drains_and_terminates(spark, stream_events, batch_events):
+    """Trigger.AvailableNow: the job must consume ALL files pending at
+    start (multiple micro-batches under maxFilesPerTrigger=1), produce
+    exactly the batch answer, and terminate WITHOUT an external stop —
+    the bounded-backfill contract that distinguishes it from a
+    continuous trigger."""
+    finished = jobs.run_backfill_available_now(
+        jobs.tumbling_counts(stream_events), "t_backfill_avnow"
+    )
+    assert finished, "AvailableNow query did not self-terminate"
+    got = _sorted(spark.table("t_backfill_avnow").toPandas())
+    want = _sorted(jobs.tumbling_counts(batch_events).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
