@@ -1579,3 +1579,108 @@ def events_burst_rate_flag(spark: SparkSession, sf: str) -> DataFrame:
         F.max("c").cast("long").alias("max_burst_12h"),
         (F.max("c") >= 6).alias("is_burst"),
     )
+
+
+@query(
+    "agg_count_of_counts",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    section="2.4",
+    doc="Customer-distribution histogram (the TPC-H Q13 shape): customers "
+    "bucketed by how many non-urgent orders they placed, INCLUDING the "
+    "zero bucket — which forces the left join before the first "
+    "aggregate (an inner join silently drops never-ordered customers; "
+    "COUNT(o_orderkey) vs COUNT(*) is what makes the empty match count "
+    "0, the classic outer-join-count trap). Double aggregation: the "
+    "first groupBy shuffles on the customer key, the second on the "
+    "count value — whose domain is tiny, so the second shuffle moves "
+    "|distinct counts| partial rows. The join itself is "
+    "dim-to-fact equi on the customer key.",
+)
+def agg_count_of_counts(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select("c_custkey")
+    o = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    d AS (
+      SELECT user_id, v_cents,
+             CAST(FLOOR(epoch(next_ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur_s
+      FROM s WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           CAST(SUM(v_cents * dur_s) * 1000 // SUM(dur_s) AS BIGINT)
+             AS twap_milli_cents
+    FROM d GROUP BY user_id
+    """,
+    section="2.5",
+    doc="Time-weighted average (TWAP) over IRREGULAR samples: each click "
+    "value holds until the user's next click, so it is weighted by its "
+    "holding duration — the correct average for unevenly-sampled "
+    "series (sensor readings, account balances, prices), where the "
+    "row-weighted mean over-counts burst periods. One LEAD window per "
+    "user supplies the interval end; the weighted sum is exact int64 "
+    "(cents x whole seconds, both engines floor the epoch — "
+    "events_burst_rate_flag's lesson) and the final ratio is one "
+    "integer milli division. Last sample per user is open-ended and "
+    "excluded (no duration exists). One user-keyed shuffle serves the "
+    "window and the rollup.",
+)
+def win_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        T(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id", "v_cents", "ts", F.lead("ts").over(w).alias("next_ts")
+    ).filter(F.col("next_ts").isNotNull())
+    d = s.select(
+        "user_id",
+        "v_cents",
+        (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("dur_s"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_s").alias("total_s"),
+        F.expr("sum(v_cents * dur_s) * 1000 DIV sum(dur_s)").alias(
+            "twap_milli_cents"
+        ),
+    )
