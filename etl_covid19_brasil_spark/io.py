@@ -116,6 +116,26 @@ def scan_http_json(
     ingest pattern. With an explicit ``schema`` the payload goes through
     ``from_json`` directly — no landing file, no inference pass.
     """
+    body = _fetch_with_retries(
+        url, fetch, retries=retries, backoff_base_sec=backoff_base_sec, sleep=sleep
+    )
+    records = json.loads(body)
+    if not isinstance(records, list):
+        records = [records]
+    return _land_json_rows(spark, records, schema=schema, landing_dir=landing_dir)
+
+
+def _fetch_with_retries(
+    url: str,
+    fetch: Any = None,
+    retries: int = 3,
+    backoff_base_sec: float = 0.5,
+    sleep: Any = None,
+) -> str:
+    """One GET with the DAG's default_args retry semantics
+    (dags/create-data-lake.py:8-14): bounded exponential backoff,
+    injectable fetch and sleep, final failure re-raises the fetch's own
+    exception. Shared by the single-shot and paginated HTTP sources."""
     if fetch is None:
 
         def fetch(u: str) -> str:
@@ -131,16 +151,25 @@ def scan_http_json(
 
     for attempt in range(retries + 1):
         try:
-            body = fetch(url)
-            break
+            return fetch(url)
         except Exception:
             if attempt == retries:
                 raise
             sleep(backoff_base_sec * (2**attempt))
+    raise AssertionError("unreachable")
 
-    records = json.loads(body)
-    if not isinstance(records, list):
-        records = [records]
+
+def _land_json_rows(
+    spark: SparkSession,
+    records: list,
+    schema: StructType | None = None,
+    landing_dir: str | None = None,
+) -> DataFrame:
+    """Turn parsed JSON rows into a DataFrame: explicit ``schema`` goes
+    through ``from_json`` directly; schema-less rows are LANDED as a
+    JSONL file and scanned with ``spark.read.json`` (full multi-row
+    inference, re-runnable from disk — the lake land-then-scan pattern,
+    no deprecated ``.rdd`` hop)."""
     if schema is not None:
         import pyspark.sql.functions as F
 
@@ -646,3 +675,50 @@ def register_jsonl_sink(spark: SparkSession) -> None:
             return _Writer(self.options, overwrite)
 
     spark.dataSource.register(_JsonlSink)
+
+
+def scan_http_json_paged(
+    spark: SparkSession,
+    url: str,
+    schema: StructType | None = None,
+    fetch: Any = None,
+    page_param: str = "page",
+    page_size_param: str = "per_page",
+    page_size: int = 100,
+    max_pages: int = 1000,
+    retries: int = 3,
+    backoff_base_sec: float = 0.5,
+    sleep: Any = None,
+    landing_dir: str | None = None,
+) -> DataFrame:
+    """Paginated REST ingest: GET ``url?page=N&per_page=K`` for N = 1, 2,
+    ... until a page returns an empty array (or ``max_pages`` trips the
+    runaway guard), then scan the concatenated payload exactly like
+    :func:`scan_http_json` — per-page retries with the same bounded
+    backoff, landed as one JSONL (one file, pages concatenated in fetch
+    order) for the schema-less path or parallelized through ``from_json``
+    with an explicit ``schema``.
+
+    Driver-side by design, same argument as scan_http_json: public REST
+    dimensions (the IBGE localidades API this mirrors serves ~5,570
+    municipality rows) are dim-sized, and the page loop is inherently
+    sequential (page N's emptiness decides whether N+1 exists). A
+    100 TB-scale source would come through Kafka/files instead — this is
+    the long tail of small lookup feeds every lake still has to ingest.
+    """
+    import json as _json
+    import urllib.parse
+
+    pages: list[list] = []
+    for page_no in range(1, max_pages + 1):
+        sep = "&" if "?" in url else "?"
+        page_url = f"{url}{sep}{urllib.parse.urlencode({page_param: page_no, page_size_param: page_size})}"
+        payload = _fetch_with_retries(
+            page_url, fetch, retries=retries, backoff_base_sec=backoff_base_sec, sleep=sleep
+        )
+        rows = _json.loads(payload) if isinstance(payload, (str, bytes)) else payload
+        if not rows:
+            break
+        pages.append(rows)
+    flat = [row for page in pages for row in page]
+    return _land_json_rows(spark, flat, schema=schema, landing_dir=landing_dir)

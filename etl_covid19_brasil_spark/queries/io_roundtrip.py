@@ -835,3 +835,103 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "n", "total_cents")
     )
+
+
+@query(
+    "etl_ibge_pagination_http",
+    oracle="""
+    SELECT n_nationkey AS id,
+           n_name AS nome,
+           r_regionkey AS "regiao.id",
+           r_name AS "regiao.sigla",
+           TRUE AS audit_ok
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    section="2.1",
+    doc="Paginated REST ingest (io.py:scan_http_json_paged): the same "
+    "IBGE-shaped dimension as etl_ibge_pipeline_http, but served 10 "
+    "rows per page through an injectable fetch that parses the page "
+    "query parameter — the loop follows page=1,2,... until the first "
+    "empty page (the standard REST cursor contract; a max_pages guard "
+    "stops runaway APIs that never return empty). Per-page fetches "
+    "carry the same bounded-backoff retry as the single-shot source. "
+    "Proves the concatenated landing equals the unpaginated relation "
+    "exactly — no dropped tail page, no duplicated boundary row.",
+)
+def etl_ibge_pagination_http(spark: SparkSession, sf: str) -> DataFrame:
+    import urllib.parse
+
+    dims = (
+        T(spark, sf, "nation")
+        .join(T(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_regionkey", "r_name")
+        .collect()
+    )
+    records = [
+        {
+            "id": r.n_nationkey,
+            "nome": r.n_name,
+            "regiao": {"id": r.r_regionkey, "sigla": r.r_name},
+        }
+        for r in sorted(dims, key=lambda r: r.n_nationkey)
+    ]
+
+    def fetch(u: str) -> str:
+        qs = urllib.parse.parse_qs(urllib.parse.urlparse(u).query)
+        page = int(qs["page"][0])
+        size = int(qs["per_page"][0])
+        return json.dumps(records[(page - 1) * size : page * size])
+
+    raw = io.scan_http_json_paged(
+        spark, "http://ibge.test/localidades", fetch=fetch, page_size=10
+    )
+    out = ibge_pipeline(raw)
+    return out.select(
+        F.col("id"),
+        F.col("nome"),
+        F.col("`regiao.id`"),
+        F.col("`regiao.sigla`"),
+        F.col("created_at_datalake").isNotNull().alias("audit_ok"),
+    )
+
+
+@query(
+    "sink_scan_csv_multiline_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           n_name || chr(10) || 'line2 of ' || CAST(n_nationkey AS VARCHAR)
+             AS note,
+           n_regionkey
+    FROM nation
+    """,
+    section="2.1",
+    doc="CSV with EMBEDDED NEWLINES: a text field containing a literal "
+    "line break round-trips through quoted CSV only when the reader "
+    "parses records, not lines — option(multiLine) is that switch; the "
+    "default line-split reader would shred every record in two. The "
+    "scale trade is real and documented: multiLine CSV cannot be "
+    "split at arbitrary byte offsets (a split boundary can't tell a "
+    "record separator from a quoted newline), so each file parses "
+    "whole, like the gzip-CSV case (sink_scan_csv_gzip_roundtrip) — "
+    "land such feeds to parquet before heavy processing. Quoting and "
+    "escaping are Spark's writer defaults; the oracle rebuilds the "
+    "expected relation with chr(10) directly.",
+)
+def sink_scan_csv_multiline_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "nation").select(
+        "n_nationkey",
+        F.concat(
+            F.col("n_name"),
+            F.lit("\nline2 of "),
+            F.col("n_nationkey").cast("string"),
+        ).alias("note"),
+        "n_regionkey",
+    )
+    path = _scratch("csv_multiline", sf)
+    src.write.mode("overwrite").option("header", False).csv(path)
+    return (
+        spark.read.schema(src.schema)
+        .option("header", False)
+        .option("multiLine", True)
+        .csv(path)
+    )

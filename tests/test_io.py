@@ -386,3 +386,43 @@ def test_fixed_width_roundtrip_negative_and_padding(spark, tmp_path):
     )
     got = {(r["k"], r["s"]) for r in back.collect()}
     assert got == {(-42, "a b"), (7, "x")}
+
+
+def test_paged_http_source_follows_pages_and_retries(spark):
+    """scan_http_json_paged: follows page=1,2,... until the first empty
+    page, concatenates in order, survives a transient per-page failure
+    via the shared retry path, and the max_pages guard stops a source
+    that never returns empty."""
+    import json as _json
+    import urllib.parse
+
+    from etl_covid19_brasil_spark.io import scan_http_json_paged
+
+    rows = [{"id": i, "v": f"r{i}"} for i in range(25)]
+    calls = {"n": 0, "failed_once": False}
+
+    def fetch(u: str) -> str:
+        calls["n"] += 1
+        qs = urllib.parse.parse_qs(urllib.parse.urlparse(u).query)
+        page, size = int(qs["page"][0]), int(qs["per_page"][0])
+        if page == 2 and not calls["failed_once"]:
+            calls["failed_once"] = True
+            raise ConnectionError("transient")
+        return _json.dumps(rows[(page - 1) * size : page * size])
+
+    got = scan_http_json_paged(
+        spark, "http://fixture/api", fetch=fetch, page_size=10, sleep=lambda _s: None
+    )
+    ids = sorted(r.id for r in got.collect())
+    assert ids == list(range(25))
+    # pages fetched: 1, 2(fail), 2(retry), 3, 4(empty) = 5 calls
+    assert calls["n"] == 5
+    assert calls["failed_once"]
+
+    def never_empty(u: str) -> str:
+        return _json.dumps([{"id": 0, "v": "x"}])
+
+    capped = scan_http_json_paged(
+        spark, "http://fixture/api", fetch=never_empty, page_size=10, max_pages=7
+    )
+    assert capped.count() == 7  # runaway guard: exactly max_pages pages
