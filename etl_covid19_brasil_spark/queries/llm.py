@@ -3422,3 +3422,74 @@ def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH ex AS (
+      SELECT unnest({_O_TOKENS}) AS token FROM documents
+    ),
+    tf AS (SELECT token, COUNT(*) AS n FROM ex GROUP BY token),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk FROM tf
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf),
+    ks AS (SELECT CAST(unnest([100, 300, 1000, 3000]) AS BIGINT) AS k)
+    SELECT k.k AS vocab_size,
+           CAST(SUM(CASE WHEN r.rk <= k.k THEN r.n ELSE 0 END) AS BIGINT)
+             AS covered_occurrences,
+           CAST(SUM(CASE WHEN r.rk <= k.k THEN r.n ELSE 0 END) * 1000000
+                // t.total AS BIGINT) AS coverage_ppm
+    FROM ks k, ranked r, tot t
+    GROUP BY k.k, t.total
+    """,
+    section="2.10",
+    doc="Vocabulary coverage curve: the fraction of token OCCURRENCES "
+    "captured by the k most frequent types, for k in {100, 300, 1000, "
+    "3000} — the statistic that sizes a tokenizer vocabulary (Heaps' "
+    "growth in corpus_vocab_growth counts how many NEW types appear; "
+    "this counts how much of the STREAM the head types already cover, "
+    "the other axis of the same decision; with corpus_zipf_slope the "
+    "three corpus laws are all measured). Frequency ranking breaks "
+    "ties deterministically by token. One token-count shuffle; the "
+    "rank window runs over the vocabulary (type count, not token "
+    "count) and the 4-row k table joins against it — at 100 TB the "
+    "window partitions by frequency band first (the vocabulary-bounded "
+    "window argument of corpus_vocab_growth).",
+)
+def corpus_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    d = _spread(spark, T(spark, sf, "documents"))
+    tf = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = tf.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "token"))
+        .alias("rk"),
+    )
+    tot = tf.agg(F.sum("n").alias("total"))
+    ks = spark.range(0, 4).select(
+        F.element_at(
+            F.array(F.lit(100), F.lit(300), F.lit(1000), F.lit(3000)),
+            (F.col("id") + 1).cast("int"),
+        ).cast("long").alias("k")
+    )
+    return (
+        ks.crossJoin(ranked)
+        .crossJoin(tot)
+        .groupBy(F.col("k").alias("vocab_size"), "total")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("covered_occurrences")
+        )
+        .select(
+            "vocab_size",
+            "covered_occurrences",
+            F.expr("covered_occurrences * 1000000 DIV total").alias("coverage_ppm"),
+        )
+    )
