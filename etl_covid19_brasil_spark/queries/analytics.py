@@ -1684,3 +1684,60 @@ def win_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
             "twap_milli_cents"
         ),
     )
+
+
+@query(
+    "events_active_users_rolling",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d AS day FROM act),
+    dau AS (
+      SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM act GROUP BY d
+    ),
+    wau AS (
+      SELECT day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+      FROM days JOIN act a ON a.d BETWEEN day - 6 AND day GROUP BY day
+    ),
+    mau AS (
+      SELECT day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau
+      FROM days JOIN act a ON a.d BETWEEN day - 27 AND day GROUP BY day
+    )
+    SELECT day, dau.dau, wau.wau, mau.mau
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
+    section="2.4",
+    doc="DAU/WAU/MAU — daily, trailing-7-day and trailing-28-day distinct "
+    "active users per observed day. The scalable formulation is the "
+    "EXPLODE-TO-WINDOW trick: each (user, active-day) pair is emitted "
+    "to every day whose trailing window it falls in (bounded map-side "
+    "fanout of 7 or 28 rows carrying only user+day), then one distinct "
+    "count per day — NO per-day rescan of the activity table and no "
+    "range join, which is what the naive windowed-distinct rewrite "
+    "costs (COUNT(DISTINCT) over a moving frame has no incremental "
+    "form; win_running_distinct handles the cumulative special case, "
+    "this handles the sliding one). The oracle computes the same thing "
+    "AS the range join — two formulations, one hash. Observed-day "
+    "restriction comes free from the inner join against the DAU day "
+    "set.",
+)
+def events_active_users_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    act = (
+        T(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    dau = act.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    def rolled(width: int, name: str) -> DataFrame:
+        exp = act.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add("d", width - 1))).alias("day"),
+        )
+        return exp.groupBy("day").agg(F.countDistinct("user_id").alias(name))
+    return (
+        dau.join(rolled(7, "wau"), "day")
+        .join(rolled(28, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+    )
