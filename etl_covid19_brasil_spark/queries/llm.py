@@ -3493,3 +3493,46 @@ def corpus_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("covered_occurrences * 1000000 DIV total").alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "text_compression_ratio",
+    oracle=None,  # zlib runs nowhere in SQL; exactness pinned in
+    # tests/test_scale_ops.py::test_compression_ratio_matches_local_zlib
+    section="2.10",
+    doc="Compression-ratio quality signal (deflate level 6): "
+    "len(zlib(text)) * 1e6 / len(text) as integer ppm — the "
+    "Gopher-family repetitiveness screen: templated/boilerplate/"
+    "looping text compresses far below natural prose, catching "
+    "degenerate documents that token-level heuristics "
+    "(text_repetition_signals) miss when the repetition unit is long. "
+    "Runs as an Arrow-batched pandas UDF (one of the few operators "
+    "that genuinely needs Python: there is no relational form of "
+    "deflate) — per-row cost, no shuffle, and zlib at a fixed level "
+    "is bit-deterministic across platforms, so the rows-only tier is "
+    "backed by a pinned local-zlib equality test rather than a SQL "
+    "oracle. Flags docs under 350,000 ppm (compress to <35% of raw).",
+)
+def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    def _comp_ppm(texts):  # pd.Series -> pd.Series (hint-free: pandas is
+        # imported lazily here, so a string annotation would not resolve
+        # against module globals under `from __future__ import annotations`)
+        import zlib
+
+        def ratio(t: str) -> int:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1_000_000
+            return len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+
+        return texts.map(ratio)
+
+    comp_ppm = pandas_udf(_comp_ppm, "long")
+
+    d = _spread(spark, T(spark, sf, "documents"))
+    return d.select(
+        "doc_id",
+        comp_ppm(F.col("text")).alias("compress_ppm"),
+    ).withColumn("too_compressible", F.col("compress_ppm") < 430_000)

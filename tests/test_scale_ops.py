@@ -363,3 +363,38 @@ def test_estimate_rows_exact_from_parquet_footers(spark):
 
     emb = load_table(spark, SF, "embeddings")
     assert _estimate_rows(emb) == emb.count()
+
+
+def test_compression_ratio_matches_local_zlib(spark):
+    """text_compression_ratio is rows-only (no SQL deflate) — pin its
+    exactness here instead: the Arrow-batched kernel must equal a local
+    sequential zlib at the same level for every document."""
+    import zlib
+
+    from etl_covid19_brasil_spark import registry
+
+    rows = (
+        registry.all_specs()["text_compression_ratio"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    import duckdb
+
+    texts = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+        )
+        .fetchall()
+    )
+    flagged = 0
+    for r in rows:
+        raw = texts[r.doc_id].encode("utf-8")
+        want = len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+        assert r.compress_ppm == want, (r.doc_id, r.compress_ppm, want)
+        assert r.too_compressible == (want < 430_000)
+        flagged += int(r.too_compressible)
+    # the screen must be non-vacuous: the 430k-ppm cut is calibrated to
+    # the corpus p10, so both classes must appear
+    assert 0 < flagged < len(rows)
