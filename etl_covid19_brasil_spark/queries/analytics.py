@@ -1741,3 +1741,58 @@ def events_active_users_rolling(spark: SparkSession, sf: str) -> DataFrame:
         .join(rolled(28, "mau"), "day")
         .select("day", "dau", "wau", "mau")
     )
+
+
+@query(
+    "dq_table_checksum",
+    oracle="""
+    WITH canon AS (
+      SELECT o_orderkey % 8 AS chunk,
+             CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' || strftime(o_orderdate, '%Y-%m-%d')
+             ), 1, 8)) AS BIGINT) AS row_sig
+      FROM orders
+    )
+    SELECT chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(row_sig) AS BIGINT) AS chunk_checksum
+    FROM canon GROUP BY chunk
+    """,
+    section="2.4",
+    doc="Order-insensitive table checksum — the migration/replication "
+    "parity audit: every row serializes to a canonical string (ints "
+    "verbatim, money as integer cents, dates ISO — no float "
+    "formatting, the cross-engine trap), hashes to a 32-bit integer "
+    "signature, and chunk checksums are the SUM of signatures — "
+    "commutative, so partition order, shuffle order and engine "
+    "parallelism cannot move the result, and one flipped row flips "
+    "its chunk with probability 1 - 2^-32. Chunking by key % 8 "
+    "localizes a mismatch to 1/8th of the table for bisection (the "
+    "production pattern: re-chunk finer only where checksums "
+    "diverge). Fully map-side until one tiny 8-row aggregate; "
+    "complements table_diff_by_key (which finds WHICH rows differ, "
+    "at full-join cost) as the cheap first-pass gate.",
+)
+def dq_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice").cast("string"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"),
+    )
+    sig = F.conv(F.substring(F.md5(canonical), 1, 8), 16, 10).cast("long")
+    return (
+        o.select((F.col("o_orderkey") % 8).alias("chunk"), sig.alias("row_sig"))
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_sig").alias("chunk_checksum"),
+        )
+    )

@@ -3536,3 +3536,63 @@ def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         comp_ppm(F.col("text")).alias("compress_ppm"),
     ).withColumn("too_compressible", F.col("compress_ppm") < 430_000)
+
+
+@query(
+    "dedup_normalized_exact",
+    oracle="""
+    WITH variants AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, '  ' || upper(text) || chr(9) AS text
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             regexp_replace(text, ' ', '   ', 'g') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    canon AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[ \\t]+', ' ', 'g')))
+               AS canon_hash
+      FROM variants
+    )
+    SELECT canon_hash, MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canon_hash
+    """,
+    section="2.10",
+    doc="Normalized-exact deduplication — the tier between exact_dedup "
+    "(byte identity) and the fuzzy tiers: casefold, collapse "
+    "whitespace runs, trim, THEN hash-group. Catches the re-encoded/"
+    "re-wrapped/case-shifted copies that byte hashing misses while "
+    "staying a single one-shuffle hash aggregate (no shingles, no "
+    "candidate join) — in practice this removes the bulk of web-crawl "
+    "duplicates before the expensive near-dup tiers run, which is why "
+    "every production pipeline orders it second. Variants are "
+    "synthesized (uppercased+padded, whitespace-inflated) so the "
+    "grouping is provably non-vacuous: every variant group collapses "
+    "to its source doc. The canonical form's hash shuffles (16 B), "
+    "never the text.",
+)
+def dedup_normalized_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    variants = (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("  "), F.upper("text"), F.lit("\t")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.regexp_replace("text", " ", "   ").alias("text"),
+            )
+        )
+    )
+    canon = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \\t]+", " ")))
+    return variants.groupBy(canon.alias("canon_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
