@@ -1796,3 +1796,84 @@ def dq_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("row_sig").alias("chunk_checksum"),
         )
     )
+
+
+@query(
+    "features_pit_order_counts",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate >  CAST(e.ts AS DATE) - 7
+              AND o.o_orderdate <= CAST(e.ts AS DATE)) AS orders_7d,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate >  CAST(e.ts AS DATE) - 30
+              AND o.o_orderdate <= CAST(e.ts AS DATE)) AS orders_30d,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate >  CAST(e.ts AS DATE) - 90
+              AND o.o_orderdate <= CAST(e.ts AS DATE)) AS orders_90d
+    FROM events e
+    """,
+    section="2.3",
+    doc="Point-in-time feature matrix — the feature-store primitive: for "
+    "every event, the user's order count in the trailing 7/30/90 days "
+    "AS OF the event instant (train/serve-skew-safe: only past state, "
+    "half-open windows so today's orders count and the boundary day "
+    "falls out exactly once). Scalable formulation: one merged stream "
+    "of per-day order deltas and 4 probe rows per event (at d, d-7, "
+    "d-30, d-90), ONE user-keyed cumulative window over it (orders "
+    "sort before probes within a day), then each event's features are "
+    "cum(d) - cum(d-w) — three trailing counts from ONE shuffle "
+    "family, where the naive form runs three range joins. The oracle "
+    "IS the three correlated range counts — different formulation, "
+    "same hash (the events_active_users_rolling pattern applied to "
+    "as-of feature engineering; join_asof_tolerance covers the "
+    "carry-a-value case, this covers count-in-window).",
+)
+def features_pit_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        T(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("user_id", "day", "cnt", F.lit(0).alias("kind"),
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("string").alias("tag"))
+    )
+    e = T(spark, sf, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("d")
+    )
+    probes = None
+    for tag, off in (("d0", 0), ("d7", 7), ("d30", 30), ("d90", 90)):
+        p = e.select(
+            "user_id",
+            F.date_sub("d", off).alias("day"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(tag).alias("tag"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    merged = daily.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day", "kind", "event_id", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = merged.select(
+        "user_id", "event_id", "tag", "kind", F.sum("cnt").over(w).alias("cum")
+    ).filter(F.col("kind") == 1)
+    pivoted = cum.groupBy("event_id", "user_id").agg(
+        F.min(F.when(F.col("tag") == "d0", F.col("cum"))).alias("c0"),
+        F.min(F.when(F.col("tag") == "d7", F.col("cum"))).alias("c7"),
+        F.min(F.when(F.col("tag") == "d30", F.col("cum"))).alias("c30"),
+        F.min(F.when(F.col("tag") == "d90", F.col("cum"))).alias("c90"),
+    )
+    return pivoted.select(
+        "event_id",
+        "user_id",
+        (F.col("c0") - F.col("c7")).alias("orders_7d"),
+        (F.col("c0") - F.col("c30")).alias("orders_30d"),
+        (F.col("c0") - F.col("c90")).alias("orders_90d"),
+    )
