@@ -1877,3 +1877,60 @@ def features_pit_order_counts(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("c0") - F.col("c30")).alias("orders_30d"),
         (F.col("c0") - F.col("c90")).alias("orders_90d"),
     )
+
+
+@query(
+    "dq_observe_inline_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonpositive,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent
+    FROM orders
+    """,
+    section="2.4",
+    doc="INLINE observation metrics (pyspark.sql.Observation / "
+    "df.observe): data-quality counters computed as a side effect of "
+    "the pipeline's OWN pass — row count, violation count, checksum, "
+    "status cardinality ride along with the write action instead of "
+    "costing a second full scan, which is the difference between DQ "
+    "that runs always and DQ that gets turned off at 100 TB. The "
+    "query attaches the observation to the orders scan, drives it "
+    "with the sink write (the real pipeline action), then returns the "
+    "harvested metrics as a one-row frame; the oracle recomputes the "
+    "same metrics relationally — proving observe() saw every row "
+    "exactly once. (Observed metrics must be fully associative: "
+    "DISTINCT aggregates are rejected at analysis — "
+    "approx_count_distinct is the sanctioned cardinality metric.)",
+)
+def dq_observe_inline_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation("dq_orders")
+    src = T(spark, sf, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("n_urgent"),
+    )
+    # the observation is harvested from the pipeline's own action — here
+    # the sink write every real pipeline ends with (scratch + overwrite
+    # keeps the query idempotent)
+    from pathlib import Path
+
+    tag = Path(sf).name or "sf"
+    path = f"/tmp/etl_spark_roundtrip/observe_sink_{tag}"
+    src.write.mode("overwrite").parquet(path)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_nonpositive"], m["total_cents"], m["n_urgent"])],
+        "n_rows long, n_nonpositive long, total_cents long, n_urgent long",
+    )

@@ -935,3 +935,49 @@ def sink_scan_csv_multiline_roundtrip(spark: SparkSession, sf: str) -> DataFrame
         .option("multiLine", True)
         .csv(path)
     )
+
+
+@query(
+    "scan_recursive_glob",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+    section="2.1",
+    doc="Recursive lake discovery with format filtering: nation is landed "
+    "into nested per-region directories (region=<k>/part-*.parquet) "
+    "ALONGSIDE decoy sidecar files (_SUCCESS markers, .json manifests, "
+    "a stray .csv) — the directory reality of a lake written by many "
+    "tools. The scan combines recursiveFileLookup (walk arbitrary "
+    "nesting WITHOUT partition discovery) with pathGlobFilter "
+    "('*.parquet') so only data files parse; one wrong sidecar read "
+    "would poison the relation or kill the scan. The audit proves "
+    "exactly the original rows came back and nothing else. Note the "
+    "trade vs partition discovery: recursiveFileLookup deliberately "
+    "IGNORES directory-name columns (the region key survives inside "
+    "the files here), so it suits foreign layouts, while "
+    "scan_parquet_merge_schema's discovery path suits owned ones.",
+)
+def scan_recursive_glob(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+
+    src = T(spark, sf, "nation")
+    base = Path(_scratch("recursive_glob_lake", sf))
+    shutil.rmtree(base, ignore_errors=True)
+    for r in range(5):
+        sub = src.filter(F.col("n_regionkey") == r)
+        sub.coalesce(1).write.mode("overwrite").parquet(str(base / f"region={r}" / "data"))
+        (base / f"region={r}" / "manifest.json").write_text('{"decoy": true}')
+        (base / f"region={r}" / "notes.csv").write_text("a,b\n1,2\n")
+    raw = (
+        spark.read.option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(base))
+    )
+    return raw.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("n_regionkey").alias("n_regions"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
