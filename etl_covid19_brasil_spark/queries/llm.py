@@ -3596,3 +3596,142 @@ def dedup_normalized_exact(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_variants"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_O_TOKENS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['the','a','is','of'], x))) AS en_hits,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS de_hits,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les'], x))) AS fr_hits
+      FROM t
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN de_hits > en_hits AND de_hits > fr_hits THEN 'de'
+                  WHEN fr_hits > en_hits AND fr_hits >= de_hits THEN 'fr'
+                  WHEN en_hits > 0 THEN 'en'
+                  ELSE 'unknown' END AS lang_guess
+      FROM s
+    ),
+    cm AS (
+      SELECT lang AS true_lang, lang_guess AS pred_lang,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_guess
+    ),
+    tot AS (SELECT true_lang, SUM(n) AS t FROM cm GROUP BY true_lang)
+    SELECT cm.true_lang, cm.pred_lang, cm.n,
+           CAST(cm.n * 1000000 // tot.t AS BIGINT) AS row_share_ppm
+    FROM cm JOIN tot USING (true_lang)
+    """,
+    section="2.10",
+    doc="Language-ID CONFUSION MATRIX — the evaluation pass that turns "
+    "text_langid from a heuristic into a measured classifier: per "
+    "(true label, predicted) cell, the count and the row-normalized "
+    "share in integer ppm (per-class recall lives on the diagonal). "
+    "This is the model-eval query shape every labeled-data pipeline "
+    "runs — classifier vs ground truth, grouped twice (cells, then "
+    "row totals) with the share computed by exact integer division. "
+    "Cells are bounded by |langs|^2, so everything after the per-row "
+    "prediction is dim-sized; the prediction itself is the zero-"
+    "shuffle stopword profile of text_langid.",
+)
+def text_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = _tokens()
+
+    def hits(words: list[str]) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    en, de, fr = (
+        hits(["the", "a", "is", "of"]),
+        hits(["der", "die", "das", "und"]),
+        hits(["le", "la", "et", "les"]),
+    )
+    pred = d.select(
+        "lang",
+        F.when((de > en) & (de > fr), "de")
+        .when((fr > en) & (fr >= de), "fr")
+        .when(en > 0, "en")
+        .otherwise("unknown")
+        .alias("lang_guess"),
+    )
+    cm = pred.groupBy(
+        F.col("lang").alias("true_lang"), F.col("lang_guess").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.groupBy("true_lang").agg(F.sum("n").alias("t"))
+    return cm.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr("n * 1000000 DIV t").alias("row_share_ppm"),
+    )
+
+
+@query(
+    "text_strip_markup",
+    oracle="""
+    WITH contaminated AS (
+      SELECT doc_id,
+             '<div class="c"><p>' ||
+             replace(substr(text, 1, 120), ' ', '&nbsp; ') ||
+             '</p><br/><a href="http://x.test">link</a>&amp;tail</div>'
+               AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(
+                 regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               ' +', ' ', 'g')) AS clean
+      FROM contaminated
+    )
+    SELECT doc_id, clean,
+           CAST(length(clean) AS BIGINT) AS n_chars,
+           clean LIKE '%<%' OR clean LIKE '%&amp;%' AS residue
+    FROM stripped
+    """,
+    section="2.10",
+    doc="Markup stripping — the first cleaning pass of every web-crawl "
+    "corpus: documents are wrapped in synthesized HTML (tags, entity-"
+    "encoded spaces, a link, an &amp; entity), then the operator "
+    "removes tags (single regex — tags never nest inside a tag "
+    "token), decodes the four load-bearing entities in the "
+    "longest-first order that keeps '&amp;lt;' honest, and collapses "
+    "the whitespace the removals leave. The residue flag audits that "
+    "no markup survives (non-vacuously false everywhere — and it "
+    "would catch a regression). Zero shuffle, pure codegen "
+    "expressions; backslash-free regexes execute byte-identical in "
+    "both engines (dedup_url_canonicalize's rule).",
+)
+def text_strip_markup(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<div class="c"><p>'),
+        F.regexp_replace(F.substring("text", 1, 120), " ", "&nbsp; "),
+        F.lit('</p><br/><a href="http://x.test">link</a>&amp;tail</div>'),
+    )
+    no_tags = F.regexp_replace(html, "<[^>]*>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(no_tags, "&nbsp;", " "), "&amp;", "&"
+            ),
+            "&lt;",
+            "<",
+        ),
+        "&gt;",
+        ">",
+    )
+    clean = F.trim(F.regexp_replace(decoded, " +", " "))
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("long").alias("n_chars"),
+        (clean.like("%<%") | clean.like("%&amp;%")).alias("residue"),
+    )
