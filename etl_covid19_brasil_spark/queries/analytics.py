@@ -1934,3 +1934,71 @@ def dq_observe_inline_metrics(spark: SparkSession, sf: str) -> DataFrame:
         [(m["n_rows"], m["n_nonpositive"], m["total_cents"], m["n_urgent"])],
         "n_rows long, n_nonpositive long, total_cents long, n_urgent long",
     )
+
+
+@query(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ),
+    m AS (SELECT CAST(SUM(rev) // COUNT(*) AS BIGINT) AS mean_rev FROM daily),
+    centered AS (
+      SELECT day,
+             CAST(SUM(rev - m.mean_rev) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM daily, m
+    ),
+    peaks AS (
+      SELECT day, cum,
+             CAST(MAX(cum) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peak
+      FROM centered
+    )
+    SELECT day, cum, peak,
+           CAST(peak - cum AS BIGINT) AS drawdown_cents,
+           peak - cum = MAX(peak - cum) OVER () AS is_max_drawdown
+    FROM peaks
+    """,
+    section="2.5",
+    doc="Running-peak drawdown of the cumulative net series — the "
+    "risk/monitoring statistic for anything cumulative (PnL, quota "
+    "consumption, inventory): cumulative sum of the daily revenue "
+    "DEMEANED by the series' own integer mean (SUM DIV n — drawdown "
+    "of a monotone series is vacuous in either direction, so the "
+    "baseline must self-calibrate per SF; the zero-row-audit lesson), "
+    "running MAX of that, and drawdown = peak - current, "
+    "flagging the maximum. Three stacked windows share ONE global "
+    "ordering over |days| rows (per-day aggregate first, ts_acf "
+    "pattern); all arithmetic exact int64 cents.",
+)
+def win_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev"))
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = daily.agg(F.expr("sum(rev) DIV count(*)").alias("mean_rev"))
+    centered = daily.crossJoin(m).select(
+        "day", F.sum(F.col("rev") - F.col("mean_rev")).over(run).alias("cum")
+    )
+    peaks = centered.select(
+        "day", "cum", F.max("cum").over(run).alias("peak")
+    ).withColumn("drawdown_cents", F.col("peak") - F.col("cum"))
+    whole = Window.partitionBy()
+    return peaks.select(
+        "day",
+        "cum",
+        "peak",
+        "drawdown_cents",
+        (
+            F.col("drawdown_cents") == F.max("drawdown_cents").over(whole)
+        ).alias("is_max_drawdown"),
+    )

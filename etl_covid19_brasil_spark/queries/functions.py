@@ -1456,3 +1456,57 @@ def fn_timezone_convert(spark: SparkSession, sf: str) -> DataFrame:
             != F.to_date("ts2")
         ).alias("day_shifted"),
     )
+
+
+@query(
+    "fn_ipv4_cidr",
+    oracle="""
+    WITH ips AS (
+      SELECT o_orderkey,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 4294967296 AS ip
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(ip // 16777216 AS VARCHAR) || '.' ||
+           CAST((ip // 65536) % 256 AS VARCHAR) || '.' ||
+           CAST((ip // 256) % 256 AS VARCHAR) || '.' ||
+           CAST(ip % 256 AS VARCHAR) AS dotted,
+           ip // 16777216 = 10 AS in_10_slash8,
+           CAST(ip - (ip % 65536) AS BIGINT) AS net_slash16,
+           CAST(ip % 65536 AS BIGINT) AS host_slash16
+    FROM ips
+    """,
+    section="2.8",
+    doc="IPv4/CIDR scalar batch over synthesized addresses (md5-slot of "
+    "the key, the cross-engine hash idiom): dotted-quad formatting by "
+    "integer div/mod (each octet is an exact integer — no string "
+    "library dependency), 10.0.0.0/8 membership as a first-octet "
+    "compare, and /16 network/host split as subtraction and modulus — "
+    "the log-enrichment scalars every clickstream/firewall feed needs "
+    "before a subnet join. Pure integer arithmetic end to end, so "
+    "both engines agree bit-for-bit; at scale these are zero-shuffle "
+    "codegen expressions feeding a broadcast join against a CIDR "
+    "block table (join_range_bucketed's shape for longest-prefix "
+    "matching).",
+)
+def fn_ipv4_cidr(spark: SparkSession, sf: str) -> DataFrame:
+    ip = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 4294967296
+    )
+    o = T(spark, sf, "orders").select("o_orderkey", ip.alias("ip"))
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(
+            ".",
+            (F.col("ip") / 16777216).cast("long").cast("string"),
+            ((F.col("ip") / 65536).cast("long") % 256).cast("string"),
+            ((F.col("ip") / 256).cast("long") % 256).cast("string"),
+            (F.col("ip") % 256).cast("string"),
+        ).alias("dotted"),
+        ((F.col("ip") / 16777216).cast("long") == 10).alias("in_10_slash8"),
+        (F.col("ip") - (F.col("ip") % 65536)).alias("net_slash16"),
+        (F.col("ip") % 65536).alias("host_slash16"),
+    )
