@@ -2002,3 +2002,58 @@ def win_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
             F.col("drawdown_cents") == F.max("drawdown_cents").over(whole)
         ).alias("is_max_drawdown"),
     )
+
+
+@query(
+    "agg_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta
+      FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE) + 8 AS day, -1 AS delta
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    daily AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM deltas GROUP BY day),
+    open_counts AS (
+      SELECT day,
+             CAST(SUM(d) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_open
+      FROM daily
+    )
+    SELECT day, n_open,
+           n_open = MAX(n_open) OVER () AS is_peak
+    FROM open_counts
+    """,
+    section="2.4",
+    doc="Peak interval concurrency via the +1/-1 SWEEP — the scalable "
+    "answer to 'how many were open at once' (sessions, orders in "
+    "flight, reservations): each interval contributes a +1 at its "
+    "start day and a -1 past its end (open orders modeled as an "
+    "8-day half-open fulfillment window), deltas aggregate per day "
+    "FIRST (the shuffle carries |days| rows, not |intervals|), and a "
+    "running sum over the day series is the exact open count — where "
+    "the naive form joins every interval against every day it covers "
+    "(O(intervals x duration)) or self-joins intervals "
+    "(O(n^2)). The peak flag marks the busiest day(s). Same "
+    "change-point mechanics as win_interval_merge's islands, applied "
+    "to counting instead of merging.",
+)
+def agg_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    o = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderdate").cast("date").alias("d"))
+    )
+    deltas = o.select(F.col("d").alias("day"), F.lit(1).alias("delta")).unionByName(
+        o.select(F.date_add("d", 8).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("d"))
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    counts = daily.select("day", F.sum("d").over(run).alias("n_open"))
+    return counts.select(
+        "day",
+        "n_open",
+        (F.col("n_open") == F.max("n_open").over(Window.partitionBy())).alias("is_peak"),
+    )

@@ -981,3 +981,53 @@ def scan_recursive_glob(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("n_regionkey").alias("n_regions"),
         F.sum("n_nationkey").alias("key_sum"),
     )
+
+
+@query(
+    "scan_csv_latin1",
+    oracle="""
+    SELECT n_nationkey,
+           'Região ' || n_name || ' - São Paulo' AS cidade,
+           n_regionkey
+    FROM nation
+    """,
+    section="2.1",
+    doc="Legacy single-byte encoding ingest: a CSV is landed as REAL "
+    "ISO-8859-1 bytes (accented Portuguese place names — the encoding "
+    "Brazilian government feeds like the reference's caso_full "
+    "actually shipped in for years) and scanned with "
+    "option(encoding, ISO-8859-1); the default UTF-8 read would "
+    "mojibake every accent (0xE3 is not valid UTF-8 lead-in) or "
+    "null the field. The writer side goes through Python's latin-1 "
+    "codec on the driver (25 dim rows — the point is the READER "
+    "option), and the oracle rebuilds the expected UTF-8 relation "
+    "from nation directly, so one wrong byte anywhere in the "
+    "transcode chain fails the hash. At scale the encoding option "
+    "applies per-split like any CSV read.",
+)
+def scan_csv_latin1(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    src = T(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey").collect()
+    base = Path(_scratch("csv_latin1", sf))
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    with open(base / "part-0.csv", "wb") as fh:
+        for r in sorted(src, key=lambda r: r.n_nationkey):
+            line = f"{r.n_nationkey},Região {r.n_name} - São Paulo,{r.n_regionkey}\n"
+            fh.write(line.encode("iso-8859-1", errors="strict"))
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("cidade", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", False)
+        .option("encoding", "ISO-8859-1")
+        .csv(str(base))
+    )
