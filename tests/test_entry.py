@@ -37,6 +37,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "pq_",
                 "embedding_lsh",
                 "pca_power",  # iterative linear algebra — numpy-replay-pinned
+                "compression_ratio",  # no SQL deflate — local-zlib-equality-pinned
             )
         )
         for n in rows_only

@@ -482,3 +482,40 @@ def test_bucketed_join_has_no_join_key_exchange(spark, specs):
     assert p.count("Bucketed: true") == 2, p
     hash_ex = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
     assert all("custkey" not in ln for ln in hash_ex), hash_ex
+
+
+def test_pit_feature_matrix_is_one_window_family_not_three_joins(spark, specs):
+    """features_pit_order_counts' claim: all three trailing horizons come
+    from ONE user-keyed cumulative window over the merged stream — the
+    plan must contain no broadcast-nested-loop/cartesian (the range-join
+    shapes it replaces) and only user_id-keyed or tiny-side exchanges."""
+    p = plan_of(q(specs, spark, "features_pit_order_counts"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoop" not in p, p
+    windows = [ln for ln in p.splitlines() if ln.strip().startswith("Window") or "(Window" in ln]
+    assert windows, p
+
+
+def test_rolling_active_users_is_explode_not_range_join(spark, specs):
+    """events_active_users_rolling must fan out map-side (Generate/explode
+    of the bounded day sequence), never a cartesian or nested-loop range
+    join against the day calendar."""
+    p = plan_of(q(specs, spark, "events_active_users_rolling"))
+    assert "Generate explode" in p or "Generate" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoop" not in p, p
+
+
+def test_peak_concurrency_aggregates_before_running_sum(spark, specs):
+    """agg_peak_concurrency's sweep: deltas are hash-aggregated per day
+    (partial_sum visible) BEFORE the single ordered window, and no join
+    of intervals against days exists anywhere."""
+    p = plan_of(q(specs, spark, "agg_peak_concurrency"))
+    assert "Join" not in p, p
+    assert "partial_sum" in p or "HashAggregate" in p, p
+
+
+def test_containment_dedup_is_cartesian_free(spark, specs):
+    p = plan_of(q(specs, spark, "near_dedup_containment")).lower()
+    assert "cartesianproduct" not in p, p
+    assert "broadcastnestedloop" not in p, p
