@@ -51,6 +51,10 @@ API_SURFACE = [
     ("2.9", "stream-stream interval join (watermarked both sides)", "streaming/jobs.py", "tests/test_streaming.py::test_interval_join_matches_batch"),
     ("2.9", "rate-micro-batch source drives windowed jobs", "streaming/jobs.py", "tests/test_streaming.py::test_rate_stream_feeds_windowed_aggregation"),
     ("2.9", "kafka source envelope projection", "streaming/jobs.py", "tests/test_streaming.py::test_kafka_stream_constructor_projects_envelope"),
+    ("2.9", "AvailableNow backfill trigger (self-terminating catch-up)", "streaming/jobs.py", "tests/test_streaming.py::test_available_now_backfill_drains_and_terminates"),
+    ("2.1", "paginated HTTP source (empty-page stop, max_pages guard, per-page retry)", "io.py", "tests/test_io.py::test_paged_http_source_follows_pages_and_retries"),
+    ("2.4", "r8 analytics semantic invariants (apportionment, survival, EWMA, id-assign, winsorize, upsample)", "queries/analytics.py + quality.py", "tests/test_analytics_invariants.py"),
+    ("2.10", "zlib compression-ratio kernel == local zlib (rows-only exactness pin)", "queries/llm.py", "tests/test_scale_ops.py::test_compression_ratio_matches_local_zlib"),
     ("2.10", "multimodal decode kernel determinism", "llm/multimodal.py", "tests/test_multimodal.py"),
     ("2.10", "real PPM/WAV codec roundtrips (+ hypothesis properties)", "llm/multimodal.py", "tests/test_multimodal.py (roundtrip, property)"),
     ("2.10", "multimodal resize / UDTF frame sampling", "llm/multimodal.py", "tests/test_multimodal.py"),
