@@ -2153,3 +2153,62 @@ def join_ip_longest_prefix(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(0)
         .alias("prefix_len"),
     )
+
+
+@query(
+    "agg_promo_revenue_ratio",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(strftime(l.l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+             p.p_type = 'ECONOMY' AS is_promo,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS net_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT ship_month,
+           CAST(SUM(CASE WHEN is_promo THEN net_cents ELSE 0 END) AS BIGINT)
+             AS promo_cents,
+           CAST(SUM(net_cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN is_promo THEN net_cents ELSE 0 END) * 1000000
+                // SUM(net_cents) AS BIGINT) AS promo_share_ppm
+    FROM j GROUP BY ship_month
+    """,
+    section="2.4",
+    doc="Promotional revenue share per ship month (the TPC-H Q14 shape): "
+    "fact-to-dim join on the part key with the dim BROADCAST, "
+    "conditional revenue aggregation, and the share as exact integer "
+    "ppm. The net revenue expression rounds extendedprice*(1-discount) "
+    "to cents BEFORE summation in both engines — the one shared "
+    "double multiply per row lands well clear of rounding boundaries "
+    "(2-decimal price x 2-decimal discount), then everything is "
+    "order-insensitive int64 (registry determinism policy). Monthly "
+    "bucketing via string formatting agreed byte-for-byte "
+    "(strftime '%Y-%m' == date_format 'yyyy-MM').",
+)
+def agg_promo_revenue_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias("ship_month"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("net_cents"),
+    )
+    p = T(spark, sf, "part").select(
+        "p_partkey", (F.col("p_type") == "ECONOMY").alias("is_promo")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("net_cents")).otherwise(0)).alias(
+                "promo_cents"
+            ),
+            F.sum("net_cents").alias("total_cents"),
+        )
+        .select(
+            "ship_month",
+            "promo_cents",
+            "total_cents",
+            F.expr("promo_cents * 1000000 DIV total_cents").alias("promo_share_ppm"),
+        )
+    )
