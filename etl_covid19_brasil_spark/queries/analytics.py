@@ -2212,3 +2212,56 @@ def agg_promo_revenue_ratio(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("promo_cents * 1000000 DIV total_cents").alias("promo_share_ppm"),
         )
     )
+
+
+@query(
+    "fact_accumulating_snapshot",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           MIN(CAST(l.l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l.l_shipdate AS DATE)) AS last_ship,
+           CAST(MIN(CAST(l.l_shipdate AS DATE))
+                - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days_to_first_ship,
+           CAST(MAX(CAST(l.l_shipdate AS DATE))
+                - MIN(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ship_window_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    section="2.4",
+    doc="Accumulating-snapshot fact build (the Kimball milestone "
+    "pattern): each order collapses to ONE row carrying its lifecycle "
+    "milestones — order date, first shipment, last shipment — plus "
+    "the lag between stages in exact integer days, the table every "
+    "fulfillment-latency dashboard reads. One fact-fact equi-join on "
+    "the order key (both sides shuffle on it — the bucketed-write "
+    "layout of sink_bucketed_join_colocated amortizes exactly this) "
+    "and one aggregate per order; milestone semantics are MIN/MAX "
+    "over the line items, so late-arriving lines simply re-aggregate "
+    "(the accumulating part: the snapshot is re-derived, not "
+    "mutated in place — cdc_apply_changes covers the mutate-in-place "
+    "alternative).",
+)
+def fact_accumulating_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date")
+    )
+    li = T(spark, sf, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "order_date")
+        .agg(
+            F.min("ship").alias("first_ship"),
+            F.max("ship").alias("last_ship"),
+            F.datediff(F.min("ship"), F.first("order_date")).cast("long").alias(
+                "days_to_first_ship"
+            ),
+            F.datediff(F.max("ship"), F.min("ship")).cast("long").alias(
+                "ship_window_days"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
