@@ -1142,3 +1142,106 @@ def corpus_token_apportion(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("alloc_tokens"),
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100) AS BIGINT)
+               AS sum_d,
+             CAST(SUM((CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+                      * (CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100))
+               AS BIGINT) AS sumsq_d
+      FROM orders GROUP BY o_orderpriority
+    ),
+    sd AS (
+      SELECT stratum, n_h,
+             CAST(FLOOR(SQRT((n_h * sumsq_d - sum_d * sum_d) // (n_h * n_h)))
+               AS BIGINT) AS s_dollars
+      FROM s
+    ),
+    w AS (SELECT stratum, n_h, s_dollars, n_h * s_dollars AS wt FROM sd),
+    t AS (SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w),
+    q AS (
+      SELECT w.stratum, w.n_h, w.s_dollars,
+             (10000 * w.wt) // t.total AS floor_q,
+             (10000 * w.wt) % t.total AS rem
+      FROM w, t
+    ),
+    k AS (SELECT CAST(10000 - SUM(floor_q) AS BIGINT) AS leftover FROM q),
+    r AS (
+      SELECT stratum, n_h, s_dollars, floor_q,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk
+      FROM q
+    )
+    SELECT r.stratum, r.n_h, r.s_dollars,
+           CAST(r.floor_q + CASE WHEN r.rk <= k.leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc_n
+    FROM r, k
+    """,
+    section="2.10",
+    doc="Neyman-optimal stratified sample allocation: a 10k-row budget "
+    "splits across order-priority strata proportionally to N_h * S_h "
+    "(population size x standard deviation) — the variance-minimizing "
+    "allocation for a fixed budget, which proportional allocation "
+    "(sample_quota_per_lang's rule) only matches when strata are "
+    "equally dispersed. Determinism chain: per-stratum variance from "
+    "EXACT integer power sums over whole-dollar values (dollars, not "
+    "cents, keep n*sumsq inside int64 at every shipped SF and the 32x "
+    "derived corpus), S_h = floor(sqrt(var)) — sqrt is IEEE "
+    "correctly-rounded in both engines so the floor cannot flip — and "
+    "the final split reuses corpus_token_apportion's largest-remainder "
+    "method, so allocations sum EXACTLY to the budget. One aggregate "
+    "over the data; everything after runs on |strata| rows.",
+)
+def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.registry import cents
+
+    d = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100")
+    s = (
+        T(spark, sf, "orders")
+        .select(F.col("o_orderpriority").alias("stratum"), d.alias("d"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum("d").alias("sum_d"),
+            F.sum(F.col("d") * F.col("d")).alias("sumsq_d"),
+        )
+    )
+    sd = s.select(
+        "stratum",
+        "n_h",
+        F.floor(
+            F.sqrt(F.expr("(n_h * sumsq_d - sum_d * sum_d) DIV (n_h * n_h)"))
+        )
+        .cast("long")
+        .alias("s_dollars"),
+    )
+    w = sd.withColumn("wt", F.col("n_h") * F.col("s_dollars"))
+    t = w.agg(F.sum("wt").alias("total"))
+    q = w.crossJoin(t).select(
+        "stratum",
+        "n_h",
+        "s_dollars",
+        F.expr("(10000 * wt) DIV total").alias("floor_q"),
+        F.expr("(10000 * wt) % total").alias("rem"),
+    )
+    k = q.agg((F.lit(10000) - F.sum("floor_q")).cast("long").alias("leftover"))
+    r = q.select(
+        "stratum",
+        "n_h",
+        "s_dollars",
+        "floor_q",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "stratum")).alias("rk"),
+    )
+    return r.crossJoin(k).select(
+        "stratum",
+        "n_h",
+        "s_dollars",
+        (F.col("floor_q") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc_n"),
+    )
