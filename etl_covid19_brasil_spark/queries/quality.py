@@ -1245,3 +1245,97 @@ def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("alloc_n"),
     )
+
+
+@query(
+    "pipeline_curation_end_to_end",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, lang, text,
+             md5(trim(regexp_replace(lower(text), '[ \\t]+', ' ', 'g')))
+               AS canon_hash,
+             len(string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g')), ' +')) AS n_tokens
+      FROM documents
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_hash
+                                     ORDER BY doc_id) AS rn
+        FROM canon
+      ) WHERE rn = 1
+    ),
+    quality AS (
+      SELECT * FROM dedup WHERE n_tokens BETWEEN 50 AND 1000
+    ),
+    quota AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY md5(text), doc_id) AS qrank
+        FROM quality
+      ) WHERE qrank <= 60
+    ),
+    sharded AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 8 AS shard,
+             n_tokens
+      FROM quota
+    )
+    SELECT lang, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sharded GROUP BY lang, shard
+    """,
+    section="2.10",
+    doc="The FULL curation path composed into one operator — what a "
+    "pretraining-data team actually ships, end to end: (1) "
+    "normalized-exact dedup (dedup_normalized_exact's canon hash, "
+    "keep-lowest-id); (2) quality gate (text_quality's token-count "
+    "band); (3) per-language quota in content-hash order "
+    "(sample_quota_per_lang's deterministic rule, 60/lang); (4) shard "
+    "assignment by content-hash slot (corpus_shard_assign's rule, 8 "
+    "shards); reported as the per-(lang, shard) manifest a training "
+    "launcher consumes. Each stage is the registered single operator, "
+    "so this query certifies the STAGES COMPOSE — the interfaces "
+    "(column contracts, hash idioms, determinism rules) survive "
+    "chaining, the property unit queries cannot show. Shuffle "
+    "profile: one canon-hash aggregate window, one lang window, one "
+    "(lang, shard) aggregate — three key-families, no data ever "
+    "collected; the dedup sibling composition is "
+    "dedup_minhash_components.",
+)
+def pipeline_curation_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", "lang", "text")
+    canon_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \\t]+", " ")))
+    n_tokens = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +")
+    )
+    canon = d.select(
+        "doc_id", "lang", "text", canon_hash.alias("canon_hash"), n_tokens.alias("n_tokens")
+    )
+    dedup = (
+        canon.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("canon_hash").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    quality = dedup.filter(F.col("n_tokens").between(50, 1000))
+    quota = (
+        quality.withColumn(
+            "qrank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+            ),
+        )
+        .filter(F.col("qrank") <= 60)
+    )
+    shard = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 8
+    return (
+        quota.select("lang", shard.alias("shard"), "n_tokens")
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
