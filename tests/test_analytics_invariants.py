@@ -97,3 +97,67 @@ def test_upsample_multiplicity_matches_weight_floor_or_ceil(spark):
         wm = weights.get(r.lang, default)
         lo, hi = wm // 1000, wm // 1000 + (1 if wm % 1000 else 0)
         assert lo <= r.m <= max(hi, 1), (r, wm)
+
+
+def test_pit_horizons_are_monotone(spark):
+    """Trailing windows nest: orders_7d <= orders_30d <= orders_90d on
+    every event, and all are non-negative."""
+    for r in _q(spark, "features_pit_order_counts").collect():
+        assert 0 <= r.orders_7d <= r.orders_30d <= r.orders_90d, r
+
+
+def test_active_user_curves_nest(spark):
+    """DAU <= WAU <= MAU per day (a day's actives are inside its trailing
+    week, a week's inside its trailing month)."""
+    rows = _q(spark, "events_active_users_rolling").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau <= r.mau, r
+
+
+def test_lpm_levels_are_valid_and_all_exercised(spark):
+    """prefix_len is one of {0, 8, 16, 24}; every level occurs (the block
+    samples are sized for non-vacuity), and a matched row's label
+    encodes its own level."""
+    rows = _q(spark, "join_ip_longest_prefix").collect()
+    seen = set()
+    for r in rows:
+        assert r.prefix_len in (0, 8, 16, 24), r
+        if r.prefix_len:
+            assert r.block_label.startswith(f"blk{r.prefix_len}_"), r
+        else:
+            assert r.block_label == "unmatched", r
+        seen.add(r.prefix_len)
+    assert seen == {0, 8, 16, 24}, seen
+
+
+def test_concurrency_sweep_opens_and_closes(spark):
+    """The +1/-1 sweep's closure property: counts are never negative and
+    the final day's running count is exactly zero (every open interval
+    eventually closes)."""
+    rows = sorted(_q(spark, "agg_peak_concurrency").collect(), key=lambda r: r.day)
+    assert rows
+    assert all(r.n_open >= 0 for r in rows)
+    assert rows[-1].n_open == 0, rows[-1]
+    assert any(r.is_peak for r in rows)
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    rows = _q(spark, "sample_neyman_allocation").collect()
+    assert sum(r.alloc_n for r in rows) == 10_000
+    assert all(r.s_dollars >= 0 for r in rows)
+
+
+def test_curation_pipeline_respects_quota_and_shards(spark):
+    """Composed-pipeline contract: per-lang doc totals never exceed the
+    60-doc quota, shard ids stay in [0, 8), and at least two shards per
+    surviving language are populated (hash spreading)."""
+    rows = _q(spark, "pipeline_curation_end_to_end").collect()
+    assert rows
+    per_lang: dict = {}
+    for r in rows:
+        assert 0 <= r.shard < 8, r
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, cells in per_lang.items():
+        assert sum(c.n_docs for c in cells) <= 60, (lang, cells)
+        assert len(cells) >= 2, (lang, cells)
