@@ -1510,3 +1510,39 @@ def fn_ipv4_cidr(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("ip") - (F.col("ip") % 65536)).alias("net_slash16"),
         (F.col("ip") % 65536).alias("host_slash16"),
     )
+
+
+@query(
+    "fn_base64_hex",
+    oracle="""
+    SELECT n_nationkey,
+           base64(encode(n_name)) AS b64,
+           decode(from_base64(base64(encode(n_name)))) AS b64_roundtrip,
+           lower(hex(encode(n_name))) AS hex_lower,
+           decode(unhex(hex(encode(n_name)))) AS hex_roundtrip,
+           CAST(octet_length(encode(n_name)) AS BIGINT) AS n_bytes
+    FROM nation
+    """,
+    section="2.8",
+    doc="Binary wire-codec batch: base64 and hex encode/decode "
+    "roundtrips over UTF-8 bytes plus the byte length — the scalars "
+    "every payload-bearing pipeline touches (webhook bodies, binary "
+    "keys in text transports, parquet BINARY columns surfaced for "
+    "debugging; the multimodal tier's payloads ride exactly these on "
+    "their way in). Both engines implement RFC 4648 base64 with "
+    "padding and case-stable hex (Spark upper-cases hex, so the "
+    "shared form is lower()); roundtrips re-decode to the original "
+    "string so a single corrupted byte anywhere in the "
+    "encode-transport-decode chain flips the hash. Zero shuffle, "
+    "all codegen.",
+)
+def fn_base64_hex(spark: SparkSession, sf: str) -> DataFrame:
+    bin_name = F.encode(F.col("n_name"), "UTF-8")
+    return T(spark, sf, "nation").select(
+        "n_nationkey",
+        F.base64(bin_name).alias("b64"),
+        F.decode(F.unbase64(F.base64(bin_name)), "UTF-8").alias("b64_roundtrip"),
+        F.lower(F.hex(bin_name)).alias("hex_lower"),
+        F.decode(F.unhex(F.hex(bin_name)), "UTF-8").alias("hex_roundtrip"),
+        F.octet_length(bin_name).cast("long").alias("n_bytes"),
+    )
