@@ -2265,3 +2265,123 @@ def fact_accumulating_snapshot(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "win_ytd_running",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
+             CAST(strftime(o_orderdate, '%m') AS BIGINT) AS mo,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, rev,
+           CAST(SUM(rev) OVER (PARTITION BY yr ORDER BY mo
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS ytd_rev,
+           mo = 12 AS is_year_close
+    FROM monthly
+    """,
+    section="2.5",
+    doc="Year-to-date running revenue — the RESETTING cumulative: the "
+    "window partitions by year so the accumulator restarts every "
+    "January (win_running_sum is the never-resetting sibling; the "
+    "reset is free — it IS the partition key, no lag-compare reset "
+    "logic needed, the idiom worth pinning because hand-rolled reset "
+    "flags are how production YTD reports go wrong). Monthly "
+    "pre-aggregate first, so the windows run on |year x month| rows; "
+    "exact integer cents.",
+)
+def win_ytd_running(spark: SparkSession, sf: str) -> DataFrame:
+    monthly = (
+        T(spark, sf, "orders")
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+            F.month(F.col("o_orderdate").cast("date")).cast("long").alias("mo"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("yr").orderBy("mo").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "yr",
+        "mo",
+        "rev",
+        F.sum("rev").over(w).alias("ytd_rev"),
+        (F.col("mo") == 12).alias("is_year_close"),
+    )
+
+
+@query(
+    "ts_mom_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+             + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1 AS mnum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT mnum, rev,
+             LAG(rev, 1) OVER (ORDER BY mnum) AS prev_mo,
+             LAG(mnum, 1) OVER (ORDER BY mnum) AS prev_mnum,
+             LAG(rev, 12) OVER (ORDER BY mnum) AS prev_yr,
+             LAG(mnum, 12) OVER (ORDER BY mnum) AS prev_yr_mnum
+      FROM monthly
+    )
+    SELECT mnum // 12 AS yr, mnum % 12 + 1 AS mo, rev,
+           CASE WHEN prev_mnum = mnum - 1
+                THEN (rev - prev_mo) * 1000000 // prev_mo END AS mom_ppm,
+           CASE WHEN prev_yr_mnum = mnum - 12
+                THEN (rev - prev_yr) * 1000000 // prev_yr END AS yoy_ppm
+    FROM lagged
+    """,
+    section="2.5",
+    doc="Month-over-month and year-over-year growth — the reporting "
+    "staple, with the GAP GUARD hand-rolled versions miss: LAG(n) "
+    "returns the n-th PRECEDING ROW, which is only the previous "
+    "month/year if the series has no holes, so each lag also carries "
+    "its month number and the delta only publishes when the lagged "
+    "row is exactly 1 (resp. 12) months back — a missing month yields "
+    "NULL, not a silently-wrong comparison against an older period. "
+    "Growth in integer ppm of the base (floor division toward "
+    "negative infinity agrees between engines for negative growth "
+    "too, since both // and DIV floor here). Monthly pre-aggregate; "
+    "windows on |months| rows.",
+)
+def ts_mom_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
+    monthly = (
+        T(spark, sf, "orders")
+        .groupBy(
+            (
+                F.year(F.col("o_orderdate").cast("date")).cast("long") * 12
+                + F.month(F.col("o_orderdate").cast("date")).cast("long")
+                - 1
+            ).alias("mnum")
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("mnum")
+    lagged = monthly.select(
+        "mnum",
+        "rev",
+        F.lag("rev", 1).over(w).alias("prev_mo"),
+        F.lag("mnum", 1).over(w).alias("prev_mnum"),
+        F.lag("rev", 12).over(w).alias("prev_yr"),
+        F.lag("mnum", 12).over(w).alias("prev_yr_mnum"),
+    )
+    return lagged.select(
+        F.expr("mnum DIV 12").alias("yr"),
+        (F.col("mnum") % 12 + 1).alias("mo"),
+        "rev",
+        F.when(
+            F.col("prev_mnum") == F.col("mnum") - 1,
+            F.expr("(rev - prev_mo) * 1000000 DIV prev_mo"),
+        ).alias("mom_ppm"),
+        F.when(
+            F.col("prev_yr_mnum") == F.col("mnum") - 12,
+            F.expr("(rev - prev_yr) * 1000000 DIV prev_yr"),
+        ).alias("yoy_ppm"),
+    )
