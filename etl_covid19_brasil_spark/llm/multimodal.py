@@ -677,3 +677,87 @@ def register_frame_sampler(spark, n_default: int = 4) -> None:
                 yield i, n, data[i * step : (i + 1) * step]
 
     spark.udtf.register("sample_frames", SampleFrames)
+
+
+def synth_ppm_near_dup_media(documents: DataFrame) -> DataFrame:
+    """The PPM corpus plus a BRIGHTNESS-SHIFTED copy of every third image
+    (media_id + 1e6, every channel +24 clipped) — visually the same
+    picture, byte-wise a different payload: exactly the near-duplicate
+    class byte hashing misses and perceptual hashing exists to catch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, widths = [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = max(int(n_chars), 1)
+                v = (int(doc_id) * 7 + np.arange(2 * w)) % 256
+                pixels = np.repeat(v.astype(np.uint8), 3).reshape(2, w, 3)
+                ids.append(int(doc_id))
+                payloads.append(encode_ppm(pixels))
+                widths.append(w)
+                if doc_id % 3 == 0:
+                    # +24 uniform brightness, clipped — aHash-invariant
+                    # wherever no pixel clips (the formula pixels top out
+                    # at 255 though, so clipping DOES occur on some rows;
+                    # the test pins the observed grouping, not a blanket
+                    # invariance claim)
+                    shifted = np.clip(pixels.astype(np.int16) + 24, 0, 255).astype(
+                        np.uint8
+                    )
+                    ids.append(int(doc_id) + 1_000_000)
+                    payloads.append(encode_ppm(shifted))
+                    widths.append(w)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta_width": pd.Series(widths, dtype="int64"),
+                    "meta_height": 2,
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
+def image_average_hash(media: DataFrame) -> DataFrame:
+    """64-bit average hash (aHash) per image: luminance plane block-pooled
+    onto an 8x8 grid, one bit per cell = 'cell mean above global mean',
+    decided by EXACT integer cross-multiplication (cell_sum * n_total >
+    total_sum * n_cell) so no float mean ever enters the bit pattern.
+    Uniform brightness shifts cancel on both sides of the comparison, so
+    visually-identical re-encodes collapse to one hash — the property
+    that makes aHash the standard first pass of image dedup."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                lum = arr[:, :, 0].astype("int64")
+                total_sum = int(lum.sum())
+                n_total = w * h
+                bits = 0
+                for gy in range(8):
+                    y0, y1 = gy * h // 8, max((gy + 1) * h // 8, gy * h // 8 + 1)
+                    y1 = min(y1, h) if gy * h // 8 < h else h
+                    y0 = min(y0, h - 1)
+                    for gx in range(8):
+                        x0, x1 = gx * w // 8, max((gx + 1) * w // 8, gx * w // 8 + 1)
+                        x1 = min(x1, w) if gx * w // 8 < w else w
+                        x0 = min(x0, w - 1)
+                        cell = lum[y0:max(y1, y0 + 1), x0:max(x1, x0 + 1)]
+                        bit = int(cell.sum()) * n_total > total_sum * cell.size
+                        bits = (bits << 1) | int(bit)
+                rows.append((int(media_id), np.int64(np.uint64(bits).astype(np.int64))))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, phash long"
+    )

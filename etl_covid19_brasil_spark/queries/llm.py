@@ -3735,3 +3735,35 @@ def text_strip_markup(spark: SparkSession, sf: str) -> DataFrame:
         F.length(clean).cast("long").alias("n_chars"),
         (clean.like("%<%") | clean.like("%&amp;%")).alias("residue"),
     )
+
+
+@query(
+    "media_image_phash_dedup",
+    oracle=None,  # no SQL PPM decoder/bit-pool exists; exactness + grouping
+    # behavior pinned in tests/test_multimodal.py (phash tests)
+    section="2.10",
+    doc="Perceptual-hash IMAGE dedup — the multimodal twin of "
+    "dedup_normalized_exact: every third PPM gets a brightness-shifted "
+    "re-encode (same picture, different bytes — invisible to "
+    "exact_dedup's content hash), images map to a 64-bit average hash "
+    "(8x8 block-pooled luminance, bits by exact integer "
+    "cross-multiplication, llm/multimodal.py:image_average_hash), and "
+    "grouping by phash collapses each visual duplicate onto its "
+    "source. Output is the dedup manifest: per phash group, image "
+    "count and keeper id. Arrow-batched mapInPandas decode (the real "
+    "P6 parser), one 8-byte-key shuffle — at 100 TB the hash "
+    "shuffles, never the pixels; Hamming-radius banding (the simhash "
+    "16-bit band trick) is the near-match extension.",
+)
+def media_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        image_average_hash,
+        synth_ppm_near_dup_media,
+    )
+
+    media = synth_ppm_near_dup_media(_spread(spark, T(spark, sf, "documents")))
+    hashed = image_average_hash(media)
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("keeper_media_id"),
+    )

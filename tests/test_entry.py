@@ -38,6 +38,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "embedding_lsh",
                 "pca_power",  # iterative linear algebra — numpy-replay-pinned
                 "compression_ratio",  # no SQL deflate — local-zlib-equality-pinned
+                "phash",  # no SQL PPM decode/bit-pool — numpy-replay-pinned
             )
         )
         for n in rows_only

@@ -313,3 +313,54 @@ def test_wav_roundtrip_property():
         assert (got == sig).all()
 
     roundtrip()
+
+
+def test_phash_groups_collapse_brightness_shifted_copies(spark):
+    """media_image_phash_dedup's contract: (1) the kernel's aHash equals
+    a straightforward local numpy replay for every image; (2) a
+    brightness-shifted copy lands in its source's phash group whenever
+    no pixel clips (the +24 shift cancels in the mean comparison);
+    (3) grouping is non-vacuous both ways — some groups hold 2+ images,
+    and distinct sources do not all collapse together."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        decode_ppm,
+        image_average_hash,
+        synth_ppm_near_dup_media,
+    )
+    from etl_covid19_brasil_spark.registry import T
+
+    media = synth_ppm_near_dup_media(T(spark, "/root/testdata/sf0.001", "documents"))
+    rows = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {r.media_id: r.phash for r in image_average_hash(media).collect()}
+
+    def local_ahash(payload: bytes) -> int:
+        w, h, arr = decode_ppm(payload)
+        lum = arr[:, :, 0].astype("int64")
+        total_sum, n_total = int(lum.sum()), w * h
+        bits = 0
+        for gy in range(8):
+            y0 = min(gy * h // 8, h - 1)
+            y1 = max(min(max((gy + 1) * h // 8, gy * h // 8 + 1), h) if gy * h // 8 < h else h, y0 + 1)
+            for gx in range(8):
+                x0 = min(gx * w // 8, w - 1)
+                x1 = max(min(max((gx + 1) * w // 8, gx * w // 8 + 1), w) if gx * w // 8 < w else w, x0 + 1)
+                cell = lum[y0:y1, x0:x1]
+                bits = (bits << 1) | int(int(cell.sum()) * n_total > total_sum * cell.size)
+        return int(np.uint64(bits).astype(np.int64))
+
+    assert got and all(got[mid] == local_ahash(p) for mid, p in rows.items())
+
+    collapsed = unclipped = 0
+    for mid, payload in rows.items():
+        if mid >= 1_000_000:
+            src = mid - 1_000_000
+            _, _, arr = decode_ppm(rows[src])
+            if int(arr.max()) <= 255 - 24:  # shift cannot clip
+                unclipped += 1
+                assert got[mid] == got[src], (mid, src)
+            collapsed += int(got[mid] == got[src])
+    assert unclipped > 0  # invariance claim actually exercised
+    assert collapsed > 0
+    assert len(set(got.values())) > 1  # not everything in one bucket
