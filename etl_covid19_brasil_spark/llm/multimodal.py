@@ -761,3 +761,76 @@ def image_average_hash(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema="media_id long, phash long"
     )
+
+
+def synth_wav_near_dup_media(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Varying-waveform WAV corpus plus an AMPLITUDE-DOUBLED copy of every
+    third clip (media_id + 1e6) — the same recording at a different gain,
+    byte-wise distinct: the near-duplicate class an energy-profile
+    fingerprint exists to catch. Samples stay under 8192 so the x2 copy
+    is EXACT int16 (no rounding, no clipping) and the scale-invariance
+    of the fingerprint holds with no caveats."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, widths = [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = max(int(n_chars), 16)
+                i = np.arange(n, dtype="int64")
+                samples = ((int(doc_id) * 13 + i * i) % 8192).astype("<i2")
+                ids.append(int(doc_id))
+                payloads.append(encode_wav(samples, sample_rate))
+                widths.append(n)
+                if doc_id % 3 == 0:
+                    ids.append(int(doc_id) + 1_000_000)
+                    payloads.append(encode_wav((samples * 2).astype("<i2"), sample_rate))
+                    widths.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta_width": pd.Series(widths, dtype="int64"),
+                    "meta_height": 1,
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
+def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
+    """16-bit energy-profile fingerprint per clip: absolute amplitude
+    pooled into 16 time buckets, one bit per bucket = 'bucket energy
+    above the clip mean', decided by exact integer cross-multiplication
+    (bucket_sum * n_total > total_sum * n_bucket). A uniform gain change
+    multiplies both sides identically, so re-gained copies of the same
+    recording share a fingerprint EXACTLY — the audio sibling of
+    image_average_hash's brightness invariance."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = decode_wav(bytes(payload))
+                mag = np.abs(samples.astype("int64"))
+                n = mag.size
+                total = int(mag.sum())
+                bits = 0
+                for b in range(16):
+                    lo, hi = b * n // 16, max((b + 1) * n // 16, b * n // 16 + 1)
+                    seg = mag[min(lo, n - 1):min(max(hi, lo + 1), n)]
+                    if seg.size == 0:
+                        seg = mag[-1:]
+                    bits = (bits << 1) | int(int(seg.sum()) * n > total * seg.size)
+                rows.append((int(media_id), bits))
+            yield pd.DataFrame(rows, columns=["media_id", "fingerprint"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, fingerprint long"
+    )

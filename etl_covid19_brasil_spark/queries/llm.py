@@ -3767,3 +3767,33 @@ def media_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("media_id").alias("keeper_media_id"),
     )
+
+
+@query(
+    "media_audio_fingerprint_dedup",
+    oracle=None,  # no SQL WAV decoder; scale-invariance + grouping pinned
+    # in tests/test_multimodal.py (audio fingerprint tests)
+    section="2.10",
+    doc="Energy-profile AUDIO dedup — the audio sibling of "
+    "media_image_phash_dedup: every third clip gets an exactly "
+    "amplitude-doubled re-encode (same recording, different gain, "
+    "different bytes), clips map to a 16-bit energy fingerprint "
+    "(16 time buckets, bits by integer cross-multiplication — a "
+    "uniform gain multiplies both comparison sides identically, so "
+    "re-gained copies share the fingerprint EXACTLY, no tolerance "
+    "needed), and grouping collapses each copy onto its source. "
+    "Arrow-batched mapInPandas over the real RIFF/WAV parser; the "
+    "2-byte fingerprint shuffles, never the samples.",
+)
+def media_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        audio_energy_fingerprint,
+        synth_wav_near_dup_media,
+    )
+
+    media = synth_wav_near_dup_media(_spread(spark, T(spark, sf, "documents")))
+    fp = audio_energy_fingerprint(media)
+    return fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("media_id").alias("keeper_media_id"),
+    )

@@ -39,6 +39,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "pca_power",  # iterative linear algebra — numpy-replay-pinned
                 "compression_ratio",  # no SQL deflate — local-zlib-equality-pinned
                 "phash",  # no SQL PPM decode/bit-pool — numpy-replay-pinned
+                "fingerprint_dedup",  # no SQL WAV decode — gain-invariance-pinned
             )
         )
         for n in rows_only

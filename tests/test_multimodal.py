@@ -364,3 +364,23 @@ def test_phash_groups_collapse_brightness_shifted_copies(spark):
     assert unclipped > 0  # invariance claim actually exercised
     assert collapsed > 0
     assert len(set(got.values())) > 1  # not everything in one bucket
+
+
+def test_audio_fingerprint_is_exactly_gain_invariant(spark):
+    """media_audio_fingerprint_dedup's contract: EVERY amplitude-doubled
+    copy shares its source's fingerprint (samples are capped under 8192
+    so x2 is exact int16 — the invariance has no clipping caveat, unlike
+    the image case), and distinct recordings do not all collapse."""
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        audio_energy_fingerprint,
+        synth_wav_near_dup_media,
+    )
+    from etl_covid19_brasil_spark.registry import T
+
+    media = synth_wav_near_dup_media(T(spark, "/root/testdata/sf0.001", "documents"))
+    got = {r.media_id: r.fingerprint for r in audio_energy_fingerprint(media).collect()}
+    copies = [m for m in got if m >= 1_000_000]
+    assert copies
+    for mid in copies:
+        assert got[mid] == got[mid - 1_000_000], (mid, got[mid], got[mid - 1_000_000])
+    assert len(set(got.values())) > 1
