@@ -834,3 +834,127 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema="media_id long, fingerprint long"
     )
+
+
+def synth_video_near_dup_media(documents: DataFrame, n_frames: int = 4) -> DataFrame:
+    """A "video" per document: ``n_frames`` concatenated P6 PPM frames
+    (frame f's pixels shift the doc pattern by 31*f), plus a
+    BRIGHTNESS-SHIFTED re-encode of every third video (media_id + 1e6,
+    all frames +16). Source pixels are capped under 240 so the shift
+    never clips — per-frame aHash invariance is exact, no caveats."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, widths = [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = max(int(n_chars), 8)
+                frames = []
+                for f in range(n_frames):
+                    v = (int(doc_id) * 7 + 31 * f + np.arange(2 * w)) % 240
+                    frames.append(
+                        np.repeat(v.astype(np.uint8), 3).reshape(2, w, 3)
+                    )
+                video = b"".join(encode_ppm(p) for p in frames)
+                ids.append(int(doc_id))
+                payloads.append(video)
+                widths.append(w)
+                if doc_id % 3 == 0:
+                    shifted = b"".join(
+                        encode_ppm((p.astype(np.int16) + 16).astype(np.uint8))
+                        for p in frames
+                    )
+                    ids.append(int(doc_id) + 1_000_000)
+                    payloads.append(shifted)
+                    widths.append(w)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "video",
+                    "payload": payloads,
+                    "meta_width": pd.Series(widths, dtype="int64"),
+                    "meta_height": 2,
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
+def split_ppm_frames(payload: bytes):
+    """Parse a concatenated-PPM video container into its frame arrays by
+    walking the real P6 headers (magic, dims, maxval, raster length) —
+    container parsing, not byte-slicing guesswork."""
+    frames = []
+    pos = 0
+    data = bytes(payload)
+    while pos < len(data):
+        if data[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        # header: P6\n<w> <h>\n<maxval>\n
+        hdr_end = pos
+        fields = []
+        i = pos + 2
+        while len(fields) < 3:
+            while i < len(data) and data[i] in b" \t\r\n":
+                i += 1
+            j = i
+            while j < len(data) and data[j] not in b" \t\r\n":
+                j += 1
+            fields.append(int(data[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, _maxval = fields
+        raster = 3 * w * h
+        _, _, arr = decode_ppm(data[pos : i + raster])
+        frames.append(arr)
+        pos = i + raster
+        hdr_end = pos
+    return frames
+
+
+def video_phash_signature(media: DataFrame) -> DataFrame:
+    """Per-video perceptual signature: each frame gets the image aHash
+    (same exact integer bit rule as image_average_hash), and the ordered
+    frame-hash sequence is collapsed to one md5-derived 63-bit
+    signature. Re-encoded videos whose every frame is visually identical
+    share the signature exactly; one changed frame changes it."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def ahash(arr) -> int:
+            lum = arr[:, :, 0].astype("int64")
+            h, w = lum.shape
+            total_sum, n_total = int(lum.sum()), w * h
+            bits = 0
+            for gy in range(8):
+                y0 = min(gy * h // 8, h - 1)
+                y1 = max(min(max((gy + 1) * h // 8, y0 + 1), h), y0 + 1)
+                for gx in range(8):
+                    x0 = min(gx * w // 8, w - 1)
+                    x1 = max(min(max((gx + 1) * w // 8, x0 + 1), w), x0 + 1)
+                    cell = lum[y0:y1, x0:x1]
+                    bits = (bits << 1) | int(
+                        int(cell.sum()) * n_total > total_sum * cell.size
+                    )
+            return bits
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = split_ppm_frames(bytes(payload))
+                seq = ",".join(str(ahash(a)) for a in frames)
+                sig = int.from_bytes(
+                    hashlib.md5(seq.encode()).digest()[:8], "big"
+                ) >> 1  # 63-bit: stays positive in a signed long
+                rows.append((int(media_id), len(frames), sig))
+            yield pd.DataFrame(rows, columns=["media_id", "n_frames", "signature"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, n_frames long, signature long"
+    )

@@ -3797,3 +3797,35 @@ def media_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clips"),
         F.min("media_id").alias("keeper_media_id"),
     )
+
+
+@query(
+    "media_video_phash_dedup",
+    oracle=None,  # no SQL container parser; invariance + one-frame-change
+    # sensitivity pinned in tests/test_multimodal.py (video phash tests)
+    section="2.10",
+    doc="Perceptual VIDEO dedup completing the modality trio (image "
+    "phash, audio fingerprint): each document's 'video' is a real "
+    "multi-frame container (4 concatenated P6 PPM frames, parsed back "
+    "by walking the actual headers — split_ppm_frames, not byte "
+    "slicing), every frame maps to the image aHash, and the ordered "
+    "frame-hash sequence collapses to one 63-bit signature. A "
+    "re-encoded copy whose every frame is visually identical "
+    "(uniform +16 brightness, pixels capped so nothing clips) shares "
+    "the signature EXACTLY; one changed frame changes it — both "
+    "directions pinned in tests. Arrow-batched mapInPandas; the "
+    "8-byte signature shuffles, never the frames.",
+)
+def media_video_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        synth_video_near_dup_media,
+        video_phash_signature,
+    )
+
+    media = synth_video_near_dup_media(_spread(spark, T(spark, sf, "documents")))
+    sig = video_phash_signature(media)
+    return sig.groupBy("signature").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.min("media_id").alias("keeper_media_id"),
+        F.min("n_frames").alias("n_frames"),
+    )

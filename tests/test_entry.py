@@ -40,6 +40,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "compression_ratio",  # no SQL deflate — local-zlib-equality-pinned
                 "phash",  # no SQL PPM decode/bit-pool — numpy-replay-pinned
                 "fingerprint_dedup",  # no SQL WAV decode — gain-invariance-pinned
+                "video_phash",  # no SQL container parse — two-sided-pinned
             )
         )
         for n in rows_only

@@ -384,3 +384,44 @@ def test_audio_fingerprint_is_exactly_gain_invariant(spark):
     for mid in copies:
         assert got[mid] == got[mid - 1_000_000], (mid, got[mid], got[mid - 1_000_000])
     assert len(set(got.values())) > 1
+
+
+def test_video_signature_invariant_to_reencode_sensitive_to_frame_change(spark):
+    """media_video_phash_dedup's two-sided contract: every
+    brightness-shifted re-encode shares its source's signature (pixels
+    capped under 240, +16 never clips — exact invariance), AND changing
+    a single frame changes the signature (sequence sensitivity)."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        encode_ppm,
+        split_ppm_frames,
+        synth_video_near_dup_media,
+        video_phash_signature,
+    )
+    from etl_covid19_brasil_spark.registry import T
+
+    media = synth_video_near_dup_media(T(spark, "/root/testdata/sf0.001", "documents"))
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {r.media_id: (r.n_frames, r.signature) for r in video_phash_signature(media).collect()}
+
+    copies = [m for m in got if m >= 1_000_000]
+    assert copies
+    for mid in copies:
+        assert got[mid] == got[mid - 1_000_000], mid
+    assert all(nf == 4 for nf, _ in got.values())
+    assert len({sig for _, sig in got.values()}) > 1
+
+    # single-frame sensitivity: swap one frame of one video for a
+    # different pattern and the signature must move
+    some_id = min(m for m in got if m < 1_000_000)
+    frames = split_ppm_frames(payloads[some_id])
+    frames[2] = np.ascontiguousarray(frames[2][:, ::-1, :])  # reversed ramp — different picture
+    import pandas as pd
+
+    mutated = b"".join(encode_ppm(f) for f in frames)
+    pdf_media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [mutated]})
+    )
+    new_sig = video_phash_signature(pdf_media).collect()[0].signature
+    assert new_sig != got[some_id][1]
