@@ -2820,3 +2820,51 @@ def agg_weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
         "rev_cents",
         F.expr("rev_cents * 1000000L div total").alias("rev_share_ppm"),
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    section="2.7",
+    doc="Bag-semantics INTERSECT ALL (intersectAll): each key survives "
+    "min(multiplicity_left, multiplicity_right) times — the "
+    "multiset law the DISTINCT variant (set_intersect) destroys; "
+    "needed when multiplicity IS the signal (per-order rows, not "
+    "per-customer membership). Plans as a single count-compare "
+    "aggregate family, one shuffle per side on the key.",
+)
+def set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return left.intersectAll(right)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    section="2.7",
+    doc="Bag-semantics EXCEPT ALL (exceptAll): each key survives "
+    "max(multiplicity_left - multiplicity_right, 0) times — the "
+    "per-occurrence subtraction reconciliation needs (how many MORE "
+    "finished orders than urgent ones per customer), which the "
+    "DISTINCT variant (set_except) collapses to membership. Same "
+    "count-compare plan family as set_intersect_all.",
+)
+def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return left.exceptAll(right)
