@@ -2385,3 +2385,202 @@ def ts_mom_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("(rev - prev_yr) * 1000000 DIV prev_yr"),
         ).alias("yoy_ppm"),
     )
+
+
+_PSI_TERM_N9 = (
+    "CAST(floor(("
+    " ((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))"
+    "  - (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))"
+    " * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))"
+    "      / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))"
+    ") * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CASE WHEN CAST(strftime(o_orderdate, '%Y') AS BIGINT) < 1996
+                  THEN 'a' ELSE 'b' END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    a_ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n
+      FROM vals WHERE grp = 'a'
+    ),
+    cuts AS (
+      SELECT DISTINCT v AS cv
+      FROM a_ranked, (SELECT unnest(range(1, 10)) AS k)
+      WHERE rn = (k * n + 9) // 10
+    ),
+    vc AS (SELECT grp, v, COUNT(*) AS cnt FROM vals GROUP BY grp, v),
+    binned AS (
+      SELECT vc.grp, vc.v, vc.cnt,
+             (SELECT COUNT(*) FROM cuts WHERE cuts.cv < vc.v) AS bin
+      FROM vc
+    ),
+    bins AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN grp = 'a' THEN cnt ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN grp = 'b' THEN cnt ELSE 0 END) AS BIGINT) AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM bins
+    )
+    SELECT MIN(na) AS na, MIN(nb) AS nb,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM({_PSI_TERM_N9}) AS BIGINT) AS psi_nano,
+           CAST(SUM({_PSI_TERM_N9}) AS BIGINT) > 100000000 AS drift_alert
+    FROM bins, tot
+    """,
+    section="2.4",
+    doc="Population Stability Index — THE industry drift gauge for "
+    "feature monitoring, completing the drift trio (dq_ks_drift's "
+    "distribution test, corpus_js_divergence's corpus distance): "
+    "order totals before 1996 define decile bins by EXACT rank (the "
+    "winsorize cutpoint mechanism; approx_percentile is the 100 TB "
+    "swap), the later period drops into them, and PSI = "
+    "sum((p_i - q_i) * ln(p_i/q_i)) with Laplace-smoothed "
+    "proportions so empty current-period bins stay defined. Each "
+    "bin's term is ONE shared double expression tree quantized to "
+    "integer nano (floor(x*1e9 + 0.5) — the JS-divergence idiom) "
+    "before the 10-term sum, so no accumulated double enters the "
+    "hash; the 0.1 alert threshold becomes an integer compare. "
+    "Bin assignment joins the 9-row cutpoint table against "
+    "per-(grp, value) counts — never per-row.",
+)
+def dq_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    vals = T(spark, sf, "orders").select(
+        F.when(F.year(F.col("o_orderdate").cast("date")) < 1996, "a")
+        .otherwise("b")
+        .alias("grp"),
+        cents("o_totalprice").alias("v"),
+    )
+    a = vals.filter(F.col("grp") == "a")
+    wn = Window.orderBy("v")
+    a_ranked = a.select(
+        "v",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    cuts = (
+        a_ranked.join(ks, F.col("rn") == F.expr("(k * n + 9) DIV 10"))
+        .select(F.col("v").alias("cv"))
+        .distinct()
+    )
+    vc = vals.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    binned = (
+        vc.crossJoin(F.broadcast(cuts))
+        .groupBy("grp", "v", "cnt")
+        .agg(F.sum(F.when(F.col("cv") < F.col("v"), 1).otherwise(0)).alias("bin"))
+    )
+    bins = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == "a", F.col("cnt")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == "b", F.col("cnt")).otherwise(0)).alias("cb"),
+    )
+    tot = bins.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    return (
+        bins.crossJoin(tot)
+        .agg(
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(F.expr(_PSI_TERM_N9)).cast("long").alias("psi_nano"),
+        )
+        .select(
+            "na",
+            "nb",
+            "n_bins",
+            "psi_nano",
+            (F.col("psi_nano") > 100000000).alias("drift_alert"),
+        )
+    )
+
+
+@query(
+    "user_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(CAST(strftime(o_orderdate, '%Y') AS BIGINT)) AS cohort_yr
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort_yr,
+             CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) - f.cohort_yr
+               AS yr_offset,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    ),
+    per_cell AS (
+      SELECT cohort_yr, yr_offset,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM rev GROUP BY cohort_yr, yr_offset
+    ),
+    sized AS (
+      SELECT cohort_yr, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM first_order GROUP BY cohort_yr
+    )
+    SELECT p.cohort_yr, p.yr_offset, s.cohort_users, p.rev_cents,
+           CAST(SUM(p.rev_cents) OVER (PARTITION BY p.cohort_yr
+             ORDER BY p.yr_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rev_cents,
+           CAST(SUM(p.rev_cents) OVER (PARTITION BY p.cohort_yr
+             ORDER BY p.yr_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             // s.cohort_users AS BIGINT) AS ltv_cents_per_user
+    FROM per_cell p JOIN sized s ON p.cohort_yr = s.cohort_yr
+    """,
+    section="2.4",
+    doc="Cohort lifetime-value curve — the REVENUE twin of "
+    "user_retention_cohorts (which counts who comes back; this sums "
+    "what they spend): customers cohort by first-order year, every "
+    "order's revenue lands in its (cohort, year-offset) cell, and the "
+    "running sum along each cohort row divided by the cohort's "
+    "population is the per-user LTV trajectory finance reads off the "
+    "diagonal. First-order derivation is one customer-keyed "
+    "aggregate; the curve windows run on |cohorts x offsets| cells; "
+    "LTV-per-user is integer floor division of exact cents — no "
+    "average enters the hash.",
+)
+def user_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+        cents("o_totalprice").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort_yr"))
+    rev = o.join(first, "o_custkey").select(
+        "cohort_yr", (F.col("yr") - F.col("cohort_yr")).alias("yr_offset"), "cents"
+    )
+    per_cell = rev.groupBy("cohort_yr", "yr_offset").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    sized = first.groupBy("cohort_yr").agg(F.count(F.lit(1)).alias("cohort_users"))
+    w = (
+        Window.partitionBy("cohort_yr")
+        .orderBy("yr_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_cell.join(sized, "cohort_yr")
+        .select(
+            "cohort_yr",
+            "yr_offset",
+            "cohort_users",
+            "rev_cents",
+            F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+        )
+        .withColumn(
+            "ltv_cents_per_user", F.expr("cum_rev_cents DIV cohort_users")
+        )
+    )
