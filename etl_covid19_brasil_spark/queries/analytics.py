@@ -2584,3 +2584,67 @@ def user_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
             "ltv_cents_per_user", F.expr("cum_rev_cents DIV cohort_users")
         )
     )
+
+
+@query(
+    "win_rank_movement",
+    oracle="""
+    WITH per_yr AS (
+      SELECT o_custkey,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS yr,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders
+      WHERE CAST(strftime(o_orderdate, '%Y') AS BIGINT) IN (1995, 1996)
+      GROUP BY o_custkey, yr
+    ),
+    ranked AS (
+      SELECT o_custkey, yr, rev,
+             ROW_NUMBER() OVER (PARTITION BY yr ORDER BY rev DESC, o_custkey)
+               AS rk
+      FROM per_yr
+    )
+    SELECT a.o_custkey,
+           a.rev AS rev_1995, b.rev AS rev_1996,
+           a.rk AS rank_1995, b.rk AS rank_1996,
+           CAST(a.rk - b.rk AS BIGINT) AS rank_gain
+    FROM ranked a JOIN ranked b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1995 AND b.yr = 1996
+    """,
+    section="2.5",
+    doc="Leaderboard MOVEMENT between two periods: customers ranked by "
+    "1995 revenue and again by 1996, joined on the customer, with "
+    "rank_gain = old rank minus new (positive = climbed) — the "
+    "period-over-period ranking diff every sales/leaderboard review "
+    "runs, which a single window cannot express (two independent "
+    "orderings must meet in a join). Deterministic tie-break by "
+    "customer key keeps row_number stable cross-engine. Both rankings "
+    "come from ONE shuffle family (same year-partitioned window "
+    "spec); the self-join is customer-keyed. Customers active in only "
+    "one year drop out (inner join) — the movement metric is defined "
+    "on the intersection.",
+)
+def win_rank_movement(spark: SparkSession, sf: str) -> DataFrame:
+    per_yr = (
+        T(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+            cents("o_totalprice").alias("cents"),
+        )
+        .filter(F.col("yr").isin(1995, 1996))
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.col("rev").desc(), "o_custkey")
+    ranked = per_yr.withColumn("rk", F.row_number().over(w))
+    a = ranked.filter(F.col("yr") == 1995).alias("a")
+    b = ranked.filter(F.col("yr") == 1996).alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey")).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.col("a.rev").alias("rev_1995"),
+        F.col("b.rev").alias("rev_1996"),
+        F.col("a.rk").cast("long").alias("rank_1995"),
+        F.col("b.rk").cast("long").alias("rank_1996"),
+        (F.col("a.rk") - F.col("b.rk")).cast("long").alias("rank_gain"),
+    )

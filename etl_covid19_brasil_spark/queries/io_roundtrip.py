@@ -1031,3 +1031,48 @@ def scan_csv_latin1(spark: SparkSession, sf: str) -> DataFrame:
         .option("encoding", "ISO-8859-1")
         .csv(str(base))
     )
+
+
+@query(
+    "sink_scan_jdbc_partitioned",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+    section="2.1",
+    doc="PARTITIONED JDBC read — the parallel-ingest form of the "
+    "reference's 'consultas' path: customer lands in Derby, then the "
+    "read-back declares partitionColumn/lowerBound/upperBound/"
+    "numPartitions(4) so Spark issues four range-predicated queries "
+    "concurrently instead of one serial cursor — the difference "
+    "between a JDBC source that scales and one that bottlenecks the "
+    "whole cluster behind a single connection (bounds need not be "
+    "tight: rows outside land in the edge partitions, Spark's "
+    "documented contract, exercised here with deliberately loose "
+    "bounds). The segment rollup proves the four ranges partition "
+    "the table exactly — no row lost or duplicated at the "
+    "boundaries.",
+)
+def sink_scan_jdbc_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    dbdir = tempfile.mkdtemp(prefix="derby_partread_")
+    url = f"jdbc:derby:{dbdir}/lakedb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    io.sink_jdbc_replace(src, url, "customer_lake", properties=props, num_partitions=1)
+    back = io.scan_jdbc(
+        spark,
+        url,
+        "customer_lake",
+        properties=props,
+        partition_column="c_custkey",
+        lower_bound=10,  # deliberately loose: edge partitions absorb the rest
+        upper_bound=1000,
+        num_partitions=4,
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("c_acctbal")).alias("acctbal_cents"),
+    )
