@@ -2648,3 +2648,224 @@ def win_rank_movement(spark: SparkSession, sf: str) -> DataFrame:
         F.col("b.rk").cast("long").alias("rank_1996"),
         (F.col("a.rk") - F.col("b.rk")).cast("long").alias("rank_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plan shapes (Q8 / Q19 / Q21) — the remaining distinctive optimizer
+# shapes from the canonical warehouse suite, adapted to the testdata schema
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_market_share",
+    oracle="""
+    WITH sales AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS net_cents,
+             sn.n_name = 'NATION_3' AS is_target
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN is_target THEN net_cents ELSE 0 END) AS BIGINT)
+             AS target_cents,
+           CAST(SUM(net_cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN is_target THEN net_cents ELSE 0 END) * 1000000
+                // SUM(net_cents) AS BIGINT) AS share_ppm
+    FROM sales GROUP BY yr ORDER BY yr
+    """,
+    section="2.4",
+    doc="National market share by year (the TPC-H Q8 shape): the ASIA "
+    "ECONOMY-part market, asking what fraction of yearly revenue one "
+    "supplier nation captured. The distinctive plan feature is the "
+    "DOUBLE ROLE-PLAY of the nation dim — once on the customer path "
+    "(region filter, prunes rows) and once on the supplier path (share "
+    "numerator flag, prunes nothing) — which a correct optimizer treats "
+    "as two independent broadcast joins, not a self-join. All five dims "
+    "broadcast; the only shuffles are fact-fact lineitem-orders on the "
+    "order key and the final 7-row year aggregate. Share in exact "
+    "integer ppm off cents rounded before summation (registry policy).",
+)
+def agg_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("net_cents"),
+    )
+    o = T(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("yr"),
+    )
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust_nations = (
+        c.join(
+            F.broadcast(
+                n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey")
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    supp_flag = s.join(
+        F.broadcast(n.select("n_nationkey", (F.col("n_name") == "NATION_3").alias("is_target"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "is_target")
+    p = T(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_nations), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_flag), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+    )
+    return (
+        sales.groupBy("yr")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("net_cents")).otherwise(0)).alias(
+                "target_cents"
+            ),
+            F.sum("net_cents").alias("total_cents"),
+        )
+        .select(
+            "yr",
+            "target_cents",
+            "total_cents",
+            F.expr("target_cents * 1000000 DIV total_cents").alias("share_ppm"),
+        )
+        .orderBy("yr")
+    )
+
+
+@query(
+    "filter_disjunctive_bands",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    section="2.2",
+    doc="Disjunction-of-conjunctions predicate (the TPC-H Q19 shape): "
+    "three (brand, size-band, quantity-band) OR-arms spanning BOTH join "
+    "sides. The optimizer test is partial pushdown of a disjunction: "
+    "the union of the part-only arms (brand IN (...) AND size <= 15) "
+    "prunes the dim scan and the quantity envelope (1..30) prunes the "
+    "fact scan BEFORE the join — Catalyst extracts both via "
+    "constraint propagation from the OR, so the residual cross-side "
+    "disjunction evaluates on a pre-filtered broadcast join, not on "
+    "the raw fact stream. Note Brand#34 does not exist in this corpus "
+    "(brands run 1..25) — a deliberately empty arm, proving the OR "
+    "evaluates arm-independently rather than vacuously.",
+)
+def filter_disjunctive_bands(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("net_cents"),
+    )
+    p = T(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(arm).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("net_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "join_multi_exists_waiting",
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CAST(l.l_shipdate AS DATE)
+               > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT a.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_waiting_orders
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE is_late) a
+    WHERE EXISTS (SELECT 1 FROM lines b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines c
+                      WHERE c.l_orderkey = a.l_orderkey
+                        AND c.l_suppkey <> a.l_suppkey AND c.is_late)
+    GROUP BY a.l_suppkey ORDER BY n_waiting_orders DESC, suppkey LIMIT 20
+    """,
+    section="2.3",
+    doc="Suppliers who kept others waiting (the TPC-H Q21 shape, late = "
+    "shipped >60 days after order date since this schema carries no "
+    "receipt/commit dates): for multi-supplier orders, find the SOLE "
+    "late supplier — one EXISTS (another supplier participated) and one "
+    "NOT EXISTS (no OTHER supplier was late) over the same fact. Plan: "
+    "the order-keyed lineitem-orders join computes lateness once; both "
+    "correlated quantifiers then resolve as ONE per-order aggregate "
+    "(count of supplier partners, count of late partners) joined back "
+    "on the order key — semi/anti semantics as order-local counters, "
+    "three order-keyed shuffles total and no per-row subquery re-scan. "
+    "Top-20 by waiting count is a TakeOrderedAndProject.",
+)
+def join_multi_exists_waiting(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate").cast("date") > F.date_add(F.col("odate"), 60)
+            ).alias("is_late"),
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
+        .distinct()
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late = lines.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    sole_late = late.join(
+        per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    return (
+        sole_late.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_waiting_orders"))
+        .orderBy(F.desc("n_waiting_orders"), F.asc("suppkey"))
+        .limit(20)
+    )
