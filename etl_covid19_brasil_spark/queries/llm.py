@@ -3829,3 +3829,268 @@ def media_video_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.min("media_id").alias("keeper_media_id"),
         F.min("n_frames").alias("n_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (RRF) and semantic dedup — the fusion/pruning layer a
+# RAG or curation pipeline runs on top of the lexical + dense rankers
+# ---------------------------------------------------------------------------
+
+# Dense query vector: hash-derived ±1 signs (the embedding_random_projection
+# trick, row j=101 of the virtual sign matrix). |q| is the constant sqrt(64),
+# so ranking by the ordered-fold dot(ne, q) IS ranking by cosine — the
+# normalization constant cancels in the ORDER BY.
+_RRF_QJ = 101
+_RRF_POOL = 50
+_RRF_K0 = 60
+
+
+@query(
+    "rank_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents),
+    qtoks AS (SELECT doc_id, token FROM toks WHERE token IN {_RT_SQL}),
+    n_total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qtoks GROUP BY doc_id, token),
+    dfs AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY token),
+    lex_scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_u6
+      FROM tf JOIN dfs ON tf.token = dfs.token, n_total
+      GROUP BY tf.doc_id
+    ),
+    lex_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u6 DESC, doc_id ASC)
+               AS lex_rank
+      FROM lex_scored
+      ORDER BY lex_rank LIMIT {_RRF_POOL}
+    ),
+    n AS (SELECT vec_id, {_O_NORMED} AS ne FROM embeddings),
+    dense_scored AS (
+      SELECT vec_id,
+             list_reduce(list_transform(range(1, len(ne) + 1),
+               i -> {_SIGN_SQL.format(i='i', j=_RRF_QJ)} * ne[i]),
+               (x, y) -> x + y) AS dotq
+      FROM n
+    ),
+    dense_ranked AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY dotq DESC, vec_id ASC) AS dense_rank
+      FROM dense_scored
+      ORDER BY dense_rank LIMIT {_RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank,
+             CAST(COALESCE(1000000 // ({_RRF_K0} + l.lex_rank), 0)
+                + COALESCE(1000000 // ({_RRF_K0} + d.dense_rank), 0) AS BIGINT)
+               AS rrf_u6
+      FROM lex_ranked l FULL OUTER JOIN dense_ranked d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_u6
+    FROM fused ORDER BY rrf_u6 DESC, doc_id ASC LIMIT 10
+    """,
+    section="2.10",
+    doc=f"Hybrid retrieval via reciprocal-rank fusion: the lexical ranking "
+    "(TF-IDF over the fixed query terms, integer micro-unit scores) and "
+    "the dense ranking (ordered-fold dot of each normalized embedding "
+    "with a hash-derived ±1 query vector; the constant query norm "
+    "cancels in the ordering) each contribute floor(1e6/(60+rank)) for "
+    f"their top-{_RRF_POOL}, fused by a FULL OUTER join on the doc id — "
+    "the standard two-tower merge of a RAG stack, with rank-0 sentinel "
+    "for list-absent sides. Every fused score is exact integer "
+    "arithmetic over window ranks with deterministic tie-breaks, so "
+    "the fusion is hash-stable even though the underlying dense scores "
+    "are doubles. Scale shape: each ranking is a "
+    f"TakeOrderedAndProject to {_RRF_POOL} rows, so the fusion join is "
+    "a few-row broadcast regardless of corpus size; the lexical side "
+    "prunes the exploded token stream on the query terms before any "
+    "shuffle and the dense side is one map-side fold per vector.",
+)
+def rank_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    qtoks = d.select("doc_id", F.explode(_tokens()).alias("token")).filter(
+        F.col("token").isin(*_RANK_TERMS)
+    )
+    n_total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    lex_scored = (
+        tf.join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+                    " * 1000000.0 + 0.5) AS BIGINT)"
+                )
+            ).alias("w_u6"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w_u6").alias("score_u6"))
+    )
+    # Top-pool first (TakeOrderedAndProject — no global sort), THEN rank:
+    # the unpartitioned window only ever sees _RRF_POOL rows.
+    lw = Window.orderBy(F.desc("score_u6"), F.asc("doc_id"))
+    lex_ranked = (
+        lex_scored.orderBy(F.desc("score_u6"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+        .withColumn("lex_rank", F.row_number().over(lw))
+        .select("doc_id", "lex_rank")
+    )
+    e = T(spark, sf, "embeddings")
+    ne = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double") / F.sqrt(_dot(F.col("embedding"), F.col("embedding"))),
+    )
+    dotq = F.aggregate(
+        F.transform(ne, lambda x, i: _rp_sign(i + 1, _RRF_QJ) * x),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dw = Window.orderBy(F.desc("dotq"), F.asc("vec_id"))
+    dense_ranked = (
+        e.select("vec_id", dotq.alias("dotq"))
+        .orderBy(F.desc("dotq"), F.asc("vec_id"))
+        .limit(_RRF_POOL)
+        .withColumn("dense_rank", F.row_number().over(dw))
+        .select(F.col("vec_id").alias("doc_id"), "dense_rank")
+    )
+    fused = (
+        lex_ranked.join(dense_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("long").alias("dense_rank"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K0} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K0} + dense_rank)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_u6"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_u6"), F.asc("doc_id")).limit(10)
+
+
+# SemDeDup cell planes: rows 200..207 of the virtual sign matrix.
+_SD_PLANES = 8
+_SD_J0 = 200
+_SD_TAU_U6 = 950_000
+
+
+def _sd_cell_sql() -> str:
+    bits = []
+    for p in range(_SD_PLANES):
+        sgn = _SIGN_SQL.format(i="i", j=_SD_J0 + p)
+        dot = (
+            f"list_reduce(list_transform(range(1, len(ne) + 1), i -> {sgn} * ne[i]), "
+            "(x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0.0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@query(
+    "semdedup_cells",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_O_NORMED} AS ne FROM embeddings),
+    cells AS (SELECT vec_id, ne, CAST({_sd_cell_sql()} AS BIGINT) AS cell FROM n),
+    reps AS (SELECT cell, MIN(vec_id) AS rep_id FROM cells GROUP BY cell),
+    joined AS (
+      SELECT c.vec_id, c.cell, r.rep_id,
+             CAST(floor(list_reduce(list_transform(range(1, len(c.ne) + 1),
+                    i -> c.ne[i] * rv.ne[i]), (x, y) -> x + y)
+                  * 1000000.0 + 0.5) AS BIGINT) AS cos_u6
+      FROM cells c
+      JOIN reps r ON c.cell = r.cell
+      JOIN cells rv ON rv.vec_id = r.rep_id
+    )
+    SELECT vec_id, cell, rep_id, cos_u6,
+           (vec_id <> rep_id AND cos_u6 >= {_SD_TAU_U6}) AS is_semdup
+    FROM joined
+    """,
+    section="2.10",
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "arXiv:2303.09540): partition the embedding space into "
+    f"2^{_SD_PLANES} hyperplane cells (hash-derived ±1 planes — rows "
+    f"{_SD_J0}.. of the virtual sign matrix the projection/LSH tiers "
+    "share), elect the minimum-id member of each cell as its exemplar, "
+    "and flag every other member whose cosine to the exemplar clears "
+    f"{_SD_TAU_U6 / 1e6} as a semantic duplicate. The pruning is "
+    "linear, not quadratic: each vector is scored against exactly ONE "
+    "exemplar (the SemDeDup observation that near-duplicates collapse "
+    "into the same cluster, so cross-cell pairs need never be scored). "
+    "Cosines are ordered folds over normalized vectors — bit-identical "
+    "in both engines — then quantized to integer micro-units before "
+    "the threshold compare. Scale shape: signatures are map-side; one "
+    "shuffle groups cells; exemplar vectors re-join on the cell key "
+    "(cell-partitioned both sides); nothing grows with corpus size "
+    "except linearly.",
+)
+def semdedup_cells(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    ne = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double") / F.sqrt(_dot(F.col("embedding"), F.col("embedding"))),
+    )
+
+    def plane_dot(p: int) -> F.Column:
+        return F.aggregate(
+            F.transform(F.col("ne"), lambda x, i: _rp_sign(i + 1, _SD_J0 + p) * x),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    cell = None
+    normed = e.select("vec_id", ne.alias("ne"))
+    # Pin the normalized array before the per-plane lambdas consume it:
+    # eight sign-fold projections over an inlined normalize expression
+    # would otherwise re-run the normalization fold per plane (the
+    # round-8 tokenize-then-shingle barrier rule, applied to vectors).
+    normed = normed.localCheckpoint(eager=False)
+    for p in range(_SD_PLANES):
+        bit = F.when(plane_dot(p) >= 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    cells = normed.select("vec_id", "ne", cell.cast("long").alias("cell"))
+    reps = cells.groupBy("cell").agg(F.min("vec_id").alias("rep_id"))
+    rep_vecs = cells.select(
+        F.col("vec_id").alias("rep_id"), F.col("ne").alias("rep_ne")
+    )
+    joined = (
+        cells.join(reps, "cell")
+        .join(rep_vecs, "rep_id")
+        .select(
+            "vec_id",
+            "cell",
+            "rep_id",
+            F.floor(
+                F.aggregate(
+                    F.zip_with(F.col("ne"), F.col("rep_ne"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("cos_u6"),
+        )
+    )
+    return joined.select(
+        "vec_id",
+        "cell",
+        "rep_id",
+        "cos_u6",
+        ((F.col("vec_id") != F.col("rep_id")) & (F.col("cos_u6") >= _SD_TAU_U6)).alias(
+            "is_semdup"
+        ),
+    )
