@@ -4094,3 +4094,23 @@ def semdedup_cells(spark: SparkSession, sf: str) -> DataFrame:
             "is_semdup"
         ),
     )
+
+
+@query(
+    "rank_mmr_diversify",
+    oracle=None,  # inherently sequential greedy loop -> rows-only; pinned
+    # against a pure-python replay + diversity invariant in tests/test_mmr.py
+    section="2.10",
+    doc="Maximal-Marginal-Relevance diversified top-10 (Carbonell & "
+    "Goldstein 1998): greedy re-ranking of the 50-candidate relevance "
+    "pool, each pick maximizing 0.7*relevance - 0.3*max-cosine-to-"
+    "picked. The corpus-sized work (ordered-fold relevance scoring "
+    "against the shared hash-derived query vector, TakeOrdered pool "
+    "cut) is fully distributed; only the O(1) 50-row pool reaches the "
+    "driver for the sequential loop (llm/mmr.py — the IVF-trainer "
+    "bounded-collect pattern). Scores emitted as integer micro-units.",
+)
+def rank_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.mmr import mmr_select
+
+    return mmr_select(T(spark, sf, "embeddings"), query_j=_RRF_QJ)

@@ -41,6 +41,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "phash",  # no SQL PPM decode/bit-pool — numpy-replay-pinned
                 "fingerprint_dedup",  # no SQL WAV decode — gain-invariance-pinned
                 "video_phash",  # no SQL container parse — two-sided-pinned
+                "mmr",  # sequential greedy loop — python-replay-pinned
             )
         )
         for n in rows_only
