@@ -171,6 +171,7 @@ def _ensure_loaded() -> None:
     import etl_covid19_brasil_spark.queries.streaming  # noqa: F401
     import etl_covid19_brasil_spark.queries.quality  # noqa: F401
     import etl_covid19_brasil_spark.queries.analytics  # noqa: F401
+    import etl_covid19_brasil_spark.queries.tpch_shapes  # noqa: F401
 
     _loaded = True
 
