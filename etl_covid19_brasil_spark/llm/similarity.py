@@ -411,3 +411,87 @@ def brute_force_topk(
         merged.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_index_rows: int = MAX_INDEX_ROWS,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Exact top-k OTHER-CLASS cosine neighbors per vector — hard-negative
+    mining for contrastive training (the highest-similarity examples the
+    model must learn to push apart; in-batch random negatives are too
+    easy). Output: (query_id, neighbor_id, neighbor_label, cosine, rank),
+    tie-broken (cosine desc, neighbor_id asc) like :func:`brute_force_topk`.
+
+    Scale shape: IDENTICAL to brute_force_topk — the label constraint is
+    a mask inside the per-block kernel, not a join. Labels ride through
+    the shared tiling machinery PACKED into the id (``id * 256 + label``;
+    labels are small ints by contract, asserted below), so both tiers —
+    bounded broadcast index and the cogrouped block-nested-loop — work
+    unchanged: the packed id preserves vec_id ordering for tie-breaks
+    (label bits only distinguish equal ids, which never tie) and the
+    kernel recovers ``label = id & 255`` with two shifts. The mask sets
+    same-label similarities to -inf, which also covers the self-pair.
+    """
+    spark = embeddings.sparkSession
+    packed = embeddings.select(
+        (F.col(id_col).cast("long") * 256 + F.col(label_col).cast("long")).alias(
+            id_col
+        ),
+        vec_col,
+    )
+
+    def block(q_ids, q_mat, ids, mat):
+        sims = _ordered_dot(q_mat[:, None, :], mat[None, :, :])
+        sims[(q_ids & 255)[:, None] == (ids & 255)[None, :]] = -np.inf
+        kk = min(k, len(ids))
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=-1)[:, :kk]
+        got = np.take_along_axis(sims, order, axis=1).reshape(-1)
+        keep = got > -np.inf
+        picked = ids[order].reshape(-1)[keep]
+        return pd.DataFrame(
+            {
+                "query_id": (np.repeat(q_ids, kk)[keep]) >> 8,
+                "neighbor_id": picked >> 8,
+                "neighbor_label": (picked & 255).astype(np.int32),
+                "cosine": got[keep],
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(q_ids))[keep],
+            }
+        )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("neighbor_label", IntegerType()),
+            StructField("cosine", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    n = n_rows if n_rows is not None else _estimate_rows(embeddings)
+    n_tiles = max(1, math.ceil(n / max_index_rows))
+    if n_tiles == 1:
+        bc = spark.sparkContext.broadcast(_bounded_index(packed, id_col, vec_col))
+
+        def kernel(batches):
+            ids, mat = bc.value
+            for pdf in batches:
+                q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+                yield block(q_ids, q_mat, ids, mat)
+
+        return _spread(packed).mapInPandas(kernel, schema=schema)
+    n_salts = max(1, math.ceil(n / QUERY_BLOCK_ROWS))
+    merged = _cogrouped_partials(
+        packed, packed, id_col, vec_col, n_tiles, n_salts, block, schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -130,8 +130,9 @@ def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     "chart, category tree): every part climbs a synthetic decimal-trie "
     "hierarchy (parent(k) = k DIV 10, roots are keys < 10) to its root, "
     "reporting (root, depth). The reference's world models this as "
-    "WITH RECURSIVE (the DuckDB oracle does exactly that); Spark has no "
-    "recursive CTE, so the engine iterates: each round, every "
+    "WITH RECURSIVE (the DuckDB oracle does exactly that; Spark 4 can "
+    "too — see recursive_cte_hierarchy for the native twin); this "
+    "variant keeps the general DRIVER-LOOP form: each round, every "
     "still-climbing row joins the broadcast-free parent RULE (here a "
     "pure expression — in the general adjacency-table case the same "
     "loop joins the edge table, exactly like operators/concomp.py). "
@@ -2868,4 +2869,99 @@ def join_multi_exists_waiting(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_waiting_orders"))
         .orderBy(F.desc("n_waiting_orders"), F.asc("suppkey"))
         .limit(20)
+    )
+
+
+@query(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT p_partkey AS key, p_partkey AS anc, 0 AS depth FROM part
+      UNION ALL
+      SELECT key, anc // 10, depth + 1 FROM r WHERE anc >= 10
+    )
+    SELECT key, anc AS root, depth
+    FROM r WHERE anc < 10
+    """,
+    section="2.4",
+    doc="NATIVE recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): "
+    "the same decimal-trie hierarchy flattening as "
+    "graph_hierarchy_rollup, but executed by the engine's UnionLoop "
+    "operator instead of a driver-orchestrated loop — the anchor seeds "
+    "every part, each iteration re-plans only the STILL-CLIMBING rows "
+    "(the recursion's working set shrinks geometrically), and "
+    "termination is the empty-iteration fixpoint, not a driver-side "
+    "max() probe. Identical SQL text runs on both engines. The driver-"
+    "loop twin stays registered deliberately: on a cluster the native "
+    "form wins (no per-round driver round-trip / Python overhead), "
+    "while the loop form generalizes to iteration Spark's recursion "
+    "cannot express (damped PageRank sweeps, Lloyd k-means).",
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "part").createOrReplaceTempView("rc_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE r AS (
+          SELECT p_partkey AS key, p_partkey AS anc, 0 AS depth FROM rc_part
+          UNION ALL
+          SELECT key, anc DIV 10 AS anc, depth + 1 AS depth FROM r WHERE anc >= 10
+        )
+        SELECT key, anc AS root, depth
+        FROM r WHERE anc < 10
+        """
+    )
+
+
+@query(
+    "recursive_cte_referral_path",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey AS custkey, c_custkey AS node,
+             0 AS depth,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS path_bal_cents
+      FROM customer
+      UNION ALL
+      SELECT w.custkey, w.node // 2 AS node, w.depth + 1,
+             w.path_bal_cents + CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+      FROM walk w JOIN customer c ON c.c_custkey = w.node // 2
+      WHERE w.node > 1
+    )
+    SELECT custkey, CAST(depth AS INT) AS chain_depth,
+           path_bal_cents AS chain_bal_cents
+    FROM walk WHERE node = 1 AND custkey % 100 = 0
+    ORDER BY custkey
+    """,
+    section="2.4",
+    doc="Recursive CTE with a JOIN in the recursive step (the shape the "
+    "expression-only trie walk doesn't cover): each customer walks a "
+    "synthetic referral tree (parent = custkey DIV 2, root = 1), "
+    "JOINING the customer table at every hop to accumulate the exact "
+    "integer-cents balance along the root path. Depth is data-"
+    "dependent (~log2 n, ~11 at sf0.01 — well under Spark's 100-level "
+    "recursion default); every iteration is a broadcast-able equi-join "
+    "of the shrinking frontier against the dimension. The %100 output "
+    "cut keeps the checked result small while the recursion itself "
+    "still runs over every customer.",
+)
+def recursive_cte_referral_path(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "customer").createOrReplaceTempView("rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS custkey, c_custkey AS node,
+                 0 AS depth,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS path_bal_cents
+          FROM rc_customer
+          UNION ALL
+          SELECT w.custkey, w.node DIV 2 AS node, w.depth + 1 AS depth,
+                 w.path_bal_cents + CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                   AS path_bal_cents
+          FROM walk w JOIN rc_customer c ON c.c_custkey = w.node DIV 2
+          WHERE w.node > 1
+        )
+        SELECT custkey, CAST(depth AS INT) AS chain_depth,
+               path_bal_cents AS chain_bal_cents
+        FROM walk WHERE node = 1 AND custkey % 100 = 0
+        ORDER BY custkey
+        """
     )

@@ -4114,3 +4114,38 @@ def rank_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.mmr import mmr_select
 
     return mmr_select(T(spark, sf, "embeddings"), query_j=_RRF_QJ)
+
+
+@query(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, label, {_O_NORMED} AS ne FROM embeddings),
+    sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             b.label AS neighbor_label,
+             {_O_NDOT.format(a='a.ne', b='b.ne')} AS cosine
+      FROM n a JOIN n b ON a.label <> b.label
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    section="2.10",
+    doc="Hard-negative mining for contrastive training (llm/similarity.py:"
+    "hard_negative_topk): each vector's top-5 most-similar OTHER-CLASS "
+    "vectors — the pairs a metric-learning objective must push apart, "
+    "mined corpus-wide. Same two-tier scale shape as similarity_topk "
+    "(broadcast kernel under the index bound, cogrouped block-nested-"
+    "loop beyond — the label constraint is a kernel mask riding "
+    "packed-id machinery, never a join), bit-identical cosines to the "
+    "DuckDB formulation via the shared ordered fold.",
+)
+def mine_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.similarity import hard_negative_topk
+
+    return hard_negative_topk(T(spark, sf, "embeddings"), k=5)

@@ -398,3 +398,25 @@ def test_compression_ratio_matches_local_zlib(spark):
     # the screen must be non-vacuous: the 430k-ppm cut is calibrated to
     # the corpus p10, so both classes must appear
     assert 0 < flagged < len(rows)
+
+
+def test_hard_negative_topk_tiled_equals_single(spark):
+    """hard_negative_topk's label mask rides the packed-id machinery
+    through BOTH tiers: the cogrouped block-nested-loop (tiny
+    max_index_rows) must be byte-identical to the broadcast path, and
+    every mined neighbor must actually be other-class (the property the
+    op exists for — a packing/shift regression would surface here)."""
+    from etl_covid19_brasil_spark.llm.similarity import hard_negative_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    single = hard_negative_topk(emb, k=5).toPandas()
+    tiled = hard_negative_topk(emb, k=5, max_index_rows=64).toPandas()
+    key = ["query_id", "rank"]
+    s = single.sort_values(key).reset_index(drop=True)
+    t = tiled.sort_values(key).reset_index(drop=True)
+    assert s.equals(t)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert len(s) > 0
+    for row in s.itertuples():
+        assert labels[row.query_id] != row.neighbor_label
+        assert labels[row.neighbor_id] == row.neighbor_label
