@@ -285,3 +285,33 @@ def stream_windowed_topk(spark: SparkSession, sf: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 2)
     )
+
+
+@query(
+    "stream_foreach_batch_upsert",
+    oracle="""
+    SELECT user_id, event_id,
+           make_timestamp(epoch_ns(ts) // 1000) AS ts,
+           event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    section="2.9",
+    doc="foreachBatch MERGE/upsert sink, executed as a REAL readStream "
+    "replay inside the correctness gate (streaming/jobs.py:"
+    "run_foreach_batch_upsert): the events replay as 4 time-ordered "
+    "micro-batches, each batch upserts per-user latest rows into a "
+    "versioned parquet store (atomic pointer swap), and the final store "
+    "must equal the batch latest-by-key over the whole corpus — "
+    "last-write-wins is associative across any batch split, which is "
+    "the invariant that makes streaming upsert correct under "
+    "repartitioned replays. The one §2.9 row where the driver checks "
+    "the actual micro-batch executor against SQL, not the batch twin.",
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.streaming.jobs import run_foreach_batch_upsert
+
+    return run_foreach_batch_upsert(spark, sf, n_files=4)

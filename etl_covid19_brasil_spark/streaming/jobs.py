@@ -24,6 +24,7 @@ from pathlib import Path
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 
 def file_replay_stream(
@@ -595,3 +596,79 @@ def run_backfill_available_now(
     if not finished:
         q.stop()
     return finished
+
+
+def run_foreach_batch_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    timeout_seconds: float = 180.0,
+) -> DataFrame:
+    """foreachBatch UPSERT sink: replay the events as ``n_files``
+    time-ordered micro-batches and maintain a keyed parquet store of
+    each user's LATEST event — the serving-table pattern (CDC compaction,
+    feature freshness, "current state" materialization) that
+    ``foreachBatch`` exists for: the sink body is ordinary batch code, so
+    MERGE semantics Structured Streaming has no native sink for become a
+    per-batch batch job with exactly-once-per-batch-id idempotence.
+
+    Per batch: reduce the batch to per-user winners (max ts, event_id
+    tie-break), union with the current store, re-pick winners, and write
+    a NEW versioned store directory before retiring the old one (an
+    atomic pointer swap — readers never observe a half-written store; a
+    table format would give this transactionally, plain parquet gets it
+    by rename). Last-write-wins is associative across any batch split,
+    so the final store equals the batch latest-by-key over the whole
+    corpus — which is exactly what the DuckDB oracle checks.
+
+    At scale the union+re-pick is the compaction a deployment runs
+    bucketed on the key (io.py:merge_by_key); the per-batch winner cut
+    keeps the store write proportional to |store| + |batch winners|,
+    never the raw batch size.
+    """
+    stream = file_replay_stream_split(spark, sf_dir, n_files)
+    root = Path(tempfile.mkdtemp(prefix="upsert_store_"))
+    current: list[Path] = []
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def winners(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_win = winners(
+            batch_df.select("user_id", "event_id", "ts", "event_type", "value")
+        )
+        if current:
+            merged = winners(
+                spark.read.parquet(str(current[0])).unionByName(batch_win)
+            )
+        else:
+            merged = batch_win
+        new = root / f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(str(new))
+        old = current[:]
+        current.clear()
+        current.append(new)
+        for p in old:
+            shutil.rmtree(p, ignore_errors=True)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError("foreachBatch upsert replay did not finish")
+    return spark.read.parquet(str(current[0])).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )

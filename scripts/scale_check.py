@@ -73,6 +73,17 @@ QUERIES = [
     "text_lexical_mattr",
     "embedding_class_centroids",
     "embedding_pca_power",
+    # r8 TPC-H completionist + hard-negative tier. Q2/Q20 exercise the
+    # derived-partsupp groupBy (8x groups over the shifted fact keys);
+    # Q18's HAVING agg sees 8x orders. mine_hard_negatives is the exact
+    # quadratic tier BY DESIGN (scale path: ANN + label mask) — probe at
+    # 8x alongside similarity_topk for the same documented envelope.
+    # recursive_cte_* read only unreplicated dims (frontier shrinks
+    # geometrically by construction) — structural argument, not probed.
+    "join_min_cost_supplier",
+    "join_excess_supply_parts",
+    "agg_large_volume_customers",
+    "mine_hard_negatives",
 ]
 
 
