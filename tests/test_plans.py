@@ -518,3 +518,46 @@ def test_containment_dedup_is_cartesian_free(spark, specs):
     p = plan_of(q(specs, spark, "near_dedup_containment")).lower()
     assert "cartesianproduct" not in p, p
     assert "broadcastnestedloop" not in p, p
+
+
+def test_q6_scan_aggregate_pushes_all_predicates(spark, specs):
+    """TPC-H Q6 is THE pushdown probe: the ship-year band must reach the
+    parquet reader as PushedFilters; a post-scan-only Filter means the
+    100 TB plan reads every row group."""
+    p = plan_of(q(specs, spark, "agg_revenue_forecast_band"))
+    assert "PushedFilters: [" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_q2_partsupp_dim_join_broadcasts(spark, specs):
+    """Q2's region-filtered supplier dim must broadcast into the derived-
+    partsupp agg; a SortMergeJoin there shuffles the whole pre-agg."""
+    p = plan_of(q(specs, spark, "join_min_cost_supplier"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q3_topk_takes_ordered_after_agg(spark, specs):
+    p = plan_of(q(specs, spark, "agg_shipping_priority_topk"))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q16_not_in_plans_null_aware_anti(spark, specs):
+    """The complaint-supplier NOT IN must plan as a broadcast anti join
+    (null-aware or plain after the non-null key rewrite), never a
+    cartesian fallback."""
+    p = plan_of(q(specs, spark, "agg_supplier_variety_count"))
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p or "left_anti" in p.lower(), p
+
+
+def test_hard_negatives_bounded_tier_has_no_shuffle_join(spark, specs):
+    """mine_hard_negatives under the index bound: one broadcast + one
+    mapInPandas — any join/exchange beyond the scan means the label
+    constraint leaked out of the kernel into a pairwise join."""
+    p = plan_of(q(specs, spark, "mine_hard_negatives"))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "MapInPandas" in p
