@@ -4149,3 +4149,26 @@ def mine_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.similarity import hard_negative_topk
 
     return hard_negative_topk(T(spark, sf, "embeddings"), k=5)
+
+
+@query(
+    "quality_classifier_train",
+    oracle=None,  # iterative float training — rows-only by contract;
+    # invariants (loss decrease, accuracy floor, stop-bucket weight
+    # dominance) pinned in tests/test_classifier.py
+    section="2.10",
+    doc="Model-based quality-filter TRAINING in-engine (llm/classifier.py): "
+    "full-batch logistic regression over hashing-trick token-rate "
+    "features (256-dim md5-slot, the text_feature_hashing idiom), "
+    "weak-supervised by above-median stop-token density — the "
+    "GPT-3/CCNet-style curation classifier trained with broadcast "
+    "weights and partition-partial gradient reduction (one dim+1 "
+    "vector per partition reaches the driver per sweep, never rows). "
+    "Output: per-iteration (loss_u6, accuracy_ppm) training curve — "
+    "30 rows, O(1) in corpus size.",
+)
+def quality_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.classifier import logreg_train_quality
+
+    mdf, _w = logreg_train_quality(T(spark, sf, "documents"))
+    return mdf

@@ -84,6 +84,9 @@ QUERIES = [
     "join_excess_supply_parts",
     "agg_large_volume_customers",
     "mine_hard_negatives",
+    # distributed GD sweeps: linear per sweep by construction — probed to
+    # confirm the 30-sweep loop holds the per-sweep linearity end-to-end.
+    "quality_classifier_train",
 ]
 
 

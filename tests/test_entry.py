@@ -42,6 +42,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "fingerprint_dedup",  # no SQL WAV decode — gain-invariance-pinned
                 "video_phash",  # no SQL container parse — two-sided-pinned
                 "mmr",  # sequential greedy loop — python-replay-pinned
+                "classifier_train",  # iterative float GD — invariant-pinned
             )
         )
         for n in rows_only
