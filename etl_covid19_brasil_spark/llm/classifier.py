@@ -180,3 +180,73 @@ def logreg_train_quality(
         metrics, "iter int, loss_u6 long, accuracy_ppm long, n_docs long"
     )
     return mdf, w
+
+
+# Frozen deployment model: logreg_train_quality run once at sf0.01
+# (30 sweeps, the training-curve query's exact configuration), then the
+# standardization folded back into RAW rate space
+# (w_raw = w/sd, b_raw = b - sum(w*mu/sd)) and quantized to integer
+# micro-units. Deployment is thereby EXACT-ARITHMETIC:
+# score_u6(doc) = (sum_b w_u6[b] * count_b) DIV n_tokens + bias_u6 —
+# integer end-to-end, bit-identical in any engine (the sigmoid is
+# monotone, so keep = score_u6 > 0 is the same decision boundary).
+# Sparse by construction: the corpus vocabulary maps to 29 live buckets.
+FROZEN_QUALITY_WEIGHTS_U6: dict[int, int] = {
+    27: -1246182, 49: -9177287, 55: -7741675, 56: -6070438,
+    76: -3301729, 77: -4306399, 87: -1264736, 95: 188612,
+    96: -5227070, 105: -5057417, 109: -4350868, 122: -7064668,
+    125: 2661819, 129: 347292, 133: -1651033, 138: -3399952,
+    141: -872812, 142: 742484, 147: -4084539, 153: -3747552,
+    177: -3546525, 185: 119701802, 192: -7266505, 214: -4739483,
+    222: -4538712, 228: 2730466, 231: -5300480, 240: -1286998,
+    250: -6122084,
+}
+FROZEN_QUALITY_BIAS_U6 = -75962
+FROZEN_QUALITY_DIM = 256
+
+
+def score_documents_frozen(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply the frozen quality model: (doc_id, score_u6, keep).
+
+    Map-side only at any scale: explode tokens -> md5 bucket -> per-doc
+    bucket counts (one doc-keyed partial agg), inner-join the 29-row
+    broadcast weight table, one exact integer dot DIV token count. The
+    train->freeze->deploy-as-integer-arithmetic path is how a curation
+    classifier actually ships: training is float and iterative
+    (logreg_train_quality), inference is a deterministic scan.
+    """
+    spark = docs.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(FROZEN_QUALITY_WEIGHTS_U6.items()), "bucket long, w_u6 long"
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % FROZEN_QUALITY_DIM
+    )
+    counts = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        counts.join(wdf, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("w_u6"), F.lit(0)) * F.col("n")).alias("dot"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            (
+                F.expr("dot DIV n_tokens") + F.lit(FROZEN_QUALITY_BIAS_U6)
+            ).alias("score_u6"),
+        )
+        .withColumn("keep", (F.col("score_u6") > 0).cast("boolean"))
+    )
+    return scored

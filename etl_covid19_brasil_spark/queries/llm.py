@@ -4172,3 +4172,43 @@ def quality_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
 
     mdf, _w = logreg_train_quality(T(spark, sf, "documents"))
     return mdf
+
+
+@query(
+    "quality_classifier_score",
+    oracle="""
+    WITH w AS (SELECT * FROM (VALUES (27, -1246182), (49, -9177287), (55, -7741675), (56, -6070438), (76, -3301729), (77, -4306399), (87, -1264736), (95, 188612), (96, -5227070), (105, -5057417), (109, -4350868), (122, -7064668), (125, 2661819), (129, 347292), (133, -1651033), (138, -3399952), (141, -872812), (142, 742484), (147, -4084539), (153, -3747552), (177, -3546525), (185, 119701802), (192, -7266505), (214, -4739483), (222, -4538712), (228, 2730466), (231, -5300480), (240, -1286998), (250, -6122084)) AS t(bucket, w_u6)),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS bucket,
+             COUNT(*) AS n
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    dot AS (
+      SELECT c.doc_id,
+             SUM(COALESCE(w.w_u6, 0) * c.n) AS d, SUM(c.n) AS n_tokens
+      FROM cnt c LEFT JOIN w ON c.bucket = w.bucket
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(d // n_tokens + (-75962) AS BIGINT) AS score_u6,
+           (d // n_tokens + (-75962)) > 0 AS keep
+    FROM dot
+    """,
+    section="2.10",
+    doc="Frozen quality-model INFERENCE (llm/classifier.py:"
+    "score_documents_frozen): the trained curation classifier deployed "
+    "as exact integer arithmetic — token counts hit the 29-row "
+    "broadcast weight table, score_u6 = dot DIV n_tokens + bias, "
+    "keep = score_u6 > 0 (sigmoid is monotone, so the integer logit "
+    "preserves the decision boundary bit-identically in any engine). "
+    "Map-side explode + one doc-keyed agg; train (float, iterative — "
+    "quality_classifier_train) vs deploy (integer, one scan) is the "
+    "production split.",
+)
+def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.classifier import score_documents_frozen
+
+    return score_documents_frozen(T(spark, sf, "documents"))
