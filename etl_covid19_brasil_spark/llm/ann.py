@@ -303,8 +303,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray | None" = None,
+    label_col: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors.
+
+    ``label_col``: when set, neighbors sharing the query's label are
+    masked out inside the per-cell kernel — the ANN scale twin of
+    :func:`similarity.hard_negative_topk` (labels ride PACKED into the
+    id, ``id * 256 + label``, exactly the packing the exact tier uses,
+    so the cell machinery is unchanged; output gains neighbor_label).
 
     The second ANN scheme next to random-hyperplane LSH: partition the
     space into ``n_cells`` Voronoi cells around coarse centroids, assign
@@ -335,6 +342,15 @@ def ivf_topk(
     from etl_covid19_brasil_spark.llm.similarity import _estimate_rows, _normalize, _ordered_dot
 
     spark = embeddings.sparkSession
+    if label_col is not None:
+        # pack label into the id's low byte (preserves vec_id ordering
+        # for tie-breaks; labels are small ints by contract)
+        embeddings = embeddings.select(
+            (F.col(id_col).cast("long") * 256 + F.col(label_col).cast("long")).alias(
+                id_col
+            ),
+            vec_col,
+        )
     if centroids is not None:
         cent_mat = _normalize(np.asarray(centroids, dtype=np.float64))
     else:
@@ -375,12 +391,14 @@ def ivf_topk(
 
     assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema=assign_schema)
 
+    empty_cols = {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+    if label_col is not None:
+        empty_cols["neighbor_label"] = "int32"
+
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = pdf[pdf["is_index"] == 1]
         if idx.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
-            )
+            return pd.DataFrame({c: [] for c in empty_cols}).astype(empty_cols)
         i_ids = idx["vid"].to_numpy(dtype=np.int64)
         i_mat = np.stack(idx["vec"].to_numpy())
         q_ids = pdf["vid"].to_numpy(dtype=np.int64)
@@ -389,25 +407,34 @@ def ivf_topk(
         # self-pairs -> -inf so they sort last; rows keep their top
         # min(k, |cell|) and any -inf that leaked into a short row is
         # dropped after the gather. One 2D lexsort replaces the per-row
-        # Python loop.
-        sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        # Python loop. With packed labels the mask widens from self to
+        # the whole same-label slice (which subsumes self).
+        if label_col is not None:
+            sims[(q_ids & 255)[:, None] == (i_ids & 255)[None, :]] = -np.inf
+        else:
+            sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
         kk = min(k, len(i_ids))
         order = np.lexsort(
             (np.broadcast_to(i_ids, sims.shape), -sims), axis=-1
         )[:, :kk]
         got = np.take_along_axis(sims, order, axis=1).reshape(-1)
         keep = got > -np.inf
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(q_ids, kk)[keep],
-                "neighbor_id": i_ids[order].reshape(-1)[keep],
-                "cosine": got[keep],
-            }
-        )
+        picked = i_ids[order].reshape(-1)[keep]
+        out = {
+            "query_id": np.repeat(q_ids, kk)[keep],
+            "neighbor_id": picked,
+            "cosine": got[keep],
+        }
+        if label_col is not None:
+            out["query_id"] = out["query_id"] >> 8
+            out["neighbor_id"] = picked >> 8
+            out["neighbor_label"] = (picked & 255).astype(np.int32)
+        return pd.DataFrame(out)
 
-    local = assigned.groupBy("cell").applyInPandas(
-        cell_topk, schema="query_id long, neighbor_id long, cosine double"
-    )
+    out_schema = "query_id long, neighbor_id long, cosine double"
+    if label_col is not None:
+        out_schema += ", neighbor_label int"
+    local = assigned.groupBy("cell").applyInPandas(cell_topk, schema=out_schema)
     return _global_topk(local, k)
 
 

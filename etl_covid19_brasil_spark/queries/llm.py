@@ -4212,3 +4212,23 @@ def quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.classifier import score_documents_frozen
 
     return score_documents_frozen(T(spark, sf, "documents"))
+
+
+@query(
+    "mine_hard_negatives_ann",
+    oracle=None,  # approximate by contract — recall vs the exact tier
+    # pinned in tests/test_ann_recall.py::test_hard_negative_ann_recall
+    section="2.10",
+    doc="SCALE TWIN of mine_hard_negatives: IVF-celled approximate "
+    "hard-negative mining (llm/ann.py:ivf_topk with label_col) — "
+    "other-class top-k candidates meet only inside probed Voronoi "
+    "cells, so candidate volume is n x n_probe x k (linear) instead of "
+    "the exact tier's n^2 kernel. The label mask is applied inside the "
+    "per-cell kernel via the same id-packing as the exact tier, so "
+    "within a probed cell the result is exact; recall loss comes only "
+    "from cell-probing, pinned >= 0.8 against mine_hard_negatives.",
+)
+def mine_hard_negatives_ann(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk
+
+    return ivf_topk(T(spark, sf, "embeddings"), k=5, label_col="label")

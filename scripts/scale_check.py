@@ -87,6 +87,8 @@ QUERIES = [
     # distributed GD sweeps: linear per sweep by construction — probed to
     # confirm the 30-sweep loop holds the per-sweep linearity end-to-end.
     "quality_classifier_train",
+    # IVF label-masked twin: candidate volume n x n_probe x k by design
+    "mine_hard_negatives_ann",
 ]
 
 

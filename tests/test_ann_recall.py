@@ -338,3 +338,27 @@ def test_count_min_sketch_one_sided(spark):
     assert len(rows) == 20
     assert all(r["overestimate"] >= 0 for r in rows)
     assert all(r["overestimate"] == 0 for r in rows)
+
+
+def test_hard_negative_ann_recall(spark):
+    """The IVF label-masked tier must recover >= 0.8 of the exact
+    hard-negative pairs (same probe budget as ivf_topk's pinned floor),
+    and every emitted neighbor must be other-class with its label
+    reported truthfully — the invariant the id-packing carries."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk
+    from etl_covid19_brasil_spark.llm.similarity import hard_negative_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hard_negative_topk(emb, k=5).collect()
+    }
+    approx_rows = ivf_topk(emb, k=5, label_col="label").collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert len(exact) > 0
+    assert len(approx & exact) / len(exact) >= 0.8
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in approx_rows:
+        assert labels[r["query_id"]] != r["neighbor_label"]
+        assert labels[r["neighbor_id"]] == r["neighbor_label"]

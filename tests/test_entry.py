@@ -43,6 +43,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "video_phash",  # no SQL container parse — two-sided-pinned
                 "mmr",  # sequential greedy loop — python-replay-pinned
                 "classifier_train",  # iterative float GD — invariant-pinned
+                "negatives_ann",  # IVF-approximate — recall-pinned vs exact
             )
         )
         for n in rows_only
