@@ -2965,3 +2965,69 @@ def recursive_cte_referral_path(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY custkey
         """
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.pid, e.event_type AS channel
+      FROM purchases p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts < p.pts
+       AND e.ts >= p.pts - INTERVAL 7 DAY
+       AND e.event_type IN ('view', 'click', 'signup')
+    ),
+    credited AS (
+      SELECT pid, channel,
+             1000000 // COUNT(*) OVER (PARTITION BY pid) AS credit_ppm
+      FROM touches
+    )
+    SELECT channel, COUNT(*) AS n_touches,
+           CAST(SUM(credit_ppm) AS BIGINT) AS total_credit_ppm
+    FROM credited GROUP BY 1 ORDER BY 1
+    """,
+    section="2.5",
+    doc="Multi-touch LINEAR attribution (the equal-credit sibling of "
+    "events_attribution_last_touch): every view/click/signup in the 7 "
+    "days before a purchase shares that purchase's credit equally — "
+    "credit per touch = 1e6 DIV n_touches (exact integer ppm; the "
+    "remainder is deliberately dropped, both engines identically). "
+    "Plan: the purchase<-touch pairing is a user-keyed equi-join with "
+    "a time-range residual (the join_interval_overlap shape, ONE "
+    "shuffle on user_id), the per-purchase touch count is a window "
+    "over the pair set partitioned by the purchase id, and the final "
+    "channel rollup is a 3-row agg. At 100 TB the 7-day bound keeps "
+    "per-user pair fan-out constant.",
+)
+def events_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("channel")
+    )
+    pairs = p.join(
+        t,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    ).select("pid", "channel")
+    credited = pairs.withColumn(
+        "credit_ppm", F.expr("1000000 DIV COUNT(1) OVER (PARTITION BY pid)")
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_ppm").alias("total_credit_ppm"),
+        )
+        .orderBy("channel")
+    )

@@ -4232,3 +4232,54 @@ def mine_hard_negatives_ann(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivf_topk
 
     return ivf_topk(T(spark, sf, "embeddings"), k=5, label_col="label")
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    scaled AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(sqrt(n_docs) * 1000000 + 0.5) AS BIGINT) AS s_u6
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(s_u6) AS BIGINT) AS total_u6 FROM scaled)
+    SELECT s.source, s.n_docs,
+           CAST(s.s_u6 * 1000000 // t.total_u6 AS BIGINT) AS weight_ppm,
+           CAST((s.s_u6 * 100000) // t.total_u6 AS BIGINT) AS quota_docs
+    FROM scaled s, tot t
+    ORDER BY s.source
+    """,
+    section="2.10",
+    doc="Temperature-scaled source mixing (T = 0.5, the mT5/XLM-R "
+    "multilingual balancing trick): sampling weight per source ∝ "
+    "n_docs^T, flattening the source distribution so long-tail sources "
+    "are upsampled relative to their natural share. Determinism: "
+    "sqrt(BIGINT) is a correctly-rounded IEEE op, quantized to integer "
+    "micro-units BEFORE the cross-source sum, so the normalizing "
+    "denominator is an exact integer in both engines and the ppm "
+    "weights/quotas (for a 100k-doc budget) are pure integer division. "
+    "One partial-aggregated groupBy + a 1-row broadcast total.",
+)
+def corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    counts = (
+        T(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scaled = counts.withColumn(
+        "s_u6", F.floor(F.sqrt(F.col("n_docs")) * 1000000 + 0.5).cast("long")
+    )
+    tot = scaled.agg(F.sum("s_u6").alias("total_u6"))
+    return (
+        scaled.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("s_u6 * 1000000 DIV total_u6").alias("weight_ppm"),
+            F.expr("(s_u6 * 100000) DIV total_u6").alias("quota_docs"),
+        )
+        .orderBy("source")
+    )
