@@ -3031,3 +3031,48 @@ def events_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_path_analysis_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    section="2.5",
+    doc="Top-10 most-travelled 3-step event paths (the product-analytics "
+    "'path analysis' view, generalizing events_markov_transitions from "
+    "pairs to trigrams): two LEADs over one user-keyed time-ordered "
+    "window — ONE shuffle on user_id serves both offsets (same window "
+    "frame), then a path-string agg and a TakeOrderedAndProject. "
+    "Deterministic tie-break on the path string. At 100 TB the "
+    "trigram fan-out is exactly n_events rows (each event starts at "
+    "most one path) — never combinatorial.",
+)
+def events_path_analysis_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = T(spark, sf, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

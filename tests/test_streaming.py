@@ -500,3 +500,21 @@ def test_available_now_backfill_drains_and_terminates(spark, stream_events, batc
     got = _sorted(spark.table("t_backfill_avnow").toPandas())
     want = _sorted(jobs.tumbling_counts(batch_events).toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_foreach_batch_upsert_batch_split_invariance(spark):
+    """Last-write-wins upsert must be associative across micro-batch
+    splits: replaying as 1 batch and as 4 time-ordered batches must
+    produce the identical final store (the invariant that makes the
+    foreachBatch MERGE correct under any trigger cadence / restart
+    slicing)."""
+    from etl_covid19_brasil_spark.streaming.jobs import run_foreach_batch_upsert
+
+    sf = "/root/testdata/sf0.001"
+    one = run_foreach_batch_upsert(spark, sf, n_files=1).toPandas()
+    four = run_foreach_batch_upsert(spark, sf, n_files=4).toPandas()
+    key = ["user_id"]
+    a = one.sort_values(key).reset_index(drop=True)
+    b = four.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
