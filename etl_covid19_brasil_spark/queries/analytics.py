@@ -3076,3 +3076,62 @@ def events_path_analysis_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@query(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'view') AS first_view,
+             MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY 1
+    ),
+    converts AS (
+      SELECT user_id,
+             CAST((epoch_ns(first_purchase) // 1000 - epoch_ns(first_view) // 1000)
+                  // 1000000 AS BIGINT) AS secs
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase > first_view
+    )
+    SELECT COUNT(*) AS n_converts,
+           CAST(MIN(secs) AS BIGINT) AS min_secs,
+           quantile_cont(secs, 0.5) AS median_secs,
+           quantile_cont(secs, 0.9) AS p90_secs,
+           CAST(MAX(secs) AS BIGINT) AS max_secs
+    FROM converts
+    """,
+    section="2.5",
+    doc="Funnel TIME-to-convert (the latency companion to "
+    "events_funnel_stages' conversion counts): per user, seconds from "
+    "first 'view' to first later 'purchase', summarized as min/median/"
+    "p90/max. One user-keyed agg computes both firsts with FILTERed "
+    "MINs (no self-join, no window), the delta is exact integer "
+    "seconds, exact interpolated percentiles follow the "
+    "agg_percentile precedent (Spark percentile() == DuckDB "
+    "quantile_cont, bit-identical on exact-integer inputs). The "
+    "5-number summary is one final 1-row agg.",
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converts = firsts.filter(
+        F.col("first_view").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        F.expr(
+            "(unix_micros(first_purchase) - unix_micros(first_view)) DIV 1000000"
+        ).alias("secs")
+    )
+    return converts.agg(
+        F.count(F.lit(1)).alias("n_converts"),
+        F.min("secs").alias("min_secs"),
+        F.expr("percentile(secs, 0.5)").alias("median_secs"),
+        F.expr("percentile(secs, 0.9)").alias("p90_secs"),
+        F.max("secs").alias("max_secs"),
+    )
