@@ -2868,3 +2868,45 @@ def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").alias("k")
     )
     return left.exceptAll(right)
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT c_custkey, bal,
+           ROW_NUMBER() OVER (ORDER BY bal DESC NULLS FIRST, c_custkey ASC)
+             AS pos_nf,
+           ROW_NUMBER() OVER (ORDER BY bal ASC NULLS LAST, c_custkey ASC)
+             AS pos_nl
+    FROM s
+    """,
+    section="2.6",
+    doc="Explicit NULLS FIRST / NULLS LAST sort directions (the §2.6 "
+    "spec row sort_multi_key leaves unexercised — the test tables carry "
+    "no nulls, so a nullable balance is synthesized via the "
+    "drop_null_rows sentinel trick). Both engines DEFAULT differently "
+    "(Spark: nulls first for ASC; DuckDB: nulls last) — the query pins "
+    "that EXPLICIT direction flags override those defaults identically, "
+    "the portability trap a lake migration hits. Ranks materialize the "
+    "order hash-visibly; both windows share one sort-free exchange "
+    "(single partition ordering is the semantic under test, not the "
+    "scale path — id_assign_contiguous is the distributed ranking).",
+)
+def sort_nulls_ordering(spark: SparkSession, sf: str) -> DataFrame:
+    s = T(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    w_nf = Window.orderBy(F.col("bal").desc_nulls_first(), F.col("c_custkey").asc())
+    w_nl = Window.orderBy(F.col("bal").asc_nulls_last(), F.col("c_custkey").asc())
+    return s.select(
+        "c_custkey",
+        "bal",
+        F.row_number().over(w_nf).alias("pos_nf"),
+        F.row_number().over(w_nl).alias("pos_nl"),
+    )
