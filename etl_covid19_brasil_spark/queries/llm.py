@@ -4283,3 +4283,60 @@ def corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "curation_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM freq),
+    scored AS (
+      SELECT token,
+             CAST(floor(ln(CAST(big_n AS DOUBLE) / n) * 1000000 + 0.5)
+               AS BIGINT) AS nll_u6
+      FROM freq, total
+    ),
+    per_doc AS (
+      SELECT t.doc_id, CAST(SUM(s.nll_u6) // COUNT(*) AS BIGINT) AS avg_nll_u6
+      FROM toks t JOIN scored s ON t.token = s.token
+      GROUP BY 1
+    ),
+    cut AS (SELECT quantile_cont(avg_nll_u6, 0.9) AS p90 FROM per_doc)
+    SELECT d.doc_id, d.avg_nll_u6, d.avg_nll_u6 <= c.p90 AS keep
+    FROM per_doc d, cut c
+    """,
+    section="2.10",
+    doc="Perplexity-based curation filter (the CCNet/GPT-3 LM-filter "
+    "step, using the corpus's own unigram LM as the scorer): keep the "
+    "90% of documents whose mean token NLL is at or below the corpus "
+    "p90 — high-perplexity docs are the gibberish/boilerplate tail. "
+    "Composes text_unigram_logprob's exact micro-unit scoring (integer "
+    "mean NLL per doc) with a single interpolated-percentile cut "
+    "(agg_percentile precedent) broadcast back as a 1-row threshold. "
+    "Same scale posture as the scorer: hint-free vocabulary join (AQE "
+    "broadcasts while it fits), one doc-keyed agg, O(1) driver "
+    "traffic.",
+)
+def curation_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").cast("long").alias("big_n"))
+    scored = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(F.log(F.col("big_n").cast("double") / F.col("n")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("nll_u6"),
+    )
+    per_doc = (
+        toks.join(scored, "token")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(nll_u6) div count(*)").alias("avg_nll_u6"))
+    )
+    cut = per_doc.agg(F.expr("percentile(avg_nll_u6, 0.9)").alias("p90"))
+    return per_doc.join(F.broadcast(cut)).select(
+        "doc_id",
+        "avg_nll_u6",
+        (F.col("avg_nll_u6") <= F.col("p90")).alias("keep"),
+    )
