@@ -1546,3 +1546,41 @@ def fn_base64_hex(spark: SparkSession, sf: str) -> DataFrame:
         F.decode(F.unhex(F.hex(bin_name)), "UTF-8").alias("hex_roundtrip"),
         F.octet_length(bin_name).cast("long").alias("n_bytes"),
     )
+
+
+@query(
+    "fn_collation_case_insensitive",
+    oracle="""
+    WITH v AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 2 = 0 THEN upper(s_name)
+                  ELSE lower(s_name) END AS variant
+      FROM supplier
+    )
+    SELECT lower(variant) AS name_ci, COUNT(*) AS n
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+    section="2.8",
+    doc="Spark 4 COLLATIONS (SPARK-46830): a deterministically case-"
+    "mangled name column (upper for even keys, lower for odd) groups "
+    "under UTF8_LCASE collation, merging case variants WITHOUT "
+    "rewriting every row through lower() — the engine-level collation "
+    "is what makes case-insensitive joins/groups sargable and "
+    "pushdown-safe at 100 TB, vs the expression-wrapping workaround "
+    "that blinds statistics. The emitted group key is canonicalized "
+    "via lower() so the representative is deterministic (a collated "
+    "group's surface form is otherwise first-seen). Oracle groups by "
+    "lower() — same partition of the value space.",
+)
+def fn_collation_case_insensitive(spark: SparkSession, sf: str) -> DataFrame:
+    v = T(spark, sf, "supplier").select(
+        F.when(F.col("s_suppkey") % 2 == 0, F.upper("s_name"))
+        .otherwise(F.lower("s_name"))
+        .alias("variant")
+    )
+    return (
+        v.groupBy(F.expr("variant COLLATE UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("k")).alias("name_ci"), "n")
+        .orderBy("name_ci")
+    )

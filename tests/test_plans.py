@@ -561,3 +561,11 @@ def test_hard_negatives_bounded_tier_has_no_shuffle_join(spark, specs):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "MapInPandas" in p
+
+
+def test_recursive_cte_plans_union_loop(spark, specs):
+    """Spark 4's WITH RECURSIVE must plan the native UnionLoop operator
+    (engine-level fixpoint iteration), not fall back to a static union —
+    the feature recursive_cte_hierarchy exists to exercise."""
+    p = plan_of(q(specs, spark, "recursive_cte_hierarchy"))
+    assert "UnionLoop" in p
