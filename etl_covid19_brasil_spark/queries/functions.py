@@ -1584,3 +1584,43 @@ def fn_collation_case_insensitive(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lower(F.col("k")).alias("name_ci"), "n")
         .orderBy("name_ci")
     )
+
+
+@query(
+    "udf_sql_declarative",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_totalprice > 150000
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+                         ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+             AS BIGINT) AS weighted_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    section="2.11",
+    doc="Declarative SQL UDF (Spark 4, CREATE FUNCTION ... RETURN expr): "
+    "the function body is a pure SQL expression, so Catalyst INLINES it "
+    "at plan time — it optimizes, pushes down, and codegens exactly "
+    "like the hand-written expression (the oracle is that inlined "
+    "form), unlike opaque Python UDFs which fence off optimization. "
+    "The right tool for shared business logic (here: a big-ticket "
+    "double-weighting rule) published to every consulta user of the "
+    "lake.",
+)
+def udf_sql_declarative(spark: SparkSession, sf: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION weighted_cents_fn(p DOUBLE)
+        RETURNS BIGINT
+        RETURN CASE WHEN p > 150000
+                    THEN CAST(ROUND(p * 100) AS BIGINT) * 2
+                    ELSE CAST(ROUND(p * 100) AS BIGINT) END
+        """
+    )
+    T(spark, sf, "orders").createOrReplaceTempView("sqludf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               SUM(weighted_cents_fn(o_totalprice)) AS weighted_cents
+        FROM sqludf_orders GROUP BY 1 ORDER BY 1
+        """
+    )

@@ -2910,3 +2910,39 @@ def sort_nulls_ordering(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(w_nf).alias("pos_nf"),
         F.row_number().over(w_nl).alias("pos_nl"),
     )
+
+
+@query(
+    "sql_pipe_syntax_revenue",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    section="2.4",
+    doc="SQL PIPE SYNTAX (Spark 4, SPARK-49555): the linear |> form — "
+    "FROM ... |> WHERE ... |> EXTEND ... |> AGGREGATE ... GROUP BY ... "
+    "|> ORDER BY — compiling to the IDENTICAL Catalyst plan as the "
+    "nested SELECT (the oracle is that nested form; the hash match IS "
+    "the equivalence proof). Pipe syntax matters operationally: "
+    "dataflow-ordered SQL is how the lakehouse's ad-hoc consulta layer "
+    "reads top-to-bottom like the DataFrame API, with no optimization "
+    "difference to pay for it.",
+)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> EXTEND CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS disc_cents
+        |> AGGREGATE SUM(disc_cents) AS revenue_cents, COUNT(*) AS n_lines
+             GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
