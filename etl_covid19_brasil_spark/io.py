@@ -722,3 +722,56 @@ def scan_http_json_paged(
         pages.append(rows)
     flat = [row for page in pages for row in page]
     return _land_json_rows(spark, flat, schema=schema, landing_dir=landing_dir)
+
+
+def register_synthetic_stream_source(spark: SparkSession) -> None:
+    """Register ``format("synth_stream")`` — the STREAMING side of the
+    custom Python data source pair (pyspark.sql.datasource
+    SimpleDataSourceStreamReader, Spark 4): a deterministic keyed row
+    stream delivered in offset-tracked micro-batches.
+
+    The reader hands Spark an (offset -> offset') range per trigger
+    (``batch_rows`` rows each, up to ``n`` total); offsets are plain
+    dicts the engine checkpoints, so restart/replay semantics are the
+    real Structured Streaming contract, not a simulation. Row content
+    is the same pure function of the row id as the batch twin
+    (``synth_rows``) — which is what lets a DuckDB oracle replay the
+    full stream and hash-match the drained result.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.batch_rows = int(options.get("batch_rows", 100))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            s = start["pos"]
+            e = min(s + self.batch_rows, self.n)
+            rows = [
+                (i, ((i * 2654435761) % 1_000_000) / 100.0, f"row_{i % 97}")
+                for i in range(s, e)
+            ]
+            return iter(rows), {"pos": e}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (i, ((i * 2654435761) % 1_000_000) / 100.0, f"row_{i % 97}")
+                for i in range(start["pos"], end["pos"])
+            )
+
+    class _SynthStream(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synth_stream"
+
+        def schema(self) -> str:
+            return "id bigint, score double, tag string"
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader(self.options)
+
+    spark.dataSource.register(_SynthStream)

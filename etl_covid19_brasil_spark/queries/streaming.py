@@ -315,3 +315,57 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.streaming.jobs import run_foreach_batch_upsert
 
     return run_foreach_batch_upsert(spark, sf, n_files=4)
+
+
+@query(
+    "scan_python_datasource_stream",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           CAST((i * 2654435761) % 1000000 AS DOUBLE) / 100.0 AS score,
+           'row_' || CAST(i % 97 AS VARCHAR) AS tag
+    FROM range(500) t(i)
+    """,
+    section="2.9",
+    doc="STREAMING custom Python data source (Spark 4 "
+    "SimpleDataSourceStreamReader, io.py:register_synthetic_stream_"
+    "source — the streaming twin of scan_python_datasource): a "
+    "deterministic keyed row stream arrives in offset-tracked "
+    "micro-batches (137 rows per trigger, engine-checkpointed offsets "
+    "— the real restart/replay contract), drains into a memory sink, "
+    "and the drained table must hash-match the oracle's closed-form "
+    "replay of all 500 rows. Custom connectors for stream systems "
+    "Spark has no reader for (internal queues, vendor APIs) land "
+    "exactly here.",
+)
+def scan_python_datasource_stream(spark: SparkSession, sf: str) -> DataFrame:
+    import time
+    import uuid
+
+    from etl_covid19_brasil_spark.io import register_synthetic_stream_source
+
+    register_synthetic_stream_source(spark)
+    name = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synth_stream")
+        .option("n", 500)
+        .option("batch_rows", 137)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= 500:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError("synthetic stream did not drain")
+    finally:
+        q.stop()
+    # materialize before the memory table goes away with the query
+    rows = spark.table(name).collect()
+    return spark.createDataFrame(rows, spark.table(name).schema)
