@@ -2946,3 +2946,42 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_scripting_param_report",
+    oracle="""
+    WITH thr AS (SELECT quantile_cont(o_totalprice, 0.5) AS t FROM orders)
+    SELECT o.o_orderpriority, COUNT(*) AS n_above,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS above_cents
+    FROM orders o, thr
+    WHERE o.o_totalprice > thr.t
+    GROUP BY 1 ORDER BY 1
+    """,
+    section="2.4",
+    doc="SQL SCRIPTING (Spark 4, SQL/PSM BEGIN...END with DECLARE/SET): "
+    "a data-derived parameter — the median order value — is computed "
+    "into a script variable, then drives the report's predicate; the "
+    "whole procedure is ONE spark.sql() call, the way a warehouse "
+    "migrates its stored-procedure habits onto the lake without a "
+    "driver-language round trip. The variable assignment is a scalar "
+    "subquery under the hood (the oracle's CTE is the same plan), so "
+    "nothing here escapes Catalyst. Exact interpolated median per the "
+    "agg_percentile precedent; money compared and summed in exact "
+    "cents.",
+)
+def sql_scripting_param_report(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE;
+          SET thr = (SELECT percentile(o_totalprice, 0.5) FROM script_orders);
+          SELECT o_orderpriority, COUNT(*) AS n_above,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS above_cents
+          FROM script_orders WHERE o_totalprice > thr
+          GROUP BY 1 ORDER BY 1;
+        END
+        """
+    )
