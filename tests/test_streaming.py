@@ -518,3 +518,116 @@ def test_foreach_batch_upsert_batch_split_invariance(spark):
     b = four.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_foreach_batch_upsert_checkpoint_resume(spark, tmp_path):
+    """Exactly-once across RESTART: drain slices 0-1 with a real
+    checkpointLocation, then land slices 2-3 and restart the SAME
+    checkpoint — the source must resume from the committed offset
+    (processing only the new files; pinned by counting sink
+    invocations) and the final store must equal the batch
+    latest-by-key over the whole corpus. This is the recovery contract
+    a production foreachBatch MERGE job actually runs under."""
+    import shutil
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    sliced = ev.withColumn(
+        "__slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    all_slices = []
+    for i in range(1, 5):
+        tmp_i = tmp_path / f"_tmp_{i}"
+        (
+            sliced.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.parquet(str(tmp_i))
+        )
+        part = next(Path(tmp_i).glob("part-*.parquet"))
+        dest = tmp_path / f"slice_{i - 1:03d}.parquet"
+        all_slices.append((part, dest))
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store_root = tmp_path / "store"
+    store_root.mkdir()
+    current: list[Path] = []
+    batches_seen: list[int] = []
+
+    schema = spark.read.parquet(str(all_slices[0][0])).schema
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def winners(df):
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def sink(batch_df, batch_id):
+        batches_seen.append(batch_id)
+        batch_win = winners(
+            batch_df.select("user_id", "event_id", "ts", "event_type", "value")
+        )
+        if current:
+            merged = winners(spark.read.parquet(str(current[0])).unionByName(batch_win))
+        else:
+            merged = batch_win
+        new = store_root / f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(str(new))
+        old = current[:]
+        current.clear()
+        current.append(new)
+        for p in old:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def run_once():
+        ts_col = F.col("ts")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.col("ts")))
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # phase 1: only slices 0-1 exist
+    for part, dest in all_slices[:2]:
+        shutil.copy(part, stage / dest.name)
+    run_once()
+    first_batches = len(batches_seen)
+    assert first_batches >= 1
+
+    # phase 2: land the rest, resume from the SAME checkpoint
+    for part, dest in all_slices[2:]:
+        shutil.copy(part, stage / dest.name)
+    run_once()
+    # only the NEW files were processed (no re-delivery of slices 0-1)
+    assert len(batches_seen) > first_batches
+    assert len(set(batches_seen)) == len(batches_seen)
+
+    final = spark.read.parquet(str(current[0]))
+    expected = winners(
+        ev.select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    key = ["user_id"]
+    a = final.toPandas().sort_values(key).reset_index(drop=True)
+    b = expected.toPandas().sort_values(key).reset_index(drop=True)
+    assert a[["user_id", "event_id"]].equals(b[["user_id", "event_id"]])
