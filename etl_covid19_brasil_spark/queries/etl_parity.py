@@ -96,3 +96,64 @@ def etl_audit_column(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("created_at_datalake").alias("n_with_audit"),
     )
+
+
+@query(
+    "etl_pandas_api_parity",
+    oracle="""
+    WITH covid AS (
+        SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS city,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey END AS city_ibge_code,
+               CASE WHEN c_custkey % 7 = 0 THEN ''
+                    WHEN c_custkey % 7 = 1 THEN ' '
+                    WHEN c_custkey % 7 = 2 THEN NULL
+                    WHEN c_custkey % 7 = 3 THEN 'not-a-number'
+                    ELSE CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+               END AS rate_raw
+        FROM customer
+    )
+    SELECT city, city_ibge_code,
+           COALESCE(TRY_CAST(NULLIF(TRIM(rate_raw), '') AS DOUBLE), 0.0) / 100.0
+             AS rate_per_100k,
+           TRUE AS audit_ok
+    FROM covid
+    WHERE city IS NOT NULL AND city_ibge_code IS NOT NULL
+    """,
+    section="2.2",
+    doc="The reference's cleaning code run through the PANDAS API ON "
+    "SPARK (pyspark.pandas): dropna(subset=...), sentinel replace, "
+    "numeric coercion and the audit column are written as the same "
+    "pandas idioms the reference uses (dags/create-data-lake.py:70-79 "
+    "is literal pandas), but every operation compiles to distributed "
+    "Catalyst plans — the migration path where the reference's own "
+    "source runs nearly verbatim with import pandas -> import "
+    "pyspark.pandas. Junk-to-0 follows the etl_sentinel_clean "
+    "contract (to_numeric(errors='coerce').fillna(0)); the result "
+    "hash-matches the pure-DataFrame pipeline's oracle.",
+)
+def etl_pandas_api_parity(spark: SparkSession, sf: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    k = F.col("c_custkey")
+    rate = (
+        F.when(k % 7 == 0, "")
+        .when(k % 7 == 1, " ")
+        .when(k % 7 == 2, None)
+        .when(k % 7 == 3, "not-a-number")
+        .otherwise(F.round(F.col("c_acctbal") * 100).cast("long").cast("string"))
+    )
+    sdf = T(spark, sf, "customer").select(
+        F.when(k % 11 == 0, None).otherwise(F.col("c_mktsegment")).alias("city"),
+        F.when(k % 13 == 0, None).otherwise(k).alias("city_ibge_code"),
+        rate.alias("rate_raw"),
+    )
+    psdf = sdf.pandas_api()
+    # the reference's pandas lines, near-verbatim:
+    psdf["created_at_datalake"] = "loaded"          # audit column (:70,:100)
+    psdf = psdf.dropna(subset=["city", "city_ibge_code"])  # (:71-73)
+    psdf["rate_per_100k"] = (
+        ps.to_numeric(psdf["rate_raw"].str.strip(), errors="coerce").fillna(0.0)
+        / 100.0
+    )  # (:74-79) sentinel/junk -> 0, cents -> units
+    psdf["audit_ok"] = psdf["created_at_datalake"].notnull()
+    return psdf[["city", "city_ibge_code", "rate_per_100k", "audit_ok"]].to_spark()

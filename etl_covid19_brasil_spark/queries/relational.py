@@ -2985,3 +2985,78 @@ def sql_scripting_param_report(spark: SparkSession, sf: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "join_lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(ROUND(t.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(t.rn AS INT) AS rn
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_nationkey = 3
+    """,
+    section="2.3",
+    doc="LATERAL correlated subquery join (SQL 'for each row, run this "
+    "subquery'): each nation-3 customer pulls its top-2 orders by "
+    "value. Catalyst DECORRELATES the lateral (DecorrelateInnerQuery): "
+    "the per-row ORDER BY/LIMIT becomes one partitioned window over "
+    "the orders side + a rank filter — a single customer-keyed "
+    "shuffle, NOT a per-row subquery execution, which is why the "
+    "lateral form is safe at 100 TB. Same result as the top_k_per_"
+    "group window idiom; LATERAL is the surface the migrating SQL "
+    "user writes.",
+)
+def join_lateral_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "customer").createOrReplaceTempView("lat_customer")
+    T(spark, sf, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(ROUND(t.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+               CAST(t.rn AS INT) AS rn
+        FROM lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_nationkey = 3
+        """
+    )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ALL ORDER BY ALL
+    """,
+    section="2.4",
+    doc="GROUP BY ALL / ORDER BY ALL (the DuckDB-pioneered shorthand, in "
+    "Spark since 3.4): every non-aggregate select item becomes a group "
+    "key and the full output column list the sort key — resolved at "
+    "ANALYSIS time to the explicit forms, so the plan is byte-identical "
+    "to GROUP BY 1,2 (the hash match against DuckDB's own GROUP BY ALL "
+    "is the cross-engine semantics pin).",
+)
+def agg_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "lineitem").createOrReplaceTempView("gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+               COUNT(*) AS n
+        FROM gba_lineitem GROUP BY ALL ORDER BY ALL
+        """
+    )
