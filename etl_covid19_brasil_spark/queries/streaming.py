@@ -369,3 +369,59 @@ def scan_python_datasource_stream(spark: SparkSession, sf: str) -> DataFrame:
     # materialize before the memory table goes away with the query
     rows = spark.table(name).collect()
     return spark.createDataFrame(rows, spark.table(name).schema)
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_ns(ts) // 1000 AS us,
+             CASE WHEN event_type = 'view' THEN 600000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, us, gap_us,
+             MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, gap_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_end
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, us, gap_us,
+             SUM(CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, gap_us) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           make_timestamp(MIN(us)) AS session_start,
+           make_timestamp(MAX(us + gap_us)) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    section="2.9",
+    doc="Session windows with a DYNAMIC per-event gap (Spark 3.2+ "
+    "session_window(ts, expr)): views time out after 10 minutes, "
+    "heavier events hold the session 30 — the per-event-type gap a "
+    "real engagement model needs and fixed-gap sessionization can't "
+    "express. Each event proposes [ts, ts+gap); overlapping proposals "
+    "merge; window end = max proposed end. The oracle replays exactly "
+    "that as the win_interval_merge pattern (running-max previous end "
+    "-> session break flags -> cumulative session id) in exact integer "
+    "microseconds. Same plan batch or streaming (the unified-model "
+    "contract the §2.9 tier pins throughout).",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    gap = F.when(F.col("event_type") == "view", "10 minutes").otherwise("30 minutes")
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
