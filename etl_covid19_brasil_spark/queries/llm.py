@@ -4340,3 +4340,67 @@ def curation_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
         "avg_nll_u6",
         (F.col("avg_nll_u6") <= F.col("p90")).alias("keep"),
     )
+
+
+@query(
+    "decontaminate_bloom_prefilter",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_O_SHINGLES.format(w=f'({_O_TOKENS})')} AS sh FROM documents
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 100 = 0),
+    tr AS (
+      SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+      FROM sh WHERE doc_id % 100 <> 0
+    )
+    SELECT tr.doc_id,
+           tr.n_shingles,
+           COUNT(*) AS n_contaminated,
+           CAST(COUNT(*) AS DOUBLE) / tr.n_shingles AS contamination
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id, tr.n_shingles
+    """,
+    section="2.10",
+    doc="Decontamination at the 100 TB shape: the training shingle "
+    "stream is pre-pruned by a BLOOM FILTER of the eval vocabulary "
+    "(operators/bloom.py — bitmap words broadcast as one map row) "
+    "before the exact broadcast-join verification, so when the eval "
+    "set outgrows comfortable broadcast the stream still drops "
+    "~(1-fpr) of non-matching shingles map-side without shuffling "
+    "them. No false negatives, and the exact join behind it removes "
+    "false positives — the OUTPUT is bit-identical to "
+    "decontaminate_ngram_overlap (the oracle is the same SQL; the "
+    "hash match proves the bloom stage is a pure prefilter).",
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.bloom import build_bloom, might_contain
+
+    docs = T(spark, sf, "documents").select("doc_id", _shingles(_tokens()).alias("sh"))
+    ev = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    tr = docs.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
+    )
+    num_bits, n_hashes = 1 << 15, 3
+    bf = build_bloom(ev, "s", num_bits, n_hashes).withColumnRenamed("bf", "__bf")
+    pruned = (
+        tr.crossJoin(F.broadcast(bf))
+        .filter(might_contain(F.col("__bf"), F.col("s"), num_bits, n_hashes))
+        .drop("__bf")
+    )
+    return (
+        pruned.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
+    )
