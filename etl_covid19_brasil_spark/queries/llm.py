@@ -4404,3 +4404,50 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "embedding_kmeans_elbow",
+    oracle=None,  # iterative float training — rows-only; monotonicity
+    # and assignment-validity pinned in tests/test_classifier.py
+    section="2.10",
+    doc="K-selection ELBOW CURVE for the embedding quantizer: "
+    "kmeans_lloyd (llm/ann.py) trains at k = 2/4/8 and each model's "
+    "INERTIA (sum of 1 - cosine-to-assigned-centroid) is measured in "
+    "one Arrow-batched partial-sum pass — per-partition scalars to the "
+    "driver, never vectors. Inertia must fall as k grows (pinned); "
+    "the curve is how a deployment picks n_cells for ann_ivf_trained "
+    "instead of guessing. 3 Lloyd sweeps per k bound the cost; each "
+    "sweep is the documented two-shuffle shape, so the whole curve is "
+    "O(k_values x sweeps) linear scans.",
+)
+def embedding_kmeans_elbow(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from etl_covid19_brasil_spark.llm.ann import kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+
+    emb = T(spark, sf, "embeddings")
+    rows = []
+    for k in (2, 4, 8):
+        cents = kmeans_lloyd(emb, k=k, iters=3)
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            cmat = bc.value
+            for pdf in batches:
+                mat = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+                sims = _ordered_dot(mat[:, None, :], cmat[None, :, :])
+                best = np.max(sims, axis=1)
+                yield pd.DataFrame({"inertia": [float(np.sum(1.0 - best))], "n": [len(mat)]})
+
+        agg = (
+            emb.select("embedding")
+            .mapInPandas(partials, schema="inertia double, n long")
+            .groupBy()
+            .agg(F.sum("inertia").alias("inertia"), F.sum("n").alias("n"))
+            .collect()[0]
+        )
+        rows.append((k, int(agg["inertia"] * 1e3 // 1), int(agg["n"])))
+    return spark.createDataFrame(rows, "k int, inertia_u3 long, n_vectors long")

@@ -41,3 +41,18 @@ def test_model_attributes_to_stop_bucket(trained):
     feature_w = w[:-1]
     assert feature_w[sb] > 0
     assert np.argmax(np.abs(feature_w)) == sb
+
+
+def test_kmeans_elbow_monotone(spark):
+    """Inertia must strictly decrease as k grows (more cells can only
+    tighten the quantization on this corpus), and every k covers the
+    full corpus — the invariant pair that keeps the elbow curve honest."""
+    from etl_covid19_brasil_spark.registry import all_specs
+
+    rows = sorted(
+        all_specs()["embedding_kmeans_elbow"].spark(spark, SF_SMOKE).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 4, 8]
+    assert rows[0]["inertia_u3"] > rows[1]["inertia_u3"] > rows[2]["inertia_u3"]
+    assert len({r["n_vectors"] for r in rows}) == 1 and rows[0]["n_vectors"] > 0

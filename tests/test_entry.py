@@ -44,6 +44,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "mmr",  # sequential greedy loop — python-replay-pinned
                 "classifier_train",  # iterative float GD — invariant-pinned
                 "negatives_ann",  # IVF-approximate — recall-pinned vs exact
+                "kmeans_elbow",  # iterative float training — monotone-pinned
             )
         )
         for n in rows_only
