@@ -1076,3 +1076,81 @@ def sink_scan_jdbc_partitioned(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(cents("c_acctbal")).alias("acctbal_cents"),
     )
+
+
+@query(
+    "pipeline_lakehouse_maintenance",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 BETWEEN 1 AND 3
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 // 10
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS val_cents
+      FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(val_cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+    section="2.1",
+    doc="The full LAKEHOUSE MAINTENANCE cycle composed end-to-end "
+    "against a real on-disk lake (io.py: upsert_partitions + "
+    "merge_by_key + compact_parquet): (1) land orders as a "
+    "priority-partitioned parquet lake; (2) apply a CDC batch — "
+    "deletes (key%10=0, anti-join tombstones) and exact-integer "
+    "updates (keys 1-3, cents*11 DIV 10) — by computing each touched "
+    "partition's new state, materializing it (localCheckpoint — the "
+    "self-overwrite guard), and re-landing via DYNAMIC PARTITION "
+    "OVERWRITE, compacting to 4 files per partition in the same "
+    "write (merge + compaction in one pass is how partition-grained "
+    "lakes amortize maintenance); (3) audit the FINAL ON-DISK "
+    "state with a per-partition count+checksum — which must equal the "
+    "oracle's logical replay of the same CDC. The physical twin of "
+    "cdc_apply_changes: same semantics, but the bytes actually land, "
+    "merge, swap and compact on disk.",
+)
+def pipeline_lakehouse_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    k = F.col("o_orderkey")
+    base = T(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents("o_totalprice").alias("val_cents"),
+    )
+    path = _scratch("lakehouse_maint", sf)
+    if Path(path).exists():
+        shutil.rmtree(path)
+    # (1) land the lake partitioned by priority
+    io.upsert_partitions(spark, base, path, ["o_orderpriority"])
+    # (2) CDC batch: tombstones + updated rows, merged against the
+    # ON-DISK lake, materialized before the self-overwrite
+    deletes = base.filter(k % 10 == 0).select("o_orderkey")
+    updates = base.filter((k % 10 >= 1) & (k % 10 <= 3)).select(
+        "o_orderkey",
+        F.expr("val_cents * 11 DIV 10").alias("new_cents"),
+    )
+    lake = spark.read.parquet(path)
+    survivors = lake.join(deletes, "o_orderkey", "left_anti")
+    merged = (
+        survivors.join(updates, "o_orderkey", "left")  # hint-free: updates grow with the lake (broadcast-discipline, r7)
+        .select(
+            "o_orderkey",
+            F.coalesce("new_cents", "val_cents").alias("val_cents"),
+            "o_orderpriority",
+        )
+        .repartition(4, "o_orderpriority")
+        .localCheckpoint(eager=True)
+    )
+    io.upsert_partitions(spark, merged, path, ["o_orderpriority"])
+    # (3) audit the final on-disk state
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val_cents").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
