@@ -3135,3 +3135,34 @@ def events_funnel_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("percentile(secs, 0.9)").alias("p90_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+@query(
+    "events_active_users_rolling_hll",
+    oracle=None,  # sketch-based by contract — relative error vs the exact
+    # tier pinned in tests/test_analytics_invariants.py
+    section="2.4",
+    doc="SCALE TWIN of events_active_users_rolling: trailing-7-day "
+    "active users via DAILY HLL SKETCHES (Spark 3.5 Apache DataSketches "
+    "surface) merged over a 7-row window — hll_sketch_agg(user_id) per "
+    "day, hll_union_agg over the trailing frame, hll_sketch_estimate "
+    "out. The exact tier's explode-to-window fanout carries 7 rows per "
+    "(user, day) pair; the sketch tier carries ONE fixed-size sketch "
+    "per day regardless of user cardinality, the difference that "
+    "matters when daily actives are 10^9. Mergeability (union of "
+    "sketches == sketch of union) is the algebraic property the whole "
+    "pattern rests on; standard-accuracy lgK=12 gives ~1.6% RSE, "
+    "pinned <= 5%% against the exact counts.",
+)
+def events_active_users_rolling_hll(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        T(spark, sf, "events")
+        .select(F.col("user_id"), F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.hll_sketch_estimate(F.expr("hll_union_agg(sk)").over(w)).alias("wau_est"),
+    ).orderBy("day")

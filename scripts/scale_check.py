@@ -89,6 +89,8 @@ QUERIES = [
     "quality_classifier_train",
     # IVF label-masked twin: candidate volume n x n_probe x k by design
     "mine_hard_negatives_ann",
+    # real on-disk land -> CDC merge -> dynamic-overwrite re-land cycle
+    "pipeline_lakehouse_maintenance",
 ]
 
 

@@ -161,3 +161,25 @@ def test_curation_pipeline_respects_quota_and_shards(spark):
     for lang, cells in per_lang.items():
         assert sum(c.n_docs for c in cells) <= 60, (lang, cells)
         assert len(cells) >= 2, (lang, cells)
+
+
+def test_rolling_hll_tracks_exact_wau(spark):
+    """The sketch tier must track the exact trailing-7-day distinct
+    counts within 5% on every day (lgK=12 standard accuracy ~1.6% RSE)
+    — the mergeability-correctness pin for the daily-sketch + window-
+    union pattern."""
+    from etl_covid19_brasil_spark.registry import all_specs
+
+    sf = SF
+    specs = all_specs()
+    exact = {
+        r["day"]: r["wau"]
+        for r in specs["events_active_users_rolling"].spark(spark, sf).collect()
+    }
+    est = {
+        r["day"]: r["wau_est"]
+        for r in specs["events_active_users_rolling_hll"].spark(spark, sf).collect()
+    }
+    assert set(est) == set(exact)
+    for day, wau in exact.items():
+        assert abs(est[day] - wau) / wau <= 0.05, (day, est[day], wau)

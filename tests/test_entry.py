@@ -45,6 +45,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "classifier_train",  # iterative float GD — invariant-pinned
                 "negatives_ann",  # IVF-approximate — recall-pinned vs exact
                 "kmeans_elbow",  # iterative float training — monotone-pinned
+                "rolling_hll",  # sketch estimate — error-pinned vs exact
             )
         )
         for n in rows_only
