@@ -3166,3 +3166,39 @@ def events_active_users_rolling_hll(spark: SparkSession, sf: str) -> DataFrame:
         "day",
         F.hll_sketch_estimate(F.expr("hll_union_agg(sk)").over(w)).alias("wau_est"),
     ).orderBy("day")
+
+
+@query(
+    "agg_hll_overlap_estimate",
+    oracle=None,  # sketch inclusion-exclusion — error-pinned vs the exact
+    # intersection in tests/test_analytics_invariants.py
+    section="2.4",
+    doc="Audience-overlap estimation via HLL INCLUSION-EXCLUSION: "
+    "|viewers ∩ purchasers| ~= est(A) + est(B) - est(A ∪ B), with the "
+    "union estimated from the MERGED sketches — three numbers off two "
+    "fixed-size sketches, no join, no shuffle of user ids, the "
+    "audience-overlap question ad/analytics stacks answer at 10^9 "
+    "users. The well-known caveat is baked into the pin: subtraction "
+    "compounds the union's relative error against the (smaller) "
+    "intersection, so tolerance is wider than the rolling-HLL twin's "
+    "(intersection >= ~half of each set here; for tiny overlaps "
+    "production uses theta sketches instead — documented trade).",
+)
+def agg_hll_overlap_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    side = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    return side.agg(
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk))"
+        ).alias("union_est"),
+        F.expr(
+            "sum(hll_sketch_estimate(sk))"
+        ).alias("sum_est"),
+    ).select(
+        F.col("union_est").cast("long").alias("union_est"),
+        (F.col("sum_est") - F.col("union_est")).cast("long").alias("overlap_est"),
+    )

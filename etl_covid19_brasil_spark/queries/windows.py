@@ -933,3 +933,37 @@ def win_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ad").alias("max_drift_num"),
         F.col("n").alias("drift_den"),
     )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000
+                // SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_custkey) AS BIGINT) AS share_ppm
+    FROM orders
+    """,
+    section="2.5",
+    doc="RATIO_TO_REPORT / share-of-parent: each order's fraction of its "
+    "customer's lifetime spend, as exact integer ppm (cents * 1e6 DIV "
+    "the window sum of cents — no float division crosses the engines). "
+    "One customer-keyed window sum; the named Oracle/Teradata pattern "
+    "migrating warehouse SQL leans on, distinct from win_pareto_"
+    "cumshare's CUMULATIVE share (running concentration) — this is the "
+    "flat per-row share.",
+)
+def win_ratio_to_report(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey")
+    price = cents("o_totalprice")
+    return T(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        price.alias("price_cents"),
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000 DIV "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+            "OVER (PARTITION BY o_custkey)"
+        ).alias("share_ppm"),
+    )

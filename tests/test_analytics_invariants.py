@@ -183,3 +183,21 @@ def test_rolling_hll_tracks_exact_wau(spark):
     assert set(est) == set(exact)
     for day, wau in exact.items():
         assert abs(est[day] - wau) / wau <= 0.05, (day, est[day], wau)
+
+
+def test_hll_overlap_tracks_exact_intersection(spark):
+    """Inclusion-exclusion overlap must track the exact |viewers ∩
+    purchasers| within 10% (compounded-error tolerance, see docstring)."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.registry import all_specs
+
+    e = load_table(spark, SF, "events")
+    viewers = {r["user_id"] for r in e.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    buyers = {r["user_id"] for r in e.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    exact = len(viewers & buyers)
+    row = all_specs()["agg_hll_overlap_estimate"].spark(spark, SF).collect()[0]
+    assert exact > 0
+    assert abs(row["overlap_est"] - exact) / exact <= 0.10, (row, exact)
+    assert abs(row["union_est"] - len(viewers | buyers)) / len(viewers | buyers) <= 0.05

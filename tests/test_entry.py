@@ -46,6 +46,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "negatives_ann",  # IVF-approximate — recall-pinned vs exact
                 "kmeans_elbow",  # iterative float training — monotone-pinned
                 "rolling_hll",  # sketch estimate — error-pinned vs exact
+                "hll_overlap",  # sketch inclusion-exclusion — error-pinned
             )
         )
         for n in rows_only
