@@ -3202,3 +3202,40 @@ def agg_hll_overlap_estimate(spark: SparkSession, sf: str) -> DataFrame:
         F.col("union_est").cast("long").alias("union_est"),
         (F.col("sum_est") - F.col("union_est")).cast("long").alias("overlap_est"),
     )
+
+
+@query(
+    "agg_theta_set_algebra",
+    oracle=None,  # sketch-based — error-pinned vs exact set algebra in
+    # tests/test_analytics_invariants.py
+    section="2.4",
+    doc="Theta-sketch SET ALGEBRA (Spark 4 Apache DataSketches theta "
+    "surface): viewers and purchasers each compress to one theta "
+    "sketch, then intersection, difference (viewers-only) and union "
+    "estimates come from sketch-level operators — the production "
+    "upgrade over agg_hll_overlap_estimate's inclusion-exclusion, "
+    "because theta supports NATIVE intersection (error scales with "
+    "the result set, not the union), which is why ad/audience stacks "
+    "use theta when overlaps are small. Two fixed-size sketches "
+    "travel; user ids never shuffle.",
+)
+def agg_theta_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    e.filter(F.col("event_type").isin("view", "purchase")).createOrReplaceTempView(
+        "theta_events"
+    )
+    return spark.sql(
+        """
+        WITH v AS (SELECT theta_sketch_agg(user_id) s FROM theta_events
+                   WHERE event_type = 'view'),
+             p AS (SELECT theta_sketch_agg(user_id) s FROM theta_events
+                   WHERE event_type = 'purchase')
+        SELECT CAST(theta_sketch_estimate(theta_intersection(v.s, p.s)) AS BIGINT)
+                 AS both_est,
+               CAST(theta_sketch_estimate(theta_difference(v.s, p.s)) AS BIGINT)
+                 AS viewers_only_est,
+               CAST(theta_sketch_estimate(theta_union(v.s, p.s)) AS BIGINT)
+                 AS either_est
+        FROM v, p
+        """
+    )

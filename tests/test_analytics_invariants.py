@@ -201,3 +201,29 @@ def test_hll_overlap_tracks_exact_intersection(spark):
     assert exact > 0
     assert abs(row["overlap_est"] - exact) / exact <= 0.10, (row, exact)
     assert abs(row["union_est"] - len(viewers | buyers)) / len(viewers | buyers) <= 0.05
+
+
+def test_theta_set_algebra_tracks_exact(spark):
+    """Theta intersection/difference/union estimates must track exact set
+    algebra within 10% each — and the three must be mutually consistent
+    (|A∪B| ~= |A∩B| + |A\\B| + |B\\A| is NOT asserted since each carries
+    independent error; per-quantity accuracy is the contract)."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.registry import all_specs
+
+    e = load_table(spark, SF, "events")
+    viewers = {r["user_id"] for r in e.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    buyers = {r["user_id"] for r in e.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    row = all_specs()["agg_theta_set_algebra"].spark(spark, SF).collect()[0]
+    assert len(viewers & buyers) > 0
+    for est, exact in [
+        (row["both_est"], len(viewers & buyers)),
+        (row["viewers_only_est"], len(viewers - buyers)),
+        (row["either_est"], len(viewers | buyers)),
+    ]:
+        if exact == 0:  # smoke corpus: every viewer may also purchase
+            assert est <= 1, (est, exact)
+        else:
+            assert abs(est - exact) / exact <= 0.10, (est, exact)

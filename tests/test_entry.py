@@ -47,6 +47,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "kmeans_elbow",  # iterative float training — monotone-pinned
                 "rolling_hll",  # sketch estimate — error-pinned vs exact
                 "hll_overlap",  # sketch inclusion-exclusion — error-pinned
+                "theta_set",  # theta sketch algebra — error-pinned vs exact
             )
         )
         for n in rows_only
