@@ -4451,3 +4451,94 @@ def embedding_kmeans_elbow(spark: SparkSession, sf: str) -> DataFrame:
         )
         rows.append((k, int(agg["inertia"] * 1e3 // 1), int(agg["n"])))
     return spark.createDataFrame(rows, "k int, inertia_u3 long, n_vectors long")
+
+
+@query(
+    "corpus_bigram_pmi_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOKENS} AS t FROM documents),
+    uni AS (
+      SELECT token, COUNT(*) AS c1 FROM (
+        SELECT unnest(t) AS token FROM toks) GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT bg, COUNT(*) AS c12 FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks WHERE len(t) >= 2) GROUP BY bg
+    ),
+    scored AS (
+      SELECT bi.bg, bi.c12,
+             CAST(floor(ln(CAST(bi.c12 AS DOUBLE) * tot.n
+                           / (a.c1 * CAST(b.c1 AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS pmi_u6
+      FROM bi
+      JOIN uni a ON a.token = split_part(bi.bg, ' ', 1)
+      JOIN uni b ON b.token = split_part(bi.bg, ' ', 2)
+      CROSS JOIN tot
+      WHERE bi.c12 >= 20
+    )
+    SELECT bg AS bigram, c12 AS n_pair, pmi_u6
+    FROM scored ORDER BY pmi_u6 DESC, bigram LIMIT 20
+    """,
+    section="2.10",
+    doc="Adjacent-pair PMI collocations (the word2vec-era phrase-"
+    "detection statistic): PMI(a,b) = ln(c12 * N / (c1(a) * c1(b))) "
+    "over adjacent token pairs with a count-20 support floor (PMI is "
+    "notoriously noisy on rare pairs — the floor is part of the "
+    "method). The association measure next to text_bigram_logprob's "
+    "CONDITIONAL score: logprob ranks how predictable the next token "
+    "is, PMI ranks how non-independent the pair is. One token-keyed "
+    "unigram agg + one pair agg; the unigram table joins the pair "
+    "stream hint-free (Heaps'-law growth — the text_unigram_logprob "
+    "broadcast-discipline note applies verbatim). Micro-unit ln "
+    "quantization, deterministic double expression shared by both "
+    "engines; ties broken on the bigram string.",
+)
+def corpus_bigram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select(_tokens().alias("t"))
+    uni = (
+        d.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("long").alias("n"))
+    bi = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 20)
+    )
+    a = uni.select(F.col("token").alias("ta"), F.col("c1").alias("ca"))
+    b = uni.select(F.col("token").alias("tb"), F.col("c1").alias("cb"))
+    return (
+        bi.join(a, F.split(F.col("bg"), " ")[0] == F.col("ta"))
+        .join(b, F.split(F.col("bg"), " ")[1] == F.col("tb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c12").alias("n_pair"),
+            F.floor(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("ca") * F.col("cb").cast("double"))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_u6"),
+        )
+        .orderBy(F.desc("pmi_u6"), "bigram")
+        .limit(20)
+    )
