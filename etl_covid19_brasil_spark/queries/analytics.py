@@ -3239,3 +3239,99 @@ def agg_theta_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
         FROM v, p
         """
     )
+
+
+@query(
+    "ab_ratio_metric_delta",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             o_custkey % 2 AS arm,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT)
+               AS x,
+             COUNT(*) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM cust GROUP BY 1
+    ),
+    d AS (
+      SELECT arm, n,
+             CAST(sx AS DOUBLE) / sy AS ratio,
+             ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+              / ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+              + (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+                / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+              - 2 * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+                / ((CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+             * (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy) / n
+               AS var_ratio
+      FROM arms
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_control, CAST(b.n AS BIGINT) AS n_treat,
+           CAST(floor(a.ratio * 100 + 0.5) AS BIGINT) AS control_ratio_centidollars,
+           CAST(floor(b.ratio * 100 + 0.5) AS BIGINT) AS treat_ratio_centidollars,
+           CAST(floor((b.ratio - a.ratio)
+                      / sqrt(a.var_ratio + b.var_ratio) * 1000000 + 0.5)
+             AS BIGINT) AS z_u6
+    FROM (SELECT * FROM d WHERE arm = 0) a, (SELECT * FROM d WHERE arm = 1) b
+    """,
+    section="2.4",
+    doc="Clustered RATIO-METRIC A/B analysis by the DELTA METHOD (Deng "
+    "et al. 2011 — the standard correction every experimentation "
+    "platform applies): the metric is revenue-per-ORDER but "
+    "randomization is per-CUSTOMER (arm = custkey parity), so order-"
+    "level variance is wrong — the per-customer (revenue, orders) "
+    "pairs are the iid units (revenue kept in whole dollars so the "
+    "integer power sums stay in BIGINT range at any sf) and var(X/Y) "
+    "expands via the delta "
+    "method from their variances and COVARIANCE. Every moment (sx, "
+    "sy, sxx, syy, sxy) is an exact integer sum, so the z-statistic "
+    "is one shared double expression over identical integers in both "
+    "engines — the dq_welch_t_drift determinism discipline extended "
+    "to covariance. Two customer-keyed aggs, a 2-row reduce, O(1) "
+    "output.",
+)
+def ab_ratio_metric_delta(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "orders").createOrReplaceTempView("ab_orders")
+    return spark.sql(
+        """
+        WITH cust AS (
+          SELECT o_custkey, o_custkey % 2 AS arm,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DIV 100 AS x,
+                 COUNT(*) AS y
+          FROM ab_orders GROUP BY 1, 2
+        ),
+        arms AS (
+          SELECT arm, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+          FROM cust GROUP BY 1
+        ),
+        d AS (
+          SELECT arm, n,
+                 CAST(sx AS DOUBLE) / sy AS ratio,
+                 ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+                  / ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                  + (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+                    / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                  - 2 * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+                    / ((CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+                 * (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy) / n
+                   AS var_ratio
+          FROM arms
+        )
+        SELECT a.n AS n_control, b.n AS n_treat,
+               CAST(floor(a.ratio * 100 + 0.5) AS BIGINT) AS control_ratio_centidollars,
+               CAST(floor(b.ratio * 100 + 0.5) AS BIGINT) AS treat_ratio_centidollars,
+               CAST(floor((b.ratio - a.ratio)
+                          / sqrt(a.var_ratio + b.var_ratio) * 1000000 + 0.5)
+                 AS BIGINT) AS z_u6
+        FROM (SELECT * FROM d WHERE arm = 0) a, (SELECT * FROM d WHERE arm = 1) b
+        """
+    )
