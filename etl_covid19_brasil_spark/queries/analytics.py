@@ -3335,3 +3335,94 @@ def ab_ratio_metric_delta(spark: SparkSession, sf: str) -> DataFrame:
         FROM (SELECT * FROM d WHERE arm = 0) a, (SELECT * FROM d WHERE arm = 1) b
         """
     )
+
+
+@query(
+    "agg_bayes_smoothed_rate",
+    oracle="""
+    WITH per_brand AS (
+      SELECT p.p_brand,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (l.l_returnflag = 'R') AS r,
+             CAST(COUNT(*) FILTER (l.l_returnflag = 'R') * 1000000 // COUNT(*)
+               AS BIGINT) AS raw_u6
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(SUM(raw_u6) AS BIGINT) AS s1,
+             CAST(SUM(raw_u6 * raw_u6) AS BIGINT) AS s2,
+             COUNT(*) AS k
+      FROM per_brand
+    ),
+    prior AS (
+      SELECT CAST(s1 AS DOUBLE) / k / 1000000 AS m,
+             ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1))
+               / 1000000.0 / 1000000.0 AS v
+      FROM mom
+    ),
+    strength AS (
+      SELECT m, v, (m * (1 - m) / v - 1) AS s FROM prior
+    )
+    SELECT b.p_brand, CAST(b.n AS BIGINT) AS n_lines, b.raw_u6,
+           CAST(floor((b.r + st.s * st.m) / (b.n + st.s) * 1000000 + 0.5)
+             AS BIGINT) AS smoothed_u6
+    FROM per_brand b, strength st
+    ORDER BY b.p_brand
+    """,
+    section="2.4",
+    doc="Empirical-Bayes rate smoothing (beta-binomial, method of "
+    "moments): each brand's return rate shrinks toward the cross-brand "
+    "prior mean with strength s = m(1-m)/v - 1 estimated FROM THE DATA "
+    "— the standard fix for small-sample rate rankings (CTR, defect "
+    "and return rates) where raw rates over-rank tiny groups. "
+    "Determinism: per-brand raw rates are quantized to integer ppm "
+    "BEFORE the cross-brand moment sums (exact integers; a float "
+    "variance over groups would be partition-order-dependent), and "
+    "the prior (m, v, s) then flows through one shared double "
+    "expression. Two aggs (brand-keyed, then a 1-row moment reduce "
+    "broadcast back), smoothed output per brand.",
+)
+def agg_bayes_smoothed_rate(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem").select("l_partkey", "l_returnflag")
+    p = T(spark, sf, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r"),
+        )
+        .withColumn("raw_u6", F.expr("r * 1000000 DIV n"))
+    )
+    mom = per_brand.agg(
+        F.sum("raw_u6").alias("s1"),
+        F.sum(F.col("raw_u6") * F.col("raw_u6")).alias("s2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    prior = mom.select(
+        (F.col("s1").cast("double") / F.col("k") / 1000000).alias("m"),
+        (
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("k"))
+            / (F.col("k") - 1)
+            / 1000000.0
+            / 1000000.0
+        ).alias("v"),
+    ).select("m", "v", (F.col("m") * (1 - F.col("m")) / F.col("v") - 1).alias("s"))
+    return (
+        per_brand.join(F.broadcast(prior))
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_lines"),
+            "raw_u6",
+            F.floor(
+                (F.col("r") + F.col("s") * F.col("m"))
+                / (F.col("n") + F.col("s"))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("smoothed_u6"),
+        )
+        .orderBy("p_brand")
+    )
