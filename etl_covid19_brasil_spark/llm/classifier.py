@@ -54,7 +54,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["logreg_train_quality"]
+__all__ = ["logreg_train_quality", "score_documents_frozen"]
 
 
 def _bucket(token: str, dim: int) -> int:
