@@ -227,3 +227,51 @@ def test_theta_set_algebra_tracks_exact(spark):
             assert est <= 1, (est, exact)
         else:
             assert abs(est - exact) / exact <= 0.10, (est, exact)
+
+
+def test_retrieval_quantization_boundaries_are_safe():
+    """ADVICE r8: rank_tfidf_topk / rank_bm25_topk hash-exactness rests
+    on JVM Math.log and libm log agreeing at every floor(x*1e6+0.5)
+    quantization site. Make the assumption CHECKABLE: for the shipped
+    corpora, every pre-floor value must sit >= 1e-6 quantization units
+    away from a rounding boundary, so a 1-ulp log divergence (~1e-10
+    relative) cannot flip any micro-unit."""
+    import duckdb
+
+    toks = ("'join'", "'vector'", "'stream'", "'filter'")
+    inlist = ", ".join(toks)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        # tf-idf: one quantized value per query token
+        dists = con.execute(f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')) AS token FROM documents),
+        n_total AS (SELECT COUNT(*) AS n_docs FROM documents),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+               WHERE token IN ({inlist}) GROUP BY token)
+        SELECT MIN(abs(x - round(x))) FROM (
+          SELECT ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000.0 + 0.5 AS x
+          FROM df, n_total)
+        """).fetchone()[0]
+        assert dists is not None and dists >= 1e-6, (sf, "tfidf", dists)
+        # bm25: one quantized value per (doc, token) hit
+        d2 = con.execute(f"""
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')) AS token FROM documents),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(len(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +'))) AS BIGINT) AS sum_dl
+                  FROM documents),
+        dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+               WHERE token IN ({inlist}) GROUP BY doc_id, token),
+        dfs AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+                WHERE token IN ({inlist}) GROUP BY token)
+        SELECT MIN(abs(x - round(x))) FROM (
+          SELECT ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                 * (CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                 * 1000000.0 + 0.5 AS x
+          FROM tf JOIN dfs ON tf.token = dfs.token
+                  JOIN dls ON tf.doc_id = dls.doc_id, stats)
+        """).fetchone()[0]
+        assert d2 is not None and d2 >= 1e-6, (sf, "bm25", d2)
+        con.close()
