@@ -3426,3 +3426,100 @@ def agg_bayes_smoothed_rate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "events_window_funnel_strict",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    starts AS (SELECT user_id, ts AS t0 FROM seq WHERE event_type = 'view'),
+    s2 AS (
+      SELECT st.user_id, st.t0, MIN(e.ts) AS t1
+      FROM starts st JOIN seq e
+        ON e.user_id = st.user_id AND e.event_type = 'click'
+       AND e.ts > st.t0 AND e.ts <= st.t0 + INTERVAL 6 HOUR
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t0, MIN(e.ts) AS t2
+      FROM s2 JOIN seq e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+       AND e.ts > s2.t1 AND e.ts <= s2.t0 + INTERVAL 6 HOUR
+      GROUP BY 1, 2
+    ),
+    per_user AS (
+      SELECT u.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2m.user_id IS NOT NULL THEN 2
+                  WHEN stm.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS max_stage
+      FROM (SELECT DISTINCT user_id FROM seq) u
+      LEFT JOIN (SELECT DISTINCT user_id FROM starts) stm USING (user_id)
+      LEFT JOIN (SELECT DISTINCT user_id FROM s2) s2m USING (user_id)
+      LEFT JOIN (SELECT DISTINCT user_id FROM s3) s3 USING (user_id)
+    )
+    SELECT max_stage, COUNT(*) AS n_users
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+    section="2.5",
+    doc="Strict-ORDER window funnel (the ClickHouse windowFunnel "
+    "semantics, vs events_funnel_stages' any-order stage counts): a "
+    "user reaches stage k only via view -> first later click -> first "
+    "later purchase, ALL within 6 hours of the anchoring view — "
+    "ordering constraints between stages, a shared deadline from the "
+    "anchor, and first-match semantics at each hop. Plan: each hop is "
+    "a user-keyed equi-join with a time-band residual + MIN-collapse "
+    "(the join_asof family's shape, chained); every shuffle is on "
+    "user_id so the chain reuses one partitioning. Per-user max stage "
+    "then a 4-row rollup.",
+)
+def events_window_funnel_strict(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    starts = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("t0")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    s2 = (
+        starts.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") > F.col("t0"))
+            & (F.col("cts") <= F.col("t0") + F.expr("INTERVAL 6 HOUR")),
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("cts").alias("t1"))
+    )
+    s3 = (
+        s2.join(
+            buys,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") > F.col("t1"))
+            & (F.col("pts") <= F.col("t0") + F.expr("INTERVAL 6 HOUR")),
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("pts").alias("t2"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        users.join(starts.select("user_id").distinct().withColumn("m1", F.lit(1)), "user_id", "left")
+        .join(s2.select("user_id").distinct().withColumn("m2", F.lit(1)), "user_id", "left")
+        .join(s3.select("user_id").distinct().withColumn("m3", F.lit(1)), "user_id", "left")
+        .select(
+            F.when(F.col("m3").isNotNull(), 3)
+            .when(F.col("m2").isNotNull(), 2)
+            .when(F.col("m1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("max_stage")
+        )
+    )
+    return stage.groupBy("max_stage").agg(F.count(F.lit(1)).alias("n_users")).orderBy("max_stage")
