@@ -3060,3 +3060,121 @@ def agg_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
         FROM gba_lineitem GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+@query(
+    "agg_grouping_id_labels",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 0 AND GROUPING(o_orderpriority) = 0
+                THEN 'cell'
+                WHEN GROUPING(o_orderpriority) = 1 AND GROUPING(o_orderstatus) = 0
+                THEN 'status_subtotal'
+                WHEN GROUPING(o_orderstatus) = 1 AND GROUPING(o_orderpriority) = 0
+                THEN 'priority_subtotal'
+                ELSE 'grand_total' END AS level,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY level, status, priority
+    """,
+    section="2.4",
+    doc="GROUPING() indicator labels over a CUBE (the BI-report staple "
+    "agg_cube leaves implicit): every output row carries WHICH "
+    "aggregation level produced it — cell, either one-dimension "
+    "subtotal, or grand total — via the GROUPING() bit, the only "
+    "robust way to distinguish a real NULL group from a subtotal row "
+    "(COALESCE alone is ambiguous when the data itself contains the "
+    "sentinel). One Expand + one hash agg; the level tag is computed "
+    "from the grouping bit vector, no second pass.",
+)
+def agg_grouping_id_labels(spark: SparkSession, sf: str) -> DataFrame:
+    T(spark, sf, "orders").createOrReplaceTempView("gid_orders")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 0 AND GROUPING(o_orderpriority) = 0
+                    THEN 'cell'
+                    WHEN GROUPING(o_orderpriority) = 1 AND GROUPING(o_orderstatus) = 0
+                    THEN 'status_subtotal'
+                    WHEN GROUPING(o_orderstatus) = 1 AND GROUPING(o_orderpriority) = 0
+                    THEN 'priority_subtotal'
+                    ELSE 'grand_total' END AS level,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM gid_orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY level, status, priority
+        """
+    )
+
+
+@query(
+    "join_obt_denormalize",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+             AS net_cents,
+           o.o_orderpriority, CAST(o.o_orderdate AS DATE) AS orderdate,
+           c.c_name, c.c_mktsegment,
+           cn.n_name AS cust_nation, cr.r_name AS cust_region,
+           s.s_name, sn.n_name AS supp_nation,
+           p.p_brand, p.p_type
+    FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    section="2.3",
+    doc="One-Big-Table denormalization: the full 8-way star flatten "
+    "(fact + orders + customer + both nation roles + region + supplier "
+    "+ part) that materializes the BI serving table every lakehouse "
+    "eventually builds. Plan shape is the point: SEVEN joins, ONE "
+    "fact-side shuffle (the orders equi-join on the order key) — every "
+    "dimension including the double-role nation broadcasts, so the "
+    "wide row is assembled map-side. The 13-column output is the "
+    "pruned projection (ReadSchema discipline: the scan reads only "
+    "what the OBT carries, not every source column).",
+)
+def join_obt_denormalize(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+    c = T(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    n = T(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = T(spark, sf, "region")
+    s = T(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    p = T(spark, sf, "part").select("p_partkey", "p_brand", "p_type")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"), "n_regionkey")
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_cents"),
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "c_name",
+            "c_mktsegment",
+            "cust_nation",
+            F.col("r_name").alias("cust_region"),
+            "s_name",
+            "supp_nation",
+            "p_brand",
+            "p_type",
+        )
+    )
