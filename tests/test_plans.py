@@ -569,3 +569,13 @@ def test_recursive_cte_plans_union_loop(spark, specs):
     the feature recursive_cte_hierarchy exists to exercise."""
     p = plan_of(q(specs, spark, "recursive_cte_hierarchy"))
     assert "UnionLoop" in p
+
+
+def test_obt_denormalize_broadcasts_all_dims(spark, specs):
+    """The one-big-table flatten must assemble map-side: >= 6 broadcast
+    joins (customer, both nation roles, region, supplier, part) and no
+    cartesian fallback — a SortMergeJoin on any dimension means a
+    corpus-sized shuffle crept into the serving-table build."""
+    p = plan_of(q(specs, spark, "join_obt_denormalize"))
+    assert p.count("BroadcastHashJoin") >= 6, p.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in p
