@@ -420,3 +420,21 @@ def test_hard_negative_topk_tiled_equals_single(spark):
     for row in s.itertuples():
         assert labels[row.query_id] != row.neighbor_label
         assert labels[row.neighbor_id] == row.neighbor_label
+
+
+def test_hard_negative_id_packing_bounds():
+    """The packed id (vec_id * 256 + label) must round-trip exactly up to
+    the documented bound (vec_id < 2^55, label < 256) — beyond it int64
+    would overflow SILENTLY under Spark's non-ANSI arithmetic, so the
+    bound is pinned here as executable documentation."""
+    import numpy as np
+
+    for vid in (0, 1, 2**40, 2**55 - 1):
+        for lab in (0, 9, 255):
+            packed = np.int64(vid) * 256 + lab
+            assert packed >> 8 == vid
+            assert packed & 255 == lab
+    # one past the bound DOES overflow — the guard is real
+    with np.errstate(over="ignore"):
+        overflowed = np.int64(2**55) * np.int64(256)
+    assert overflowed < 0
