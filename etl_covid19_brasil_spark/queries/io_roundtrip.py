@@ -1154,3 +1154,84 @@ def pipeline_lakehouse_maintenance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "sink_manifest_integrity",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS checksum_cents,
+           TRUE AS manifest_ok
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    section="2.1",
+    doc="MANIFEST-backed lake integrity (the poor-man's transaction log "
+    "a plain-parquet lake keeps next to its data): the partitioned "
+    "write also lands a JSON manifest of per-partition row counts and "
+    "exact-cents checksums (computed ENGINE-side in the same pass "
+    "shape as dq_table_checksum, written driver-side — the manifest "
+    "is O(partitions)); a reader then re-derives the same stats from "
+    "the parquet bytes and verifies them against the manifest — the "
+    "detect-partial-write / detect-bitrot audit a format like Delta "
+    "gets from its log and raw parquet must bolt on. Output is the "
+    "verified per-partition stats with the match flag; any partition "
+    "whose bytes disagree with its manifest entry would surface as "
+    "manifest_ok = false and break the hash gate.",
+)
+def sink_manifest_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    import json as _json
+    import shutil
+    from pathlib import Path
+
+    base = T(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", cents("o_totalprice").alias("val_cents")
+    )
+    path = _scratch("manifest_lake", sf)
+    if Path(path).exists():
+        shutil.rmtree(path)
+    io.upsert_partitions(spark, base, path, ["o_orderpriority"])
+    stats = (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val_cents").alias("checksum_cents"),
+        )
+        .collect()
+    )
+    manifest = {
+        r["o_orderpriority"]: {"n_rows": r["n_rows"], "checksum_cents": r["checksum_cents"]}
+        for r in stats
+    }
+    (Path(path) / "_manifest.json").write_text(_json.dumps(manifest, sort_keys=True))
+
+    # verification pass: independent re-derivation vs the stored manifest
+    stored = _json.loads((Path(path) / "_manifest.json").read_text())
+    mrows = [
+        (k, int(v["n_rows"]), int(v["checksum_cents"])) for k, v in stored.items()
+    ]
+    mdf = F.broadcast(
+        spark.createDataFrame(
+            mrows, "o_orderpriority string, m_rows long, m_cents long"
+        )
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val_cents").alias("checksum_cents"),
+        )
+        .join(mdf, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            "checksum_cents",
+            (
+                (F.col("n_rows") == F.col("m_rows"))
+                & (F.col("checksum_cents") == F.col("m_cents"))
+            ).alias("manifest_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
