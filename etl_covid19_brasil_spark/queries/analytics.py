@@ -3523,3 +3523,71 @@ def events_window_funnel_strict(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return stage.groupBy("max_stage").agg(F.count(F.lit(1)).alias("n_users")).orderBy("max_stage")
+
+
+@query(
+    "ts_threshold_aligned_curves",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT nation, d,
+             CAST(SUM(day_cents) OVER (PARTITION BY nation ORDER BY d) AS BIGINT)
+               AS cum_cents
+      FROM daily
+    ),
+    day0 AS (
+      SELECT nation, MIN(d) AS d0 FROM cum
+      WHERE cum_cents >= 100000000 GROUP BY nation
+    )
+    SELECT c.nation, CAST(c.d - z.d0 AS BIGINT) AS days_since, c.cum_cents
+    FROM cum c JOIN day0 z ON c.nation = z.nation
+    WHERE c.d >= z.d0 AND c.d <= z.d0 + 14
+    ORDER BY c.nation, days_since
+    """,
+    section="2.5",
+    doc="Threshold-aligned growth curves — the COVID-dashboard idiom the "
+    "reference's lake existed to serve ('days since the 100th case'): "
+    "each nation's cumulative revenue series is re-indexed to day 0 = "
+    "the first day its cumulative total crossed 1M dollars, and the "
+    "first 15 aligned days are emitted so differently-timed series "
+    "become comparable. One group-keyed daily rollup, one running-sum "
+    "window on the same key (no extra shuffle), the day-0 anchor as a "
+    "per-key MIN-over-threshold joined back, and a bounded date-band "
+    "cut. Exact integer cents and integer day offsets end-to-end.",
+)
+def ts_threshold_aligned_curves(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("day_cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("d")
+    cum = daily.select(
+        "nation", "d", F.sum("day_cents").over(w).alias("cum_cents")
+    )
+    day0 = (
+        cum.filter(F.col("cum_cents") >= 100000000)
+        .groupBy("nation")
+        .agg(F.min("d").alias("d0"))
+    )
+    return (
+        cum.join(day0, "nation")
+        .filter((F.col("d") >= F.col("d0")) & (F.col("d") <= F.date_add(F.col("d0"), 14)))
+        .select(
+            "nation",
+            F.datediff(F.col("d"), F.col("d0")).cast("long").alias("days_since"),
+            "cum_cents",
+        )
+        .orderBy("nation", "days_since")
+    )
