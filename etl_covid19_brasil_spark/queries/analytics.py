@@ -3591,3 +3591,78 @@ def ts_threshold_aligned_curves(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("nation", "days_since")
     )
+
+
+@query(
+    "ts_sliding_growth_factor",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+        AND o.o_orderdate < TIMESTAMP '2000-04-01'
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT nation, d,
+             CAST(SUM(day_cents) OVER (PARTITION BY nation ORDER BY d
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cur7,
+             CAST(SUM(day_cents) OVER (PARTITION BY nation ORDER BY d
+                   RANGE BETWEEN INTERVAL 13 DAY PRECEDING
+                             AND INTERVAL 7 DAY PRECEDING)
+               AS BIGINT) AS prev7
+      FROM daily
+    )
+    SELECT nation, d, cur7, prev7,
+           CAST(cur7 * 1000000 // prev7 AS BIGINT) AS growth_ppm
+    FROM win
+    WHERE prev7 IS NOT NULL AND prev7 > 0 AND d >= DATE '2000-01-14'
+    ORDER BY nation, d
+    """,
+    section="2.5",
+    doc="Sliding growth factor (the simplified R_t estimator of epidemic "
+    "dashboards — current 7-day total over the PRECEDING 7-day total, "
+    "the reference's core consulta domain): two RANGE-interval window "
+    "sums over one nation-keyed time ordering — the distinctive plan "
+    "feature is the OFFSET frame (13-to-7 days preceding), the frame "
+    "type calendar analytics needs for week-over-week on IRREGULAR "
+    "daily series where ROWS frames miscount gaps. Ratio as exact "
+    "integer ppm; one shuffle serves both frames.",
+)
+def ts_sliding_growth_factor(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("day_cents"))
+    )
+    daily.createOrReplaceTempView("growth_daily")
+    return spark.sql(
+        """
+        SELECT nation, d, cur7, prev7,
+               cur7 * 1000000 DIV prev7 AS growth_ppm
+        FROM (
+          SELECT nation, d,
+                 SUM(day_cents) OVER (PARTITION BY nation ORDER BY d
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                   AS cur7,
+                 SUM(day_cents) OVER (PARTITION BY nation ORDER BY d
+                     RANGE BETWEEN INTERVAL 13 DAY PRECEDING
+                               AND INTERVAL 7 DAY PRECEDING)
+                   AS prev7
+          FROM growth_daily
+        )
+        WHERE prev7 IS NOT NULL AND prev7 > 0 AND d >= DATE '2000-01-14'
+        ORDER BY nation, d
+        """
+    )
