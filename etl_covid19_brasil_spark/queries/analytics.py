@@ -3666,3 +3666,75 @@ def ts_sliding_growth_factor(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY nation, d
         """
     )
+
+
+@query(
+    "ts_excess_over_baseline",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    baseline AS (
+      SELECT dow,
+             CAST(SUM(day_cents) AS BIGINT) AS s, COUNT(*) AS k
+      FROM daily WHERE d >= DATE '1996-01-01' AND d < DATE '1999-01-01'
+      GROUP BY dow
+    )
+    SELECT d.d, d.dow, d.day_cents,
+           CAST(b.s // b.k AS BIGINT) AS baseline_cents,
+           CAST((d.day_cents - b.s // b.k) * 1000000
+                // (b.s // b.k) AS BIGINT) AS excess_ppm
+    FROM daily d JOIN baseline b ON d.dow = b.dow
+    WHERE d.d >= DATE '2000-01-01' AND d.d < DATE '2000-02-01'
+    ORDER BY d.d
+    """,
+    section="2.5",
+    doc="Excess-over-baseline (the 'excess mortality' estimator pattern "
+    "from the reference's epidemiology domain): each analysis-period "
+    "day is compared against its SAME-WEEKDAY baseline mean from a "
+    "3-year reference window — weekday matching removes the weekly "
+    "seasonality that a flat baseline would alias into the excess "
+    "signal (agg_weekday_seasonality measures that cycle; this "
+    "controls for it). Baseline means as exact integer floor-division "
+    "(sum DIV count, both engines identical); excess in signed ppm. "
+    "One 7-row baseline agg broadcast into the daily series.",
+)
+def ts_excess_over_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    daily = (
+        T(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            # DuckDB dayofweek is 0=Sunday..6; Spark is 1..7 — align here
+            (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("dow"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("day_cents"))
+    )
+    baseline = (
+        daily.filter(
+            (F.col("d") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("d") < F.lit("1999-01-01").cast("date"))
+        )
+        .groupBy("dow")
+        .agg(F.sum("day_cents").alias("s"), F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        daily.filter(
+            (F.col("d") >= F.lit("2000-01-01").cast("date"))
+            & (F.col("d") < F.lit("2000-02-01").cast("date"))
+        )
+        .join(F.broadcast(baseline), "dow")
+        .select(
+            "d",
+            "dow",
+            "day_cents",
+            F.expr("s DIV k").alias("baseline_cents"),
+            F.expr("(day_cents - s DIV k) * 1000000 DIV (s DIV k)").alias(
+                "excess_ppm"
+            ),
+        )
+        .orderBy("d")
+    )
