@@ -3738,3 +3738,67 @@ def ts_excess_over_baseline(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "agg_hierarchy_shares",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS nat_cents
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    reg AS (
+      SELECT region, CAST(SUM(nat_cents) AS BIGINT) AS reg_cents
+      FROM nat GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(reg_cents) AS BIGINT) AS all_cents FROM reg)
+    SELECT nat.region, nat.nation, nat.nat_cents,
+           CAST(nat.nat_cents * 1000000 // reg.reg_cents AS BIGINT)
+             AS share_of_region_ppm,
+           CAST(reg.reg_cents * 1000000 // tot.all_cents AS BIGINT)
+             AS region_share_ppm
+    FROM nat JOIN reg USING (region), tot
+    ORDER BY nat.region, nat.nation
+    """,
+    section="2.4",
+    doc="Two-level HIERARCHY SHARES (the IBGE municipality->region "
+    "roll-up consulta shape, dags/create-data-lake.py:97's flattened "
+    "hierarchy put to its intended use): each nation's share of its "
+    "region and each region's share of the whole, in one result — the "
+    "drill-down ratio set a choropleth dashboard reads. Three "
+    "cascading aggs where each level is O(levels-above) smaller, so "
+    "the region and grand-total sides broadcast back into the leaf "
+    "level; exact integer ppm at both levels.",
+)
+def agg_hierarchy_shares(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("nat_cents"))
+    )
+    reg = nat.groupBy("region").agg(F.sum("nat_cents").alias("reg_cents"))
+    tot = reg.agg(F.sum("reg_cents").alias("all_cents"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .join(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "nat_cents",
+            F.expr("nat_cents * 1000000 DIV reg_cents").alias("share_of_region_ppm"),
+            F.expr("reg_cents * 1000000 DIV all_cents").alias("region_share_ppm"),
+        )
+        .orderBy("region", "nation")
+    )
