@@ -3802,3 +3802,90 @@ def agg_hierarchy_shares(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+@query(
+    "ts_cumulative_crossover",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'MACHINERY'
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY 1
+    ),
+    aligned AS (
+      SELECT COALESCE(b.d, m.d) AS d, b.v AS bv, m.v AS mv
+      FROM b FULL OUTER JOIN m ON b.d = m.d
+    ),
+    cum AS (
+      SELECT d,
+             CAST(SUM(COALESCE(bv, 0)) OVER (ORDER BY d) AS BIGINT) AS cum_b,
+             CAST(SUM(COALESCE(mv, 0)) OVER (ORDER BY d) AS BIGINT) AS cum_m
+      FROM aligned
+    )
+    SELECT d, cum_b, cum_m, building_leads FROM (
+      SELECT d, cum_b, cum_m, cum_b > cum_m AS building_leads,
+             LAG(cum_b > cum_m) OVER (ORDER BY d) AS prev
+      FROM cum
+    )
+    WHERE building_leads <> COALESCE(prev, building_leads)
+    ORDER BY d
+    """,
+    section="2.5",
+    doc="Cumulative-series CROSSOVER detection (the TPC-DS Q51 shape): "
+    "two segments' daily revenue series are FULL-OUTER aligned on the "
+    "calendar (each side keeps days the other lacks), both cumulative "
+    "sums run over the aligned spine with absent days contributing 0, "
+    "and the output is exactly the days where the LEAD CHANGES HANDS "
+    "(lag of the comparison flips). The distinctive plan features: a "
+    "full outer join feeding windows, and a window over a window "
+    "(the lag reads the running sums). Exact integer cents; the "
+    "single-spine ordering is the semantic under test — per-segment "
+    "PARTITIONed variants are the scale path, as in win_ytd_running.",
+)
+def ts_cumulative_crossover(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+
+    def daily(seg):
+        return (
+            joined.filter(F.col("c_mktsegment") == seg)
+            .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .agg(F.sum(cents("o_totalprice")).alias("v"))
+        )
+
+    b = daily("BUILDING").select(F.col("d").alias("bd"), F.col("v").alias("bv"))
+    m = daily("MACHINERY").select(F.col("d").alias("md"), F.col("v").alias("mv"))
+    aligned = b.join(m, b.bd == m.md, "full_outer").select(
+        F.coalesce("bd", "md").alias("d"), "bv", "mv"
+    )
+    w = Window.orderBy("d")
+    cum = aligned.select(
+        "d",
+        F.sum(F.coalesce("bv", F.lit(0))).over(w).alias("cum_b"),
+        F.sum(F.coalesce("mv", F.lit(0))).over(w).alias("cum_m"),
+    )
+    lead = (F.col("cum_b") > F.col("cum_m")).alias("building_leads")
+    flagged = cum.select("d", "cum_b", "cum_m", lead).withColumn(
+        "prev", F.lag("building_leads").over(w)
+    )
+    return (
+        flagged.filter(
+            F.col("building_leads") != F.coalesce(F.col("prev"), F.col("building_leads"))
+        )
+        .select("d", "cum_b", "cum_m", "building_leads")
+        .orderBy("d")
+    )
