@@ -3889,3 +3889,62 @@ def ts_cumulative_crossover(spark: SparkSession, sf: str) -> DataFrame:
         .select("d", "cum_b", "cum_m", "building_leads")
         .orderBy("d")
     )
+
+
+@query(
+    "agg_rollup_topk_per_level",
+    oracle="""
+    WITH r AS (
+      SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+             COALESCE(o.o_orderpriority, 'ALL') AS priority,
+             GROUPING(c.c_mktsegment) * 2 + GROUPING(o.o_orderpriority)
+               AS lvl,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY ROLLUP (c.c_mktsegment, o.o_orderpriority)
+    )
+    SELECT lvl, segment, priority, total_cents, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lvl
+                                   ORDER BY total_cents DESC, segment, priority)
+                  AS rk
+      FROM r
+    ) WHERE rk <= 3
+    ORDER BY lvl, rk
+    """,
+    section="2.4",
+    doc="Top-k WITHIN EACH ROLLUP LEVEL (the TPC-DS Q67 shape): one "
+    "ROLLUP produces cells, segment subtotals and the grand total; a "
+    "window PARTITIONED BY GROUPING LEVEL then ranks within each — "
+    "'top 3 segment+priority cells, top 3 segments, and the total' in "
+    "ONE pass over the fact, where the naive report runs one query "
+    "per level. The grouping-bit vector doubles as the window "
+    "partition key, which is the trick: subtotal rows never compete "
+    "with leaf cells. Expand + hash agg + one window on the tiny "
+    "rollup output.",
+)
+def agg_rollup_topk_per_level(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    o.join(F.broadcast(c), o.o_custkey == c.c_custkey).createOrReplaceTempView(
+        "rtk_base"
+    )
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+                 COALESCE(o_orderpriority, 'ALL') AS priority,
+                 GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS lvl,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+          FROM rtk_base
+          GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+        )
+        SELECT lvl, segment, priority, total_cents, CAST(rk AS INT) AS rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lvl
+                                       ORDER BY total_cents DESC, segment, priority)
+                      AS rk
+          FROM r
+        ) WHERE rk <= 3
+        ORDER BY lvl, rk
+        """
+    )
