@@ -3178,3 +3178,54 @@ def join_obt_denormalize(spark: SparkSession, sf: str) -> DataFrame:
             "p_type",
         )
     )
+
+
+@query(
+    "filter_three_valued_logic",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(bal) AS n_nonnull,
+      COUNT(*) FILTER (bal > 1000) AS gt,
+      COUNT(*) FILTER (NOT (bal > 1000)) AS not_gt,
+      COUNT(*) FILTER (bal > 1000 OR bal <= 1000) AS gt_or_le,
+      COUNT(*) FILTER (bal = NULL) AS eq_null,
+      COUNT(*) FILTER (bal IS NULL) AS is_null,
+      COUNT(*) FILTER (bal IS DISTINCT FROM NULL) AS distinct_from_null,
+      COUNT(*) FILTER (COALESCE(bal > 1000, FALSE) OR bal IS NULL) AS rescued
+    FROM s
+    """,
+    section="2.2",
+    doc="Three-valued logic CONTRACT pin: with a synthesized nullable "
+    "balance, one scan counts every classic NULL trap side by side — "
+    "gt + not_gt < n_rows (NULLs satisfy NEITHER a predicate nor its "
+    "negation), the tautology bal>1000 OR bal<=1000 still excludes "
+    "NULLs, = NULL matches nothing ever, IS NULL vs IS DISTINCT FROM "
+    "NULL are the null-safe forms, and the COALESCE rescue pattern "
+    "restores two-valued totals. The hash match proves Spark "
+    "(non-ANSI mode included) and DuckDB agree on every one of these "
+    "counts — the semantics a SQL migration silently breaks on.",
+)
+def filter_three_valued_logic(spark: SparkSession, sf: str) -> DataFrame:
+    s = T(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    b = F.col("bal")
+    gt = b > 1000
+    return s.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal").alias("n_nonnull"),
+        F.count(F.when(gt, 1)).alias("gt"),
+        F.count(F.when(~gt, 1)).alias("not_gt"),
+        F.count(F.when(gt | (b <= 1000), 1)).alias("gt_or_le"),
+        F.count(F.when(b == F.lit(None), 1)).alias("eq_null"),
+        F.count(F.when(b.isNull(), 1)).alias("is_null"),
+        F.count(F.when(~b.eqNullSafe(F.lit(None)), 1)).alias("distinct_from_null"),
+        F.count(F.when(F.coalesce(gt, F.lit(False)) | b.isNull(), 1)).alias("rescued"),
+    )
