@@ -275,3 +275,28 @@ def test_retrieval_quantization_boundaries_are_safe():
         """).fetchone()[0]
         assert d2 is not None and d2 >= 1e-6, (sf, "bm25", d2)
         con.close()
+
+
+def test_integer_division_semantics_match_across_engines(spark):
+    """Half the registry's exactness rests on Spark `a DIV b` and DuckDB
+    `a // b` agreeing on INTEGER operands — including NEGATIVE numerators
+    (both truncate toward zero; DuckDB's `//` only floors for floats).
+    Pin the full sign grid so an engine upgrade changing either side
+    breaks CI instead of silently flipping quantized outputs (e.g.
+    ts_excess_over_baseline's signed excess_ppm)."""
+    import duckdb
+
+    cases = [(a, b) for a in (-7, -6, -1, 0, 1, 6, 7, 1000001) for b in (2, 3, 7, -2)]
+    values = ", ".join(f"({a}, {b})" for a, b in cases)
+    got_spark = {
+        (r["a"], r["b"]): r["q"]
+        for r in spark.sql(
+            f"SELECT a, b, a DIV b AS q FROM VALUES {values} t(a, b)"
+        ).collect()
+    }
+    got_duck = {
+        (a, b): duckdb.sql(f"SELECT {a} // ({b})").fetchone()[0] for a, b in cases
+    }
+    assert got_spark == got_duck
+    # and both truncate toward zero (not floor) on the canonical case
+    assert got_spark[(-7, 2)] == -3
