@@ -300,3 +300,28 @@ def test_integer_division_semantics_match_across_engines(spark):
     assert got_spark == got_duck
     # and both truncate toward zero (not floor) on the canonical case
     assert got_spark[(-7, 2)] == -3
+
+
+def test_money_columns_are_two_decimal_by_contract():
+    """cents() (registry.py) assumes every money column is a 2-decimal
+    double, so ROUND(x*100) never sits on a .5 boundary where Spark's
+    HALF_UP and another engine's HALF_EVEN could disagree. Verify the
+    assumption on every shipped money column at every sf: x*100 is
+    within 1e-6 of an integer for all rows."""
+    import duckdb
+
+    cols = {
+        "orders": ["o_totalprice"],
+        "lineitem": ["l_extendedprice", "l_discount", "l_tax", "l_quantity"],
+        "customer": ["c_acctbal"],
+        "supplier": ["s_acctbal"],
+        "part": ["p_retailprice"],
+    }
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        for table, cs in cols.items():
+            for c in cs:
+                worst = duckdb.sql(
+                    f"SELECT MAX(abs({c} * 100 - round({c} * 100))) "
+                    f"FROM '{sf}/{table}.parquet'"
+                ).fetchone()[0]
+                assert worst is not None and worst < 1e-6, (sf, table, c, worst)
