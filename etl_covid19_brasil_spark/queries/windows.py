@@ -967,3 +967,34 @@ def win_ratio_to_report(spark: SparkSession, sf: str) -> DataFrame:
             "OVER (PARTITION BY o_custkey)"
         ).alias("share_ppm"),
     )
+
+
+@query(
+    "win_sliding_distinct_count",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS variety_7
+    FROM events
+    """,
+    section="2.5",
+    doc="SLIDING distinct count (behavioral variety over the trailing 7 "
+    "events per user): COUNT(DISTINCT) over a moving frame has no "
+    "incremental form, so each engine recomputes the frame's set — "
+    "Spark expresses it as size(collect_set() OVER frame) (no native "
+    "windowed DISTINCT aggregate), DuckDB as COUNT(DISTINCT) OVER; "
+    "the hash match pins the two formulations equal. Complements "
+    "win_running_distinct (cumulative special case, which IS "
+    "incrementalizable) and events_active_users_rolling (calendar-"
+    "sliding, explode-to-window rewrite) — this is the row-frame "
+    "sliding case, bounded state = frame size.",
+)
+def win_sliding_distinct_count(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return T(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("variety_7"),
+    )
