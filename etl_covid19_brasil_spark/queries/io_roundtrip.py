@@ -1235,3 +1235,33 @@ def sink_manifest_integrity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "sink_scan_csv_multichar_sep_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    section="2.1",
+    doc="CSV with a MULTI-CHARACTER delimiter ('||' — the de-facto "
+    "format of mainframe/DB2 exports where single chars collide with "
+    "data): Spark's univocity parser writes and re-parses multi-char "
+    "seps natively (sep option, 3.0+), where naive splitters and many "
+    "readers only take one byte. The roundtrip contract matches the "
+    "other sink_scan twins: write with sep='||', read back with the "
+    "declared schema, recover the exact source relation.",
+)
+def sink_scan_csv_multichar_sep_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    n = T(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _scratch("csv_multisep", sf)
+    n.write.mode("overwrite").option("sep", "||").option("header", False).csv(path)
+    return (
+        spark.read.schema(
+            StructType.fromDDL("n_nationkey int, n_name string, n_regionkey int")
+        )
+        .option("sep", "||")
+        .option("header", False)
+        .csv(path)
+    )
