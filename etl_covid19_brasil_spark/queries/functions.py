@@ -1661,3 +1661,60 @@ def udf_arrow_optimized(spark: SparkSession, sf: str) -> DataFrame:
         bucket97(F.round(F.col("o_totalprice") * 100).cast("long")).alias("bucket97"),
         mix(F.col("o_orderpriority"), F.col("o_orderkey")).alias("mix"),
     )
+
+
+@query(
+    "fn_accent_fold",
+    oracle="""
+    WITH named AS (
+      SELECT n_nationkey,
+             CASE n_nationkey % 5
+               WHEN 0 THEN 'São ' || n_name
+               WHEN 1 THEN 'Goiânia-' || n_name
+               WHEN 2 THEN 'Brasília/' || n_name
+               WHEN 3 THEN 'Paraná ' || n_name
+               ELSE 'Maceió ' || n_name END AS municipio
+      FROM nation
+    )
+    SELECT n_nationkey, municipio,
+           lower(translate(municipio,
+                 'áàâãäéèêëíìîïóòôõöúùûüçÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇ',
+                 'aaaaaeeeeiiiiooooouuuucAAAAAEEEEIIIIOOOOOUUUUC'))
+             AS municipio_ascii
+    FROM named ORDER BY n_nationkey
+    """,
+    section="2.8",
+    doc="Accent folding for Brazilian place-name matching — the join-key "
+    "normalization the reference's own domain demands (IBGE municipality "
+    "names carry the full Portuguese diacritic set; feeds spell them "
+    "inconsistently): translate() with an explicit diacritic map plus "
+    "lower(), the deterministic ASCII-fold that makes 'São Paulo' and "
+    "'SAO PAULO' join. Identical translate maps run in both engines "
+    "(no locale-dependent ICU call — explicit maps are WHY this is "
+    "portable). Accented names are synthesized onto nation keys since "
+    "the test tables ship ASCII-only.",
+)
+def fn_accent_fold(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("n_nationkey")
+    municipio = (
+        F.when(k % 5 == 0, F.concat(F.lit("São "), F.col("n_name")))
+        .when(k % 5 == 1, F.concat(F.lit("Goiânia-"), F.col("n_name")))
+        .when(k % 5 == 2, F.concat(F.lit("Brasília/"), F.col("n_name")))
+        .when(k % 5 == 3, F.concat(F.lit("Paraná "), F.col("n_name")))
+        .otherwise(F.concat(F.lit("Maceió "), F.col("n_name")))
+    )
+    return (
+        T(spark, sf, "nation")
+        .select("n_nationkey", municipio.alias("municipio"))
+        .withColumn(
+            "municipio_ascii",
+            F.lower(
+                F.translate(
+                    F.col("municipio"),
+                    "áàâãäéèêëíìîïóòôõöúùûüçÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇ",
+                    "aaaaaeeeeiiiiooooouuuucAAAAAEEEEIIIIOOOOOUUUUC",
+                )
+            ),
+        )
+        .orderBy("n_nationkey")
+    )
