@@ -1265,3 +1265,47 @@ def sink_scan_csv_multichar_sep_roundtrip(spark: SparkSession, sf: str) -> DataF
         .option("header", False)
         .csv(path)
     )
+
+
+@query(
+    "scan_csv_utf8_bom",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+    section="2.1",
+    doc="UTF-8 BOM-prefixed CSV ingest: the file is landed with a "
+    "LITERAL EF BB BF byte-order mark (what Excel and many Windows "
+    "exporters emit), and the scan must parse it transparently — a "
+    "reader that doesn't strip the BOM silently corrupts the FIRST "
+    "HEADER NAME ('\\ufeffn_nationkey'), the classic why-is-my-first-"
+    "column-missing ingest bug. Spark's univocity parser strips it; "
+    "the roundtrip recovers the exact source relation with clean "
+    "column names (the schema match IS the BOM assertion). Bytes are "
+    "staged driver-side because the point is the wire format, not the "
+    "write path.",
+)
+def scan_csv_utf8_bom(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    rows = (
+        T(spark, sf, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    path = Path(_scratch("csv_bom", sf))
+    if path.exists():
+        shutil.rmtree(path)
+    path.mkdir(parents=True)
+    body = "n_nationkey,n_name\n" + "\n".join(
+        f"{r['n_nationkey']},{r['n_name']}" for r in rows
+    )
+    (path / "part.csv").write_bytes(b"\xef\xbb\xbf" + body.encode("utf-8") + b"\n")
+    from pyspark.sql.types import StructType
+
+    return (
+        spark.read.schema(StructType.fromDDL("n_nationkey int, n_name string"))
+        .option("header", True)
+        .csv(str(path))
+    )
