@@ -157,3 +157,66 @@ def etl_pandas_api_parity(spark: SparkSession, sf: str) -> DataFrame:
     )  # (:74-79) sentinel/junk -> 0, cents -> units
     psdf["audit_ok"] = psdf["created_at_datalake"].notnull()
     return psdf[["city", "city_ibge_code", "rate_per_100k", "audit_ok"]].to_spark()
+
+
+@query(
+    "etl_brazilian_currency_parse",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    raw AS (
+      SELECT o_orderkey,
+             'R$ ' || replace(format('{:,}', c // 100), ',', '.')
+                   || ',' || printf('%02d', CAST(c % 100 AS INT)) AS valor_brl
+      FROM cents
+    )
+    SELECT o_orderkey, valor_brl,
+           CAST(ROUND(CAST(replace(replace(replace(valor_brl, 'R$ ', ''),
+                                           '.', ''), ',', '.') AS DOUBLE)
+                      * 100) AS BIGINT) AS valor_cents
+    FROM raw ORDER BY o_orderkey
+    """,
+    section="2.2",
+    doc="Brazilian-locale currency parsing — the wire format the "
+    "reference's actual feeds speak ('R$ 1.234,56': dot thousands, "
+    "comma decimals, currency prefix): strip the prefix, drop "
+    "thousands dots, swap the decimal comma, cast, and land exact "
+    "cents. The synthesis side builds the BRL strings from the clean "
+    "doubles with the inverse swap (via a '#' placeholder, since the "
+    "two separators trade places), so the roundtrip proves the parse "
+    "inverts the format exactly — the locale-aware ingest "
+    "etl_sentinel_clean's plain-dot path can't handle. Pure string "
+    "expressions both engines share; no locale-dependent parser is "
+    "invoked, which is what makes it deterministic.",
+)
+def etl_brazilian_currency_parse(spark: SparkSession, sf: str) -> DataFrame:
+    raw = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.lit("R$ "),
+                F.translate(
+                    F.format_number(F.col("o_totalprice"), 2), ".,", ",."
+                ),
+            ).alias("valor_brl"),
+        )
+    )
+    cleaned = (
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("valor_brl"), r"R\$ ", ""), r"\.", ""
+            ),
+            ",",
+            ".",
+        )
+    ).cast("double")
+    return raw.select(
+        "o_orderkey",
+        "valor_brl",
+        F.round(cleaned * 100).cast("long").alias("valor_cents"),
+    ).orderBy("o_orderkey")
