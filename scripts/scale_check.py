@@ -91,6 +91,9 @@ QUERIES = [
     "mine_hard_negatives_ann",
     # real on-disk land -> CDC merge -> dynamic-overwrite re-land cycle
     "pipeline_lakehouse_maintenance",
+    # event-tier: chained user-keyed band joins / dynamic session gaps
+    "events_window_funnel_strict",
+    "stream_session_dynamic_gap",
 ]
 
 
