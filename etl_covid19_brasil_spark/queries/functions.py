@@ -1718,3 +1718,45 @@ def fn_accent_fold(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "fn_deterministic_uuid",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey, md5('customer:' || CAST(c_custkey AS VARCHAR)) AS hx
+      FROM customer
+    )
+    SELECT c_custkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-5' ||
+           substr(hx, 14, 3) || '-8' || substr(hx, 18, 3) || '-' ||
+           substr(hx, 21, 12) AS stable_uuid
+    FROM h ORDER BY c_custkey
+    """,
+    section="2.8",
+    doc="Deterministic name-based UUIDs (the UUIDv5 idea via md5 "
+    "formatting): a stable surrogate identifier derived from a "
+    "namespaced natural key — the cross-system entity id a lake mints "
+    "so re-runs, backfills and downstream joins all agree, where "
+    "uuid()/rand() would mint a different id per run (and is banned "
+    "from this registry for exactly that reason). Version and variant "
+    "nibbles are pinned to 5 and 8 per RFC 4122 layout; pure "
+    "md5+substr string algebra both engines share.",
+)
+def fn_deterministic_uuid(spark: SparkSession, sf: str) -> DataFrame:
+    hx = F.md5(F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")))
+    return (
+        T(spark, sf, "customer")
+        .select("c_custkey", hx.alias("hx"))
+        .select(
+            "c_custkey",
+            F.concat(
+                F.substring("hx", 1, 8), F.lit("-"),
+                F.substring("hx", 9, 4), F.lit("-5"),
+                F.substring("hx", 14, 3), F.lit("-8"),
+                F.substring("hx", 18, 3), F.lit("-"),
+                F.substring("hx", 21, 12),
+            ).alias("stable_uuid"),
+        )
+        .orderBy("c_custkey")
+    )
