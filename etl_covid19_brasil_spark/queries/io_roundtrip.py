@@ -42,6 +42,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from pyspark.sql.window import Window
+
 from etl_covid19_brasil_spark import io
 from etl_covid19_brasil_spark.etl import covid_pipeline, ibge_pipeline
 from etl_covid19_brasil_spark.registry import T, cents, query
@@ -1308,4 +1310,67 @@ def scan_csv_utf8_bom(spark: SparkSession, sf: str) -> DataFrame:
         spark.read.schema(StructType.fromDDL("n_nationkey int, n_name string"))
         .option("header", True)
         .csv(str(path))
+    )
+
+
+@query(
+    "pipeline_pk_quarantine",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey % 5000 AS pk, o_orderkey AS seq,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS val_cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT pk, seq, val_cents,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq) AS rn
+      FROM feed
+    )
+    SELECT CASE WHEN rn = 1 THEN 'clean' ELSE 'quarantine' END AS destination,
+           COUNT(*) AS n_rows,
+           CAST(SUM(val_cents) AS BIGINT) AS checksum_cents
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    section="2.1",
+    doc="PRIMARY-KEY-violation quarantine — the structural sibling of "
+    "scan_csv_quarantine_malformed (that one quarantines rows that "
+    "fail the SCHEMA; this one rows that violate a UNIQUENESS "
+    "contract): a feed with colliding keys (orderkey mod 5000 — ~3x "
+    "fan-in) splits FIRST-ARRIVAL-WINS into the clean table and a "
+    "quarantine table, both physically landed as parquet and the "
+    "split re-derived from the on-disk bytes. One key-partitioned "
+    "window (arrival order = the feed's sequence column, total order "
+    "per key, so the split is deterministic), two filtered writes "
+    "from one pass, counts + exact checksums per destination.",
+)
+def pipeline_pk_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    feed = T(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 5000).alias("pk"),
+        F.col("o_orderkey").alias("seq"),
+        cents("o_totalprice").alias("val_cents"),
+    )
+    w = Window.partitionBy("pk").orderBy("seq")
+    ranked = feed.withColumn("rn", F.row_number().over(w))
+    root = Path(_scratch("pk_quarantine", sf))
+    if root.exists():
+        shutil.rmtree(root)
+    ranked.filter(F.col("rn") == 1).drop("rn").write.parquet(str(root / "clean"))
+    ranked.filter(F.col("rn") > 1).drop("rn").write.parquet(str(root / "quarantine"))
+    clean = spark.read.parquet(str(root / "clean")).withColumn(
+        "destination", F.lit("clean")
+    )
+    quar = spark.read.parquet(str(root / "quarantine")).withColumn(
+        "destination", F.lit("quarantine")
+    )
+    return (
+        clean.unionByName(quar)
+        .groupBy("destination")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val_cents").alias("checksum_cents"),
+        )
+        .orderBy("destination")
     )
