@@ -255,22 +255,17 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
-def user_value_state_totals(events: DataFrame) -> DataFrame:
-    """Arbitrary stateful processing on the Spark 4 ``transformWithState``
-    API — the successor to ``applyInPandasWithState`` with EXPLICIT state
-    variables (value/list/map state, timers, TTL) instead of one opaque
-    state tuple. Same workload as :func:`running_user_totals` (per-user
-    event count + exact-cents value total) so the two APIs are directly
-    comparable in tests.
+def make_totals_processor():
+    """Build the per-user totals :class:`StatefulProcessor` used by
+    :func:`user_value_state_totals`.
 
-    Scale shape is identical: state is keyed by user_id and sharded
-    across executors by the state-store; per-key state here is one fixed
-    (count, cents) tuple, so state size is O(distinct users) regardless
-    of event volume. Requires the RocksDB state-store provider (state
-    lives off-heap, checkpointed incrementally — the 100 TB posture for
-    state larger than executor memory) and the protobuf package (the
-    transformWithState state server's wire format; environments without
-    it fall back to :func:`running_user_totals`).
+    Module-level (not a closure inside the job builder) so tests can
+    drive the processor's ``init`` / ``handleInputRows`` lifecycle
+    directly against a fake :class:`StatefulProcessorHandle` — the
+    processor logic itself is pure Python over pandas batches and does
+    not depend on the transformWithState state server, so its semantics
+    are testable in environments where the server's protobuf wire
+    format is unavailable (tests/test_streaming.py).
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -301,8 +296,28 @@ def user_value_state_totals(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return Totals()
+
+
+def user_value_state_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful processing on the Spark 4 ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` with EXPLICIT state
+    variables (value/list/map state, timers, TTL) instead of one opaque
+    state tuple. Same workload as :func:`running_user_totals` (per-user
+    event count + exact-cents value total) so the two APIs are directly
+    comparable in tests.
+
+    Scale shape is identical: state is keyed by user_id and sharded
+    across executors by the state-store; per-key state here is one fixed
+    (count, cents) tuple, so state size is O(distinct users) regardless
+    of event volume. Requires the RocksDB state-store provider (state
+    lives off-heap, checkpointed incrementally — the 100 TB posture for
+    state larger than executor memory) and the protobuf package (the
+    transformWithState state server's wire format; environments without
+    it fall back to :func:`running_user_totals`).
+    """
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=Totals(),
+        statefulProcessor=make_totals_processor(),
         outputStructType="user_id long, n_events long, total_value_cents long",
         outputMode="Update",
         timeMode="None",
@@ -449,6 +464,25 @@ def user_inactivity_timeouts(events: DataFrame, gap_minutes: int = 60) -> DataFr
     tuple plus one timer; both are state-store-sharded by key, so the
     100 TB posture is O(active users), not O(events).
     """
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_inactivity_processor(gap_minutes),
+            outputStructType="user_id long, last_seen_ms long, n_events long, value_cents long",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def make_inactivity_processor(gap_minutes: int = 60):
+    """Build the inactivity-timer :class:`StatefulProcessor` used by
+    :func:`user_inactivity_timeouts`. Module-level for the same reason as
+    :func:`make_totals_processor`: the timer/state logic is pure Python
+    and is driven directly by a fake handle in tests where the
+    transformWithState state server (protobuf wire format) is absent.
+    """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -491,16 +525,7 @@ def user_inactivity_timeouts(events: DataFrame, gap_minutes: int = 60) -> DataFr
         def close(self) -> None:
             pass
 
-    return (
-        events.withWatermark("ts", "0 seconds")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=Inactivity(),
-            outputStructType="user_id long, last_seen_ms long, n_events long, value_cents long",
-            outputMode="Append",
-            timeMode="EventTime",
-        )
-    )
+    return Inactivity()
 
 
 def user_inactivity_timeouts_pandas_state(

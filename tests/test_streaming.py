@@ -173,19 +173,121 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
         q.stop()
 
 
+class _FakeValueState:
+    """Key-scoped ValueState twin: the engine hands each processor an
+    implicitly-current-key view of the state store; the fake does the
+    same via the handle's ``current_key``."""
+
+    def __init__(self, handle, name):
+        self._handle, self._name = handle, name
+
+    def _store(self):
+        return self._handle._values.setdefault(self._name, {})
+
+    def exists(self):
+        return self._handle.current_key in self._store()
+
+    def get(self):
+        return self._store()[self._handle.current_key]
+
+    def update(self, value):
+        self._store()[self._handle.current_key] = tuple(value)
+
+    def clear(self):
+        self._store().pop(self._handle.current_key, None)
+
+
+class _FakeProcessorHandle:
+    """In-process twin of ``StatefulProcessorHandle`` — value state plus
+    event-time timers, both scoped to ``current_key`` exactly as the
+    transformWithState state server scopes them to the grouping key.
+    Lets the processor lifecycle (init / handleInputRows /
+    handleExpiredTimer) run without the state server's protobuf wire
+    format, so the processor semantics are verified in this sandbox."""
+
+    def __init__(self):
+        self._values = {}  # state name -> {key: tuple}
+        self._timers = {}  # key -> set of expiry ms
+        self.current_key = None
+
+    def getValueState(self, name, schema, ttl_duration_ms=None):
+        return _FakeValueState(self, name)
+
+    def registerTimer(self, expiry_ms):
+        self._timers.setdefault(self.current_key, set()).add(int(expiry_ms))
+
+    def deleteTimer(self, expiry_ms):
+        self._timers.get(self.current_key, set()).discard(int(expiry_ms))
+
+    def listTimers(self):
+        return iter(sorted(self._timers.get(self.current_key, set())))
+
+    def expired(self, watermark_ms):
+        """(key, expiry) pairs whose timer the watermark has passed."""
+        out = []
+        for key, timers in self._timers.items():
+            for t in sorted(timers):
+                if t <= watermark_ms:
+                    out.append((key, t))
+        for key, t in out:
+            self._timers[key].discard(t)
+        return out
+
+
+def _replay_batches(events_pdf, n_batches):
+    """Deterministic event-time-ordered split into micro-batches — the
+    same shape file_replay_stream_split feeds the real engine."""
+    ordered = events_pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    size = max(len(ordered) // n_batches, 1)
+    return [ordered.iloc[i : i + size] for i in range(0, len(ordered), size)]
+
+
 def test_transform_with_state_totals(spark, batch_events):
     """transformWithStateInPandas (Spark 4 explicit-state API) must
     converge to the same per-user totals as the batch groupBy and the
-    applyInPandasWithState twin. Needs the RocksDB state store, and the
-    state server speaks protobuf — skip where google.protobuf isn't
-    installed (applyInPandasWithState above covers arbitrary state
-    there)."""
+    applyInPandasWithState twin.
+
+    Always runs: the Totals processor (jobs.make_totals_processor) is
+    driven through a fake StatefulProcessorHandle over replayed
+    micro-batches — full processor semantics minus the state server's
+    protobuf wire format. Where protobuf IS installed, the same
+    processor additionally runs on the real engine with the RocksDB
+    state store and must agree."""
     import pyspark.sql.functions as F
+
+    events = batch_events.select("user_id", "ts", "value").toPandas()
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value_cents"])
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_value_cents"
+            ),
+        )
+        .collect()
+    }
+
+    proc = jobs.make_totals_processor()
+    handle = _FakeProcessorHandle()
+    proc.init(handle)
+    latest = {}
+    for batch in _replay_batches(events, n_batches=4):
+        for uid, group in batch.groupby("user_id"):
+            handle.current_key = (int(uid),)
+            for out in proc.handleInputRows(handle.current_key, iter([group]), None):
+                for row in out.itertuples():
+                    latest[int(row.user_id)] = (
+                        int(row.n_events),
+                        int(row.total_value_cents),
+                    )
+    proc.close()
+    assert latest == want
 
     try:
         import google.protobuf.descriptor  # noqa: F401
     except ImportError:
-        pytest.skip("transformWithState state server requires protobuf")
+        return  # engine integration needs the state server's protobuf
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
@@ -256,14 +358,74 @@ def test_inactivity_timers_fire_and_are_correct(spark):
     with the batch event log (correct last_seen, no activity inside the
     gap, exact event count and cents up to that point).
 
-    Same environment gate as test_transform_with_state_totals: the
-    transformWithState state server speaks protobuf."""
+    Always runs: the Inactivity processor (jobs.make_inactivity_processor)
+    is driven through the fake handle with real watermark advancement and
+    timer firing between micro-batches. Where protobuf is installed the
+    same processor additionally runs on the real engine (RocksDB store)
+    and its output passes the identical consistency checks."""
+    import pandas as pd
     import pyspark.sql.functions as F
+
+    events = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            (F.col("ts").cast("double") * 1000).cast("long").alias("ms"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    gap_ms = 60 * 60_000
+
+    def check_fired(fired):
+        assert len(fired) > 0, "no timers fired — watermark never advanced past an idle gap"
+        for row in fired.itertuples():
+            mine = events[events["user_id"] == row.user_id].sort_values("ms")
+            # last_seen is a real event time for this user
+            assert (mine["ms"] == row.last_seen_ms).any()
+            # the user was genuinely idle through the fired gap
+            inside = mine[
+                (mine["ms"] > row.last_seen_ms) & (mine["ms"] < row.last_seen_ms + gap_ms)
+            ]
+            assert inside.empty
+            # count + cents match the prefix of events up to last_seen (state
+            # accumulates from stream start or the previous fired timeout)
+            upto = mine[mine["ms"] <= row.last_seen_ms]
+            assert row.n_events <= len(upto)
+            prefix = upto.tail(int(row.n_events))
+            assert int(prefix["cents"].sum()) == row.value_cents
+
+    # --- fake-handle replay: watermark advances batch-over-batch (delay
+    # 0s, as in user_inactivity_timeouts), expired timers fire between
+    # batches exactly as the engine fires them
+    raw = load_table(spark, SF, "events").select("user_id", "ts", "value").toPandas()
+    proc = jobs.make_inactivity_processor(gap_minutes=60)
+    handle = _FakeProcessorHandle()
+    proc.init(handle)
+    fired_rows = []
+
+    def fire(watermark_ms):
+        for key, _expiry in handle.expired(watermark_ms):
+            handle.current_key = key
+            for out in proc.handleExpiredTimer(key, None, None):
+                fired_rows.append(out)
+
+    watermark = -1
+    for batch in _replay_batches(raw, n_batches=5):
+        fire(watermark)  # engine fires on the PREVIOUS batch's watermark
+        for uid, group in batch.groupby("user_id"):
+            handle.current_key = (int(uid),)
+            list(proc.handleInputRows(handle.current_key, iter([group]), None))
+        watermark = max(watermark, int(batch["ts"].astype("int64").max() // 1_000_000))
+    fire(watermark)
+    proc.close()
+    assert fired_rows, "no timers fired — watermark never advanced past an idle gap"
+    check_fired(pd.concat(fired_rows, ignore_index=True))
 
     try:
         import google.protobuf.descriptor  # noqa: F401
     except ImportError:
-        pytest.skip("transformWithState state server requires protobuf")
+        return  # engine integration needs the state server's protobuf
 
     # transformWithState needs multiple state column families (values +
     # timers) — RocksDB only; the default HDFSBacked provider rejects it
@@ -289,31 +451,7 @@ def test_inactivity_timers_fire_and_are_correct(spark):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
-    assert len(fired) > 0, "no timers fired — watermark never advanced past an idle gap"
-
-    events = (
-        load_table(spark, SF, "events")
-        .select(
-            "user_id",
-            (F.col("ts").cast("double") * 1000).cast("long").alias("ms"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .toPandas()
-    )
-    for row in fired.itertuples():
-        mine = events[events["user_id"] == row.user_id].sort_values("ms")
-        # last_seen is a real event time for this user
-        assert (mine["ms"] == row.last_seen_ms).any()
-        # the user was genuinely idle through the fired gap
-        gap_ms = 60 * 60_000
-        inside = mine[(mine["ms"] > row.last_seen_ms) & (mine["ms"] < row.last_seen_ms + gap_ms)]
-        assert inside.empty
-        # count + cents match the prefix of events up to last_seen (state
-        # accumulates from stream start or the previous fired timeout)
-        upto = mine[mine["ms"] <= row.last_seen_ms]
-        assert row.n_events <= len(upto)
-        prefix = upto.tail(int(row.n_events))
-        assert int(prefix["cents"].sum()) == row.value_cents
+    check_fired(fired)
 
 
 def test_inactivity_timeout_pandas_state_fires_and_is_correct(spark):
