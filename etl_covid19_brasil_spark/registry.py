@@ -65,7 +65,7 @@ def query(
     return wrap
 
 
-def _driver_check_history() -> tuple[dict[str, int], set[str], dict[str, int]]:
+def _driver_check_history(root=None) -> tuple[dict[str, int], set[str], dict[str, int]]:
     """Per-query driver-check count, currently-red set, and the round
     number of each query's LATEST driver row.
 
@@ -88,7 +88,7 @@ def _driver_check_history() -> tuple[dict[str, int], set[str], dict[str, int]]:
     counts: dict[str, int] = {}
     latest_ok: dict[str, bool] = {}
     last_round: dict[str, int] = {}
-    root = Path(__file__).resolve().parent.parent
+    root = Path(root) if root is not None else Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
@@ -105,9 +105,15 @@ def _driver_check_history() -> tuple[dict[str, int], set[str], dict[str, int]]:
                 # "no_oracle" with rows delivered is the rows-only
                 # contract PASSING, not a failure — treating it as red
                 # would pin the 8 rows-only queries to the top of every
-                # round's prefix forever
+                # round's prefix forever. "Delivered" means > 0 rows: a
+                # rows-only query returning an empty frame verified
+                # nothing (the r8 zero-row-audit lesson applied to this
+                # gate), so it must count red and re-earn its slot.
+                spark_rows = row.get("spark_rows")
                 err_ok = err is None or (
-                    err == "no_oracle" and row.get("spark_rows") is not None
+                    err == "no_oracle"
+                    and isinstance(spark_rows, int)
+                    and spark_rows > 0
                 )
                 ok = (
                     err_ok

@@ -124,3 +124,65 @@ def test_rank_quantization_away_from_float_boundaries(spark):
             .first()
         )
         assert full["m"] > 1e-6, f"{sf_dir}: full-vocab idf at boundary ({full['m']})"
+
+
+def test_rows_only_zero_rows_counts_red(tmp_path):
+    """registry._driver_check_history: a rows-only driver row (err ==
+    "no_oracle") is the contract PASSING only when rows were actually
+    delivered. Zero rows verified nothing — it must count red so the
+    query re-earns a prefix slot next round (the r8 zero-row-audit
+    lesson applied to the rows-only gate)."""
+    import json
+
+    from etl_covid19_brasil_spark.registry import _driver_check_history
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "rows_only_empty": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": 0,
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                },
+                "rows_only_ok": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": 7,
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                },
+                "rows_only_missing": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                },
+                "oracled_green": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": 3,
+                    "oracle_rows": 3,
+                    "err": None,
+                },
+            }
+        )
+    )
+    counts, red, last_round = _driver_check_history(root=tmp_path)
+    assert "rows_only_empty" in red
+    assert "rows_only_missing" in red
+    assert "rows_only_ok" not in red
+    assert "oracled_green" not in red
+    assert counts == {
+        "rows_only_empty": 1,
+        "rows_only_ok": 1,
+        "rows_only_missing": 1,
+        "oracled_green": 1,
+    }
+    assert last_round["rows_only_empty"] == 1
