@@ -341,6 +341,89 @@ def sink_csv(df: DataFrame, path: str, header: bool = False, mode: str = "overwr
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def sink_csv_for_copy(
+    df: DataFrame,
+    path: str,
+    table: str,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """COPY-parity bulk sink: land ``df`` as quoted CSV part files plus a
+    generated ``COPY ... FROM`` load script — the scalable rebuild of the
+    reference's ``cursor.copy_from(StringIO(csv), table)`` fast path
+    (dags/create-data-lake.py:54-61).
+
+    The reference serialized with ``to_csv(header=False)`` and streamed
+    it down ONE socket with default COPY TEXT format — any comma inside a
+    value shifted every following column (SURVEY.md §2.12), and the
+    single socket is the throughput ceiling. This sink fixes both by
+    construction:
+
+    - fields are quoted with ``"`` and embedded quotes doubled (escape
+      ``"``), i.e. exactly Postgres ``COPY ... WITH (FORMAT csv)``
+      semantics — commas, newlines and quotes round-trip;
+    - NULL lands as an *unquoted* empty field and empty string as a
+      *quoted* empty field (``nullValue=''`` / ``emptyValue='""'``),
+      matching COPY csv's ``NULL ''`` convention so the distinction
+      survives the wire;
+    - the data lands as N part files written by the executors in
+      parallel (no driver materialization — the reference buffered the
+      whole table in a driver-side StringIO), and the emitted script
+      issues one ``\\copy`` per part so the database-side load can be
+      fanned out across connections by running script lines
+      concurrently. ``num_partitions`` bounds the part count the same
+      way sink_jdbc_replace bounds connection fan-out.
+
+    Returns the path of the generated ``load_<table>.sql`` psql script.
+    Executing it is the operator's database half; tests stand in Derby's
+    bulk importer (SYSCS_UTIL.SYSCS_IMPORT_TABLE, the same
+    one-call-per-file shape) for the unreachable Postgres.
+    """
+    out = df.coalesce(num_partitions) if num_partitions else df
+    (
+        out.write.mode(mode)
+        .option("header", "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "")
+        .option("emptyValue", '""')
+        .csv(path)
+    )
+    from pathlib import Path as _P
+
+    parts = sorted(p for p in _P(path).glob("part-*.csv"))
+    # script lands NEXT TO the csv dir, not inside it — the landing dir
+    # must stay cleanly re-scannable (a .sql file inside would pollute
+    # any downstream spark.read.csv over the directory)
+    script = _P(path).parent / f"{_P(path).name}_load_{table}.sql"
+    lines = [
+        f"\\copy {table} FROM '{p}' WITH (FORMAT csv, NULL '', QUOTE '\"', ESCAPE '\"')"
+        for p in parts
+    ]
+    script.write_text("\n".join(lines) + "\n")
+    return str(script)
+
+
+def jdbc_execute(spark: SparkSession, url: str, statements: list[str]) -> None:
+    """Run raw SQL/CALL statements over a JDBC connection via the
+    driver JVM — the escape hatch for database-side DDL and bulk-load
+    procedures that Spark's JDBC writer cannot express (e.g. Derby's
+    ``SYSCS_UTIL.SYSCS_IMPORT_TABLE``, Postgres ``COPY``). Driver-side
+    and sequential by design: these are O(1)-per-table admin calls, not
+    data movement."""
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            for sql in statements:
+                st.execute(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 def sink_fixed_width(
     df: DataFrame, path: str, widths: dict[str, int], mode: str = "overwrite"
 ) -> None:

@@ -1374,3 +1374,89 @@ def pipeline_pk_quarantine(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("destination")
     )
+
+
+@query(
+    "sink_csv_copy_bulk_load",
+    added=9,
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_phone,
+           CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 0
+                         ELSE LENGTH('PH-' || CAST(c_nationkey AS VARCHAR)) END)
+                AS BIGINT) AS phone_chars,
+           CAST(SUM(CASE WHEN (c_name || ', "' || c_mktsegment || '" x')
+                              LIKE '%"%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quoted_payload,
+           CAST(SUM(LENGTH(c_name || ', "' || c_mktsegment || '" x')) AS BIGINT)
+             AS payload_chars,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acct_cents
+    FROM customer
+    """,
+    section="2.1",
+    doc="COPY-parity BULK LOAD cycle (dags/create-data-lake.py:54-61): "
+    "customer rows — with a payload column deliberately full of commas "
+    "and embedded double quotes, and a phone column nulled for every "
+    "7th key — land as quoted CSV part files via io.sink_csv_for_copy "
+    "(which also emits the per-part \\copy script for Postgres); each "
+    "part is then BULK-IMPORTED into an embedded-Derby table through "
+    "SYSCS_UTIL.SYSCS_IMPORT_TABLE — the same one-call-per-file bulk "
+    "path COPY is on Postgres, standing in for the sandbox-unreachable "
+    "reference sink — and the read-back is checksummed. The quoted "
+    "payload surviving byte-exact (payload_chars + n_quoted_payload) "
+    "is the fix-by-construction for the reference's unquoted-comma "
+    "COPY corruption (SURVEY.md §2.12); NULL phones surviving as NULL "
+    "(not '') pins the NULL-vs-empty wire convention.",
+)
+def sink_csv_copy_bulk_load(spark: SparkSession, sf: str) -> DataFrame:
+    src = T(spark, sf, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(', "'), F.col("c_mktsegment"), F.lit('" x')
+        ).alias("payload"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("PH-"), F.col("c_nationkey").cast("string")))
+        .alias("phone"),
+        cents("c_acctbal").alias("acct_cents"),
+    )
+    land = tempfile.mkdtemp(prefix="copy_land_")
+    script = io.sink_csv_for_copy(src, f"{land}/csv", "copy_lake", num_partitions=2)
+    # the Postgres half of the contract: the script must name every part
+    parts = sorted(Path(f"{land}/csv").glob("part-*.csv"))
+    lines = Path(script).read_text().splitlines()
+    assert len(lines) == len(parts) > 0, "load script must list every CSV part"
+    # Derby stands in for Postgres: same CREATE + one bulk-import per part
+    dbdir = tempfile.mkdtemp(prefix="derby_copy_")
+    url = f"jdbc:derby:{dbdir}/lakedb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    io.jdbc_execute(
+        spark,
+        url,
+        [
+            "CREATE TABLE copy_lake (c_custkey BIGINT, payload VARCHAR(200), "
+            "phone VARCHAR(40), acct_cents BIGINT)"
+        ]
+        + [
+            "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE"
+            f"(NULL, 'COPY_LAKE', '{p}', NULL, NULL, 'UTF-8', 0)"
+            for p in parts
+        ],
+    )
+    back = io.scan_jdbc(spark, url, "copy_lake", properties=props)
+    cols = {c.lower(): c for c in back.columns}
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col(cols["phone"]).isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_null_phone"),
+        F.sum(
+            F.coalesce(F.length(cols["phone"]).cast("long"), F.lit(0))
+        ).alias("phone_chars"),
+        F.sum(
+            F.when(F.col(cols["payload"]).contains('"'), 1).otherwise(0)
+        ).cast("long").alias("n_quoted_payload"),
+        F.sum(F.length(cols["payload"]).cast("long")).alias("payload_chars"),
+        F.sum(cols["acct_cents"]).alias("acct_cents"),
+    )

@@ -46,20 +46,29 @@ class QuerySpec:
     section: str  # SURVEY.md §2 subsection, e.g. "2.4 aggregations"
     doc: str = ""
     tags: tuple[str, ...] = field(default=())
+    added: int = 0  # build round the query was registered in; within the
+    # never-driver-sampled tier, later additions queue BEHIND earlier
+    # ones so a new query never displaces long-waiting verification debt
+    # from the driver's 50-per-round sample prefix (VERDICT r8 item 1)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def query(
-    name: str, oracle: str | None, section: str, doc: str = "", tags: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None,
+    section: str,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    added: int = 0,
 ) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator registering a Spark query builder with its oracle SQL."""
 
     def wrap(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, section=section, doc=doc or (fn.__doc__ or ""), tags=tags)
+        _REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, section=section, doc=doc or (fn.__doc__ or ""), tags=tags, added=added)
         return fn
 
     return wrap
@@ -145,6 +154,7 @@ def all_specs() -> dict[str, QuerySpec]:
                 n not in red,
                 last_round.get(n, 0),
                 checked.get(n, 0),
+                _REGISTRY[n].added,
                 _REGISTRY[n].oracle is None,
                 order[n],
             ),

@@ -5,6 +5,7 @@ driver-side HTTP-JSON source, injectable-fetch so no network is touched.
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pyspark.sql.functions as F
 import pytest
@@ -426,3 +427,73 @@ def test_paged_http_source_follows_pages_and_retries(spark):
         spark, "http://fixture/api", fetch=never_empty, page_size=10, max_pages=7
     )
     assert capped.count() == 7  # runaway guard: exactly max_pages pages
+
+
+def test_sink_csv_for_copy_wire_format(spark, tmp_path):
+    """The COPY-parity sink's wire conventions, pinned byte-level:
+    commas/quotes quoted with doubled-quote escaping (Postgres FORMAT
+    csv), NULL as unquoted empty vs empty string as quoted empty, and a
+    load script naming every part file exactly once."""
+    df = spark.createDataFrame(
+        [
+            (1, 'has, comma and "quote"', "x"),
+            (2, None, ""),
+            (3, "plain", None),
+        ],
+        "id int, payload string, tag string",
+    )
+    land = tmp_path / "csv"
+    script = io.sink_csv_for_copy(df, str(land), "t_copy", num_partitions=1)
+
+    parts = sorted(land.glob("part-*.csv"))
+    assert len(parts) == 1
+    lines = sorted(parts[0].read_text().splitlines())
+    assert lines == [
+        '1,"has, comma and ""quote""",x',
+        '2,,""',
+        "3,plain,",
+    ]
+
+    script_lines = Path(script).read_text().splitlines()
+    assert len(script_lines) == 1
+    assert str(parts[0]) in script_lines[0]
+    assert "FORMAT csv" in script_lines[0] and "NULL ''" in script_lines[0]
+
+    # Read-back through Spark's CSV scan: quoting/escaping round-trips
+    # exactly. (The NULL-vs-quoted-empty distinction is preserved in the
+    # BYTES — asserted above — for Postgres COPY, which honors it;
+    # Spark's univocity reader collapses both empties before null
+    # substitution, so the read-back sees null for both. That is a
+    # documented reader limitation, not a wire defect.)
+    back = (
+        spark.read.schema("id int, payload string, tag string")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "")
+        .csv(str(land))
+    )
+    got = {r["id"]: (r["payload"], r["tag"]) for r in back.collect()}
+    assert got == {
+        1: ('has, comma and "quote"', "x"),
+        2: (None, None),
+        3: ("plain", None),
+    }
+
+
+def test_jdbc_execute_runs_ddl_and_dml(spark, tmp_path):
+    """jdbc_execute: raw DDL + DML over the driver JVM's JDBC — the
+    escape hatch the bulk-import procedure call rides."""
+    url = f"jdbc:derby:{tmp_path}/execdb;create=true"
+    io.jdbc_execute(
+        spark,
+        url,
+        [
+            "CREATE TABLE t_exec (k INT, v VARCHAR(10))",
+            "INSERT INTO t_exec VALUES (1, 'a'), (2, 'b')",
+        ],
+    )
+    back = io.scan_jdbc(
+        spark, url, "t_exec",
+        properties={"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+    )
+    assert back.count() == 2
