@@ -438,3 +438,61 @@ def test_hard_negative_id_packing_bounds():
     with np.errstate(over="ignore"):
         overflowed = np.int64(2**55) * np.int64(256)
     assert overflowed < 0
+
+
+def test_estimate_rows_fallback_chain_degrades_not_raises(spark):
+    """_estimate_rows reaches into private `_jdf.queryExecution()` py4j
+    internals — the most version-fragile code in the tree. Pin the
+    documented degradation chain (VERDICT r8 item 8): when the Catalyst
+    stats surface drifts/raises, the footer tier still answers exactly;
+    when footers are unreadable too, the final count() tier answers
+    exactly; and the estimate NEVER raises through any tier failure."""
+    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+
+    class Proxy:
+        """DataFrame stand-in that severs chosen tiers."""
+
+        def __init__(self, df, break_jdf=False, break_files=False):
+            self._df = df
+            self._break_jdf = break_jdf
+            self._break_files = break_files
+            self.count_calls = 0
+
+        @property
+        def _jdf(self):
+            if self._break_jdf:
+                raise RuntimeError("simulated py4j surface drift")
+            return self._df._jdf
+
+        def inputFiles(self):
+            if self._break_files:
+                raise RuntimeError("simulated listing failure")
+            return self._df.inputFiles()
+
+        def count(self):
+            self.count_calls += 1
+            return self._df.count()
+
+    # tier 2: Catalyst stats gone -> parquet footers answer, exactly,
+    # without running a count() job
+    p = Proxy(emb, break_jdf=True)
+    assert _estimate_rows(p) == n
+    assert p.count_calls == 0
+
+    # tier 3: stats AND footers gone -> count() is the last resort
+    p = Proxy(emb, break_jdf=True, break_files=True)
+    assert _estimate_rows(p) == n
+    assert p.count_calls == 1
+
+    # non-file-backed frame (no footers): sizeInBytes inversion answers
+    # without a count() job and must stay conservative (>= true rows —
+    # under-estimating risks an oversized broadcast; over-estimating
+    # merely takes the always-safe cogrouped path)
+    local = spark.range(100).selectExpr("id", "id * 2 AS v")
+    p = Proxy(local)
+    est = _estimate_rows(p)
+    assert est >= 100
+    assert p.count_calls == 0
