@@ -579,3 +579,22 @@ def test_obt_denormalize_broadcasts_all_dims(spark, specs):
     p = plan_of(q(specs, spark, "join_obt_denormalize"))
     assert p.count("BroadcastHashJoin") >= 6, p.count("BroadcastHashJoin")
     assert "CartesianProduct" not in p
+
+
+def test_top_k_per_group_partial_window_group_limit(spark, specs):
+    """SURVEY §4's optional stretch rule — push top-k-per-group into a
+    partial per-partition limit before the shuffle — is BUILT IN to
+    Spark 4 (InferWindowGroupLimit). Pin it: the top_k_per_group plan
+    must run WindowGroupLimit in Partial mode BELOW the group-key
+    Exchange (map-side: each partition forwards at most k rows per
+    group) and Final mode above it. A regression here (e.g. a filter
+    shape the rule stops matching) silently reverts the operator to
+    shuffling every row."""
+    p = plan_of(q(specs, spark, "top_k_per_group"), mode="extended")
+    phys = p.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in phys, phys
+    partial = phys.index(", Partial")
+    final = phys.index(", Final")
+    exchange = phys.index("Exchange hashpartitioning")
+    # explain prints top-down: Final above the Exchange above Partial
+    assert final < exchange < partial, phys
