@@ -186,3 +186,25 @@ def test_rows_only_zero_rows_counts_red(tmp_path):
         "oracled_green": 1,
     }
     assert last_round["rows_only_empty"] == 1
+
+
+def test_new_round_queries_queue_behind_waiting_debt():
+    """registry.all_specs ordering: within the never-driver-sampled
+    tier, a query registered in a LATER round (added=N) must sort
+    behind every earlier never-sampled query — new surface never
+    displaces long-waiting verification debt from the driver's
+    50-per-round sample prefix (VERDICT r8 item 1)."""
+    from etl_covid19_brasil_spark.registry import _driver_check_history, all_specs
+
+    specs = all_specs()
+    names = list(specs)
+    _, _, last_round = _driver_check_history()
+    never = [n for n in names if n not in last_round]
+    # every added>0 query sorts after every added==0 never-sampled query
+    max_added0 = max(i for i, n in enumerate(never) if specs[n].added == 0)
+    late = [n for n in never if specs[n].added > 0]
+    assert late, "expected at least one round-tagged new query (r9+)"
+    for n in late:
+        assert never.index(n) > max_added0, (
+            f"{n} (added={specs[n].added}) jumped ahead of waiting debt"
+        )
