@@ -60,6 +60,11 @@ QUERIES = [
     # argument structural): graph_hierarchy_rollup (part),
     # agg_two_proportion_ztest + user_rfm via customer joins where noted.
     "dedup_substring_ngrams",
+    # r9: the two remaining deep dedup paths, probed at 64x this round
+    # (SCALECHECK_r09) — kept in the default set so future rounds
+    # re-probe them whenever their code changes
+    "near_dedup_prefix_filter",
+    "dedup_minhash_components",
     "graph_triangle_count",
     "events_markov_transitions",
     "user_rfm_segments",
