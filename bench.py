@@ -82,10 +82,12 @@ HEADLINE = [
     # These five are the most expensive operators per the r8 probe
     # harness (graph iteration, shingle-level substring dedup, power-
     # iteration PCA, PPJoin prefix filtering, minhash->LSH->connected
-    # components end-to-end). Adding them raises the expected headline
-    # total by roughly their sum (~8-10 s at sf0.1 on a quiet box) —
-    # the r9 total is NOT comparable to r8's 8.773 s; compare per-query
-    # deltas instead (delta_vs_prev covers exactly this).
+    # components end-to-end). Measured r9 (quiet box, min-of-5): they
+    # add ~1.5 s at sf0.1 (probe-harness bases are larger because they
+    # time construction + first materialization; the bench convention
+    # times steady-state execution only). The r9 total (~10.8 s) is NOT
+    # comparable to r8's 8.773 s; compare per-query deltas instead
+    # (delta_vs_prev covers exactly this).
     "graph_bfs_levels",
     "dedup_substring_ngrams",
     "embedding_pca_power",
