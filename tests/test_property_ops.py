@@ -1,0 +1,147 @@
+"""Property-based differentials for the composite operators Spark lacks
+natively (SURVEY.md §5 layer 3 applied to operators/): the fixed-corpus
+oracle sweep (tests/test_oracle.py) checks each operator on ONE data
+shape; these generate adversarial small inputs — duplicate timestamps,
+heavy key skew, ties, empty sides — and compare against an independent
+reference implementation (pandas.merge_asof / plain join / a pure-Python
+fold). Examples stay tiny (<=30 rows) so each Spark round-trip is fast;
+the value is in the shapes hypothesis finds, not the volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from etl_covid19_brasil_spark.operators.joins import asof_join
+from etl_covid19_brasil_spark.operators.skew import salted_join
+from etl_covid19_brasil_spark.operators.topk import top_k_per_group
+
+PROP = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    # hypothesis forbids function-scoped fixtures; alias the session one
+    return spark
+
+
+# --- as-of join vs pandas.merge_asof ---------------------------------------
+
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=25
+)
+# right side unique on (key, ts): equal-ts duplicate resolution is a
+# documented house rule pandas does not share, pinned separately
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(left=_left_rows, right=_right_rows, direction=st.sampled_from(["backward", "forward"]))
+@PROP
+def test_asof_join_matches_pandas_merge_asof(spark_global, left, right, direction):
+    spark = spark_global
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, lts long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in right], "k long, rts long, val long"
+    )
+    got = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["val"], direction=direction,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(left)],
+                       columns=["lid", "k", "lts"]).sort_values(["lts", "lid"])
+    rpd = pd.DataFrame([(k, t, k * 1000 + t) for (k, t) in right],
+                       columns=["k", "rts", "val"]).sort_values("rts")
+    m = pd.merge_asof(
+        lpd, rpd, left_on="lts", right_on="rts", by="k", direction=direction
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.val) else int(r.val))
+        for r in m.itertuples()
+    }
+    assert got == want
+
+
+# --- salted join vs plain join on skewed data ------------------------------
+
+_skewed_fact = st.lists(
+    # 0 is the hot key (~2/3 of draws land on it via the biased sample)
+    st.tuples(st.sampled_from([0, 0, 0, 0, 1, 2, 3, 4]), st.integers(0, 99)),
+    min_size=1,
+    max_size=30,
+)
+_dim_keys = st.sets(st.integers(0, 5), min_size=0, max_size=6)
+
+
+@given(fact=_skewed_fact, dim_keys=_dim_keys, how=st.sampled_from(["inner", "left"]))
+@PROP
+def test_salted_join_matches_plain_join_under_skew(spark_global, fact, dim_keys, how):
+    spark = spark_global
+    fdf = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(fact)], "fid long, k long, v long"
+    )
+    schema = "k long, dval long"
+    ddf = spark.createDataFrame([(k, k * 10) for k in sorted(dim_keys)], schema)
+
+    plain = fdf.join(ddf, "k", how)
+    salted = salted_join(fdf, ddf, on="k", factor=4, how=how,
+                         salt_source=F.col("fid"))
+    cols = sorted(plain.columns)
+
+    def rows(df):
+        # None-safe sort key: unmatched left-join rows carry NULL dval
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert rows(salted) == rows(plain)
+
+
+# --- top-k per group (native WindowGroupLimit plan) vs pandas --------------
+
+_grouped_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-5, 5)), min_size=1, max_size=30
+)
+
+
+@given(rows=_grouped_rows, k=st.integers(1, 4))
+@PROP
+def test_top_k_per_group_matches_pandas(spark_global, rows, k):
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "rid long, g long, v long"
+    )
+    got = sorted(
+        (r["g"], r["v"], r["rid"], r["rn"])
+        for r in top_k_per_group(
+            df, ["g"], [F.col("v").desc(), F.col("rid").asc()], k
+        ).collect()
+    )
+
+    pdf = pd.DataFrame([(i, g, v) for i, (g, v) in enumerate(rows)],
+                       columns=["rid", "g", "v"])
+    pdf = pdf.sort_values(["v", "rid"], ascending=[False, True], kind="mergesort")
+    pdf["rn"] = pdf.groupby("g", sort=False).cumcount() + 1
+    top = pdf[pdf["rn"] <= k]
+    want = sorted(
+        (int(r.g), int(r.v), int(r.rid), int(r.rn)) for r in top.itertuples()
+    )
+    assert got == want
