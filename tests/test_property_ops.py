@@ -145,3 +145,33 @@ def test_top_k_per_group_matches_pandas(spark_global, rows, k):
         (int(r.g), int(r.v), int(r.rid), int(r.rn)) for r in top.itertuples()
     )
     assert got == want
+
+
+# --- bloom semi-join: no false negatives on random key sets ----------------
+
+_fact_keys = st.lists(st.integers(-100, 100), min_size=1, max_size=30)
+_filter_keys = st.sets(st.integers(-100, 100), min_size=0, max_size=20)
+
+
+@given(fact_keys=_fact_keys, filter_keys=_filter_keys)
+@PROP
+def test_bloom_semi_join_matches_plain_semi_join(spark_global, fact_keys, filter_keys):
+    """The bloom prefilter may pass false POSITIVES (the exact semi join
+    behind it removes them) but never false negatives — so the composed
+    operator must equal the plain left_semi join on any key sets,
+    including negatives, disjoint sets, and an empty filter side."""
+    from etl_covid19_brasil_spark.operators.bloom import bloom_semi_join
+
+    spark = spark_global
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "fid long, k long"
+    )
+    filt = spark.createDataFrame(
+        [(k,) for k in sorted(filter_keys)], "fk long"
+    )
+    got = sorted(r["fid"] for r in bloom_semi_join(fact, filt, "k", "fk").collect())
+    want = sorted(
+        r["fid"]
+        for r in fact.join(filt, fact["k"] == filt["fk"], "left_semi").collect()
+    )
+    assert got == want
