@@ -14,7 +14,9 @@ import __spark_entry__ as E
 
 def test_entry_runs_and_has_stable_schema(spark):
     df = E.entry(spark)
-    assert df.count() >= 0
+    # the flagship star-join rollup always has revenue groups at sf0.001 —
+    # `>= 0` would pass on an accidentally-empty result (zero-row audit)
+    assert df.count() > 0
     assert df.columns == E.entry(spark).columns
 
 

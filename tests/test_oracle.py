@@ -26,4 +26,7 @@ def test_query_matches_oracle(name, spark, duck_smoke, duck_gate):
     res = check_query(spark, con, SPECS[name], sf_dir)
     assert res.ok, f"{name}: {res.detail}"
     if SPECS[name].oracle is None:
-        assert res.spark_rows >= 0
+        # mirror the driver-row green gate (registry._driver_check_history):
+        # a rows-only query must actually DELIVER rows — zero rows verified
+        # nothing and counts red there, so it fails here too
+        assert res.spark_rows > 0, f"{name}: rows-only query returned 0 rows"
