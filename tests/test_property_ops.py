@@ -175,3 +175,48 @@ def test_bloom_semi_join_matches_plain_semi_join(spark_global, fact_keys, filter
         for r in fact.join(filt, fact["k"] == filt["fk"], "left_semi").collect()
     )
     assert got == want
+
+
+# --- bucketed range join vs naive cross-join + filter ----------------------
+
+_points = st.lists(st.integers(-20, 20), min_size=1, max_size=20)
+_intervals = st.lists(
+    st.tuples(st.integers(-20, 20), st.integers(0, 10)),  # (lo, width)
+    min_size=1, max_size=15,
+)
+
+
+@given(points=_points, intervals=_intervals, width=st.sampled_from([1, 2, 5]))
+@settings(
+    # both plans in one example cost several Spark jobs — fewer, bigger
+    # examples keep this test's wall-clock in line with the others
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_join_matches_naive_theta_join(spark_global, points, intervals, width):
+    """range_join's bucket-replication + residual filter must equal the
+    naive crossJoin theta plan on any point/interval mix — including
+    empty intervals (lo == hi matches nothing: hi is exclusive), points
+    on interval edges, and intervals spanning many buckets."""
+    from etl_covid19_brasil_spark.operators.joins import range_join
+
+    spark = spark_global
+    l = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, pt long"
+    )
+    r = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(intervals)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (x["pid"], x["iid"])
+        for x in range_join(l, r, "pt", "lo", "hi", bucket_width=width).collect()
+    )
+    want = sorted(
+        (x["pid"], x["iid"])
+        for x in l.crossJoin(r)
+        .filter((F.col("lo") <= F.col("pt")) & (F.col("pt") < F.col("hi")))
+        .collect()
+    )
+    assert got == want
