@@ -1,0 +1,77 @@
+"""Property-based differential for the distributed connected-components
+operator: large-star/small-star contraction (operators/concomp.py) vs a
+pure-Python union-find on randomly generated graphs — self-loops,
+duplicate and reversed edges, chains that need several contraction
+rounds, isolated vertices via the ``nodes`` frame. The fixed-corpus
+equality tests (tests/test_concomp.py) check one shape; hypothesis
+hunts the adversarial ones.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_covid19_brasil_spark.operators.concomp import connected_components
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    # hypothesis forbids function-scoped fixtures; alias the session one
+    return spark
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        self.parent.setdefault(x, x)
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=30
+)
+_extra_nodes = st.sets(st.integers(0, 20), min_size=1, max_size=10)
+
+
+@given(edges=_edges, extra=_extra_nodes)
+@PROP
+def test_connected_components_match_union_find(spark_global, edges, extra):
+    spark = spark_global
+    node_ids = sorted(extra | {n for e in edges for n in e})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        edf = edf.limit(0)
+
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edf, nodes=nodes).collect()
+    }
+
+    uf = _UnionFind()
+    for n in node_ids:
+        uf.find(n)
+    for a, b in edges:
+        uf.union(a, b)
+    want = {n: uf.find(n) for n in node_ids}
+    assert got == want
