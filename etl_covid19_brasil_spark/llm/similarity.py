@@ -17,9 +17,11 @@ semantics* while vectorizing over pairs:
   salt) pair of blocks meets in ONE ``cogroup().applyInPandas`` shuffle
   — the doubly-blocked nested-loop join. Every (query, index) pair
   meets exactly once (the query's salt x the index row's tile); peak
-  task memory is one index tile + one query block regardless of either
-  side's total size, and no single machine (driver included) ever
-  holds the index. Per-block partial top-k candidates (n_q x k x
+  task memory is one index tile + one query block + one
+  SIMS_BUDGET_BYTES-bounded similarity slice (kernels are fed
+  query-row chunks, never a full block pair — see _by_query_chunks)
+  regardless of either side's total size, and no single machine
+  (driver included) ever holds the index. Per-block partial top-k candidates (n_q x k x
   n_tiles rows, never the similarity matrix) merge under one window
   re-rank. Exact all-pairs at that scale is a deliberate O(n_q x n)
   spend — the ANN tier (llm/ann.py) is the sub-linear path;
@@ -96,6 +98,34 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     m64 = mat.astype(np.float64)
     norms = np.sqrt(_ordered_dot(m64, m64))
     return m64 / norms[:, None]
+
+
+# Per-kernel-call cap on the (|Q|, |I|) similarity-matrix allocation.
+# Every block kernel materializes an n_q x n_idx float64 accumulator (plus
+# one same-shaped temp inside the ordered fold), so an UNSLICED call on
+# full-size blocks — 100k queries x 200k index rows — would try to
+# allocate ~160 GB and OOM-kill the Python worker. (Exactly that happened
+# when the r9 64x stretch probe pushed near_dedup_embedding onto the
+# cogrouped tier for the first time; the 8x/32x probes had always stayed
+# on the broadcast tier.) 128 MB caps the accumulator at ~1 GB peak per
+# worker including the fold temp and Arrow buffers.
+SIMS_BUDGET_BYTES = 128 << 20
+
+
+def _by_query_chunks(block_fn, q_ids, q_mat, ids, mat, *args):
+    """Run ``block_fn`` over query-row slices sized so each call's
+    (n_q_slice, n_idx) similarity allocation stays under
+    SIMS_BUDGET_BYTES. Bit-identical to the unsliced call: every kernel
+    treats query rows independently (pairs emission, per-query top-k),
+    and slicing never reorders the per-element dimension fold."""
+    rows_per = max(1, SIMS_BUDGET_BYTES // (8 * max(1, len(ids))))
+    if len(q_ids) <= rows_per:
+        return block_fn(q_ids, q_mat, ids, mat, *args)
+    parts = [
+        block_fn(q_ids[s : s + rows_per], q_mat[s : s + rows_per], ids, mat, *args)
+        for s in range(0, len(q_ids), rows_per)
+    ]
+    return pd.concat(parts, ignore_index=True)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -231,7 +261,9 @@ def _cogrouped_partials(
         q_mat = _normalize(np.stack(left[vec_col].to_numpy()))
         ids = right["_idx_id"].to_numpy(dtype=np.int64)
         mat = _normalize(np.stack(right["_idx_vec"].to_numpy()))
-        return block_fn(q_ids, q_mat, ids, mat)
+        # full blocks here are up to QUERY_BLOCK_ROWS x max_index_rows —
+        # the sims allocation MUST be sliced (see SIMS_BUDGET_BYTES)
+        return _by_query_chunks(block_fn, q_ids, q_mat, ids, mat)
 
     return (
         q_rep.groupby("tile", "salt")
@@ -341,7 +373,7 @@ def cosine_pairs_above(
             for pdf in batches:
                 q_ids = pdf[id_col].to_numpy(dtype=np.int64)
                 q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
-                yield _pairs_block(q_ids, q_mat, ids, mat, threshold)
+                yield _by_query_chunks(_pairs_block, q_ids, q_mat, ids, mat, threshold)
 
         return _spread(vectors.select(id_col, vec_col)).mapInPandas(
             kernel, schema=PAIRS_SCHEMA
@@ -390,7 +422,7 @@ def brute_force_topk(
             for pdf in batches:
                 q_ids = pdf[id_col].to_numpy(dtype=np.int64)
                 q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
-                yield _topk_block(q_ids, q_mat, ids, mat, k)
+                yield _by_query_chunks(_topk_block, q_ids, q_mat, ids, mat, k)
 
         return _spread(embeddings.select(id_col, vec_col)).mapInPandas(
             kernel, schema=TOPK_SCHEMA
@@ -483,7 +515,7 @@ def hard_negative_topk(
             for pdf in batches:
                 q_ids = pdf[id_col].to_numpy(dtype=np.int64)
                 q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
-                yield block(q_ids, q_mat, ids, mat)
+                yield _by_query_chunks(block, q_ids, q_mat, ids, mat)
 
         return _spread(packed).mapInPandas(kernel, schema=schema)
     n_salts = max(1, math.ceil(n / QUERY_BLOCK_ROWS))

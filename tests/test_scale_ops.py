@@ -496,3 +496,50 @@ def test_estimate_rows_fallback_chain_degrades_not_raises(spark):
     est = _estimate_rows(p)
     assert est >= 100
     assert p.count_calls == 0
+
+
+def test_query_chunking_is_bit_identical_and_bounded():
+    """_by_query_chunks slices the query side so the per-call similarity
+    allocation stays under SIMS_BUDGET_BYTES (the r9 64x probe OOM-killed
+    Python workers on an unsliced 91k x 160k block). Slicing must be
+    bit-identical for both kernel families: pairs emission and per-query
+    top-k treat query rows independently."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_covid19_brasil_spark.llm import similarity as S
+
+    rng = np.random.default_rng(7)
+    n, d = 500, 16
+    ids = np.arange(n, dtype=np.int64)
+    mat = S._normalize(rng.normal(size=(n, d)))
+
+    whole_pairs = S._pairs_block(ids, mat, ids, mat, 0.3)
+    whole_topk = S._topk_block(ids, mat, ids, mat, 5)
+
+    calls = []
+    orig = S.SIMS_BUDGET_BYTES
+    S.SIMS_BUDGET_BYTES = 8 * n * 50  # force ~10 slices of 50 query rows
+    try:
+        def spy_pairs(q_ids, q_mat, i_ids, i_mat, thr):
+            calls.append(len(q_ids))
+            return S._pairs_block(q_ids, q_mat, i_ids, i_mat, thr)
+
+        chunked_pairs = S._by_query_chunks(spy_pairs, ids, mat, ids, mat, 0.3)
+        chunked_topk = S._by_query_chunks(S._topk_block, ids, mat, ids, mat, 5)
+    finally:
+        S.SIMS_BUDGET_BYTES = orig
+
+    assert len(calls) == 10 and all(c <= 50 for c in calls)
+
+    def key(df, cols):
+        return sorted(map(tuple, df[cols].itertuples(index=False)))
+
+    assert key(chunked_pairs, ["id_a", "id_b", "cosine"]) == key(
+        whole_pairs, ["id_a", "id_b", "cosine"]
+    )
+    assert key(chunked_topk, ["query_id", "neighbor_id", "cosine", "rank"]) == key(
+        whole_topk, ["query_id", "neighbor_id", "cosine", "rank"]
+    )
+    # exact float equality above IS bit-identity here: both paths run the
+    # same dimension-ordered fold on the same rows, only sliced
