@@ -75,8 +75,20 @@ def _bucket_topk_kernel(k: int):
     candidates. Dots use the dimension-ordered accumulation so a pair
     colliding in several buckets yields the SAME double everywhere
     (BLAS matmul may vary summation order with matrix shape) — required
-    for the downstream dedup + global ranking to be deterministic."""
-    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+    for the downstream dedup + global ranking to be deterministic.
+
+    The block body runs under _by_query_chunks: bucket membership is
+    EXPECTED-constant (auto-scaled planes + query salting) but not
+    bounded — a degenerate corpus (many identical sign signatures)
+    funnels into one bucket, and the (|Q|, |I|) sims allocation would
+    then OOM the worker exactly like the unsliced similarity kernels
+    did in the r9 64x probe. Chunking query rows is bit-identical:
+    per-query top-k is row-independent."""
+    from etl_covid19_brasil_spark.llm.similarity import (
+        _by_query_chunks,
+        _normalize,
+        _ordered_dot,
+    )
 
     empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
         {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
@@ -89,10 +101,11 @@ def _bucket_topk_kernel(k: int):
             return empty
         all_ids = pdf["vid"].to_numpy(dtype=np.int64)
         all_mat = _normalize(np.stack(pdf["vec"].to_numpy()))
-        q_ids = all_ids[q_mask]
-        q_mat = all_mat[q_mask]
-        i_ids = all_ids[idx_mask]
-        i_mat = all_mat[idx_mask]
+        return _by_query_chunks(
+            _block, all_ids[q_mask], all_mat[q_mask], all_ids[idx_mask], all_mat[idx_mask]
+        )
+
+    def _block(q_ids, q_mat, i_ids, i_mat) -> pd.DataFrame:
         sims = _ordered_dot(q_mat[:, None, :], i_mat[None, :, :])
         # a vid appears at most once per (tbl, bucket) in each role, so
         # "not self" is the id match; -inf sorts it past every real
@@ -339,7 +352,12 @@ def ivf_topk(
     corpus reaches that with far fewer probes (and production sizes
     n_cells ~ sqrt(n), probing ~10%).
     """
-    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows, _normalize, _ordered_dot
+    from etl_covid19_brasil_spark.llm.similarity import (
+        _by_query_chunks,
+        _estimate_rows,
+        _normalize,
+        _ordered_dot,
+    )
 
     spark = embeddings.sparkSession
     if label_col is not None:
@@ -396,13 +414,23 @@ def ivf_topk(
         empty_cols["neighbor_label"] = "int32"
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # query-chunked: cell membership is expected-constant (corpus-
+        # derived cell count) but unbounded on degenerate data — the
+        # (|Q|, |I|) sims allocation must stay under SIMS_BUDGET_BYTES
+        # (the r9 64x-probe OOM class); per-query top-k is
+        # row-independent so slicing is bit-identical.
         idx = pdf[pdf["is_index"] == 1]
         if idx.empty:
             return pd.DataFrame({c: [] for c in empty_cols}).astype(empty_cols)
-        i_ids = idx["vid"].to_numpy(dtype=np.int64)
-        i_mat = np.stack(idx["vec"].to_numpy())
-        q_ids = pdf["vid"].to_numpy(dtype=np.int64)
-        q_mat = np.stack(pdf["vec"].to_numpy())
+        return _by_query_chunks(
+            _cell_block,
+            pdf["vid"].to_numpy(dtype=np.int64),
+            np.stack(pdf["vec"].to_numpy()),
+            idx["vid"].to_numpy(dtype=np.int64),
+            np.stack(idx["vec"].to_numpy()),
+        )
+
+    def _cell_block(q_ids, q_mat, i_ids, i_mat) -> pd.DataFrame:
         sims = q_mat @ i_mat.T  # pre-normalized -> cosine
         # self-pairs -> -inf so they sort last; rows keep their top
         # min(k, |cell|) and any -inf that leaked into a short row is
@@ -626,7 +654,12 @@ def ivfpq_topk(
     64x index compression is preserved; recall floor pinned in
     tests/test_ann_recall.py.
     """
-    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows, _normalize, _ordered_dot
+    from etl_covid19_brasil_spark.llm.similarity import (
+        _by_query_chunks,
+        _estimate_rows,
+        _normalize,
+        _ordered_dot,
+    )
 
     spark = embeddings.sparkSession
     if n_cells is None:  # corpus-size-derived (see auto_n_cells)
@@ -676,8 +709,6 @@ def ivfpq_topk(
     assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        bks = bc_b.value
-        mm, kk_codes, sub = bks.shape
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []}).astype(
             {"query_id": "int64", "neighbor_id": "int64", "score": "float64"}
         )
@@ -685,10 +716,20 @@ def ivfpq_topk(
         qry = pdf[pdf["is_index"] == 0]
         if idx.empty or qry.empty:
             return empty
-        i_ids = idx["vid"].to_numpy(dtype=np.int64)
-        i_codes = np.stack(idx["codes"].to_numpy())  # (I, m)
-        q_ids = qry["vid"].to_numpy(dtype=np.int64)
-        q_mat = np.stack(qry["vec"].to_numpy())  # (Q, d)
+        # query-chunked (same class as the LSH/IVF kernels): the
+        # (|Q|, |I|) ADC scores allocation must stay bounded on
+        # degenerate hot cells; per-query scoring is row-independent.
+        return _by_query_chunks(
+            _adc_block,
+            qry["vid"].to_numpy(dtype=np.int64),
+            np.stack(qry["vec"].to_numpy()),
+            idx["vid"].to_numpy(dtype=np.int64),
+            np.stack(idx["codes"].to_numpy()),
+        )
+
+    def _adc_block(q_ids, q_mat, i_ids, i_codes) -> pd.DataFrame:
+        bks = bc_b.value
+        mm, kk_codes, sub = bks.shape
         # asymmetric LUT: (Q, m, pq_k) dot tables, then gather by code
         luts = np.einsum(
             "qms,mks->qmk", q_mat.reshape(len(q_mat), mm, sub), bks

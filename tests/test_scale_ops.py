@@ -543,3 +543,44 @@ def test_query_chunking_is_bit_identical_and_bounded():
     )
     # exact float equality above IS bit-identity here: both paths run the
     # same dimension-ordered fold on the same rows, only sliced
+
+
+def test_ann_bucket_kernel_chunking_is_bit_identical():
+    """The ANN group kernels (LSH bucket top-k here as the representative;
+    IVF/IVFPQ cell kernels share the exact _by_query_chunks wrapper) carry
+    the same (|Q|, |I|) allocation class the r9 64x probe OOM'd on in
+    similarity.py: bucket membership is EXPECTED-constant but a degenerate
+    corpus funnels everything into one bucket. Chunked output must equal
+    the unchunked output exactly — per-query top-k is row-independent and
+    the dimension-ordered fold never crosses the slice axis."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_covid19_brasil_spark.llm import ann as A
+    from etl_covid19_brasil_spark.llm import similarity as S
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 16
+    pdf = pd.DataFrame(
+        {
+            "vid": np.arange(n, dtype=np.int64),
+            "vec": list(rng.normal(size=(n, d))),
+            "is_index": np.ones(n, dtype=np.int32),
+            "qrole": np.ones(n, dtype=np.int32),
+        }
+    )
+    kernel = A._bucket_topk_kernel(5)
+
+    whole = kernel(pdf)
+    orig = S.SIMS_BUDGET_BYTES
+    S.SIMS_BUDGET_BYTES = 8 * n * 37  # force uneven 37-row query slices
+    try:
+        chunked = kernel(pdf)
+    finally:
+        S.SIMS_BUDGET_BYTES = orig
+
+    def key(df):
+        return sorted(map(tuple, df[["query_id", "neighbor_id", "cosine"]].itertuples(index=False)))
+
+    assert len(whole) == n * 5
+    assert key(chunked) == key(whole)
