@@ -286,6 +286,28 @@ def lsh_topk(
 _TARGET_CELL_ROWS = 512
 
 
+def _sliced_cell_rows(op, mat, cents):
+    """Apply ``op`` (a row-independent reduction like argsort-top-p or
+    argmax) to the (rows, n_cells) centroid-similarity matrix, computed
+    in row slices so the allocation stays under
+    similarity.SIMS_BUDGET_BYTES. ``auto_n_cells`` grows the centroid
+    count LINEARLY with the corpus, so an unsliced Arrow-batch x cells
+    similarity is unbounded at scale — the same allocation class the r9
+    64x probe OOM'd on in the exact-tier kernels. Bit-identical: ``op``
+    sees exactly the rows it would have seen unsliced, and each call
+    site passes its original reduction (argsort vs argmax tie-breaking
+    is preserved per site)."""
+    from etl_covid19_brasil_spark.llm import similarity as _sim
+    from etl_covid19_brasil_spark.llm.similarity import _ordered_dot
+
+    rows_per = max(1, _sim.SIMS_BUDGET_BYTES // (8 * max(1, len(cents))))
+    outs = [
+        op(_ordered_dot(mat[s : s + rows_per, None, :], cents[None, :, :]))
+        for s in range(0, len(mat), rows_per)
+    ]
+    return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+
+
 def auto_n_cells(n_est: int) -> int:
     """IVF cell count holding the EXPECTED cell size at ~_TARGET_CELL_ROWS
     as the corpus grows (floor 16 — the small-corpus regime every pinned
@@ -394,8 +416,9 @@ def ivf_topk(
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
-            sims = _ordered_dot(mat[:, None, :], cents[None, :, :])
-            cells = np.argsort(-sims, axis=1)[:, :n_probe]  # (n, n_probe)
+            cells = _sliced_cell_rows(
+                lambda s: np.argsort(-s, axis=1)[:, :n_probe], mat, cents
+            )  # (n, n_probe)
             yield pd.DataFrame(
                 {
                     "cell": cells.reshape(-1).astype(np.int32),
@@ -511,10 +534,10 @@ def kmeans_lloyd(
             cmat = bc.value
             for pdf in batches:
                 mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-                sims = _ordered_dot(mat[:, None, :], cmat[None, :, :])
+                nearest = _sliced_cell_rows(lambda s: np.argmax(s, axis=1), mat, cmat)
                 yield pd.DataFrame(
                     {
-                        "cell": np.argmax(sims, axis=1).astype(np.int32),
+                        "cell": nearest.astype(np.int32),
                         "vec": list(mat),
                     }
                 )
@@ -685,8 +708,9 @@ def ivfpq_topk(
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            sims = _ordered_dot(mat[:, None, :], cmat[None, :, :])
-            probed = np.argsort(-sims, axis=1)[:, :n_probe]
+            probed = _sliced_cell_rows(
+                lambda s: np.argsort(-s, axis=1)[:, :n_probe], mat, cmat
+            )
             codes = np.empty((len(mat), mm), dtype=np.int32)
             for j in range(mm):
                 x = mat[:, j * sub : (j + 1) * sub]
