@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Adversarial-skew probe: the worst-case DATA SHAPES, not the worst-case
+volume (scripts/scale_check.py covers volume with structure-linear
+replicas; this harness does the opposite — small volume, pathological
+distribution).
+
+Derived corpus (from sf0.1):
+
+- embeddings: n near-IDENTICAL vectors (one seeded base + 1e-4
+  perturbations). Every vector lands in the SAME hyperplane-sign bucket
+  of every LSH table — the degenerate case the expected-constant bucket
+  argument (auto-scaled planes) cannot help with, and exactly the shape
+  that made unbounded (|Q|, |I|) kernel allocations OOM in the r9 64x
+  probe. The query-salted, budget-chunked kernel must complete and
+  deliver k rows per query.
+- documents: every row carries the SAME text — one md5 group holds the
+  whole corpus (exact_dedup / dedup_cross_source hot group), and every
+  minhash band bucket is the full corpus.
+- lineitem: a fraction of rows remapped onto ONE hot l_orderkey — the
+  skewed-join shape join_skew_salted's salting exists for.
+
+Pass criteria are completion + output-contract checks (row counts), with
+wall times recorded for the SCALECHECK narrative; correctness on skewed
+data is already covered by the salted-vs-plain equality tests
+(tests/test_ann_recall.py, tests/test_oracle_harness.py) — this probe
+exists because those run at benign distributions.
+
+Usage: python scripts/skew_check.py [--n-emb 20000] [--hot-frac 0.2]
+Prints one JSON line: {"probes": {name: {"t": s, "rows": n}}, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+from etl_covid19_brasil_spark import get_spark, registry  # noqa: E402
+from etl_covid19_brasil_spark.io import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def build_degenerate_dir(spark, n_emb: int, hot_frac: float) -> str:
+    out = Path(tempfile.mkdtemp(prefix="skewcheck_"))
+
+    # embeddings: one seeded base direction, all rows within 1e-4 of it —
+    # identical sign signatures under any fixed hyperplane set with
+    # overwhelming probability (|v0 . p| ~ 0.1 >> 1e-4).
+    rng = np.random.default_rng(20260815)
+    dim = len(
+        load_table(spark, BASE, "embeddings").select("embedding").first()["embedding"]
+    )
+    v0 = rng.normal(size=dim)
+    v0 /= np.sqrt((v0**2).sum())
+    pert = rng.normal(scale=1e-4, size=(n_emb, dim))
+    mat = v0[None, :] + pert
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n_emb, dtype=np.int64), "embedding": list(mat)})
+    ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+
+    # documents: same text everywhere -> one exact-dup group, one minhash
+    # bucket per band. Keep the base table's other columns so every
+    # documents query still runs.
+    docs = load_table(spark, BASE, "documents")
+    one_text = docs.orderBy("doc_id").select("text").first()["text"]
+    docs.select(
+        "doc_id",
+        F.lit(one_text).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text", "n_chars")],
+    ).withColumn("n_chars", F.length("text").cast(dict(docs.dtypes)["n_chars"])).write.mode(
+        "overwrite"
+    ).parquet(str(out / "documents.parquet"))
+
+    # lineitem: remap hot_frac of rows onto the smallest existing
+    # orderkey — the orders side is untouched so the join stays valid,
+    # one key now carries hot_frac of the fact table.
+    li = load_table(spark, BASE, "lineitem")
+    hot = li.agg(F.min("l_orderkey")).first()[0]
+    li.withColumn(
+        "l_orderkey",
+        F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), 1000) < int(hot_frac * 1000), F.lit(hot))
+        .otherwise(F.col("l_orderkey")),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "events"):
+        src = Path(BASE) / f"{t}.parquet"
+        dst = out / f"{t}.parquet"
+        if src.is_dir():
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    return str(out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-emb", type=int, default=20000)
+    ap.add_argument("--hot-frac", type=float, default=0.2)
+    ap.add_argument(
+        "--queries",
+        default="ann_lsh_topk,exact_dedup,dedup_cross_source,join_skew_salted,near_dedup_minhash",
+    )
+    args = ap.parse_args()
+    spark = get_spark(app_name="skew-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = build_degenerate_dir(spark, args.n_emb, args.hot_frac)
+    specs = registry.all_specs()
+    probes = {}
+    for name in args.queries.split(","):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        n = specs[name].spark(spark, big).count()
+        t = time.monotonic() - t0
+        probes[name] = {"t": round(t, 2), "rows": n}
+        print(f"# {name}: {t:.1f}s, {n} rows", file=sys.stderr)
+        if name == "ann_lsh_topk":
+            # contract on the degenerate cloud: every vector has >= k
+            # near-perfect neighbors in its (only) bucket
+            assert n == args.n_emb * 5, (n, args.n_emb)
+    print(json.dumps({"probes": probes, "n_emb": args.n_emb, "hot_frac": args.hot_frac}))
+    shutil.rmtree(big, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
