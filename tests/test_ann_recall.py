@@ -362,3 +362,30 @@ def test_hard_negative_ann_recall(spark):
     for r in approx_rows:
         assert labels[r["query_id"]] != r["neighbor_label"]
         assert labels[r["neighbor_id"]] == r["neighbor_label"]
+
+
+def test_lsh_degenerate_single_bucket_completes(spark):
+    """Adversarial-shape regression twin of scripts/skew_check.py: a
+    cloud of near-identical vectors puts EVERY row in the same sign
+    bucket of every LSH table — the worst case for per-bucket kernel
+    allocation (the r9 64x probe OOM class) and for query-salting. The
+    salted, budget-chunked path must complete and deliver exactly n x k
+    rows (every vector has >= k near-perfect neighbors in its only
+    bucket)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_covid19_brasil_spark.llm.ann import lsh_topk
+
+    rng = np.random.default_rng(42)
+    n, d, k = 2000, 64, 5
+    v0 = rng.normal(size=d)
+    v0 /= np.sqrt((v0**2).sum())
+    mat = v0[None, :] + rng.normal(scale=1e-4, size=(n, d))
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)})
+    )
+    rows = lsh_topk(emb, k=k).collect()
+    assert len(rows) == n * k
+    # every neighbor is a genuine near-duplicate of its query
+    assert min(r["cosine"] for r in rows) > 0.999
