@@ -2320,12 +2320,45 @@ def embedding_covariance_milli(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
         ).alias("qv"),
     )
-    comp = q.select("vec_id", F.posexplode("qv").alias("i", "qi"))
-    a = comp.select("vec_id", F.col("i"), F.col("qi"))
-    b = comp.select(
-        F.col("vec_id").alias("vid_b"), F.col("i").alias("j"), F.col("qi").alias("qj")
+    # Upper-triangle outer product generated INLINE per row (nested
+    # positional transform + flatten + explode) instead of a comp
+    # self-join on vec_id: the join shape shuffles n*d exploded rows
+    # twice before the aggregate, while this shape is join-free — the
+    # d(d+1)/2 pair blowup never leaves the map side, partial
+    # aggregation reduces it to d^2 keys per partition, and the ONLY
+    # shuffle is the final d^2-key hash exchange. (The nested transform
+    # re-evaluates the quantize lambda under projection collapse, but
+    # that is two arithmetic ops per element — nothing like the r8
+    # tokenizer case that needs a materialization barrier.)
+    # _spread: the narrow pipeline inherits the scan's partitioning, so
+    # a few-file table would run the whole d^2 blowup on a few cores —
+    # repartition the n-row side up to cluster parallelism first (a
+    # shuffle of n thin rows, nothing at scale where the input already
+    # has >= parallelism splits and _spread is a no-op).
+    from etl_covid19_brasil_spark.llm.similarity import _spread
+
+    q = _spread(q)
+    qv = F.col("qv")
+    tri = F.flatten(
+        F.transform(
+            qv,
+            lambda x, i: F.transform(
+                F.slice(qv, i + 1, F.size(qv) - i),
+                lambda y, jo: F.struct(
+                    i.alias("i"),
+                    (i + jo).alias("j"),
+                    x.alias("x"),
+                    y.alias("y"),
+                ),
+            ),
+        )
     )
-    pairs = a.join(b, (a.vec_id == b.vid_b) & (a.i <= b.j))
+    pairs = q.select(F.explode(tri).alias("p")).select(
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        F.col("p.x").alias("qi"),
+        F.col("p.y").alias("qj"),
+    )
     return (
         pairs.groupBy("i", "j")
         .agg(
@@ -3157,17 +3190,36 @@ def embedding_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"),
         ).alias("qv"),
     )
-    comp = q.select("vec_id", F.posexplode("qv").alias("i", "qi"))
-    a = comp.alias("a")
-    b = comp.alias("b")
+    # Full d x d outer product generated inline per row (same join-free
+    # shape as embedding_covariance_milli, full matrix instead of the
+    # upper triangle because the matvec loop consumes C[i][j] for every
+    # ordered pair): no vec_id self-join shuffle — partial aggregation
+    # absorbs the d^2 blowup map-side and the only shuffle carries d^2
+    # keys per partition. _spread parallelizes the blowup when the scan
+    # arrives in fewer partitions than the cluster (no-op at scale).
+    from etl_covid19_brasil_spark.llm.similarity import _spread
+
+    q = _spread(q)
+    qv = F.col("qv")
+    full = F.flatten(
+        F.transform(
+            qv,
+            lambda x, i: F.transform(
+                qv,
+                lambda y, j: F.struct(
+                    i.alias("i"), j.alias("j"), x.alias("x"), y.alias("y")
+                ),
+            ),
+        )
+    )
     sums = (
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        q.select(F.explode(full).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("a.qi") * F.col("b.qi")).cast("long").alias("sxy"),
-            F.sum(F.col("a.qi")).cast("long").alias("sx"),
-            F.sum(F.col("b.qi")).cast("long").alias("sy"),
+            F.sum(F.col("p.x") * F.col("p.y")).cast("long").alias("sxy"),
+            F.sum(F.col("p.x")).cast("long").alias("sx"),
+            F.sum(F.col("p.y")).cast("long").alias("sy"),
         )
     )
     C = sums.select(
