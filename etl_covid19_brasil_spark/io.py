@@ -378,8 +378,26 @@ def sink_csv_for_copy(
     Executing it is the operator's database half; tests stand in Derby's
     bulk importer (SYSCS_UTIL.SYSCS_IMPORT_TABLE, the same
     one-call-per-file shape) for the unreachable Postgres.
+
+    Contract: ``path`` must be a LOCAL filesystem directory and the
+    write must be uncompressed — the part enumeration (and psql's
+    ``\\copy``, which reads client-side files) happens on the driver's
+    local disk. For an object-store landing zone, list parts with the
+    store's own API and load server-side (``COPY FROM PROGRAM`` / aws_s3
+    extension); that is a different operator. An empty-script result for
+    a non-empty ``df`` raises rather than silently emitting a zero-row
+    load.
     """
-    out = df.coalesce(num_partitions) if num_partitions else df
+    # Bound the FILE COUNT without bounding compute: coalesce(n)
+    # propagates upstream (the whole job would run on n tasks), so only
+    # use it when it strictly reduces partitions; otherwise shuffle via
+    # repartition so the upstream computation keeps its parallelism and
+    # only the write fans in.
+    if num_partitions:
+        current = df.rdd.getNumPartitions()
+        out = df.coalesce(num_partitions) if num_partitions >= current else df.repartition(num_partitions)
+    else:
+        out = df
     (
         out.write.mode(mode)
         .option("header", "false")
@@ -387,11 +405,20 @@ def sink_csv_for_copy(
         .option("escape", '"')
         .option("nullValue", "")
         .option("emptyValue", '""')
+        .option("compression", "none")
         .csv(path)
     )
     from pathlib import Path as _P
 
     parts = sorted(p for p in _P(path).glob("part-*.csv"))
+    if not parts and not df.isEmpty():
+        raise FileNotFoundError(
+            f"sink_csv_for_copy: wrote a non-empty DataFrame but found no "
+            f"part-*.csv under {path!r} — the path is not a local "
+            f"filesystem directory (s3a/hdfs need store-side listing) or "
+            f"a compression codec renamed the parts. Refusing to emit an "
+            f"empty load script."
+        )
     # script lands NEXT TO the csv dir, not inside it — the landing dir
     # must stay cleanly re-scannable (a .sql file inside would pollute
     # any downstream spark.read.csv over the directory)
@@ -404,15 +431,40 @@ def sink_csv_for_copy(
     return str(script)
 
 
-def jdbc_execute(spark: SparkSession, url: str, statements: list[str]) -> None:
+def jdbc_execute(
+    spark: SparkSession,
+    url: str,
+    statements: list[str],
+    properties: dict[str, str] | None = None,
+) -> None:
     """Run raw SQL/CALL statements over a JDBC connection via the
     driver JVM — the escape hatch for database-side DDL and bulk-load
     procedures that Spark's JDBC writer cannot express (e.g. Derby's
     ``SYSCS_UTIL.SYSCS_IMPORT_TABLE``, Postgres ``COPY``). Driver-side
     and sequential by design: these are O(1)-per-table admin calls, not
-    data movement."""
+    data movement.
+
+    ``properties`` mirrors scan_jdbc: ``driver`` names the JDBC driver
+    class to load before connecting (required for non-autoloaded
+    drivers like org.postgresql.Driver); the rest (``user``,
+    ``password``, ...) ride the connection as java.util.Properties.
+    Pass ``jdbc_target(...)``'s properties dict straight through.
+    """
     jvm = spark.sparkContext._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    props = dict(properties or {})
+    driver_class = props.pop("driver", None)
+    if driver_class:
+        # DriverManager only sees drivers its classloader has touched;
+        # Class.forName registers the named driver first (same contract
+        # as Spark's own JDBC source "driver" option).
+        jvm.java.lang.Class.forName(driver_class)
+    if props:
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            jprops.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
         try:

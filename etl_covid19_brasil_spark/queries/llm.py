@@ -686,6 +686,12 @@ def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Shared with scripts/skew_check.py's output-contract check (rows ==
+# n_queries * k on the degenerate single-bucket cloud) so the probe
+# cannot drift from the query if k changes.
+ANN_LSH_TOPK_K = 5
+
+
 @query(
     "ann_lsh_topk",
     oracle=None,  # approximate by construction -> rows-only
@@ -701,7 +707,7 @@ def knn_classify(spark: SparkSession, sf: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import lsh_topk
 
-    return lsh_topk(T(spark, sf, "embeddings"), k=5)
+    return lsh_topk(T(spark, sf, "embeddings"), k=ANN_LSH_TOPK_K)
 
 
 @query(

@@ -127,8 +127,16 @@ def main() -> None:
         print(f"# {name}: {t:.1f}s, {n} rows", file=sys.stderr)
         if name == "ann_lsh_topk":
             # contract on the degenerate cloud: every vector has >= k
-            # near-perfect neighbors in its (only) bucket
-            assert n == args.n_emb * 5, (n, args.n_emb)
+            # near-perfect neighbors in its (only) bucket. k is the
+            # query's own constant (not a probe-local literal) and the
+            # check raises (assert would vanish under python -O).
+            from etl_covid19_brasil_spark.queries.llm import ANN_LSH_TOPK_K
+
+            if n != args.n_emb * ANN_LSH_TOPK_K:
+                raise SystemExit(
+                    f"ann_lsh_topk contract violated: {n} rows != "
+                    f"{args.n_emb} queries * k={ANN_LSH_TOPK_K}"
+                )
     print(json.dumps({"probes": probes, "n_emb": args.n_emb, "hot_frac": args.hot_frac}))
     shutil.rmtree(big, ignore_errors=True)
 
