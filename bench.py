@@ -26,7 +26,16 @@ that is comparable round-over-round:
   2. n>=3 timed runs per query, MIN reported (min is robust to
      one-sided contention noise; mean is not);
   3. treat a per-query delta within ±10% of the previous round as
-     noise unless the query's code path changed.
+     noise unless the query's code path changed;
+  4. the artifact also records per-query {min, median, max} under
+     "spread" (r10+): min<<max with a stable median classifies a
+     one-sided contention outlier; min~median~max uniformly higher
+     flags a real plan change — no rerun needed to tell them apart.
+
+HEADLINE SET IS FROZEN as of r10 at the r09 twenty-four (the relational
+core + LLM-data scale paths + the r9 heavy tier + etl_covid_pipeline)
+so round-over-round totals are comparable again; any future additions
+go under a separate non-headline key, never into "queries".
 """
 
 from __future__ import annotations
@@ -174,13 +183,16 @@ def main() -> None:
     sf_val = float(sf_num) if sf_num.replace(".", "").isdigit() else 0.1
     _covid_csv(sf_val)  # untimed synthesis/cache
 
-    def timed(build) -> float:
-        """Best-of-N steady-state EXECUTION time (the r01 convention:
+    def timed(build) -> list[float]:
+        """All N steady-state EXECUTION timings (the r01 convention:
         query construction stays untimed so numbers remain comparable
         round-over-round; execution dominates at scale anyway). Every
         HEADLINE builder is lazy — a builder that materialized eagerly
-        would have to move inside the timer."""
-        best = float("inf")
+        would have to move inside the timer. The caller keeps min as
+        the headline and records {min, median, max} so a contended-box
+        outlier is classifiable from the artifact alone (r9: the driver
+        env showed stream_static_enrich +26% that a quiet box did not)."""
+        runs: list[float] = []
         for _ in range(BENCH_RUNS):
             # Collect garbage OUTSIDE the timed region: accumulated heap
             # from earlier queries otherwise triggers GC pauses inside
@@ -191,13 +203,14 @@ def main() -> None:
             df = build()
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        return runs
 
     # One broken query must not zero the whole round's bench artifact
     # (r03/r04 lost ALL timings to a single AnalysisException): each
     # query records null on failure and the run continues.
     timings: dict[str, float | None] = {}
+    spread: dict[str, dict[str, float]] = {}
     failed: list[str] = []
 
     def run_one(name: str, build) -> None:
@@ -210,7 +223,19 @@ def main() -> None:
             # this: a cold driver VM, not slower plans).
             spark.catalog.clearCache()
             build().write.format("noop").mode("overwrite").save()
-            timings[name] = timed(build)
+            runs = sorted(timed(build))
+            # queries values stay plain seconds (min) — the driver's
+            # artifact contract; the spread rides a sibling key so a
+            # driver-box outlier (e.g. r9 stream_static_enrich +26% in
+            # the driver env only) is classifiable without a rerun:
+            # min<<max with a stable median = one-sided contention,
+            # min~median~max all higher = a real plan change.
+            timings[name] = round(runs[0], 3)
+            spread[name] = {
+                "min": round(runs[0], 3),
+                "median": round(runs[len(runs) // 2], 3),
+                "max": round(runs[-1], 3),
+            }
         except Exception as exc:  # noqa: BLE001 — record and continue
             timings[name] = None
             failed.append(name)
@@ -254,6 +279,7 @@ def main() -> None:
                 "value": round(sum(t for t in timings.values() if t is not None), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "failed": failed,
                 "sf": sf_val,
                 "prev_round": prev_file,
