@@ -121,6 +121,49 @@ def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "win_running_sum_chunked",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS running_spend
+    FROM orders
+    """,
+    section="2.5",
+    doc="win_running_sum under key skew: the two-pass chunk-prefix "
+    "rewrite (operators/chunked_window.py). A plain window sorts each "
+    "key inside ONE task — a key owning 50% of a 100 TB log makes that "
+    "task sort 50 TB and AQE cannot split a window partition. Here "
+    "range partitioning on (key, order) splits the hot key across "
+    "partitions, each chunk computes a local prefix sum, and per-key "
+    "offsets (<= n_partitions - 1 spanning keys, O(#partitions) "
+    "broadcast regardless of key cardinality) stitch chunks into the "
+    "exact window result — bit-identical because the cents accumulator "
+    "is associative and (o_orderdate, o_orderkey) totally orders each "
+    "key. Same oracle as win_running_sum; skew envelope measured in "
+    "scripts/skew_check.py --window.",
+)
+def win_running_sum_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_running_sum
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents("o_totalprice").alias("p_cents")
+    )
+    out = chunked_running_sum(
+        o,
+        keys=["o_custkey"],
+        order=["o_orderdate", "o_orderkey"],
+        value="p_cents",
+        out="spend_cents",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("spend_cents").cast("double") / F.lit(100.0)).alias("running_spend"),
+    )
+
+
+@query(
     "win_moving_avg",
     oracle=f"""
     SELECT o_custkey, o_orderkey,

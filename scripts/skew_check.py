@@ -104,15 +104,126 @@ def build_degenerate_dir(spark, n_emb: int, hot_frac: float) -> str:
     return str(out)
 
 
+def build_hot_window_dir(spark, hot_frac: float) -> str:
+    """Derived corpus for the WINDOW-family probe: ONE partition key owns
+    ``hot_frac`` of the fact rows — the single-task-sort shape that volume
+    replicas (scale_check.py) can never produce, because a window
+    partition cannot be split by AQE the way a skewed join can.
+
+    - orders: hot_frac of rows remapped onto one o_custkey (the
+      win_running_sum / scd2_dimension_build partition key);
+    - events: hot_frac of rows remapped onto one user_id (the
+      win_sessionize_events partition key; events_active_users_rolling
+      groups by day, so the hot user probes its distinct pre-aggregate).
+
+    Rewriting events through Spark turns its TIMESTAMP(NANOS) column
+    into plain micros — load_table passes that through unchanged.
+    """
+    out = Path(tempfile.mkdtemp(prefix="skewwin_"))
+    o = load_table(spark, BASE, "orders")
+    hot_cust = o.agg(F.min("o_custkey")).first()[0]
+    o.withColumn(
+        "o_custkey",
+        F.when(
+            F.pmod(F.xxhash64("o_orderkey"), 1000) < int(hot_frac * 1000),
+            F.lit(hot_cust),
+        ).otherwise(F.col("o_custkey")),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+
+    e = load_table(spark, BASE, "events")
+    hot_user = e.agg(F.min("user_id")).first()[0]
+    e.withColumn(
+        "user_id",
+        F.when(
+            F.pmod(F.xxhash64("event_id"), 1000) < int(hot_frac * 1000),
+            F.lit(hot_user),
+        ).otherwise(F.col("user_id")),
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem",
+              "documents", "embeddings"):
+        src = Path(BASE) / f"{t}.parquet"
+        dst = out / f"{t}.parquet"
+        if src.is_dir():
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    return str(out)
+
+
+WINDOW_QUERIES = (
+    "win_running_sum",
+    "win_running_sum_chunked",
+    "scd2_dimension_build",
+    "win_sessionize_events",
+    "events_active_users_rolling",
+)
+
+
+def run_window_probes(spark, specs, hot_frac: float) -> dict:
+    """Time the window family on the hot-key corpus and assert the
+    chunk-prefix rewrite is bit-identical to the plain window ON the
+    adversarial shape itself (the sf-corpus equality is already oracle-
+    checked; this is the shape the rewrite exists for)."""
+    hot = build_hot_window_dir(spark, hot_frac)
+    probes = {}
+    for name in WINDOW_QUERIES:
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        n = specs[name].spark(spark, hot).count()
+        t = time.monotonic() - t0
+        probes[name] = {"t": round(t, 2), "rows": n}
+        print(f"# {name}: {t:.1f}s, {n} rows", file=sys.stderr)
+
+    plain = specs["win_running_sum"].spark(spark, hot)
+    chunked = specs["win_running_sum_chunked"].spark(spark, hot)
+    diff = (
+        plain.alias("p")
+        .join(chunked.alias("c"), ["o_custkey", "o_orderkey"], "full")
+        .filter(
+            F.col("p.running_spend").isNull()
+            | F.col("c.running_spend").isNull()
+            | (F.col("p.running_spend") != F.col("c.running_spend"))
+        )
+        .count()
+    )
+    if diff != 0:
+        raise SystemExit(
+            f"chunked running sum diverges from plain window on the "
+            f"hot-key corpus: {diff} mismatched rows"
+        )
+    probes["chunked_vs_plain_mismatches"] = {"t": 0.0, "rows": diff}
+    shutil.rmtree(hot, ignore_errors=True)
+    return probes
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-emb", type=int, default=20000)
     ap.add_argument("--hot-frac", type=float, default=0.2)
     ap.add_argument(
+        "--window",
+        action="store_true",
+        help="probe the window family on a one-hot-partition-key corpus "
+        "(default probes cover dedup/ANN/join shapes)",
+    )
+    ap.add_argument(
+        "--window-hot-frac",
+        type=float,
+        default=0.5,
+        help="fraction of fact rows owned by the single hot window key",
+    )
+    ap.add_argument(
         "--queries",
         default="ann_lsh_topk,exact_dedup,dedup_cross_source,join_skew_salted,near_dedup_minhash",
     )
     args = ap.parse_args()
+    if args.window:
+        spark = get_spark(app_name="skew-check-window")
+        spark.sparkContext.setLogLevel("ERROR")
+        probes = run_window_probes(spark, registry.all_specs(), args.window_hot_frac)
+        print(json.dumps({"probes": probes, "hot_frac": args.window_hot_frac}))
+        return
     spark = get_spark(app_name="skew-check")
     spark.sparkContext.setLogLevel("ERROR")
     big = build_degenerate_dir(spark, args.n_emb, args.hot_frac)

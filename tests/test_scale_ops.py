@@ -584,3 +584,71 @@ def test_ann_bucket_kernel_chunking_is_bit_identical():
 
     assert len(whole) == n * 5
     assert key(chunked) == key(whole)
+
+
+# --- chunked running sum (hot window key) ----------------------------------
+
+
+def test_chunked_running_sum_equals_plain_window_under_skew(spark):
+    """The two-pass chunk-prefix rewrite must be bit-identical to the
+    plain window ON the shape it exists for: one key owning half the
+    rows (a window partition AQE cannot split). Synthetic frame so the
+    hot fraction is exact and the test is independent of testdata."""
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_running_sum
+
+    n = 20_000
+    df = spark.range(n).select(
+        # key 0 owns 50% of rows; the rest spread over 1000 keys
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+        .alias("k"),
+        F.col("id").alias("seq"),  # unique tiebreaker -> total order per key
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10_000))).alias("v"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plain = df.withColumn("rs", F.sum("v").over(w))
+    # num_partitions=8 forces the hot key to span several chunks
+    chunked = chunked_running_sum(
+        df, keys=["k"], order=["seq"], value="v", out="rs", num_partitions=8
+    )
+    assert chunked.columns == df.columns + ["rs"]
+    mism = (
+        plain.select("k", "seq", "rs")
+        .join(chunked.select("k", "seq", F.col("rs").alias("rs2")), ["k", "seq"], "full")
+        .filter(
+            F.col("rs").isNull() | F.col("rs2").isNull() | (F.col("rs") != F.col("rs2"))
+        )
+        .count()
+    )
+    assert mism == 0
+
+
+def test_chunked_running_sum_splits_hot_key_across_partitions(spark):
+    """Structural half of the skew claim: range partitioning on
+    (key, order) actually SPLITS the hot key — the per-task sort bound
+    is the partition, not the key. (A hash partitioner can never split
+    a key, which is exactly the plain window's failure mode.)"""
+    from etl_covid19_brasil_spark.operators.chunked_window import _PID
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)) + 1)
+        .alias("k"),
+        F.col("id").alias("seq"),
+        F.lit(1).alias("v"),
+    )
+    src = df.repartitionByRange(8, "k", "seq").withColumn(_PID, F.spark_partition_id())
+    hot_chunks = src.filter(F.col("k") == 0).select(_PID).distinct().count()
+    assert hot_chunks >= 3, f"hot key landed in only {hot_chunks} partitions"
+    # and the largest chunk is far below the hot key's 10k rows
+    biggest = (
+        src.groupBy(_PID).count().agg(F.max("count")).first()[0]
+    )
+    assert biggest < 6_000, f"largest range partition holds {biggest} rows"
