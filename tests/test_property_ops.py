@@ -220,3 +220,194 @@ def test_range_join_matches_naive_theta_join(spark_global, points, intervals, wi
         .collect()
     )
     assert got == want
+
+
+# --- SCD2 / CDC / interval family vs pure-Python folds ---------------------
+#
+# These drive the REGISTERED queries (the real code path, not a test-local
+# copy): each example writes its generated change stream as orders.parquet
+# in a temp dir and calls the query on that dir. The generated shapes are
+# the high-semantic-risk ones: duplicate change timestamps, same-day
+# flip-flops, tombstone-last streams, touching-vs-overlapping interval
+# boundaries.
+
+import datetime as _dt
+import shutil as _shutil
+import tempfile as _tempfile
+
+_EPOCH = _dt.datetime(2020, 1, 1)
+
+# (custkey 0-2, day 0-5, priority from a 2-letter alphabet): tiny domains
+# force same-day ties and flip-flop runs constantly
+_scd2_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5), st.sampled_from(["A", "B"])),
+    min_size=1, max_size=20,
+)
+
+
+def _write_orders(spark, rows):
+    """rows: [(custkey, day, priority)] -> temp dir with orders.parquet
+    (o_orderkey = list index: unique, the deterministic tie-breaker)."""
+    d = _tempfile.mkdtemp(prefix="prop_orders_")
+    pd.DataFrame(
+        {
+            "o_orderkey": range(len(rows)),
+            "o_custkey": [k for k, _, _ in rows],
+            "o_orderstatus": "O",
+            "o_totalprice": [float(k * 10 + day) for k, day, _ in rows],
+            "o_orderdate": [_EPOCH + _dt.timedelta(days=day) for _, day, _ in rows],
+            "o_orderpriority": [p for _, _, p in rows],
+        }
+        # micros, not pandas' default nanos — TIMESTAMP(NANOS) parquet is
+        # only readable through load_table's events-specific legacy path
+    ).astype({"o_orderdate": "datetime64[us]"}).to_parquet(f"{d}/orders.parquet")
+    return d
+
+
+def _scd2_fold(rows):
+    """Independent SCD2 compress: lag-compare over (date, orderkey) order,
+    then version/valid_to per key. Returns {(key, version): (priority,
+    valid_from_day, valid_to_day|None, is_current)}."""
+    per_key: dict[int, list] = {}
+    for okey, (k, day, pr) in enumerate(rows):
+        per_key.setdefault(k, []).append((day, okey, pr))
+    out = {}
+    for k, rws in per_key.items():
+        rws.sort()
+        transitions = [
+            (day, okey, pr)
+            for i, (day, okey, pr) in enumerate(rws)
+            if i == 0 or pr != rws[i - 1][2]
+        ]
+        for i, (day, okey, pr) in enumerate(transitions):
+            nxt = transitions[i + 1][0] if i + 1 < len(transitions) else None
+            out[(k, i + 1)] = (pr, day, nxt, nxt is None)
+    return out
+
+
+@given(rows=_scd2_rows)
+@PROP
+def test_scd2_dimension_build_matches_fold(spark_global, rows):
+    from etl_covid19_brasil_spark import registry
+
+    spark = spark_global
+    d = _write_orders(spark, rows)
+    try:
+        got = {
+            (r["o_custkey"], r["version"]): (
+                r["priority"],
+                (r["valid_from"] - _EPOCH).days,
+                None if r["valid_to"] is None else (r["valid_to"] - _EPOCH).days,
+                r["is_current"],
+            )
+            for r in registry.all_specs()["scd2_dimension_build"].spark(spark, d).collect()
+        }
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+    assert got == _scd2_fold(rows)
+
+
+@given(rows=_scd2_rows)
+@PROP
+def test_scd2_asof_lookup_matches_fold(spark_global, rows):
+    """Every fact (event at its order date + 30d) must land in exactly
+    the dimension version effective then — half-open [from, to) ranges,
+    open-ended current row."""
+    from etl_covid19_brasil_spark import registry
+
+    spark = spark_global
+    d = _write_orders(spark, rows)
+    try:
+        got = sorted(
+            (r["fact_key"], r["o_custkey"], r["priority"], r["version"])
+            for r in registry.all_specs()["scd2_asof_lookup"].spark(spark, d).collect()
+        )
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+    dim = _scd2_fold(rows)  # {(key, version): (pr, from_day, to_day|None, cur)}
+    want = []
+    for okey, (k, day, _pr) in enumerate(rows):
+        ed = day + 30
+        for (kk, version), (pr, frm, to, _cur) in dim.items():
+            if kk == k and frm <= ed and (to is None or ed < to):
+                want.append((okey, k, pr, version))
+    assert got == sorted(want)
+
+
+# CDC: op is derived from o_orderkey % 10 (D / U / I), seq = o_orderkey.
+# Generating the custkey list and deriving keys 0..n-1 as orderkeys means
+# hypothesis controls which op each key's LAST change is — including
+# tombstone-last (key vanishes) and tombstone-then-reinsert orders.
+_cdc_rows = st.lists(st.integers(0, 3), min_size=1, max_size=25)
+
+
+@given(custkeys=_cdc_rows)
+@PROP
+def test_cdc_apply_changes_matches_fold(spark_global, custkeys):
+    from etl_covid19_brasil_spark import registry
+
+    spark = spark_global
+    rows = [(k, 0, "A") for k in custkeys]  # day/priority unused by CDC
+    d = _write_orders(spark, rows)
+    try:
+        got = {
+            r["key"]: (r["applied_seq"], r["last_op"], r["val_cents"])
+            for r in registry.all_specs()["cdc_apply_changes"].spark(spark, d).collect()
+        }
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+    want = {}
+    for k in set(custkeys):
+        seq = max(okey for okey, kk in enumerate(custkeys) if kk == k)
+        op = "D" if seq % 10 == 0 else ("U" if seq % 10 < 4 else "I")
+        if op != "D":
+            want[k] = (seq, op, round((k * 10 + 0) * 100))
+    assert got == want
+
+
+# Interval merge: interval = [orderdate, orderdate + orderkey%20 days].
+# Day domain 0-5 with widths 0-19 makes touching (s == running max e),
+# contained, and overlapping intervals all common.
+@given(rows=_scd2_rows)
+@PROP
+def test_win_interval_merge_matches_fold(spark_global, rows):
+    from etl_covid19_brasil_spark import registry
+
+    spark = spark_global
+    d = _write_orders(spark, rows)
+    try:
+        got = sorted(
+            (
+                r["o_custkey"],
+                r["island"],
+                (r["merged_from"] - _EPOCH.date()).days,
+                (r["merged_to"] - _EPOCH.date()).days,
+                r["n_intervals"],
+            )
+            for r in registry.all_specs()["win_interval_merge"].spark(spark, d).collect()
+        )
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+    per_key: dict[int, list] = {}
+    for okey, (k, day, _pr) in enumerate(rows):
+        per_key.setdefault(k, []).append((day, day + okey % 20))
+    want = []
+    for k, ivs in per_key.items():
+        ivs.sort()
+        island, max_e = 0, None
+        cur = None  # (from, to, count)
+        for s, e in ivs:
+            if max_e is not None and s > max_e:
+                want.append((k, island, *cur))
+                island += 1
+                cur = None
+            if cur is None:
+                cur = (s, e, 1)
+            else:
+                cur = (min(cur[0], s), max(cur[1], e), cur[2] + 1)
+            max_e = e if max_e is None else max(max_e, e)
+        want.append((k, island, *cur))
+    assert got == sorted(want)
