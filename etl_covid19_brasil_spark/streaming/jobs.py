@@ -17,6 +17,7 @@ are dropped instead of growing state forever.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from pathlib import Path
@@ -401,19 +402,30 @@ def static_enrich_segment_sums(
 
 
 def file_replay_stream_split(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession, sf_dir: str, n_files: int = 4, stage_dir: str | None = None
 ) -> DataFrame:
     """Like :func:`file_replay_stream`, but stages the events as
     ``n_files`` TIME-ORDERED slices so the replay produces that many
     micro-batches with an advancing watermark — required to exercise
     event-time TIMERS, which only fire when a later batch's watermark
     passes their expiry (a single-batch replay never fires any).
+
+    ``stage_dir`` pins the staging location; if it already holds the
+    staged slices they are reused verbatim. Required for checkpointed
+    RESTART tests: the file-source checkpoint records processed files by
+    absolute path, so a resume must see the same staging dir (a fresh
+    tempdir would make every slice look unseen and replay from scratch).
     """
     import shutil
 
     from pyspark.sql.window import Window
 
     from etl_covid19_brasil_spark.io import load_table
+
+    if stage_dir is not None:
+        staged = Path(stage_dir)
+        if sorted(staged.glob("slice_*.parquet")):
+            return _slice_stream(spark, staged)
 
     # Spark-native staging (r7 — previously a full-table toPandas, the
     # last driver-transit in the tree): slice the fixture into
@@ -426,7 +438,10 @@ def file_replay_stream_split(
     sliced = ev.withColumn(
         "__slice", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
     )
-    stage = Path(tempfile.mkdtemp(prefix="events_stream_split_"))
+    stage = Path(stage_dir) if stage_dir is not None else Path(
+        tempfile.mkdtemp(prefix="events_stream_split_")
+    )
+    stage.mkdir(parents=True, exist_ok=True)
     for i in range(1, n_files + 1):
         tmp_i = stage / f"_tmp_{i}"
         (
@@ -438,6 +453,10 @@ def file_replay_stream_split(
         part = next(Path(tmp_i).glob("part-*.parquet"))
         part.rename(stage / f"slice_{i - 1:03d}.parquet")
         shutil.rmtree(tmp_i)
+    return _slice_stream(spark, stage)
+
+
+def _slice_stream(spark: SparkSession, stage: Path) -> DataFrame:
     schema = spark.read.parquet(str(stage / "slice_000.parquet")).schema
     stream = (
         spark.readStream.schema(schema)
@@ -628,6 +647,10 @@ def run_foreach_batch_upsert(
     sf_dir: str,
     n_files: int = 4,
     timeout_seconds: float = 180.0,
+    checkpoint_dir: str | None = None,
+    store_root: str | None = None,
+    stage_dir: str | None = None,
+    crash_after_batch: int | None = None,
 ) -> DataFrame:
     """foreachBatch UPSERT sink: replay the events as ``n_files``
     time-ordered micro-batches and maintain a keyed parquet store of
@@ -650,10 +673,35 @@ def run_foreach_batch_upsert(
     bucketed on the key (io.py:merge_by_key); the per-batch winner cut
     keeps the store write proportional to |store| + |batch winners|,
     never the raw batch size.
+
+    Crash recovery (the contract a serving table actually needs): the
+    store pointer is a FILE (``<store_root>/CURRENT``, swapped with
+    os.replace) rather than process memory, so a killed writer leaves a
+    consistent store on disk; with ``checkpoint_dir`` set the replay
+    resumes from the engine checkpoint, and the sink is idempotent
+    per batch id — if the crash landed AFTER the pointer swap but
+    BEFORE the engine logged the batch (the at-least-once window), the
+    replayed batch sees ``CURRENT`` already at its own version and
+    skips. ``crash_after_batch`` injects exactly that worst-case crash
+    point for the fault-injection test (tests/test_streaming.py);
+    ``stage_dir`` must be pinned across the crash/restart pair because
+    the file-source checkpoint records processed slices by path.
     """
-    stream = file_replay_stream_split(spark, sf_dir, n_files)
-    root = Path(tempfile.mkdtemp(prefix="upsert_store_"))
-    current: list[Path] = []
+    stream = file_replay_stream_split(spark, sf_dir, n_files, stage_dir=stage_dir)
+    root = Path(store_root or tempfile.mkdtemp(prefix="upsert_store_"))
+    root.mkdir(parents=True, exist_ok=True)
+    pointer = root / "CURRENT"
+
+    def read_pointer() -> Path | None:
+        try:
+            return root / pointer.read_text().strip()
+        except OSError:
+            return None
+
+    def swap_pointer(new: Path) -> None:
+        tmp = root / "CURRENT.tmp"
+        tmp.write_text(new.name)
+        os.replace(tmp, pointer)  # atomic on POSIX: readers see old or new
 
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
@@ -667,33 +715,48 @@ def run_foreach_batch_upsert(
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_win = winners(
-            batch_df.select("user_id", "event_id", "ts", "event_type", "value")
-        )
-        if current:
-            merged = winners(
-                spark.read.parquet(str(current[0])).unionByName(batch_win)
-            )
-        else:
-            merged = batch_win
         new = root / f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(str(new))
-        old = current[:]
-        current.clear()
-        current.append(new)
-        for p in old:
-            shutil.rmtree(p, ignore_errors=True)
+        cur = read_pointer()
+        if cur is not None and cur.name == new.name:
+            # Replay of a batch whose effects already committed (crash in
+            # the window between pointer swap and engine offset log):
+            # exactly-once-per-batch-id means SKIP, not re-merge — the
+            # store already reflects this batch.
+            pass
+        else:
+            batch_win = winners(
+                batch_df.select("user_id", "event_id", "ts", "event_type", "value")
+            )
+            if cur is not None:
+                merged = winners(
+                    spark.read.parquet(str(cur)).unionByName(batch_win)
+                )
+            else:
+                merged = batch_win
+            merged.write.mode("overwrite").parquet(str(new))
+            swap_pointer(new)
+            if cur is not None and cur != new:
+                shutil.rmtree(cur, ignore_errors=True)
+        if crash_after_batch is not None and batch_id == crash_after_batch:
+            raise RuntimeError(
+                f"injected crash after batch {batch_id} store commit"
+            )
 
-    q = (
+    writer = (
         stream.writeStream.outputMode("append")
         .foreachBatch(sink)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     finished = q.awaitTermination(timeout_seconds)
     if not finished:
         q.stop()
         raise TimeoutError("foreachBatch upsert replay did not finish")
-    return spark.read.parquet(str(current[0])).select(
+    final = read_pointer()
+    if final is None:
+        raise RuntimeError("upsert replay committed no batches")
+    return spark.read.parquet(str(final)).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )

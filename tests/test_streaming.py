@@ -769,3 +769,52 @@ def test_foreach_batch_upsert_checkpoint_resume(spark, tmp_path):
     a = final.toPandas().sort_values(key).reset_index(drop=True)
     b = expected.toPandas().sort_values(key).reset_index(drop=True)
     assert a[["user_id", "event_id"]].equals(b[["user_id", "event_id"]])
+
+
+def test_foreach_batch_upsert_recovers_from_mid_stream_crash(spark, tmp_path):
+    """Kill-mid-batch fault injection (the r8 checkpoint-resume pin only
+    proved clean restart): the writer crashes AFTER batch 1's store
+    commit (pointer swapped) but BEFORE the engine logs the batch — the
+    at-least-once window. The restart replays batch 1 with the same
+    batch id; the sink's exactly-once-per-batch-id skip must apply it
+    zero more times, and the final store must equal the batch
+    latest-by-key oracle over the whole corpus — idempotent upsert
+    proven UNDER failure, not just replay."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.streaming.jobs import run_foreach_batch_upsert
+
+    sf = "/root/testdata/sf0.001"
+    kw = dict(
+        n_files=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_root=str(tmp_path / "store"),
+        stage_dir=str(tmp_path / "stage"),
+    )
+    with pytest.raises(Exception, match="injected crash after batch 1"):
+        run_foreach_batch_upsert(spark, sf, crash_after_batch=1, **kw)
+
+    # crash landed with batches 0-1 applied; the store on disk must
+    # already be consistent (pointer names an existing, readable store)
+    store = tmp_path / "store"
+    committed = (store / "CURRENT").read_text().strip()
+    assert committed == "v1"
+    assert (store / committed).is_dir()
+
+    # restart from the same checkpoint + stage: batch 1 replays (offset
+    # logged, commit not) and is skipped; batches 2-3 then apply
+    final = run_foreach_batch_upsert(spark, sf, **kw).toPandas()
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    a = _sorted(final)
+    b = _sorted(want)
+    assert len(a) > 0
+    assert a.equals(b)
