@@ -476,6 +476,59 @@ def jdbc_execute(
         conn.close()
 
 
+def pg_copy_load(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    script_path: str,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """Execute a ``sink_csv_for_copy`` load script against a REAL
+    Postgres — the database half of the COPY-parity bulk sink. psql's
+    ``\\copy`` is client-side (it streams a local file down the wire as
+    ``COPY ... FROM STDIN``); pgjdbc exposes exactly that path through
+    ``org.postgresql.copy.CopyManager``, so no file needs to be visible
+    to the server and no psql binary is required. One copyIn per part
+    file, same FORMAT csv / NULL '' / QUOTE/ESCAPE '"' options the
+    script declares. Returns total rows loaded.
+
+    Driver-side and sequential like jdbc_execute (per-part admin calls);
+    parallel database-side load = run parts over several connections.
+    """
+    import re
+
+    jvm = spark.sparkContext._jvm
+    props = dict(properties or {})
+    driver_class = props.pop("driver", "org.postgresql.Driver")
+    jvm.java.lang.Class.forName(driver_class)
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    total = 0
+    try:
+        base = conn.unwrap(jvm.java.lang.Class.forName("org.postgresql.core.BaseConnection"))
+        cm = jvm.org.postgresql.copy.CopyManager(base)
+        from pathlib import Path as _P
+
+        for line in _P(script_path).read_text().splitlines():
+            m = re.match(r"\\copy (\S+) FROM '([^']+)'", line)
+            if not m or m.group(1) != table:
+                continue
+            fis = jvm.java.io.FileInputStream(m.group(2))
+            try:
+                total += cm.copyIn(
+                    f"COPY {table} FROM STDIN WITH "
+                    f"(FORMAT csv, NULL '', QUOTE '\"', ESCAPE '\"')",
+                    fis,
+                )
+            finally:
+                fis.close()
+    finally:
+        conn.close()
+    return total
+
+
 def sink_fixed_width(
     df: DataFrame, path: str, widths: dict[str, int], mode: str = "overwrite"
 ) -> None:
