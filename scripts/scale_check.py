@@ -205,6 +205,49 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+def run_recall_probe(spark, replicas: int) -> dict:
+    """Recall@5 of each ANN tier against brute-force truth ON the
+    replica-scaled corpus — recall, like memory, can degrade with corpus
+    growth (auto-scaled plane/cell counts change the bucket geometry),
+    and the CI floors (tests/test_ann_recall.py) only pin it at sf0.01.
+    The scaled corpus is adversarial for recall by construction: each
+    replica is a dimension-roll of the base vectors, so near-neighbor
+    structure replicates without creating new easy clusters."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk, ivfpq_topk, lsh_topk
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    big = build_scaled_dir(spark, replicas)
+    emb = load_table(spark, big, "embeddings")
+    n = emb.count()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=5).collect()
+    }
+    from etl_covid19_brasil_spark.llm.ann import auto_n_cells
+
+    # the knob row: n_probe holding the sf0.01 probe FRACTION (10/16)
+    # against the grown cell count — quantifies the documented
+    # recall-for-compute trade on cluster-free vectors (ivf_topk
+    # docstring); the default row shows the fixed-probe envelope.
+    n_cells = auto_n_cells(n)
+    probe_held = max(10, round(0.625 * n_cells))
+    out = {"n_vectors": n, "n_cells": n_cells, "n_probe_held_fraction": probe_held}
+    for name, fn in (
+        ("ann_lsh_topk", lambda: lsh_topk(emb, k=5)),
+        ("ann_ivf_topk", lambda: ivf_topk(emb, k=5, n_probe=10)),
+        ("ann_ivf_topk_probe_held", lambda: ivf_topk(emb, k=5, n_probe=probe_held)),
+        ("ann_ivfpq_topk", lambda: ivfpq_topk(emb, k=5, n_probe=10)),
+        ("ann_ivfpq_topk_probe_held", lambda: ivfpq_topk(emb, k=5, n_probe=probe_held)),
+    ):
+        got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
+        r = len(got & truth) / len(truth)
+        out[name] = round(r, 4)
+        print(f"# {name}: recall@5 = {r:.4f} over {n} vectors", file=sys.stderr)
+    shutil.rmtree(big, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=8)
@@ -218,7 +261,19 @@ def main() -> None:
         action="store_true",
         help="keep the derived corpus dir after the run (default: delete)",
     )
+    ap.add_argument(
+        "--recall",
+        action="store_true",
+        help="measure ANN recall@5 vs brute-force truth on the scaled "
+        "corpus instead of timing the probe set",
+    )
     args = ap.parse_args()
+    if args.recall:
+        spark = get_spark(app_name="scale-check-recall")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = run_recall_probe(spark, args.replicas)
+        print(json.dumps({"recall": out, "replicas": args.replicas}))
+        return
     names = args.queries.split(",") if args.queries else QUERIES
     spark = get_spark(app_name="scale-check")
     big = build_scaled_dir(spark, args.replicas)
