@@ -122,6 +122,7 @@ def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "win_running_sum_chunked",
+    added=10,  # r10 — sorts AFTER the not-yet-driver-sampled backlog
     oracle=f"""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
