@@ -112,3 +112,106 @@ def chunked_running_sum(
         .withColumn(out, F.col(_LOCAL) + F.coalesce(F.col(_OFF), F.lit(0)))
         .drop(_PID, _LOCAL, _OFF)
     )
+
+
+def chunked_sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    gap_us: int,
+    out: str = "session_seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key-robust gaps-and-islands sessionization: exact
+    ``SUM(new_session) OVER (PARTITION BY key ORDER BY ts, tiebreak)``
+    where ``new_session`` flags a gap > ``gap_us`` microseconds to the
+    previous row — the chunk-prefix pattern extended to a LAG-dependent
+    flag. Proof that the running-sum rewrite generalizes beyond plain
+    aggregates (the SCALECHECK_r10 structural argument, implemented).
+
+    Mechanics on top of :func:`chunked_running_sum`'s layout:
+
+    - within each (partition, key) chunk, flags and prefix sums are the
+      ordinary single-pass window — the chunk's FIRST row provisionally
+      flags a new session (local lag is null);
+    - per-chunk boundary facts (first/last event time, provisional flag
+      total) reduce to one row per chunk — O(#chunks), map-side partial;
+    - a chunk whose key continues from an earlier partition corrects its
+      first-row flag against the PREDECESSOR chunk's last event time
+      (gap compare across the boundary) — a chunk-wide constant in
+      {0, -1} since the first row's flag sits in every local prefix;
+    - per-chunk offsets = prefix of CORRECTED flag totals over earlier
+      chunks of the same key. As with the running sum, only
+      boundary-spanning keys (<= n_partitions - 1) produce a nonzero
+      adjustment, so the broadcast stays O(#partitions) at any key
+      cardinality.
+
+    ``ts`` order must be totally ordered per key by (ts, tiebreak);
+    the gap compares integer microseconds exactly like the plain
+    formulation, so results are bit-identical.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    us = F.unix_micros(F.col(ts))
+    src = (
+        df.withColumn("__cw_us", us)
+        .repartitionByRange(n, F.col(key), F.col(ts), F.col(tiebreak))
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    chunk = Window.partitionBy(_PID, key).orderBy(ts, tiebreak)
+    gap = F.col("__cw_us") - F.lag("__cw_us").over(chunk)
+    flag = F.when(gap.isNull() | (gap > gap_us), F.lit(1)).otherwise(F.lit(0))
+    local = src.withColumn("__cw_flag", flag).withColumn(
+        _LOCAL,
+        F.sum("__cw_flag").over(chunk.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bounds = src.groupBy(_PID, key).agg(
+        F.min("__cw_us").alias("__cw_first_us"),
+        F.max("__cw_us").alias("__cw_last_us"),
+    )
+    flag_tot = local.groupBy(_PID, key).agg(F.sum("__cw_flag").alias("__cw_tot"))
+    spanning = (
+        bounds.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__cw_npid"))
+        .filter(F.col("__cw_npid") > 1)
+        .drop("__cw_npid")
+    )
+    w_key = Window.partitionBy(key).orderBy(_PID)
+    # first-row correction: a continuing chunk's provisional flag (1)
+    # becomes the real gap compare against the predecessor chunk's last
+    # event time; delta is 0 (genuine new session) or -1 (same session)
+    corr = (
+        bounds.join(spanning, [key])
+        .withColumn("__cw_prev_last", F.lag("__cw_last_us").over(w_key))
+        .withColumn(
+            "__cw_delta",
+            F.when(
+                F.col("__cw_prev_last").isNull()
+                | (F.col("__cw_first_us") - F.col("__cw_prev_last") > gap_us),
+                F.lit(0),
+            ).otherwise(F.lit(-1)),
+        )
+        .join(flag_tot, [_PID, key])
+        .withColumn("__cw_corr_tot", F.col("__cw_tot") + F.col("__cw_delta"))
+        .withColumn(
+            _OFF,
+            F.coalesce(
+                F.sum("__cw_corr_tot").over(
+                    w_key.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__cw_adj", F.col(_OFF) + F.col("__cw_delta"))
+        .filter(F.col("__cw_adj") != 0)
+        .select(_PID, key, "__cw_adj")
+    )
+    return (
+        local.join(F.broadcast(corr), [_PID, key], "left")
+        .withColumn(
+            out,
+            (F.col(_LOCAL) + F.coalesce(F.col("__cw_adj"), F.lit(0))).cast("long"),
+        )
+        .drop(_PID, _LOCAL, "__cw_us", "__cw_flag", "__cw_adj")
+    )

@@ -491,6 +491,52 @@ def win_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "win_sessionize_events_chunked",
+    added=10,  # r10 — sorts AFTER the not-yet-driver-sampled backlog
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+    FROM marked
+    """,
+    section="2.5",
+    doc="win_sessionize_events under key skew: the chunk-prefix rewrite "
+    "extended to a LAG-dependent flag (operators/chunked_window.py:"
+    "chunked_sessionize). Range partitioning on (user, ts, event_id) "
+    "splits a hot user across partitions; each chunk sessionizes "
+    "locally, then per-chunk boundary facts (first/last event time, "
+    "flag totals) correct the cross-boundary gap compare and stitch "
+    "session numbers — only boundary-spanning users (<= n_partitions-1) "
+    "adjust, so the broadcast is O(#partitions) at any user count. "
+    "Bit-identical to the plain window (same integer-microsecond gap "
+    "compare); same oracle as win_sessionize_events; skew envelope in "
+    "scripts/skew_check.py --window.",
+)
+def win_sessionize_events_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_sessionize
+
+    e = T(spark, sf, "events").select("user_id", "event_id", "ts")
+    return chunked_sessionize(
+        e, key="user_id", ts="ts", tiebreak="event_id", gap_us=30 * 60 * 1_000_000
+    ).select("user_id", "event_id", "session_seq")
+
+
+@query(
     "events_funnel_stages",
     oracle="""
     WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events

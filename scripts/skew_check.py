@@ -156,6 +156,7 @@ WINDOW_QUERIES = (
     "win_running_sum_chunked",
     "scd2_dimension_build",
     "win_sessionize_events",
+    "win_sessionize_events_chunked",
     "events_active_users_rolling",
 )
 
@@ -175,24 +176,30 @@ def run_window_probes(spark, specs, hot_frac: float) -> dict:
         probes[name] = {"t": round(t, 2), "rows": n}
         print(f"# {name}: {t:.1f}s, {n} rows", file=sys.stderr)
 
-    plain = specs["win_running_sum"].spark(spark, hot)
-    chunked = specs["win_running_sum_chunked"].spark(spark, hot)
-    diff = (
-        plain.alias("p")
-        .join(chunked.alias("c"), ["o_custkey", "o_orderkey"], "full")
-        .filter(
-            F.col("p.running_spend").isNull()
-            | F.col("c.running_spend").isNull()
-            | (F.col("p.running_spend") != F.col("c.running_spend"))
+    for plain_name, chunked_name, keys, val in (
+        ("win_running_sum", "win_running_sum_chunked",
+         ["o_custkey", "o_orderkey"], "running_spend"),
+        ("win_sessionize_events", "win_sessionize_events_chunked",
+         ["user_id", "event_id"], "session_seq"),
+    ):
+        plain = specs[plain_name].spark(spark, hot)
+        chunked = specs[chunked_name].spark(spark, hot)
+        diff = (
+            plain.alias("p")
+            .join(chunked.alias("c"), keys, "full")
+            .filter(
+                F.col(f"p.{val}").isNull()
+                | F.col(f"c.{val}").isNull()
+                | (F.col(f"p.{val}") != F.col(f"c.{val}"))
+            )
+            .count()
         )
-        .count()
-    )
-    if diff != 0:
-        raise SystemExit(
-            f"chunked running sum diverges from plain window on the "
-            f"hot-key corpus: {diff} mismatched rows"
-        )
-    probes["chunked_vs_plain_mismatches"] = {"t": 0.0, "rows": diff}
+        if diff != 0:
+            raise SystemExit(
+                f"{chunked_name} diverges from {plain_name} on the "
+                f"hot-key corpus: {diff} mismatched rows"
+            )
+        probes[f"{chunked_name}_vs_plain_mismatches"] = {"t": 0.0, "rows": diff}
     shutil.rmtree(hot, ignore_errors=True)
     return probes
 

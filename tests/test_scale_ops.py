@@ -652,3 +652,55 @@ def test_chunked_running_sum_splits_hot_key_across_partitions(spark):
         src.groupBy(_PID).count().agg(F.max("count")).first()[0]
     )
     assert biggest < 6_000, f"largest range partition holds {biggest} rows"
+
+
+def test_chunked_sessionize_equals_plain_window_under_skew(spark):
+    """The lag-dependent extension of the chunk-prefix rewrite: session
+    numbering must be bit-identical to the plain window on a 50%-hot
+    user whose events span several range partitions — including the
+    cross-boundary gap compares the per-chunk correction exists for."""
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_sessionize
+
+    n, gap_us = 20_000, 60 * 1_000_000  # 1-minute gap
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(500)) + 1)
+        .alias("user_id"),
+        F.col("id").alias("event_id"),
+        # irregular inter-event gaps straddling the 60s threshold:
+        # pmod(hash) in [0, 120] seconds ensures flags flip constantly
+        F.timestamp_micros(
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(240)) * 500_000
+        ).alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = us - F.lag(us).over(w)
+    flag = F.when(g.isNull() | (g > gap_us), F.lit(1)).otherwise(F.lit(0))
+    plain = df.select(
+        "user_id",
+        "event_id",
+        F.sum(flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("seq"),
+    )
+    chunked = chunked_sessionize(
+        df, key="user_id", ts="ts", tiebreak="event_id", gap_us=gap_us,
+        out="seq2", num_partitions=8,
+    )
+    mism = (
+        plain.join(
+            chunked.select("user_id", "event_id", "seq2"),
+            ["user_id", "event_id"],
+            "full",
+        )
+        .filter(
+            F.col("seq").isNull()
+            | F.col("seq2").isNull()
+            | (F.col("seq") != F.col("seq2"))
+        )
+        .count()
+    )
+    assert mism == 0
