@@ -215,3 +215,131 @@ def chunked_sessionize(
         )
         .drop(_PID, _LOCAL, "__cw_us", "__cw_flag", "__cw_adj")
     )
+
+
+def chunked_scd2(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ts: str,
+    tiebreak: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key-robust SCD Type-2 compression: collapse a per-key change
+    stream into (key, value, valid_from, valid_to, is_current, version)
+    effective-date ranges — exact equivalent of the lag-compare →
+    filter → lead/row_number plain-window build
+    (queries/windows.py:scd2_dimension_build), completing the window
+    family's chunk-prefix rewrites.
+
+    Pass 1 is :func:`chunked_sessionize`'s machinery with a
+    VALUE-CHANGE flag instead of a time-gap flag: each chunk flags
+    transitions locally (first row provisionally a transition), chunk
+    boundary facts carry the predecessor chunk's LAST value so a
+    continuing chunk's first row keeps or drops its flag, and corrected
+    flag prefixes number each key's transitions 1..n — the version
+    column — without any per-key single-task sort.
+
+    Pass 2 needs each transition's ``valid_to`` = the NEXT transition's
+    timestamp. Because versions are corrected to be CONTIGUOUS per key,
+    that is a plain self equi-join on (key, version+1) — one hash
+    shuffle on a composite key that subdivides hot keys by version, no
+    window, no cross-chunk lead bookkeeping; a missing successor marks
+    the open-ended current row. This is the trick that keeps pass 2
+    skew-free for free.
+
+    Unlike the running-sum/sessionize rewrites the offsets here cannot
+    be pruned to spanning keys only — every chunk-first row needs the
+    predecessor's last value to settle its own flag — so the correction
+    table is O(#chunks) = O(#partitions + #keys present) rows. It joins
+    back by (pid, key) hash join; Spark broadcasts it when it fits and
+    falls back to a shuffle join when a corpus has too many distinct
+    keys for the driver, either of which is skew-safe.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    src = (
+        df.repartitionByRange(n, F.col(key), F.col(ts), F.col(tiebreak))
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    chunk = Window.partitionBy(_PID, key).orderBy(ts, tiebreak)
+    prev_val = F.lag(value).over(chunk)
+    flag = F.when(prev_val.isNull() | (prev_val != F.col(value)), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    local = (
+        src.withColumn("__cw_flag", flag)
+        .withColumn("__cw_rn", F.row_number().over(chunk))
+        .withColumn(
+            _LOCAL,
+            F.sum("__cw_flag").over(chunk.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    bounds = src.groupBy(_PID, key).agg(
+        F.expr(f"min_by({value}, struct({ts}, {tiebreak}))").alias("__cw_first_val"),
+        F.expr(f"max_by({value}, struct({ts}, {tiebreak}))").alias("__cw_last_val"),
+    )
+    flag_tot = local.groupBy(_PID, key).agg(F.sum("__cw_flag").alias("__cw_tot"))
+    w_key = Window.partitionBy(key).orderBy(_PID)
+    corr = (
+        bounds.join(flag_tot, [_PID, key])
+        .withColumn("__cw_prev_last", F.lag("__cw_last_val").over(w_key))
+        # chunk-first row's REAL flag: 1 unless it continues the
+        # predecessor chunk's final value
+        .withColumn(
+            "__cw_first_flag",
+            F.when(
+                F.col("__cw_prev_last").isNull()
+                | (F.col("__cw_prev_last") != F.col("__cw_first_val")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__cw_delta", F.col("__cw_first_flag") - F.lit(1))
+        .withColumn("__cw_corr_tot", F.col("__cw_tot") + F.col("__cw_delta"))
+        .withColumn(
+            _OFF,
+            F.coalesce(
+                F.sum("__cw_corr_tot").over(
+                    w_key.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(_PID, key, "__cw_first_flag", "__cw_delta", _OFF)
+    )
+    rows = (
+        local.join(corr, [_PID, key])
+        .withColumn(
+            "__cw_real_flag",
+            F.when(F.col("__cw_rn") == 1, F.col("__cw_first_flag")).otherwise(
+                F.col("__cw_flag")
+            ),
+        )
+        .withColumn(
+            "version",
+            (F.col(_LOCAL) + F.col("__cw_delta") + F.col(_OFF)).cast("long"),
+        )
+    )
+    transitions = rows.filter(F.col("__cw_real_flag") == 1).select(
+        key, F.col(value), F.col(ts).alias("valid_from"), "version"
+    )
+    nxt = transitions.select(
+        F.col(key).alias("__cw_k2"),
+        (F.col("version") - 1).alias("__cw_v2"),
+        F.col("valid_from").alias("valid_to"),
+    )
+    return (
+        transitions.join(
+            nxt,
+            (F.col(key) == F.col("__cw_k2")) & (F.col("version") == F.col("__cw_v2")),
+            "left",
+        )
+        .select(
+            key,
+            value,
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "version",
+        )
+    )

@@ -404,6 +404,62 @@ def scd2_dimension_build(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "scd2_dimension_build_chunked",
+    added=10,  # r10 — sorts AFTER the not-yet-driver-sampled backlog
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_priority
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    transitions AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM changes
+      WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+    )
+    SELECT o_custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current,
+           CAST(row_number() OVER w2 AS BIGINT) AS version
+    FROM transitions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    section="2.5",
+    doc="scd2_dimension_build under key skew — the chunk-prefix rewrite "
+    "completing the window family (operators/chunked_window.py:"
+    "chunked_scd2). Pass 1 is the sessionize machinery with a value-"
+    "change flag: chunk-local transition detection, predecessor-chunk "
+    "last-value correction for each chunk's first row, corrected flag "
+    "prefixes as contiguous version numbers. Pass 2 exploits that "
+    "contiguity: valid_to is a plain self equi-join on (key, version+1) "
+    "— a composite key that subdivides hot keys, so NO per-key sort "
+    "exists anywhere in the plan. Same oracle as scd2_dimension_build; "
+    "bit-equality under a 50%-hot key pinned in tests/test_scale_ops.py "
+    "and the skew_check --window gate.",
+)
+def scd2_dimension_build_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_scd2
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return chunked_scd2(
+        o, key="o_custkey", value="o_orderpriority", ts="o_orderdate",
+        tiebreak="o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "version",
+    )
+
+
+@query(
     "win_rolling_median",
     oracle="""
     SELECT o_custkey, o_orderkey,

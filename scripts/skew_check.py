@@ -155,6 +155,7 @@ WINDOW_QUERIES = (
     "win_running_sum",
     "win_running_sum_chunked",
     "scd2_dimension_build",
+    "scd2_dimension_build_chunked",
     "win_sessionize_events",
     "win_sessionize_events_chunked",
     "events_active_users_rolling",
@@ -176,22 +177,27 @@ def run_window_probes(spark, specs, hot_frac: float) -> dict:
         probes[name] = {"t": round(t, 2), "rows": n}
         print(f"# {name}: {t:.1f}s, {n} rows", file=sys.stderr)
 
-    for plain_name, chunked_name, keys, val in (
+    for plain_name, chunked_name, keys, vals in (
         ("win_running_sum", "win_running_sum_chunked",
-         ["o_custkey", "o_orderkey"], "running_spend"),
+         ["o_custkey", "o_orderkey"], ["running_spend"]),
         ("win_sessionize_events", "win_sessionize_events_chunked",
-         ["user_id", "event_id"], "session_seq"),
+         ["user_id", "event_id"], ["session_seq"]),
+        ("scd2_dimension_build", "scd2_dimension_build_chunked",
+         ["o_custkey", "version"],
+         ["priority", "valid_from", "valid_to", "is_current"]),
     ):
         plain = specs[plain_name].spark(spark, hot)
         chunked = specs[chunked_name].spark(spark, hot)
+        mismatch = None
+        for val in vals:
+            cond = ~(
+                F.col(f"p.{val}").eqNullSafe(F.col(f"c.{val}"))
+            )
+            mismatch = cond if mismatch is None else (mismatch | cond)
         diff = (
             plain.alias("p")
             .join(chunked.alias("c"), keys, "full")
-            .filter(
-                F.col(f"p.{val}").isNull()
-                | F.col(f"c.{val}").isNull()
-                | (F.col(f"p.{val}") != F.col(f"c.{val}"))
-            )
+            .filter(mismatch)
             .count()
         )
         if diff != 0:
