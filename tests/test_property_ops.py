@@ -411,3 +411,111 @@ def test_win_interval_merge_matches_fold(spark_global, rows):
             max_e = e if max_e is None else max(max_e, e)
         want.append((k, island, *cur))
     assert got == sorted(want)
+
+
+# --- chunked-window rewrites vs plain-window folds -------------------------
+#
+# The fixed-shape equality tests (tests/test_scale_ops.py) pin one hot
+# distribution; these let hypothesis pick arbitrary key/order/value mixes
+# — including all-one-key, all-distinct-keys, duplicate order values, and
+# negative values — with a small partition count forcing every key to
+# span chunks.
+
+_cw_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10), st.integers(-5, 5)),
+    min_size=1, max_size=30,
+)
+
+
+@given(rows=_cw_rows)
+@PROP
+def test_chunked_running_sum_matches_fold(spark_global, rows):
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_running_sum
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(rows)],
+        "k long, t long, tb long, v long",
+    )
+    got = {
+        (r["k"], r["tb"]): r["rs"]
+        for r in chunked_running_sum(
+            df, keys=["k"], order=["t", "tb"], value="v", out="rs",
+            num_partitions=4,
+        ).collect()
+    }
+    want, acc = {}, {}
+    for k, t, tb, v in sorted(
+        ((k, t, i, v) for i, (k, t, v) in enumerate(rows)),
+        key=lambda r: (r[0], r[1], r[2]),
+    ):
+        acc[k] = acc.get(k, 0) + v
+        want[(k, tb)] = acc[k]
+    assert got == want
+
+
+@given(rows=_cw_rows, gap=st.sampled_from([1, 3, 7]))
+@PROP
+def test_chunked_sessionize_matches_fold(spark_global, rows, gap):
+    import datetime as dt
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_sessionize
+
+    spark = spark_global
+    base = dt.datetime(2020, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=t), i) for i, (k, t, _v) in enumerate(rows)],
+        "k long, ts timestamp, tb long",
+    )
+    gap_us = gap * 1_000_000
+    got = {
+        (r["k"], r["tb"]): r["session_seq"]
+        for r in chunked_sessionize(
+            df, key="k", ts="ts", tiebreak="tb", gap_us=gap_us, num_partitions=4
+        ).collect()
+    }
+    want = {}
+    prev_t, seq = {}, {}
+    for k, t, tb in sorted(
+        ((k, t, i) for i, (k, t, _v) in enumerate(rows)),
+        key=lambda r: (r[0], r[1], r[2]),
+    ):
+        if k not in prev_t or (t - prev_t[k]) * 1_000_000 > gap_us:
+            seq[k] = seq.get(k, 0) + 1
+        prev_t[k] = t
+        want[(k, tb)] = seq[k]
+    assert got == want
+
+
+@given(rows=_cw_rows)
+@PROP
+def test_chunked_scd2_matches_fold(spark_global, rows):
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_scd2
+
+    spark = spark_global
+    # value from a 2-letter alphabet derived from v's sign: flip-flops
+    df = spark.createDataFrame(
+        [(k, "A" if v >= 0 else "B", t, i) for i, (k, t, v) in enumerate(rows)],
+        "k long, val string, t long, tb long",
+    )
+    got = {
+        (r["k"], r["version"]): (r["val"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in chunked_scd2(
+            df, key="k", value="val", ts="t", tiebreak="tb", num_partitions=4
+        ).collect()
+    }
+    per_key = {}
+    for i, (k, t, v) in enumerate(rows):
+        per_key.setdefault(k, []).append((t, i, "A" if v >= 0 else "B"))
+    want = {}
+    for k, rws in per_key.items():
+        rws.sort()
+        tr = [
+            (t, val)
+            for j, (t, _i, val) in enumerate(rws)
+            if j == 0 or val != rws[j - 1][2]
+        ]
+        for j, (t, val) in enumerate(tr):
+            nxt = tr[j + 1][0] if j + 1 < len(tr) else None
+            want[(k, j + 1)] = (val, t, nxt, nxt is None)
+    assert got == want
