@@ -29,12 +29,19 @@ queries/analytics.py):
    tiebreaker, making the per-key order total — same argument as
    id_assign_contiguous).
 
-Cost vs the plain window: one extra aggregate over O(rows) that reduces
-to O(#chunks) immediately (map-side partial), one O(#keys)-row shuffle
-for the spanning-key filter, and a broadcast of <= 2(n-1) rows. What it
-buys: the per-task sort bound drops from O(hottest key) to
-O(partition), i.e. the operator's memory/straggler envelope no longer
-depends on the data's key distribution at all.
+Cost vs the plain window: the data crosses TWO full shuffles instead
+of one — the range partition plus the chunk window's required
+hash(partition_id, key) clustering (Spark cannot see that the range
+layout already clusters chunks) — BUT both are skew-free: the hot key
+hashes to many (pid, key) pairs, so no reducer receives more than a
+chunk. Plus one O(rows)->O(#chunks) map-side-partial aggregate, one
+O(#keys)-row shuffle for the spanning-key filter, and a broadcast of
+<= 2(n-1) rows (plan-pinned in tests/test_plans.py: the offsets join
+stays a BroadcastHashJoin and every data-sized exchange clusters on
+(pid, key), never the bare key). What it buys: the per-task sort bound
+drops from O(hottest key) to O(partition), i.e. the operator's
+memory/straggler envelope no longer depends on the data's key
+distribution at all.
 
 The ``localCheckpoint(eager=False)`` pins the sampled range boundaries
 so the chunk-prefix pass and the totals pass see identical partition

@@ -598,3 +598,19 @@ def test_top_k_per_group_partial_window_group_limit(spark, specs):
     exchange = phys.index("Exchange hashpartitioning")
     # explain prints top-down: Final above the Exchange above Partial
     assert final < exchange < partial, phys
+
+
+def test_chunked_running_sum_plan_shape(spark, specs):
+    """The chunk-prefix rewrite's scale claims, pinned in the plan:
+    (1) the per-key offsets reach the data through a BroadcastHashJoin
+    — if they ever degrade to a shuffle join the O(#partitions)
+    broadcast claim is gone; (2) every DATA-sized exchange clusters on
+    (__cw_pid, key), never the bare key — a bare-key hashpartitioning
+    of the main input would resurrect exactly the one-reducer-per-key
+    skew the operator exists to remove (the bare-key exchange that IS
+    present belongs to the O(#chunks) totals/offsets side)."""
+    p = plan_of(q(specs, spark, "win_running_sum_chunked"))
+    assert "BroadcastHashJoin LeftOuter" in p, p
+    assert "SortMergeJoin LeftOuter" not in p, p
+    # the window sort requirement rides (pid, key) clustering
+    assert "hashpartitioning(__cw_pid" in p, p
