@@ -519,3 +519,92 @@ def test_chunked_scd2_matches_fold(spark_global, rows):
             nxt = tr[j + 1][0] if j + 1 < len(tr) else None
             want[(k, j + 1)] = (val, t, nxt, nxt is None)
     assert got == want
+
+
+# --- text queries vs DuckDB oracle on adversarial Unicode ------------------
+#
+# The sf corpora are lowercase ASCII word-soup, so the oracle sweep never
+# exercises the text pipeline on the inputs a real crawl delivers: emoji,
+# CJK, combining marks, newlines, quotes, regex metacharacters. Spark and
+# DuckDB embed DIFFERENT regex engines (java.util.regex vs RE2), so the
+# shared tokenizer contract (`[^a-z0-9 ]` -> space) is only proven equal
+# where it has been tested. These run the REGISTERED queries against
+# their own oracle SQL over a generated documents.parquet.
+
+_nasty_fragment = st.one_of(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abc 019 \t\n'\",.\\[](){}|^$*+?") + ["é", "ß", "中", "文", "🎉", "👍", "́", "‍", "�"]
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    # coherent fragments so the markup/PII regexes actually MATCH, not
+    # just scan: tags, entities, emails, phones, IPs, URLs — plus
+    # truncated/malformed variants of each
+    st.sampled_from(
+        [
+            "<b>bold</b>", "<p class='x'>", "</p>", "<script>x=1</script>",
+            "&amp;", "&#39;", "<not closed", "a < b > c",
+            "user@example.com", "a.b@c.d.e", "@nouser", "user@",
+            "555-867-5309", "(12) 3456-7890", "12345",
+            "192.168.1.1", "999.1.1.1", "http://x.y/z?q=1", "https://",
+        ]
+    ),
+)
+_nasty_text = st.lists(
+    st.lists(_nasty_fragment, min_size=0, max_size=5).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_nasty_text)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "text_tokenize_freq",
+        "text_stats",
+        "exact_dedup",
+        # the heavy-regex pair — the most engine-divergence-prone surface
+        "text_strip_markup",
+        "text_scrub_pii",
+    ],
+)
+def test_text_queries_match_oracle_on_adversarial_unicode(spark_global, qname, texts):
+    import duckdb
+
+    from etl_covid19_brasil_spark import registry
+    from etl_covid19_brasil_spark.oracle import compare_frames
+
+    spark = spark_global
+    d = _tempfile.mkdtemp(prefix="prop_docs_")
+    try:
+        pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["xx"] * len(texts),
+                "source": ["gen"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(f"{d}/documents.parquet")
+        spec = registry.all_specs()[qname]
+        got = spec.spark(spark, d).toPandas()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+            )
+            want = con.execute(spec.oracle).fetchdf()
+        finally:
+            con.close()
+        ok, detail = compare_frames(got, want)
+        assert ok, f"{qname} diverged on {texts!r}: {detail}"
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
