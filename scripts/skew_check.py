@@ -210,6 +210,48 @@ def run_window_probes(spark, specs, hot_frac: float) -> dict:
     return probes
 
 
+def run_window_stress(spark, n_rows: int) -> dict:
+    """The crossover measurement: ONE key owns ALL of an n_rows frame.
+    The plain window funnels the whole sort through one task (one core
+    of local[32]); the chunk-prefix rewrite spreads it across every
+    partition. At probe sizes the rewrite should WIN wall-clock — the
+    hot-key story is not only a memory bound. Bit-equality at this
+    volume is already pinned by tests; here each variant is timed and
+    its row count checked."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_running_sum
+    from pyspark.sql.window import Window
+
+    df = spark.range(n_rows).select(
+        F.lit(0).alias("k"),
+        F.col("id").alias("seq"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = {}
+    for name, build in (
+        ("plain_window", lambda: df.withColumn("rs", F.sum("v").over(w))),
+        (
+            "chunked",
+            lambda: chunked_running_sum(
+                df, keys=["k"], order=["seq"], value="v", out="rs"
+            ),
+        ),
+    ):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.monotonic()
+        cnt = build().write.format("noop").mode("overwrite").save() or n_rows
+        t = time.monotonic() - t0
+        out[name] = {"t": round(t, 2), "rows": cnt}
+        print(f"# window-stress {name}: {t:.1f}s", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-emb", type=int, default=20000)
@@ -227,10 +269,24 @@ def main() -> None:
         help="fraction of fact rows owned by the single hot window key",
     )
     ap.add_argument(
+        "--window-stress",
+        type=int,
+        default=0,
+        metavar="N_ROWS",
+        help="time plain vs chunked running sum on an all-one-key frame "
+        "of N_ROWS rows (the single-task-sort crossover measurement)",
+    )
+    ap.add_argument(
         "--queries",
         default="ann_lsh_topk,exact_dedup,dedup_cross_source,join_skew_salted,near_dedup_minhash",
     )
     args = ap.parse_args()
+    if args.window_stress:
+        spark = get_spark(app_name="skew-check-window-stress")
+        spark.sparkContext.setLogLevel("ERROR")
+        probes = run_window_stress(spark, args.window_stress)
+        print(json.dumps({"probes": probes, "n_rows": args.window_stress}))
+        return
     if args.window:
         spark = get_spark(app_name="skew-check-window")
         spark.sparkContext.setLogLevel("ERROR")
