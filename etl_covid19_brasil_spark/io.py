@@ -484,7 +484,11 @@ def pg_copy_load(
     properties: dict[str, str] | None = None,
 ) -> int:
     """Execute a ``sink_csv_for_copy`` load script against a REAL
-    Postgres — the database half of the COPY-parity bulk sink. psql's
+    Postgres — the database half of the COPY-parity bulk sink (the
+    reference's ``cursor.copy_from(StringIO(csv), table)``,
+    dags/create-data-lake.py:54-61, re-expressed as per-part client-side
+    COPY streams against the docker-compose Postgres target,
+    docker-compose-local.yml:14-23). psql's
     ``\\copy`` is client-side (it streams a local file down the wire as
     ``COPY ... FROM STDIN``); pgjdbc exposes exactly that path through
     ``org.postgresql.copy.CopyManager``, so no file needs to be visible
