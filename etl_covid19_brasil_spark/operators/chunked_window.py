@@ -350,3 +350,89 @@ def chunked_scd2(
             "version",
         )
     )
+
+
+def chunked_moving_frame(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    frame_w: int,
+    out_sum: str = "frame_sum",
+    out_cnt: str = "frame_cnt",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key-robust BOUNDED frame aggregate — exact
+    ``SUM(value) / COUNT(*) OVER (PARTITION BY key ORDER BY order ROWS
+    BETWEEN frame_w-1 PRECEDING AND CURRENT ROW)`` — completing the
+    fourth window shape (the reference workload's own 7-day moving
+    average, dags/create-data-lake.py's covid series). Returns the
+    input plus ``out_sum`` and ``out_cnt``; callers derive avg.
+
+    Bounded frames need no offset stitching at all — each chunk only
+    needs GHOST rows: the true last ``frame_w - 1`` rows of its key's
+    full prefix across ALL earlier chunks (a single-hop "previous
+    chunk's tail" is NOT enough — a key that barely crosses a boundary
+    leaves a 1-row chunk, so history can span several chunks back; the
+    sf0.01 probe hit exactly that). Selection stays tiny by
+    construction: only boundary-SPANNING keys (<= n_partitions - 1 of
+    them) have chunks needing ghosts, so the candidate pool — each
+    spanning chunk's last ``frame_w - 1`` rows — is
+    O(#spanning-chunks × frame) rows of metadata scale; per target
+    chunk, rank the candidates from earlier chunks of the same key by
+    order descending and keep the first ``frame_w - 1``. Ghosts sort
+    strictly before every real row of their target chunk (range
+    partitions are contiguous on (key, order)), so the target's early
+    frames see exactly their true preceding rows; ghost outputs are
+    dropped. Worst case — ONE key spanning every partition — the
+    rank join touches O(n² × frame) candidate-target pairs, still
+    metadata-sized next to the data shuffles.
+    """
+    order = list(order)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    src = (
+        df.repartitionByRange(n, F.col(key), *[F.col(c) for c in order])
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_desc = Window.partitionBy(_PID, key).orderBy(*[F.col(c).desc() for c in order])
+    tagged = src.withColumn("__cw_rdesc", F.row_number().over(w_desc))
+    chunks = src.groupBy(_PID, key).agg(F.count(F.lit(1)).alias("__cw_n"))
+    spanning = (
+        chunks.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__cw_npid"))
+        .filter(F.col("__cw_npid") > 1)
+        .drop("__cw_npid")
+    )
+    # candidate pool: the last frame_w-1 rows of every chunk of a
+    # spanning key — tiny (<= #spanning-chunks * frame rows)
+    cand = tagged.filter(F.col("__cw_rdesc") <= frame_w - 1).join(
+        F.broadcast(spanning), [key]
+    )
+    targets = chunks.join(F.broadcast(spanning), [key]).select(
+        key, F.col(_PID).alias("__cw_tpid")
+    )
+    w_rank = Window.partitionBy(key, "__cw_tpid").orderBy(
+        *[F.col(c).desc() for c in order]
+    )
+    ghosts = (
+        cand.join(targets, [key])
+        .filter(F.col(_PID) < F.col("__cw_tpid"))
+        .withColumn("__cw_grank", F.row_number().over(w_rank))
+        .filter(F.col("__cw_grank") <= frame_w - 1)
+        .withColumn(_PID, F.col("__cw_tpid"))
+        .drop("__cw_tpid", "__cw_grank")
+        .withColumn("__cw_ghost", F.lit(1))
+    )
+    all_rows = tagged.withColumn("__cw_ghost", F.lit(0)).unionByName(ghosts)
+    w = (
+        Window.partitionBy(_PID, key)
+        .orderBy(*order)
+        .rowsBetween(-(frame_w - 1), 0)
+    )
+    return (
+        all_rows.withColumn(out_sum, F.sum(value).over(w))
+        .withColumn(out_cnt, F.count(F.lit(1)).over(w))
+        .filter(F.col("__cw_ghost") == 0)
+        .drop(_PID, "__cw_rdesc", "__cw_ghost")
+    )

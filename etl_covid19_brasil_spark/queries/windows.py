@@ -193,6 +193,52 @@ def win_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "win_moving_avg_chunked",
+    added=10,  # r10 — sorts AFTER the not-yet-driver-sampled backlog
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             / COUNT(*) OVER ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg_price
+    FROM orders
+    """,
+    section="2.5",
+    doc="win_moving_avg under key skew — the BOUNDED-frame member of the "
+    "chunk rewrite family (operators/chunked_window.py:"
+    "chunked_moving_frame): bounded frames need no offset stitching, "
+    "only the last frame_w-1 rows of each chunk forwarded as ghost "
+    "rows into the key's successor chunk (range partitions are "
+    "contiguous, so ghosts sort strictly before every real row there); "
+    "the boundary transfer is O(#spanning-chunks x frame) rows. The "
+    "per-task sort bound drops to O(partition) exactly as in the "
+    "prefix rewrites. Same oracle as win_moving_avg (exact-cents "
+    "numerator); equality under a hot key pinned in "
+    "tests/test_scale_ops.py.",
+)
+def win_moving_avg_chunked(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_moving_frame
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents("o_totalprice").alias("p_cents")
+    )
+    out = chunked_moving_frame(
+        o,
+        key="o_custkey",
+        order=["o_orderdate", "o_orderkey"],
+        value="p_cents",
+        frame_w=3,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.col("frame_sum").cast("double") / F.lit(100.0) / F.col("frame_cnt")
+        ).alias("moving_avg_price"),
+    )
+
+
+@query(
     "win_first_last",
     oracle=f"""
     SELECT o_custkey, o_orderkey,

@@ -154,6 +154,8 @@ def build_hot_window_dir(spark, hot_frac: float) -> str:
 WINDOW_QUERIES = (
     "win_running_sum",
     "win_running_sum_chunked",
+    "win_moving_avg",
+    "win_moving_avg_chunked",
     "scd2_dimension_build",
     "scd2_dimension_build_chunked",
     "win_sessionize_events",
@@ -180,6 +182,8 @@ def run_window_probes(spark, specs, hot_frac: float) -> dict:
     for plain_name, chunked_name, keys, vals in (
         ("win_running_sum", "win_running_sum_chunked",
          ["o_custkey", "o_orderkey"], ["running_spend"]),
+        ("win_moving_avg", "win_moving_avg_chunked",
+         ["o_custkey", "o_orderkey"], ["moving_avg_price"]),
         ("win_sessionize_events", "win_sessionize_events_chunked",
          ["user_id", "event_id"], ["session_seq"]),
         ("scd2_dimension_build", "scd2_dimension_build_chunked",

@@ -608,3 +608,36 @@ def test_text_queries_match_oracle_on_adversarial_unicode(spark_global, qname, t
         assert ok, f"{qname} diverged on {texts!r}: {detail}"
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+@given(rows=_cw_rows, frame_w=st.sampled_from([2, 3, 5]))
+@PROP
+def test_chunked_moving_frame_matches_fold(spark_global, rows, frame_w):
+    """Bounded-frame variant — tiny keys over 4 partitions force 1-row
+    chunks constantly, so the multi-hop ghost selection is on the hot
+    path of almost every example."""
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_moving_frame
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(rows)],
+        "k long, t long, tb long, v long",
+    )
+    got = {
+        (r["k"], r["tb"]): (r["frame_sum"], r["frame_cnt"])
+        for r in chunked_moving_frame(
+            df, key="k", order=["t", "tb"], value="v", frame_w=frame_w,
+            num_partitions=4,
+        ).collect()
+    }
+    want = {}
+    per_key: dict = {}
+    for k, t, tb, v in sorted(
+        ((k, t, i, v) for i, (k, t, v) in enumerate(rows)),
+        key=lambda r: (r[0], r[1], r[2]),
+    ):
+        hist = per_key.setdefault(k, [])
+        hist.append(v)
+        frame = hist[-frame_w:]
+        want[(k, tb)] = (sum(frame), len(frame))
+    assert got == want

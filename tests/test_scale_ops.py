@@ -751,3 +751,70 @@ def test_chunked_scd2_equals_plain_window_under_skew(spark):
     a, b = rows(plain), rows(chunked)
     assert len(a) > 500  # the tiny domains actually generated history
     assert a == b
+
+
+def test_chunked_moving_frame_equals_plain_window_under_skew(spark):
+    """The bounded-frame member of the chunk family: frame sums/counts
+    must be bit-identical to the plain window on a 50%-hot key."""
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_moving_frame
+
+    n, W = 20_000, 3
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(500)) + 1)
+        .alias("k"),
+        F.col("id").alias("seq"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100)).alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("seq").rowsBetween(-(W - 1), 0)
+    plain = df.select(
+        "k", "seq", F.sum("v").over(w).alias("s"), F.count(F.lit(1)).over(w).alias("c")
+    )
+    chunked = chunked_moving_frame(
+        df, key="k", order=["seq"], value="v", frame_w=W, num_partitions=8
+    ).select("k", "seq", F.col("frame_sum").alias("s2"), F.col("frame_cnt").alias("c2"))
+    mism = (
+        plain.join(chunked, ["k", "seq"], "full")
+        .filter(
+            F.col("s").isNull() | F.col("s2").isNull()
+            | (F.col("s") != F.col("s2")) | (F.col("c") != F.col("c2"))
+        )
+        .count()
+    )
+    assert mism == 0
+
+
+def test_chunked_moving_frame_multi_hop_ghosts(spark):
+    """The shape that broke the single-hop design: keys with so few rows
+    that a chunk holds 1 row and its successor's frame needs history
+    from TWO chunks back. 60 rows over 20 keys across 16 partitions
+    forces 1-2-row chunks everywhere; results must still equal the
+    plain window exactly."""
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_moving_frame
+
+    W = 4  # wider than most chunks -> multi-hop everywhere
+    df = spark.range(60).select(
+        (F.col("id") % 20).alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 7 % 50).alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("seq").rowsBetween(-(W - 1), 0)
+    plain = df.select(
+        "k", "seq", F.sum("v").over(w).alias("s"), F.count(F.lit(1)).over(w).alias("c")
+    )
+    chunked = chunked_moving_frame(
+        df, key="k", order=["seq"], value="v", frame_w=W, num_partitions=16
+    ).select("k", "seq", F.col("frame_sum").alias("s2"), F.col("frame_cnt").alias("c2"))
+    mism = (
+        plain.join(chunked, ["k", "seq"], "full")
+        .filter(
+            F.col("s").isNull() | F.col("s2").isNull()
+            | (F.col("s") != F.col("s2")) | (F.col("c") != F.col("c2"))
+        )
+        .count()
+    )
+    assert mism == 0
