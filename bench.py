@@ -27,10 +27,14 @@ that is comparable round-over-round:
      one-sided contention noise; mean is not);
   3. treat a per-query delta within ±10% of the previous round as
      noise unless the query's code path changed;
-  4. the artifact also records per-query {min, median, max} under
-     "spread" (r10+): min<<max with a stable median classifies a
-     one-sided contention outlier; min~median~max uniformly higher
-     flags a real plan change — no rerun needed to tell them apart.
+  4. per-query {min, median, max} spread + delta_vs_prev are recorded
+     in the BENCH_SPREAD.json sidecar (and echoed on stderr), NOT on
+     the stdout line (r11: riding them on the single stdout line made
+     BENCH_r10 unparseable — the driver tail-captures stdout and the
+     bulk keys pushed metric/value/queries out of the window).
+     min<<max with a stable median classifies a one-sided contention
+     outlier; min~median~max uniformly higher flags a real plan
+     change — no rerun needed to tell them apart.
 
 HEADLINE SET IS FROZEN as of r10 at the r09 twenty-four (the relational
 core + LLM-data scale paths + the r9 heavy tier + etl_covid_pipeline)
@@ -272,6 +276,26 @@ def main() -> None:
         if abs(d) >= 0.25:
             print(f"[bench] {q}: {d:+.3f}s vs {prev_file}", file=sys.stderr)
 
+    # Bulk keys (spread, delta) go to a SIDECAR file + stderr, NOT the
+    # stdout headline line. r10 lesson (VERDICT r10 "What's wrong" #1):
+    # the driver tail-captures stdout, and riding spread+delta on the
+    # single JSON line pushed the FRONT of the object (metric/value/
+    # queries) past the capture window — BENCH_r10.json landed with
+    # "parsed": null and the round's headline number existed only by
+    # reconstruction. The final stdout line must stay compact enough
+    # (~1 KB) that the tail capture always contains the whole object.
+    sidecar = {
+        "spread": spread,
+        "prev_round": prev_file,
+        "delta_vs_prev": delta,
+    }
+    sidecar_path = Path(__file__).resolve().parent / "BENCH_SPREAD.json"
+    try:
+        sidecar_path.write_text(json.dumps(sidecar, indent=1) + "\n")
+    except OSError as exc:
+        print(f"[bench] sidecar write failed: {exc}", file=sys.stderr)
+    print(f"[bench] spread/delta: {json.dumps(sidecar)}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -279,11 +303,8 @@ def main() -> None:
                 "value": round(sum(t for t in timings.values() if t is not None), 3),
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
                 "failed": failed,
                 "sf": sf_val,
-                "prev_round": prev_file,
-                "delta_vs_prev": delta,
                 # env fingerprint: oracle divergence (like r02's four
                 # hash-reds) is diagnosable only if the artifact records
                 # which engine versions produced the round's numbers.
