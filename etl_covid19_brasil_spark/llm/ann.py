@@ -354,11 +354,42 @@ def auto_n_cells(n_est: int) -> int:
     return max(16, math.ceil(n_est / _TARGET_CELL_ROWS))
 
 
+# The sf0.01-measured IVF operating point every pinned recall floor was
+# taken at: 10 probes of 16 cells (recall 0.84 untrained / 0.89 trained).
+_PROBE_NUM, _PROBE_DEN = 10, 16
+
+
+def auto_n_probe(n_cells: int) -> int:
+    """Probe count holding the probed FRACTION at the measured sf0.01
+    operating point (10/16 = 62.5%) as the cell count grows — the IVF
+    twin of :func:`auto_n_tables` (VERDICT r10 item 3: default
+    ``n_probe=10`` recall decayed 0.84 → 0.68 at 8× while the probe-held
+    config measured 0.912/0.868).
+
+    Honest cost accounting (the same disclosure the lsh_topk docstring
+    carries): ``auto_n_cells`` holds cell SIZE constant, so holding the
+    probed fraction means per-query probed work grows LINEARLY with the
+    corpus — total query work is quadratic in n, the asymptote the r7
+    probe killed for fixed cells. That is the information bound on
+    cluster-free vectors, not an implementation defect: synthetic
+    near-random embeddings spread true neighbors uniformly over cells,
+    so covering a fixed fraction is the only way to hold recall. A
+    clustered real-world corpus concentrates neighbors in few cells and
+    should pass a FIXED ``n_probe`` explicitly (the standard IVF
+    operating regime, linear total work); the derived default makes the
+    out-of-the-box config recall-safe rather than silently decaying.
+    Floors at the 16-cell gate regime are unchanged (derives to 10).
+    """
+    import math
+
+    return max(_PROBE_NUM, math.ceil(n_cells * _PROBE_NUM / _PROBE_DEN))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_cells: int | None = None,
-    n_probe: int = 10,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray | None" = None,
@@ -394,9 +425,15 @@ def ivf_topk(
     of the true neighbor is weakly correlated with the query's cell
     ranking and recall needs a generous probe fraction — measured at
     sf0.01: 0.55 @ 5/16 probes, 0.84 @ 10/16 (trained centroids 0.65 /
-    0.89). Default n_probe=10 pins recall >= 0.8; a naturally clustered
-    corpus reaches that with far fewer probes (and production sizes
-    n_cells ~ sqrt(n), probing ~10%).
+    0.89). ``n_probe=None`` (default, r11) derives the probe count from
+    the cell count via :func:`auto_n_probe` — holding the measured
+    10/16 fraction so default-config recall stays above the pinned
+    floors as the corpus grows (the r10 8× probe measured fixed
+    n_probe=10 decaying to 0.679 vs 0.912 probe-held). The cost is
+    linear per-query work in corpus size on cluster-free vectors (see
+    auto_n_probe); a naturally clustered corpus should pass a fixed
+    ``n_probe`` (and reaches the floors with far fewer probes — the
+    standard IVF regime, n_cells ~ sqrt(n), probing ~10%).
     """
     from etl_covid19_brasil_spark.llm.similarity import (
         _by_query_chunks,
@@ -424,6 +461,12 @@ def ivf_topk(
             embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
         )
         cent_mat = _normalize(np.stack(cent_pdf[vec_col].to_numpy()))
+    if n_probe is None:  # fraction-held derivation (see auto_n_probe)
+        n_probe = auto_n_probe(len(cent_mat))
+    # argsort top-n_probe caps at the cell count, but the fan-out
+    # bookkeeping (np.repeat by n_probe) must agree with the actual
+    # probed width — clamp rather than mis-shape.
+    n_probe = min(n_probe, len(cent_mat))
     bc = spark.sparkContext.broadcast(cent_mat)
 
     assign_schema = StructType(
@@ -672,7 +715,7 @@ def ivfpq_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_cells: int | None = None,
-    n_probe: int = 10,
+    n_probe: int | None = None,
     m: int = 8,
     pq_k: int = 256,
     rerank: int = 4,
@@ -700,6 +743,11 @@ def ivfpq_topk(
     top-k. The re-rank join touches only n_q * rerank * k rows, so the
     64x index compression is preserved; recall floor pinned in
     tests/test_ann_recall.py.
+
+    ``n_probe=None`` (default, r11) derives the probe count from the
+    cell count via :func:`auto_n_probe` — same fraction-held default
+    (and same linear-per-query-work disclosure) as :func:`ivf_topk`;
+    pass a fixed ``n_probe`` on clustered real corpora.
     """
     from etl_covid19_brasil_spark.llm.similarity import (
         _by_query_chunks,
@@ -711,6 +759,9 @@ def ivfpq_topk(
     spark = embeddings.sparkSession
     if n_cells is None:  # corpus-size-derived (see auto_n_cells)
         n_cells = auto_n_cells(_estimate_rows(embeddings))
+    if n_probe is None:  # fraction-held derivation (see auto_n_probe)
+        n_probe = auto_n_probe(n_cells)
+    n_probe = min(n_probe, n_cells)
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
     books = pq_train(embeddings, m=m, k=pq_k, id_col=id_col, vec_col=vec_col)
     bc_c = spark.sparkContext.broadcast(cents)

@@ -922,9 +922,12 @@ def media_audio_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivf_topk
 
-    # n_cells stays library-default (corpus-size-derived, auto_n_cells) —
-    # an explicit fixed count here reintroduces quadratic cells at scale.
-    return ivf_topk(T(spark, sf, "embeddings"), k=5, n_probe=10)
+    # n_cells AND n_probe stay library-default (corpus-size-derived,
+    # auto_n_cells/auto_n_probe): a fixed cell count reintroduces
+    # quadratic cells at scale, and a fixed probe count is the r10
+    # recall decay (0.679 at 8x vs 0.912 derived). At gate/bench scale
+    # the derivation lands on the same 10-of-16 config as always.
+    return ivf_topk(T(spark, sf, "embeddings"), k=5)
 
 
 @query(
@@ -1734,7 +1737,9 @@ def ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     # at 32x in the r7 scale probe (the registry-wrapper-bypass failure
     # mode r6 documented for LSH planes).
     cents = kmeans_lloyd(e, k=auto_n_cells(_estimate_rows(e)), iters=3)
-    return ivf_topk(e, k=5, n_probe=10, centroids=cents)
+    # n_probe library-default too (auto_n_probe holds the probed
+    # fraction as cells grow — the r10 fixed-probe recall decay).
+    return ivf_topk(e, k=5, centroids=cents)
 
 
 @query(
@@ -1844,9 +1849,10 @@ def corpus_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
 def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
 
-    # n_cells stays library-default (corpus-size-derived, auto_n_cells) —
-    # an explicit fixed count here reintroduces quadratic cells at scale.
-    return ivfpq_topk(T(spark, sf, "embeddings"), k=5, n_probe=10)
+    # n_cells AND n_probe stay library-default (auto_n_cells +
+    # auto_n_probe) — fixed counts reintroduce quadratic cells /
+    # the r10 fixed-probe recall decay at scale.
+    return ivfpq_topk(T(spark, sf, "embeddings"), k=5)
 
 
 @query(

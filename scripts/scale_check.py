@@ -224,21 +224,26 @@ def run_recall_probe(spark, replicas: int) -> dict:
         (r["query_id"], r["neighbor_id"])
         for r in brute_force_topk(emb, k=5).collect()
     }
-    from etl_covid19_brasil_spark.llm.ann import auto_n_cells
+    from etl_covid19_brasil_spark.llm.ann import auto_n_cells, auto_n_probe
 
-    # the knob row: n_probe holding the sf0.01 probe FRACTION (10/16)
-    # against the grown cell count — quantifies the documented
-    # recall-for-compute trade on cluster-free vectors (ivf_topk
-    # docstring); the default row shows the fixed-probe envelope.
+    # r11: n_probe=None now DERIVES the probe count (auto_n_probe holds
+    # the sf0.01 10/16 fraction — VERDICT r10 item 3), so the default
+    # rows measure the derived config; the *_fixed10 rows keep the old
+    # fixed-probe envelope visible (what a clustered-corpus deployment
+    # passing an explicit n_probe would pay/get on THIS cluster-free
+    # corpus — the documented recall-for-compute trade).
     n_cells = auto_n_cells(n)
-    probe_held = max(10, round(0.625 * n_cells))
-    out = {"n_vectors": n, "n_cells": n_cells, "n_probe_held_fraction": probe_held}
+    out = {
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "n_probe_derived": auto_n_probe(n_cells),
+    }
     for name, fn in (
         ("ann_lsh_topk", lambda: lsh_topk(emb, k=5)),
-        ("ann_ivf_topk", lambda: ivf_topk(emb, k=5, n_probe=10)),
-        ("ann_ivf_topk_probe_held", lambda: ivf_topk(emb, k=5, n_probe=probe_held)),
-        ("ann_ivfpq_topk", lambda: ivfpq_topk(emb, k=5, n_probe=10)),
-        ("ann_ivfpq_topk_probe_held", lambda: ivfpq_topk(emb, k=5, n_probe=probe_held)),
+        ("ann_ivf_topk", lambda: ivf_topk(emb, k=5)),
+        ("ann_ivf_topk_fixed10", lambda: ivf_topk(emb, k=5, n_probe=10)),
+        ("ann_ivfpq_topk", lambda: ivfpq_topk(emb, k=5)),
+        ("ann_ivfpq_topk_fixed10", lambda: ivfpq_topk(emb, k=5, n_probe=10)),
     ):
         got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
         r = len(got & truth) / len(truth)

@@ -277,6 +277,91 @@ def test_auto_n_cells_scaling_regime():
         assert n / auto_n_cells(n) <= _TARGET_CELL_ROWS
 
 
+def test_auto_n_probe_scaling_regime():
+    """Probe-count derivation (the IVF twin of auto_n_tables, VERDICT
+    r10 item 3): the gate regimes keep n_probe=10 so every pinned recall
+    floor measures the configuration it always did; past the cell-count
+    floor the probed FRACTION (10/16, the sf0.01 operating point) is
+    held, which the r10 8x probe measured as the difference between
+    recall 0.679 (fixed 10) and 0.912 (fraction-held 20 of 32)."""
+    from etl_covid19_brasil_spark.llm.ann import auto_n_probe
+
+    assert auto_n_probe(16) == 10   # sf0.01 / sf0.1: unchanged config
+    assert auto_n_probe(32) == 20   # the 8x probe point
+    assert auto_n_probe(125) == 79  # 64x regime: ceil(125 * 10/16)
+    assert auto_n_probe(8) == 10    # never below the measured floor
+
+
+def _replica_corpus(spark, replicas: int):
+    """Dimension-rolled replica corpus (the scale_check recall-probe
+    construction, in-process): near-neighbor structure replicates
+    without creating easy clusters, so recall at N replicas is
+    adversarial by design. Base is sf0.1 (2000 vectors — the
+    scale_check BASE): 8 replicas give 16000 vectors, which is the
+    grown-cell regime (auto_n_cells=32 > the 16-cell floor) where the
+    r10 recall decay actually happened; sf0.01's 500 vectors would stay
+    at the floor and pin nothing. Returns (DataFrame, matrix, ids)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.1", "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids0 = base["vec_id"].to_numpy(dtype=np.int64)
+    mat0 = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+    ids = np.concatenate([ids0 + r * 10**9 for r in range(replicas)])
+    mat = np.concatenate([np.roll(mat0, -r, axis=1) for r in range(replicas)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    )
+    return df, _normalize(mat), ids
+
+
+def _numpy_truth_topk(mat, ids, k: int = 5) -> set:
+    """Exact top-k cosine pairs (self excluded, neighbor_id-asc
+    tie-break — brute_force_topk's contract), query-chunked so the sims
+    allocation stays bounded."""
+    import numpy as np
+
+    truth = set()
+    for s in range(0, len(mat), 2000):
+        sims = mat[s : s + 2000] @ mat.T
+        for i in range(sims.shape[0]):
+            sims[i, s + i] = -np.inf
+        order = np.lexsort(
+            (np.broadcast_to(ids, sims.shape), -sims), axis=-1
+        )[:, :k]
+        for qi, row in zip(ids[s : s + 2000], order):
+            truth.update((int(qi), int(ids[j])) for j in row)
+    return truth
+
+
+def test_ivf_default_config_recall_holds_at_8x(spark):
+    """The r10 8x probe found default-config IVF recall (fixed
+    n_probe=10) silently decaying to 0.679/0.653 — below the pinned 0.8
+    floors — while the fraction-held config passed. auto_n_probe now
+    derives the default; this pins the derived default AT 8x so the
+    decay class can't ship again (the IVF twin of
+    test_lsh_table_count_tracks_plane_count)."""
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk, ivfpq_topk
+
+    emb, mat, ids = _replica_corpus(spark, 8)
+    truth = _numpy_truth_topk(mat, ids, k=5)
+
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, k=5).collect()}
+    r_ivf = len(got & truth) / len(truth)
+    assert r_ivf >= 0.8, f"derived-default IVF recall decayed at 8x: {r_ivf:.3f}"
+
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivfpq_topk(emb, k=5).collect()}
+    r_pq = len(got & truth) / len(truth)
+    assert r_pq >= 0.8, f"derived-default IVF-PQ recall decayed at 8x: {r_pq:.3f}"
+
+
 def test_pca_power_matches_numpy(spark):
     """embedding_pca_power is pinned two ways against numpy on the SAME
     integer covariance numerator:
