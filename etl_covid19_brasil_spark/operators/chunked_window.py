@@ -46,6 +46,23 @@ distribution at all.
 The ``localCheckpoint(eager=False)`` pins the sampled range boundaries
 so the chunk-prefix pass and the totals pass see identical partition
 ids (the id_assign_contiguous lesson: recomputation may resample).
+Fault-tolerance tradeoff (ADVICE r10): localCheckpoint truncates
+lineage to EXECUTOR-LOCAL block storage — losing an executor mid-job
+makes those partitions unrecoverable and fails the job, a real
+availability cost on long cluster runs where executor churn is
+routine. Pass ``reliable_checkpoint=True`` (after
+``sc.setCheckpointDir(...)`` to durable storage) to pin the boundaries
+with a reliable ``checkpoint`` instead: same determinism guarantee,
+survives executor loss, costs one extra write+read of the ranged data.
+Local mode and short jobs keep the cheap default.
+
+NULL keys are first-class (ADVICE r10): ``Window.partitionBy`` treats
+NULL as an ordinary partition value, so the stitching joins here use
+null-safe equality (``eqNullSafe``) — a plain equi-join would silently
+drop/miss NULL-key offset rows and chunk-restart any NULL-key group
+that spans a range-partition boundary. Null-safe equality is still an
+equi-join key to Spark (hash/broadcast join plans are unchanged); the
+hypothesis differentials pin a null-key corpus against the plain twins.
 """
 
 from __future__ import annotations
@@ -62,6 +79,33 @@ _TOT = "__cw_tot"
 _OFF = "__cw_off"
 
 
+def _pin(df: DataFrame, reliable: bool) -> DataFrame:
+    """Pin the sampled range-partition boundaries so every pass sees
+    identical partition ids (recomputation may resample). Reliable mode
+    writes to the session checkpoint dir (set sc.setCheckpointDir) and
+    survives executor loss; local mode is cheaper but executor-bound —
+    see the module docstring."""
+    return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
+
+
+def _ns_join(
+    left: DataFrame, right: DataFrame, cols: Sequence[str], how: str = "inner", broadcast: bool = False
+) -> DataFrame:
+    """Null-safe equi-join on ``cols`` (NULL == NULL matches — the
+    semantics Window.partitionBy gives NULL key values), dropping the
+    right side's join columns. eqNullSafe keys still plan as hash /
+    broadcast joins, so the pinned plan shapes are unchanged."""
+    ren = right
+    for c in cols:
+        ren = ren.withColumnRenamed(c, f"__cw_r_{c}")
+    if broadcast:
+        ren = F.broadcast(ren)
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__cw_r_{c}"))
+    return left.join(ren, cond, how).drop(*[f"__cw_r_{c}" for c in cols])
+
+
 def chunked_running_sum(
     df: DataFrame,
     keys: Sequence[str],
@@ -69,6 +113,7 @@ def chunked_running_sum(
     value: str,
     out: str,
     num_partitions: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Exact ``SUM(value) OVER (PARTITION BY keys ORDER BY order ROWS
     BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` with the per-task
@@ -81,10 +126,11 @@ def chunked_running_sum(
     """
     keys, order = list(keys), list(order)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    src = (
-        df.repartitionByRange(n, *[F.col(c) for c in keys + order])
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    src = _pin(
+        df.repartitionByRange(n, *[F.col(c) for c in keys + order]).withColumn(
+            _PID, F.spark_partition_id()
+        ),
+        reliable_checkpoint,
     )
     chunk = Window.partitionBy(_PID, *keys).orderBy(*order)
     local = src.withColumn(
@@ -110,12 +156,15 @@ def chunked_running_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        totals.join(spanning, keys)
+        _ns_join(totals, spanning, keys)
         .select(_PID, *keys, F.coalesce(F.sum(_TOT).over(w_off), F.lit(0)).alias(_OFF))
         .filter(F.col(_OFF) != 0)
     )
+    # stitching joins are null-safe on the key columns (_PID never null):
+    # a NULL key spanning a range boundary must receive its offset
+    # exactly like any other key (module docstring, ADVICE r10)
     return (
-        local.join(F.broadcast(offsets), [_PID, *keys], "left")
+        _ns_join(local, offsets, [_PID, *keys], "left", broadcast=True)
         .withColumn(out, F.col(_LOCAL) + F.coalesce(F.col(_OFF), F.lit(0)))
         .drop(_PID, _LOCAL, _OFF)
     )
@@ -129,6 +178,7 @@ def chunked_sessionize(
     gap_us: int,
     out: str = "session_seq",
     num_partitions: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Hot-key-robust gaps-and-islands sessionization: exact
     ``SUM(new_session) OVER (PARTITION BY key ORDER BY ts, tiebreak)``
@@ -160,11 +210,11 @@ def chunked_sessionize(
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     us = F.unix_micros(F.col(ts))
-    src = (
+    src = _pin(
         df.withColumn("__cw_us", us)
         .repartitionByRange(n, F.col(key), F.col(ts), F.col(tiebreak))
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .withColumn(_PID, F.spark_partition_id()),
+        reliable_checkpoint,
     )
     chunk = Window.partitionBy(_PID, key).orderBy(ts, tiebreak)
     gap = F.col("__cw_us") - F.lag("__cw_us").over(chunk)
@@ -188,18 +238,18 @@ def chunked_sessionize(
     # first-row correction: a continuing chunk's provisional flag (1)
     # becomes the real gap compare against the predecessor chunk's last
     # event time; delta is 0 (genuine new session) or -1 (same session)
+    spanning_bounds = _ns_join(bounds, spanning, [key]).withColumn(
+        "__cw_prev_last", F.lag("__cw_last_us").over(w_key)
+    ).withColumn(
+        "__cw_delta",
+        F.when(
+            F.col("__cw_prev_last").isNull()
+            | (F.col("__cw_first_us") - F.col("__cw_prev_last") > gap_us),
+            F.lit(0),
+        ).otherwise(F.lit(-1)),
+    )
     corr = (
-        bounds.join(spanning, [key])
-        .withColumn("__cw_prev_last", F.lag("__cw_last_us").over(w_key))
-        .withColumn(
-            "__cw_delta",
-            F.when(
-                F.col("__cw_prev_last").isNull()
-                | (F.col("__cw_first_us") - F.col("__cw_prev_last") > gap_us),
-                F.lit(0),
-            ).otherwise(F.lit(-1)),
-        )
-        .join(flag_tot, [_PID, key])
+        _ns_join(spanning_bounds, flag_tot, [_PID, key])
         .withColumn("__cw_corr_tot", F.col("__cw_tot") + F.col("__cw_delta"))
         .withColumn(
             _OFF,
@@ -215,7 +265,7 @@ def chunked_sessionize(
         .select(_PID, key, "__cw_adj")
     )
     return (
-        local.join(F.broadcast(corr), [_PID, key], "left")
+        _ns_join(local, corr, [_PID, key], "left", broadcast=True)
         .withColumn(
             out,
             (F.col(_LOCAL) + F.coalesce(F.col("__cw_adj"), F.lit(0))).cast("long"),
@@ -231,6 +281,7 @@ def chunked_scd2(
     ts: str,
     tiebreak: str,
     num_partitions: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Hot-key-robust SCD Type-2 compression: collapse a per-key change
     stream into (key, value, valid_from, valid_to, is_current, version)
@@ -264,10 +315,11 @@ def chunked_scd2(
     keys for the driver, either of which is skew-safe.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    src = (
-        df.repartitionByRange(n, F.col(key), F.col(ts), F.col(tiebreak))
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    src = _pin(
+        df.repartitionByRange(n, F.col(key), F.col(ts), F.col(tiebreak)).withColumn(
+            _PID, F.spark_partition_id()
+        ),
+        reliable_checkpoint,
     )
     chunk = Window.partitionBy(_PID, key).orderBy(ts, tiebreak)
     prev_val = F.lag(value).over(chunk)
@@ -289,7 +341,7 @@ def chunked_scd2(
     flag_tot = local.groupBy(_PID, key).agg(F.sum("__cw_flag").alias("__cw_tot"))
     w_key = Window.partitionBy(key).orderBy(_PID)
     corr = (
-        bounds.join(flag_tot, [_PID, key])
+        _ns_join(bounds, flag_tot, [_PID, key])
         .withColumn("__cw_prev_last", F.lag("__cw_last_val").over(w_key))
         # chunk-first row's REAL flag: 1 unless it continues the
         # predecessor chunk's final value
@@ -315,7 +367,7 @@ def chunked_scd2(
         .select(_PID, key, "__cw_first_flag", "__cw_delta", _OFF)
     )
     rows = (
-        local.join(corr, [_PID, key])
+        _ns_join(local, corr, [_PID, key])
         .withColumn(
             "__cw_real_flag",
             F.when(F.col("__cw_rn") == 1, F.col("__cw_first_flag")).otherwise(
@@ -338,7 +390,10 @@ def chunked_scd2(
     return (
         transitions.join(
             nxt,
-            (F.col(key) == F.col("__cw_k2")) & (F.col("version") == F.col("__cw_v2")),
+            # null-safe on the key: a NULL-key version chain must find
+            # its successors like any other key (module docstring)
+            F.col(key).eqNullSafe(F.col("__cw_k2"))
+            & (F.col("version") == F.col("__cw_v2")),
             "left",
         )
         .select(
@@ -361,6 +416,7 @@ def chunked_moving_frame(
     out_sum: str = "frame_sum",
     out_cnt: str = "frame_cnt",
     num_partitions: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Hot-key-robust BOUNDED frame aggregate — exact
     ``SUM(value) / COUNT(*) OVER (PARTITION BY key ORDER BY order ROWS
@@ -390,10 +446,11 @@ def chunked_moving_frame(
     """
     order = list(order)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    src = (
-        df.repartitionByRange(n, F.col(key), *[F.col(c) for c in order])
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    src = _pin(
+        df.repartitionByRange(n, F.col(key), *[F.col(c) for c in order]).withColumn(
+            _PID, F.spark_partition_id()
+        ),
+        reliable_checkpoint,
     )
     w_desc = Window.partitionBy(_PID, key).orderBy(*[F.col(c).desc() for c in order])
     tagged = src.withColumn("__cw_rdesc", F.row_number().over(w_desc))
@@ -406,17 +463,20 @@ def chunked_moving_frame(
     )
     # candidate pool: the last frame_w-1 rows of every chunk of a
     # spanning key — tiny (<= #spanning-chunks * frame rows)
-    cand = tagged.filter(F.col("__cw_rdesc") <= frame_w - 1).join(
-        F.broadcast(spanning), [key]
+    cand = _ns_join(
+        tagged.filter(F.col("__cw_rdesc") <= frame_w - 1),
+        spanning,
+        [key],
+        broadcast=True,
     )
-    targets = chunks.join(F.broadcast(spanning), [key]).select(
+    targets = _ns_join(chunks, spanning, [key], broadcast=True).select(
         key, F.col(_PID).alias("__cw_tpid")
     )
     w_rank = Window.partitionBy(key, "__cw_tpid").orderBy(
         *[F.col(c).desc() for c in order]
     )
     ghosts = (
-        cand.join(targets, [key])
+        _ns_join(cand, targets, [key])
         .filter(F.col(_PID) < F.col("__cw_tpid"))
         .withColumn("__cw_grank", F.row_number().over(w_rank))
         .filter(F.col("__cw_grank") <= frame_w - 1)

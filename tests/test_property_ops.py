@@ -641,3 +641,156 @@ def test_chunked_moving_frame_matches_fold(spark_global, rows, frame_w):
         frame = hist[-frame_w:]
         want[(k, tb)] = (sum(frame), len(frame))
     assert got == want
+
+
+# --- chunked-window rewrites on NULL keys vs the plain windows --------------
+#
+# Window.partitionBy treats NULL as an ordinary partition value, and the
+# chunked rewrites claim bit-identity with their plain twins — so the
+# stitching joins must be null-safe (ADVICE r10: plain equi-joins silently
+# chunk-restarted NULL-key groups that span a range-partition boundary).
+# The reference here is the PLAIN Spark window on the same data, so NULL
+# semantics are owned by Spark on both sides; every example is filtered to
+# contain NULL keys, and num_partitions=4 over <=30 rows forces keys
+# (including the NULL group) to span chunk boundaries constantly.
+
+_cw_rows_nullkey = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 1)),
+        st.integers(0, 10),
+        st.integers(-5, 5),
+    ),
+    min_size=2,
+    max_size=30,
+).filter(lambda rs: sum(k is None for k, _, _ in rs) >= 2)
+
+
+@given(rows=_cw_rows_nullkey)
+@PROP
+def test_chunked_running_sum_null_keys_match_plain_window(spark_global, rows):
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_running_sum
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(rows)],
+        "k long, t long, tb long, v long",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {r["tb"]: r["rs"] for r in df.withColumn("rs", F.sum("v").over(w)).collect()}
+    got = {
+        r["tb"]: r["rs"]
+        for r in chunked_running_sum(
+            df, keys=["k"], order=["t", "tb"], value="v", out="rs", num_partitions=4
+        ).collect()
+    }
+    assert got == want
+
+
+@given(rows=_cw_rows_nullkey, gap=st.sampled_from([1, 3]))
+@PROP
+def test_chunked_sessionize_null_keys_match_plain_window(spark_global, rows, gap):
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_sessionize
+
+    spark = spark_global
+    base = dt.datetime(2020, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=t), i) for i, (k, t, _v) in enumerate(rows)],
+        "k long, ts timestamp, tb long",
+    )
+    gap_us = gap * 1_000_000
+    w = Window.partitionBy("k").orderBy("ts", "tb")
+    gap_col = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flag = F.when(gap_col.isNull() | (gap_col > gap_us), F.lit(1)).otherwise(F.lit(0))
+    want = {
+        r["tb"]: r["seq"]
+        for r in df.withColumn("__f", flag)
+        .withColumn(
+            "seq", F.sum("__f").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .collect()
+    }
+    got = {
+        r["tb"]: r["session_seq"]
+        for r in chunked_sessionize(
+            df, key="k", ts="ts", tiebreak="tb", gap_us=gap_us, num_partitions=4
+        ).collect()
+    }
+    assert got == want
+
+
+@given(rows=_cw_rows_nullkey)
+@PROP
+def test_chunked_scd2_null_keys_match_plain_window(spark_global, rows):
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_scd2
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(k, "A" if v >= 0 else "B", t, i) for i, (k, t, v) in enumerate(rows)],
+        "k long, val string, t long, tb long",
+    )
+    w = Window.partitionBy("k").orderBy("t", "tb")
+    prev = F.lag("val").over(w)
+    plain = (
+        df.withColumn(
+            "__f", F.when(prev.isNull() | (prev != F.col("val")), 1).otherwise(0)
+        )
+        .withColumn("version", F.sum("__f").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(F.col("__f") == 1)
+        .withColumn(
+            "valid_to",
+            F.lead("t").over(Window.partitionBy("k").orderBy("version")),
+        )
+    )
+    key_of = lambda r: ("∅" if r["k"] is None else r["k"], r["version"])  # noqa: E731
+    want = {
+        key_of(r): (r["val"], r["t"], r["valid_to"], r["valid_to"] is None)
+        for r in plain.collect()
+    }
+    got = {
+        key_of(r): (r["val"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in chunked_scd2(
+            df, key="k", value="val", ts="t", tiebreak="tb", num_partitions=4
+        ).collect()
+    }
+    assert got == want
+
+
+@given(rows=_cw_rows_nullkey, frame_w=st.sampled_from([2, 3]))
+@PROP
+def test_chunked_moving_frame_null_keys_match_plain_window(spark_global, rows, frame_w):
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_moving_frame
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(rows)],
+        "k long, t long, tb long, v long",
+    )
+    w = Window.partitionBy("k").orderBy("t", "tb").rowsBetween(-(frame_w - 1), 0)
+    want = {
+        r["tb"]: (r["fs"], r["fc"])
+        for r in df.withColumn("fs", F.sum("v").over(w))
+        .withColumn("fc", F.count(F.lit(1)).over(w))
+        .collect()
+    }
+    got = {
+        r["tb"]: (r["frame_sum"], r["frame_cnt"])
+        for r in chunked_moving_frame(
+            df, key="k", order=["t", "tb"], value="v", frame_w=frame_w,
+            num_partitions=4,
+        ).collect()
+    }
+    assert got == want

@@ -629,6 +629,35 @@ def test_chunked_running_sum_equals_plain_window_under_skew(spark):
     assert mism == 0
 
 
+def test_chunked_running_sum_reliable_checkpoint_smoke(spark, tmp_path):
+    """reliable_checkpoint=True pins the sampled range boundaries with a
+    RELIABLE checkpoint (durable storage, survives executor loss — the
+    ADVICE r10 availability option for long cluster runs) instead of
+    executor-local blocks; results must be identical to the default."""
+    from etl_covid19_brasil_spark.operators.chunked_window import chunked_running_sum
+
+    df = spark.range(2_000).select(
+        F.pmod(F.col("id"), F.lit(7)).alias("k"),
+        F.col("id").alias("seq"),
+        F.lit(1).alias("v"),
+    )
+    old_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = chunked_running_sum(
+            df, keys=["k"], order=["seq"], value="v", out="rs",
+            num_partitions=4, reliable_checkpoint=True,
+        )
+        rows = {(r["k"], r["seq"]): r["rs"] for r in reliable.collect()}
+    finally:
+        if old_dir and not old_dir.isEmpty():
+            spark.sparkContext.setCheckpointDir(old_dir.get())
+    default = chunked_running_sum(
+        df, keys=["k"], order=["seq"], value="v", out="rs", num_partitions=4
+    )
+    assert rows == {(r["k"], r["seq"]): r["rs"] for r in default.collect()}
+
+
 def test_chunked_running_sum_splits_hot_key_across_partitions(spark):
     """Structural half of the skew claim: range partitioning on
     (key, order) actually SPLITS the hot key — the per-task sort bound
