@@ -388,16 +388,17 @@ def sink_csv_for_copy(
     a non-empty ``df`` raises rather than silently emitting a zero-row
     load.
     """
-    # Bound the FILE COUNT without bounding compute: coalesce(n)
-    # propagates upstream (the whole job would run on n tasks), so only
-    # use it when it strictly reduces partitions; otherwise shuffle via
-    # repartition so the upstream computation keeps its parallelism and
-    # only the write fans in.
-    if num_partitions:
-        current = df.rdd.getNumPartitions()
-        out = df.coalesce(num_partitions) if num_partitions >= current else df.repartition(num_partitions)
-    else:
-        out = df
+    # Bound the FILE COUNT without bounding compute: always repartition
+    # when a bound is requested — one extra (deterministic, skew-free
+    # round-robin) shuffle, and the upstream computation keeps its full
+    # parallelism. The previous coalesce-vs-repartition choice keyed off
+    # df.rdd.getNumPartitions(), which sidesteps (or can eagerly
+    # materialize) the AQE-optimized plan, so the compared count could
+    # differ from the write-time partition count and pick the
+    # upstream-collapsing coalesce exactly when it meant not to
+    # (ADVICE r10). The repartition shuffle is the predictable price of
+    # an exact part-count contract.
+    out = df.repartition(num_partitions) if num_partitions else df
     (
         out.write.mode(mode)
         .option("header", "false")

@@ -220,8 +220,10 @@ def run_window_stress(spark, n_rows: int) -> dict:
     of local[32]); the chunk-prefix rewrite spreads it across every
     partition. At probe sizes the rewrite should WIN wall-clock — the
     hot-key story is not only a memory bound. Bit-equality at this
-    volume is already pinned by tests; here each variant is timed and
-    its row count checked."""
+    volume is already pinned by tests; here each variant is only TIMED
+    (full materialization via the noop writer — no row count is
+    verified; DataFrameWriter.save() returns None, and a count() would
+    add an untimed second materialization for no signal)."""
     import pyspark.sql.functions as F
 
     from etl_covid19_brasil_spark.operators.chunked_window import chunked_running_sum
@@ -249,9 +251,9 @@ def run_window_stress(spark, n_rows: int) -> dict:
     ):
         spark.sparkContext._jvm.System.gc()
         t0 = time.monotonic()
-        cnt = build().write.format("noop").mode("overwrite").save() or n_rows
+        build().write.format("noop").mode("overwrite").save()
         t = time.monotonic() - t0
-        out[name] = {"t": round(t, 2), "rows": cnt}
+        out[name] = {"t": round(t, 2)}
         print(f"# window-stress {name}: {t:.1f}s", file=sys.stderr)
     return out
 
