@@ -165,6 +165,47 @@ def win_running_sum_chunked(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "win_running_sum_auto",
+    added=11,  # r11 — sorts AFTER the not-yet-driver-sampled backlog
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS running_spend
+    FROM orders
+    """,
+    section="2.5",
+    doc="Skew-AWARE running sum (operators/chunked_window.py:"
+    "running_sum_auto, VERDICT r10 item 6): a sampled hot-key-mass "
+    "estimate routes to the plain single-pass window below the measured "
+    "~10M-hot-row crossover and to the chunk-prefix rewrite above it — "
+    "the operator a caller uses when the key distribution is unknown. "
+    "Both routes are exact (same oracle as win_running_sum; routing "
+    "pinned both ways in tests/test_scale_ops.py); at sf scale the "
+    "sample routes plain, so this also driver-verifies the dispatch "
+    "plumbing end-to-end.",
+)
+def win_running_sum_auto(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.chunked_window import running_sum_auto
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents("o_totalprice").alias("p_cents")
+    )
+    out = running_sum_auto(
+        o,
+        keys=["o_custkey"],
+        order=["o_orderdate", "o_orderkey"],
+        value="p_cents",
+        out="spend_cents",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("spend_cents").cast("double") / F.lit(100.0)).alias("running_spend"),
+    )
+
+
+@query(
     "win_moving_avg",
     oracle=f"""
     SELECT o_custkey, o_orderkey,

@@ -658,6 +658,50 @@ def test_chunked_running_sum_reliable_checkpoint_smoke(spark, tmp_path):
     assert rows == {(r["k"], r["seq"]): r["rs"] for r in default.collect()}
 
 
+def test_running_sum_auto_routes_both_ways_on_skew_profiles(spark):
+    """The skew-aware dispatcher (VERDICT r10 item 6) must route a
+    uniform profile to the plain window and a hot-key profile to the
+    chunked rewrite — and the auto result must equal the plain window
+    either way (both routes are exact; only the plan differs). The
+    crossover is parameterized down so a CI-sized corpus exercises both
+    branches with a full-fraction sample."""
+    from pyspark.sql.window import Window
+
+    from etl_covid19_brasil_spark.operators.chunked_window import (
+        pick_window_strategy,
+        running_sum_auto,
+    )
+
+    uniform = spark.range(4_000).select(
+        F.pmod(F.col("id"), F.lit(1000)).alias("k"),
+        F.col("id").alias("seq"),
+        F.lit(1).alias("v"),
+    )
+    hot = spark.range(4_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("seq"),
+        F.lit(1).alias("v"),
+    )
+    kw = dict(sample_fraction=1.0, hot_rows_crossover=100)
+    assert pick_window_strategy(uniform, ["k"], **kw) == "plain"
+    assert pick_window_strategy(hot, ["k"], **kw) == "chunked"
+
+    w = Window.partitionBy("k").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    for df in (uniform, hot):
+        want = {
+            (r["k"], r["seq"]): r["rs"]
+            for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+        }
+        got = {
+            (r["k"], r["seq"]): r["rs"]
+            for r in running_sum_auto(
+                df, keys=["k"], order=["seq"], value="v", out="rs",
+                num_partitions=4, **kw,
+            ).collect()
+        }
+        assert got == want
+
+
 def test_chunked_running_sum_splits_hot_key_across_partitions(spark):
     """Structural half of the skew claim: range partitioning on
     (key, order) actually SPLITS the hot key — the per-task sort bound
