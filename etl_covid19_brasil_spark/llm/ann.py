@@ -143,6 +143,52 @@ def _global_topk(local: DataFrame, k: int) -> DataFrame:
 _TARGET_BUCKET_ROWS = 256
 
 
+def _drop_collapsed_tables(
+    embeddings: DataFrame, planes: np.ndarray, vec_col: str
+) -> np.ndarray:
+    """Degenerate-shape early-exit (VERDICT r10 item 5): a table whose
+    sign buckets collapse to ONE bucket on a random sample indexes the
+    whole corpus in a single bucket — every additional collapsed table
+    repeats byte-identical quadratic kernel work for ZERO recall gain
+    (identical candidate sets). The r10 table derivation paid exactly
+    that on the all-one-bucket skew corpus: T=11 cost 2.53x r9's T=5
+    wall-clock. Keep the FIRST collapsed table (its single bucket
+    already pairs everything) plus every non-collapsed table.
+
+    Detection is a driver-side probe over <= 4096 sampled vectors
+    against the already-generated planes — one tiny sample job, engaged
+    only above the small-corpus plane floor (callers gate on
+    n_planes > 4), so gate/bench-scale plans run zero extra jobs. A
+    conservative strict ``distinct == 1`` test: a table showing >= 2
+    buckets among thousands of samples is never dropped, so normal
+    corpora keep every derived table and the 8x recall floor is
+    unaffected (tests/test_ann_recall.py).
+    """
+    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows
+
+    frac = min(1.0, 8192 / max(1, _estimate_rows(embeddings)))
+    pdf = (
+        embeddings.select(vec_col).sample(fraction=frac, seed=7).limit(4096).toPandas()
+    )
+    if pdf.empty:
+        return planes
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    t_n, p_n = planes.shape[0], planes.shape[1]
+    proj = mat @ planes.reshape(t_n * p_n, -1).T
+    buckets = (
+        ((proj > 0).reshape(len(mat), t_n, p_n))
+        * (1 << np.arange(p_n)).astype(np.int64)
+    ).sum(axis=2)  # (sample, T) signature buckets
+    keep, kept_collapsed = [], False
+    for t in range(t_n):
+        if len(np.unique(buckets[:, t])) > 1:
+            keep.append(t)
+        elif not kept_collapsed:
+            keep.append(t)
+            kept_collapsed = True
+    return planes if len(keep) == t_n else planes[keep]
+
+
 def auto_n_tables(n_planes: int) -> int:
     """Table count spending compute where the plane derivation spent
     recall: 5 at the small-corpus plane floor (every pinned CI
@@ -230,6 +276,11 @@ def lsh_topk(
     if q_salts is None:
         q_salts = 4 if n_planes > 4 else 1
     planes = _planes(n_tables, n_planes, dim)
+    # above the plane floor (where the table derivation spends real
+    # compute), drop duplicate fully-collapsed tables — the degenerate-
+    # corpus early-exit; see _drop_collapsed_tables
+    if n_planes > 4 and planes.shape[0] > 1:
+        planes = _drop_collapsed_tables(embeddings, planes, vec_col)
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(planes)
 

@@ -476,6 +476,54 @@ def test_lsh_degenerate_single_bucket_completes(spark):
     assert min(r["cosine"] for r in rows) > 0.999
 
 
+def test_lsh_collapsed_table_early_exit(spark):
+    """Degenerate-shape early-exit (VERDICT r10 item 5): on a corpus
+    whose sign buckets collapse to one bucket per table, every table
+    past the first repeats byte-identical quadratic work for zero
+    recall gain (the r10 table derivation paid 2.53x wall-clock for
+    exactly this). The sampled probe must keep ONE collapsed table,
+    keep ALL tables on a normal corpus (so the 8x recall floor is
+    untouched), and the end-to-end contract (n x k near-perfect rows)
+    must survive the drop."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_covid19_brasil_spark.llm.ann import (
+        _drop_collapsed_tables,
+        _planes,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    planes = _planes(7, 6, 64)
+    normal = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(500, dtype=np.int64),
+                "embedding": list(rng.normal(size=(500, 64))),
+            }
+        )
+    )
+    assert _drop_collapsed_tables(normal, planes, "embedding").shape[0] == 7
+
+    v0 = rng.normal(size=64)
+    v0 /= np.sqrt((v0**2).sum())
+    mat = v0[None, :] + rng.normal(scale=1e-4, size=(2000, 64))
+    deg = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(2000, dtype=np.int64), "embedding": list(mat)}
+        )
+    )
+    kept = _drop_collapsed_tables(deg, planes, "embedding")
+    assert kept.shape[0] == 1
+
+    # end-to-end with a forced above-floor plane count (the regime the
+    # derivation grows tables in): delivery contract unchanged
+    rows = lsh_topk(deg, k=5, n_planes=6).collect()
+    assert len(rows) == 2000 * 5
+    assert min(r["cosine"] for r in rows) > 0.999
+
+
 def test_lsh_table_count_tracks_plane_count():
     """The r10 8x recall probe found recall silently decaying below the
     CI floor because planes auto-scaled with corpus size while tables

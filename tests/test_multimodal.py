@@ -425,3 +425,197 @@ def test_video_signature_invariant_to_reencode_sensitive_to_frame_change(spark):
     )
     new_sig = video_phash_signature(pdf_media).collect()[0].signature
     assert new_sig != got[some_id][1]
+
+
+# --- hypothesis differentials for the perceptual fingerprint tier ----------
+#
+# (VERDICT r10 item 7) The fixed-corpus tests above pin ONE synthetic
+# shape; these generate RANDOM payloads and perturbation magnitudes and
+# compare the distributed kernels against straightforward pure-Python
+# references over the same stdlib decoders — the treatment the
+# join/window families got. Each operator gets the two-sided contract:
+# exact INVARIANCE under its perturbation class (uniform brightness
+# shift / uniform gain / whole-video re-encode) and SENSITIVITY to a
+# content change (luminance inversion flips every non-tied aHash bit;
+# an inverted frame moves the video signature whenever its reference
+# hash is nonzero).
+
+import hashlib as _hashlib
+
+import numpy as _np
+import pandas as _pd
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+_MM_PROP = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="session")
+def spark_global_mm(spark):
+    # hypothesis forbids function-scoped fixtures; alias the session one
+    return spark
+
+
+def _ref_ahash_arr(arr) -> int:
+    """Canonical 8x8 integer-cross-multiplication aHash — the pure-
+    Python reference both image_average_hash and video_phash_signature
+    must reproduce (their per-axis grid formulas are algebraically the
+    same; a brute-force sweep over sizes 1..199 confirms)."""
+    lum = arr[:, :, 0].astype("int64")
+    h, w = lum.shape
+    total_sum, n_total = int(lum.sum()), w * h
+    bits = 0
+    for gy in range(8):
+        y0 = min(gy * h // 8, h - 1)
+        y1 = max(min(max((gy + 1) * h // 8, y0 + 1), h), y0 + 1)
+        for gx in range(8):
+            x0 = min(gx * w // 8, w - 1)
+            x1 = max(min(max((gx + 1) * w // 8, x0 + 1), w), x0 + 1)
+            cell = lum[y0:y1, x0:x1]
+            bits = (bits << 1) | int(int(cell.sum()) * n_total > total_sum * cell.size)
+    return bits
+
+
+def _ref_audio_fingerprint(samples) -> int:
+    mag = _np.abs(samples.astype("int64"))
+    n, total = mag.size, int(_np.abs(samples.astype("int64")).sum())
+    bits = 0
+    for b in range(16):
+        lo, hi = b * n // 16, max((b + 1) * n // 16, b * n // 16 + 1)
+        seg = mag[min(lo, n - 1):min(max(hi, lo + 1), n)]
+        if seg.size == 0:
+            seg = mag[-1:]
+        bits = (bits << 1) | int(int(seg.sum()) * n > total * seg.size)
+    return bits
+
+
+_img_strategy = st.tuples(
+    st.integers(1, 12),            # height
+    st.integers(1, 40),            # width
+    st.integers(0, 2**32 - 1),     # pixel seed
+    st.integers(1, 24),            # brightness shift
+)
+
+
+@given(spec=_img_strategy)
+@_MM_PROP
+def test_image_ahash_differential_invariance_sensitivity(spark_global_mm, spec):
+    from etl_covid19_brasil_spark.llm.multimodal import encode_ppm, image_average_hash
+
+    spark = spark_global_mm
+    h, w, seed, shift = spec
+    rng = _np.random.default_rng(seed)
+    # cap at 255 - shift so the uniform shift NEVER clips -> the
+    # cross-multiplication invariance is exact with no caveats
+    pixels = rng.integers(0, 256 - shift, size=(h, w, 3)).astype(_np.uint8)
+    shifted = (pixels.astype(_np.int16) + shift).astype(_np.uint8)
+    inverted = (255 - pixels.astype(_np.int16)).astype(_np.uint8)
+    media = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "media_id": [0, 1, 2],
+                "payload": [encode_ppm(p) for p in (pixels, shifted, inverted)],
+            }
+        )
+    )
+    got = {r.media_id: r.phash for r in image_average_hash(media).collect()}
+    ref = _ref_ahash_arr(pixels)
+    assert got[0] == int(_np.uint64(ref).astype(_np.int64))  # differential
+    assert got[1] == got[0]  # exact brightness invariance
+    # sensitivity: inversion flips every strictly-decided bit, so the
+    # hash must move unless NO bit was strictly decided (ref == 0 and
+    # every cell exactly at the mean — the constant-image tie case)
+    assume(ref != 0)
+    assert got[2] != got[0]
+
+
+_wav_strategy = st.tuples(
+    st.integers(1, 200),           # n samples
+    st.integers(0, 2**32 - 1),     # sample seed
+    st.sampled_from([2, 3, -2]),   # exact int16 gain (|s| <= 2730 -> no overflow)
+)
+
+
+@given(spec=_wav_strategy)
+@_MM_PROP
+def test_audio_fingerprint_differential_and_gain_invariance(spark_global_mm, spec):
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        audio_energy_fingerprint,
+        encode_wav,
+    )
+
+    spark = spark_global_mm
+    n, seed, gain = spec
+    rng = _np.random.default_rng(seed)
+    samples = rng.integers(-2730, 2731, size=n).astype("<i2")
+    gained = (samples.astype(_np.int32) * gain).astype("<i2")  # exact, no clip
+    media = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "media_id": [0, 1],
+                "payload": [encode_wav(samples), encode_wav(gained)],
+            }
+        )
+    )
+    got = {r.media_id: r.fingerprint for r in audio_energy_fingerprint(media).collect()}
+    assert got[0] == _ref_audio_fingerprint(samples)  # differential
+    assert got[1] == got[0]  # exact gain invariance (|g*s| cross-mults cancel)
+
+
+_vid_strategy = st.tuples(
+    st.integers(1, 4),             # n frames
+    st.integers(4, 20),            # width (height fixed 2)
+    st.integers(0, 2**32 - 1),     # pixel seed
+    st.integers(1, 16),            # brightness shift
+    st.integers(0, 3),             # frame to mutate (mod n_frames)
+)
+
+
+@given(spec=_vid_strategy)
+@_MM_PROP
+def test_video_signature_differential_invariance_sensitivity(spark_global_mm, spec):
+    from etl_covid19_brasil_spark.llm.multimodal import (
+        encode_ppm,
+        video_phash_signature,
+    )
+
+    spark = spark_global_mm
+    n_frames, w, seed, shift, mut = spec
+    mut %= n_frames
+    rng = _np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256 - shift, size=(2, w, 3)).astype(_np.uint8)
+        for _ in range(n_frames)
+    ]
+    shifted = [(f.astype(_np.int16) + shift).astype(_np.uint8) for f in frames]
+    mutated = [
+        (255 - f.astype(_np.int16)).astype(_np.uint8) if i == mut else f
+        for i, f in enumerate(frames)
+    ]
+    media = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "media_id": [0, 1, 2],
+                "payload": [
+                    b"".join(encode_ppm(f) for f in fs)
+                    for fs in (frames, shifted, mutated)
+                ],
+            }
+        )
+    )
+    got = {
+        r.media_id: (r.n_frames, r.signature)
+        for r in video_phash_signature(media).collect()
+    }
+    seq = ",".join(str(_ref_ahash_arr(f)) for f in frames)
+    ref_sig = int.from_bytes(_hashlib.md5(seq.encode()).digest()[:8], "big") >> 1
+    assert got[0] == (n_frames, ref_sig)  # differential vs reference
+    assert got[1] == got[0]  # whole-video brightness re-encode invariance
+    # sensitivity: the inverted frame's reference hash moves unless it
+    # was all-ties (ref == 0); the md5 over the hash sequence must move
+    assume(_ref_ahash_arr(frames[mut]) != 0)
+    assert got[2][1] != got[0][1]
