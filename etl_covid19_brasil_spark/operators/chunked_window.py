@@ -247,6 +247,122 @@ def running_sum_auto(
     return df.withColumn(out, F.sum(value).over(w))
 
 
+def sessionize_auto(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    gap_us: int,
+    out: str = "session_seq",
+    num_partitions: int | None = None,
+    sample_fraction: float = 0.001,
+    hot_rows_crossover: int = CROSSOVER_HOT_ROWS,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Skew-aware sessionization: :func:`pick_window_strategy` routes to
+    the plain gaps-and-islands window below the crossover or
+    :func:`chunked_sessionize` above it. Identical output either way
+    (input columns + ``out`` long)."""
+    route = pick_window_strategy(df, [key], sample_fraction, hot_rows_crossover)
+    if route == "chunked":
+        return chunked_sessionize(
+            df, key, ts, tiebreak, gap_us, out,
+            num_partitions=num_partitions,
+            reliable_checkpoint=reliable_checkpoint,
+        )
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    us = F.unix_micros(F.col(ts))
+    gap = us - F.lag(us).over(w)
+    flag = F.when(gap.isNull() | (gap > gap_us), F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("__cw_flag", flag)
+        .withColumn(
+            out,
+            F.sum("__cw_flag")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .drop("__cw_flag")
+    )
+
+
+def scd2_auto(
+    df: DataFrame,
+    key: str,
+    value: str,
+    ts: str,
+    tiebreak: str,
+    num_partitions: int | None = None,
+    sample_fraction: float = 0.001,
+    hot_rows_crossover: int = CROSSOVER_HOT_ROWS,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Skew-aware SCD Type-2 compression: routes to the plain
+    lag-compare → filter → lead build below the crossover or
+    :func:`chunked_scd2` above it. Identical output either way:
+    (key, value, valid_from, valid_to, is_current, version)."""
+    route = pick_window_strategy(df, [key], sample_fraction, hot_rows_crossover)
+    if route == "chunked":
+        return chunked_scd2(
+            df, key, value, ts, tiebreak,
+            num_partitions=num_partitions,
+            reliable_checkpoint=reliable_checkpoint,
+        )
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev = F.lag(value).over(w)
+    flag = F.when(prev.isNull() | (prev != F.col(value)), F.lit(1)).otherwise(F.lit(0))
+    transitions = (
+        df.withColumn("__cw_flag", flag)
+        .withColumn(
+            "version",
+            F.sum("__cw_flag")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .filter(F.col("__cw_flag") == 1)
+        .select(key, value, F.col(ts).alias("valid_from"), "version")
+    )
+    nxt = Window.partitionBy(key).orderBy("version")
+    return transitions.withColumn("valid_to", F.lead("valid_from").over(nxt)).select(
+        key,
+        value,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "version",
+    )
+
+
+def moving_frame_auto(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    frame_w: int,
+    out_sum: str = "frame_sum",
+    out_cnt: str = "frame_cnt",
+    num_partitions: int | None = None,
+    sample_fraction: float = 0.001,
+    hot_rows_crossover: int = CROSSOVER_HOT_ROWS,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Skew-aware bounded-frame aggregate: routes to the plain window
+    below the crossover or :func:`chunked_moving_frame` above it.
+    Identical output either way (input columns + out_sum/out_cnt)."""
+    order = list(order)
+    route = pick_window_strategy(df, [key], sample_fraction, hot_rows_crossover)
+    if route == "chunked":
+        return chunked_moving_frame(
+            df, key, order, value, frame_w, out_sum, out_cnt,
+            num_partitions=num_partitions,
+            reliable_checkpoint=reliable_checkpoint,
+        )
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(-(frame_w - 1), 0)
+    return df.withColumn(out_sum, F.sum(value).over(w)).withColumn(
+        out_cnt, F.count(F.lit(1)).over(w)
+    )
+
+
 def chunked_sessionize(
     df: DataFrame,
     key: str,

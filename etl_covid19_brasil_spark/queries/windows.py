@@ -280,6 +280,45 @@ def win_moving_avg_chunked(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "win_moving_avg_auto",
+    added=11,  # r11 — sorts AFTER the not-yet-driver-sampled backlog
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             / COUNT(*) OVER ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg_price
+    FROM orders
+    """,
+    section="2.5",
+    doc="Skew-aware moving average (operators/chunked_window.py:"
+    "moving_frame_auto): the sampled-key-mass dispatcher routing plain "
+    "vs ghost-row chunked at the measured crossover — see "
+    "win_running_sum_auto. Same oracle as win_moving_avg.",
+)
+def win_moving_avg_auto(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.chunked_window import moving_frame_auto
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents("o_totalprice").alias("p_cents")
+    )
+    out = moving_frame_auto(
+        o,
+        key="o_custkey",
+        order=["o_orderdate", "o_orderkey"],
+        value="p_cents",
+        frame_w=3,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.col("frame_sum").cast("double") / F.lit(100.0) / F.col("frame_cnt")
+        ).alias("moving_avg_price"),
+    )
+
+
+@query(
     "win_first_last",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
@@ -547,6 +586,55 @@ def scd2_dimension_build_chunked(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "scd2_dimension_build_auto",
+    added=11,  # r11 — sorts AFTER the not-yet-driver-sampled backlog
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_priority
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    transitions AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM changes
+      WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+    )
+    SELECT o_custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current,
+           CAST(row_number() OVER w2 AS BIGINT) AS version
+    FROM transitions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    section="2.5",
+    doc="Skew-aware SCD2 build (operators/chunked_window.py:scd2_auto): "
+    "the sampled-key-mass dispatcher routing the plain lag/lead build "
+    "vs chunked_scd2 at the measured crossover — see "
+    "win_running_sum_auto. Same oracle as scd2_dimension_build.",
+)
+def scd2_dimension_build_auto(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.chunked_window import scd2_auto
+
+    o = T(spark, sf, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return scd2_auto(
+        o, key="o_custkey", value="o_orderpriority", ts="o_orderdate",
+        tiebreak="o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "version",
+    )
+
+
+@query(
     "win_rolling_median",
     oracle="""
     SELECT o_custkey, o_orderkey,
@@ -675,6 +763,47 @@ def win_sessionize_events_chunked(spark: SparkSession, sf: str) -> DataFrame:
 
     e = T(spark, sf, "events").select("user_id", "event_id", "ts")
     return chunked_sessionize(
+        e, key="user_id", ts="ts", tiebreak="event_id", gap_us=30 * 60 * 1_000_000
+    ).select("user_id", "event_id", "session_seq")
+
+
+@query(
+    "win_sessionize_events_auto",
+    added=11,  # r11 — sorts AFTER the not-yet-driver-sampled backlog
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                    OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+    FROM marked
+    """,
+    section="2.5",
+    doc="Skew-aware sessionization (operators/chunked_window.py:"
+    "sessionize_auto): the sampled-key-mass dispatcher routing the "
+    "plain gaps-and-islands window vs chunked_sessionize at the "
+    "measured crossover — see win_running_sum_auto. Same oracle as "
+    "win_sessionize_events (integer-microsecond gap compare on both "
+    "routes).",
+)
+def win_sessionize_events_auto(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.operators.chunked_window import sessionize_auto
+
+    e = T(spark, sf, "events").select("user_id", "event_id", "ts")
+    return sessionize_auto(
         e, key="user_id", ts="ts", tiebreak="event_id", gap_us=30 * 60 * 1_000_000
     ).select("user_id", "event_id", "session_seq")
 

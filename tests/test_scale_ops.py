@@ -702,6 +702,44 @@ def test_running_sum_auto_routes_both_ways_on_skew_profiles(spark):
         assert got == want
 
 
+def test_auto_dispatch_family_routes_both_ways(spark):
+    """The other three window shapes get the same dispatcher contract as
+    running_sum_auto: a forced-plain route and a forced-chunked route
+    (crossover parameterized down, full-fraction sample) must produce
+    identical results for sessionize, SCD2, and the bounded frame."""
+    import datetime as dt
+
+    from etl_covid19_brasil_spark.operators.chunked_window import (
+        moving_frame_auto,
+        scd2_auto,
+        sessionize_auto,
+    )
+
+    base = dt.datetime(2021, 1, 1)
+    rows = [
+        (i % 7 if i % 2 else 0, base + dt.timedelta(minutes=3 * i), i,
+         "A" if (i // 5) % 2 == 0 else "B", i % 10)
+        for i in range(3_000)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, tb long, val string, v long")
+
+    def run(fn, **kw):
+        plain = fn(sample_fraction=1.0, hot_rows_crossover=10**9, **kw)
+        chunked = fn(sample_fraction=1.0, hot_rows_crossover=10, num_partitions=4, **kw)
+        a, b = [r for r in map(tuple, plain.collect())], [
+            r for r in map(tuple, chunked.collect())
+        ]
+        # set compare (rows are unique per operator contract; sorting
+        # tuples directly would TypeError on None valid_to values)
+        assert len(a) == len(b) == len(set(a)) and set(a) == set(b)
+
+    run(lambda **kw: sessionize_auto(df, key="k", ts="ts", tiebreak="tb",
+                                     gap_us=5 * 60 * 1_000_000, **kw))
+    run(lambda **kw: scd2_auto(df, key="k", value="val", ts="ts", tiebreak="tb", **kw))
+    run(lambda **kw: moving_frame_auto(df, key="k", order=["ts", "tb"], value="v",
+                                       frame_w=3, **kw))
+
+
 def test_chunked_running_sum_splits_hot_key_across_partitions(spark):
     """Structural half of the skew claim: range partitioning on
     (key, order) actually SPLITS the hot key — the per-task sort bound
