@@ -144,7 +144,7 @@ _TARGET_BUCKET_ROWS = 256
 
 
 def _drop_collapsed_tables(
-    embeddings: DataFrame, planes: np.ndarray, vec_col: str
+    embeddings: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
 ) -> np.ndarray:
     """Degenerate-shape early-exit (VERDICT r10 item 5): a table whose
     sign buckets collapse to ONE bucket on a random sample indexes the
@@ -156,19 +156,23 @@ def _drop_collapsed_tables(
     already pairs everything) plus every non-collapsed table.
 
     Detection is a driver-side probe over <= 4096 sampled vectors
-    against the already-generated planes — one tiny sample job, engaged
-    only above the small-corpus plane floor (callers gate on
-    n_planes > 4), so gate/bench-scale plans run zero extra jobs. A
-    conservative strict ``distinct == 1`` test: a table showing >= 2
-    buckets among thousands of samples is never dropped, so normal
-    corpora keep every derived table and the 8x recall floor is
-    unaffected (tests/test_ann_recall.py).
+    against the already-generated planes — one tiny TakeOrdered job,
+    engaged only above the small-corpus plane floor (callers gate on
+    n_planes > 4), so gate/bench-scale plans run zero extra jobs. The
+    sample is CONTENT-deterministic (the 4096 smallest id hashes — the
+    pq_train seeding pattern), never partition-layout-dependent: a
+    Bernoulli sample + unordered limit would let the kept-table set,
+    and thus lsh_topk's candidate sets, vary run-to-run with
+    parallelism. A conservative strict ``distinct == 1`` test: a table
+    showing >= 2 buckets among thousands of samples is never dropped,
+    so normal corpora keep every derived table and the 8x recall floor
+    is unaffected (tests/test_ann_recall.py).
     """
-    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows
-
-    frac = min(1.0, 8192 / max(1, _estimate_rows(embeddings)))
     pdf = (
-        embeddings.select(vec_col).sample(fraction=frac, seed=7).limit(4096).toPandas()
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(4096)
+        .toPandas()
     )
     if pdf.empty:
         return planes
@@ -280,7 +284,7 @@ def lsh_topk(
     # compute), drop duplicate fully-collapsed tables — the degenerate-
     # corpus early-exit; see _drop_collapsed_tables
     if n_planes > 4 and planes.shape[0] > 1:
-        planes = _drop_collapsed_tables(embeddings, planes, vec_col)
+        planes = _drop_collapsed_tables(embeddings, planes, id_col, vec_col)
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(planes)
 
@@ -705,6 +709,11 @@ def pq_train(
     n, dim = mat.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    # a codebook cannot hold more centroids than training rows — clamp
+    # so tiny corpora train valid (smaller) books instead of crashing
+    # the deterministic first-k init (r11 review); downstream readers
+    # take k from books.shape, so the narrower book is self-describing.
+    k = min(k, n)
     sub = dim // m
     books = np.empty((m, k, sub))
     for j in range(m):
@@ -812,8 +821,13 @@ def ivfpq_topk(
         n_cells = auto_n_cells(_estimate_rows(embeddings))
     if n_probe is None:  # fraction-held derivation (see auto_n_probe)
         n_probe = auto_n_probe(n_cells)
-    n_probe = min(n_probe, n_cells)
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
+    # clamp to the ACTUAL centroid count, not the nominal n_cells:
+    # kmeans_lloyd inits from limit(k), so a corpus smaller than n_cells
+    # returns fewer centroids, and the assign kernel's fan-out
+    # bookkeeping (np.repeat by n_probe) must agree with the probed
+    # width argsort can actually deliver.
+    n_probe = min(n_probe, len(cents))
     books = pq_train(embeddings, m=m, k=pq_k, id_col=id_col, vec_col=vec_col)
     bc_c = spark.sparkContext.broadcast(cents)
     bc_b = spark.sparkContext.broadcast(books)

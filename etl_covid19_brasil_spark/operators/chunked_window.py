@@ -199,15 +199,27 @@ def pick_window_strategy(
     for any frame small enough to evade a 1e-3 sample. For a
     full-fidelity profile (skew ratio, top-10 mass) run the
     diag_key_skew query (queries/relational.py) and choose explicitly.
+
+    NOTE: this (and therefore every ``*_auto`` operator) runs ONE eager
+    Spark job at CONSTRUCTION time — a dispatcher cannot be lazy, since
+    the route must be decided before the plan is built. Callers that
+    need pure-lazy builders (plan pinning, repeated construction)
+    should pick ``chunked_*`` or the plain window explicitly.
     """
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}; "
+            "to skip sampling, call the plain window or chunked_* "
+            "operator directly"
+        )
     hot = (
-        df.sample(fraction=min(sample_fraction, 1.0), seed=seed)
+        df.sample(fraction=sample_fraction, seed=seed)
         .groupBy(*[F.col(c) for c in keys])
         .agg(F.count(F.lit(1)).alias("__cw_n"))
         .agg(F.max("__cw_n").alias("__cw_max"))
         .first()["__cw_max"]
     )
-    est = int((hot or 0) / min(sample_fraction, 1.0))
+    est = int((hot or 0) / sample_fraction)
     return "chunked" if est > hot_rows_crossover else "plain"
 
 

@@ -232,6 +232,11 @@ def run_recall_probe(spark, replicas: int) -> dict:
     # fixed-probe envelope visible (what a clustered-corpus deployment
     # passing an explicit n_probe would pay/get on THIS cluster-free
     # corpus — the documented recall-for-compute trade).
+    # n_cells passed EXPLICITLY from the exact count so the recorded
+    # (n_cells, n_probe) is the configuration the measured runs actually
+    # used — leaving it to the operators' internal _estimate_rows
+    # (plan-statistics estimate, 4x-inflated fallback) could derive a
+    # different cell count than the artifact states (r11 review).
     n_cells = auto_n_cells(n)
     out = {
         "n_vectors": n,
@@ -240,10 +245,10 @@ def run_recall_probe(spark, replicas: int) -> dict:
     }
     for name, fn in (
         ("ann_lsh_topk", lambda: lsh_topk(emb, k=5)),
-        ("ann_ivf_topk", lambda: ivf_topk(emb, k=5)),
-        ("ann_ivf_topk_fixed10", lambda: ivf_topk(emb, k=5, n_probe=10)),
-        ("ann_ivfpq_topk", lambda: ivfpq_topk(emb, k=5)),
-        ("ann_ivfpq_topk_fixed10", lambda: ivfpq_topk(emb, k=5, n_probe=10)),
+        ("ann_ivf_topk", lambda: ivf_topk(emb, k=5, n_cells=n_cells)),
+        ("ann_ivf_topk_fixed10", lambda: ivf_topk(emb, k=5, n_cells=n_cells, n_probe=10)),
+        ("ann_ivfpq_topk", lambda: ivfpq_topk(emb, k=5, n_cells=n_cells)),
+        ("ann_ivfpq_topk_fixed10", lambda: ivfpq_topk(emb, k=5, n_cells=n_cells, n_probe=10)),
     ):
         got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
         r = len(got & truth) / len(truth)

@@ -26,7 +26,9 @@ data is already covered by the salted-vs-plain equality tests
 exists because those run at benign distributions.
 
 Usage: python scripts/skew_check.py [--n-emb 20000] [--hot-frac 0.2]
-Prints one JSON line: {"probes": {name: {"t": s, "rows": n}}, ...}.
+Prints one JSON line: {"probes": {name: {"t": s, "rows": n}}, ...}
+(--window-stress probes carry "t" only — they time full
+materialization via the noop writer and verify no row count).
 """
 
 from __future__ import annotations

@@ -504,7 +504,7 @@ def test_lsh_collapsed_table_early_exit(spark):
             }
         )
     )
-    assert _drop_collapsed_tables(normal, planes, "embedding").shape[0] == 7
+    assert _drop_collapsed_tables(normal, planes, "vec_id", "embedding").shape[0] == 7
 
     v0 = rng.normal(size=64)
     v0 /= np.sqrt((v0**2).sum())
@@ -514,7 +514,7 @@ def test_lsh_collapsed_table_early_exit(spark):
             {"vec_id": np.arange(2000, dtype=np.int64), "embedding": list(mat)}
         )
     )
-    kept = _drop_collapsed_tables(deg, planes, "embedding")
+    kept = _drop_collapsed_tables(deg, planes, "vec_id", "embedding")
     assert kept.shape[0] == 1
 
     # end-to-end with a forced above-floor plane count (the regime the
@@ -522,6 +522,31 @@ def test_lsh_collapsed_table_early_exit(spark):
     rows = lsh_topk(deg, k=5, n_planes=6).collect()
     assert len(rows) == 2000 * 5
     assert min(r["cosine"] for r in rows) > 0.999
+
+
+def test_ivfpq_tiny_corpus_clamps_probe_to_actual_centroids(spark):
+    """kmeans_lloyd inits from limit(k), so a corpus smaller than
+    n_cells returns FEWER centroids than nominal — the probe clamp must
+    track the actual centroid count or the assign kernel's fan-out
+    bookkeeping mis-shapes (pandas 'arrays must all be same length'
+    crash; found by the r11 review pass)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(20, dtype=np.int64),
+                "embedding": list(rng.normal(size=(20, 64))),
+            }
+        )
+    )
+    rows = ivfpq_topk(emb, k=3, n_cells=64).collect()  # nominal cells > corpus
+    assert len(rows) > 0
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
 
 
 def test_lsh_table_count_tracks_plane_count():
