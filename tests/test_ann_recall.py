@@ -562,3 +562,130 @@ def test_lsh_table_count_tracks_plane_count():
     assert auto_n_tables(6) == 9  # the 8x probe point
     assert auto_n_tables(12) == 21  # 64x regime: linear spend, no cap
     assert auto_n_tables(3) == 5  # never below the floor
+
+
+# ---------------------------------------------------------------------------
+# Shape-aware probe dispatch (VERDICT r11 item 3): pick_probe_strategy
+# routes fixed probes on concentrated cell occupancy, fraction-held on
+# flat — and short-circuits with zero Spark jobs when the regimes
+# coincide at the <=16-cell floor.
+# ---------------------------------------------------------------------------
+
+
+def _unit(rows):
+    import numpy as np
+
+    m = np.asarray(rows, dtype=np.float64)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def test_pick_probe_strategy_short_circuits_at_cell_floor():
+    """At <=16 cells auto_n_probe == the fixed operating point, so the
+    dispatcher must return WITHOUT touching the embeddings DataFrame
+    (gate/bench plans run zero extra jobs). Passing None as embeddings
+    proves structurally that no Spark job can have run."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import pick_probe_strategy
+
+    rng = np.random.default_rng(7)
+    cents = _unit(rng.normal(size=(16, 64)))
+    route, n_probe = pick_probe_strategy(None, cents)
+    assert (route, n_probe) == ("fraction", 10)
+
+
+def test_pick_probe_strategy_routes_fixed_on_clustered(spark):
+    """Vectors drawn tightly around 3 anchors occupy ~3 of 64 cells —
+    the top-10 cells hold ~all sampled mass, so the dispatcher keeps
+    the fixed measured operating point (linear total work)."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import pick_probe_strategy
+
+    rng = np.random.default_rng(11)
+    cents = _unit(rng.normal(size=(64, 64)))
+    anchors = cents[[3, 17, 42]]  # clusters sit ON known cells
+    vecs = _unit(
+        anchors[rng.integers(0, 3, size=600)] + 0.05 * rng.normal(size=(600, 64))
+    )
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    route, n_probe = pick_probe_strategy(df, cents)
+    assert route == "fixed"
+    assert n_probe == 10
+
+
+def test_pick_probe_strategy_routes_fraction_on_flat(spark):
+    """Cluster-free vectors spread ~uniformly over 64 cells (top-10
+    mass ~10/64), so the dispatcher falls back to the fraction-held
+    recall-safe count auto_n_probe(64) = 40."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import auto_n_probe, pick_probe_strategy
+
+    rng = np.random.default_rng(13)
+    cents = _unit(rng.normal(size=(64, 64)))
+    vecs = _unit(rng.normal(size=(600, 64)))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    route, n_probe = pick_probe_strategy(df, cents)
+    assert route == "fraction"
+    assert n_probe == auto_n_probe(64) == 40
+
+
+def test_ivf_fixed_route_recall_on_clustered_corpus(spark):
+    """End-to-end both-routes pin: on a clustered corpus the default
+    dispatch takes the FIXED route and still recovers essentially all
+    true neighbors (neighbors co-locate in few cells — the regime IVF
+    is built for), while the explicit fraction-held config agrees.
+    This is the recall half of the routing contract; the flat-corpus
+    half is the existing test_ivf_recall_floor (auto route at 16 cells
+    = the pinned 10/16 operating point)."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk, pick_probe_strategy
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    rng = np.random.default_rng(17)
+    anchors = _unit(rng.normal(size=(4, 64)))
+    vecs = _unit(
+        anchors[rng.integers(0, 4, size=400)] + 0.08 * rng.normal(size=(400, 64))
+    )
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    ).cache()
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, k=5).collect()
+    }
+    # 32 trained cells > the 16-cell floor => the dispatcher must probe
+    # occupancy; clustered input must route fixed
+    from etl_covid19_brasil_spark.llm.ann import kmeans_lloyd
+
+    cents = kmeans_lloyd(df, k=32, iters=3)
+    route, n_probe = pick_probe_strategy(df, cents)
+    assert route == "fixed" and n_probe == 10
+    rows = ivf_topk(df, k=5, centroids=cents, n_probe=n_probe).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    r = len(got & truth) / len(truth)
+    assert r >= 0.9, f"fixed-route recall on clustered corpus collapsed: {r:.3f}"
+    df.unpersist()
+
+
+def test_lsh_topk_collapse_probe_opt_out(spark):
+    """drop_collapsed_tables=False must skip the construction-time
+    probe job entirely and leave results recall-equivalent on a normal
+    corpus (where the probe keeps every table anyway) — the expert
+    lazy-builder escape hatch (ADVICE r11)."""
+    from unittest import mock
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm import ann
+
+    emb = load_table(spark, SF, "embeddings")
+    with mock.patch.object(
+        ann, "_drop_collapsed_tables", side_effect=AssertionError("probe ran")
+    ):
+        out = ann.lsh_topk(emb, k=5, n_planes=6, drop_collapsed_tables=False)
+        assert out.limit(1).count() >= 0  # plan builds and runs probe-free
