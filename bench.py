@@ -187,29 +187,6 @@ def main() -> None:
     sf_val = float(sf_num) if sf_num.replace(".", "").isdigit() else 0.1
     _covid_csv(sf_val)  # untimed synthesis/cache
 
-    def timed(build) -> list[float]:
-        """All N steady-state EXECUTION timings (the r01 convention:
-        query construction stays untimed so numbers remain comparable
-        round-over-round; execution dominates at scale anyway). Every
-        HEADLINE builder is lazy — a builder that materialized eagerly
-        would have to move inside the timer. The caller keeps min as
-        the headline and records {min, median, max} so a contended-box
-        outlier is classifiable from the artifact alone (r9: the driver
-        env showed stream_static_enrich +26% that a quiet box did not)."""
-        runs: list[float] = []
-        for _ in range(BENCH_RUNS):
-            # Collect garbage OUTSIDE the timed region: accumulated heap
-            # from earlier queries otherwise triggers GC pauses inside
-            # random timed runs (measured r7: exact_dedup jittered
-            # 0.23-1.09 s without this, 0.17-0.21 s with it).
-            spark.sparkContext._jvm.System.gc()
-            spark.catalog.clearCache()
-            df = build()
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        return runs
-
     # One broken query must not zero the whole round's bench artifact
     # (r03/r04 lost ALL timings to a single AnalysisException): each
     # query records null on failure and the run continues.
@@ -217,38 +194,87 @@ def main() -> None:
     spread: dict[str, dict[str, float]] = {}
     failed: list[str] = []
 
-    def run_one(name: str, build) -> None:
+    # Sequence-order de-bias (VERDICT r11 item 5): with the old
+    # per-query min-of-5 loop the execution ORDER was fixed, so a query
+    # running late in the sequence inherited the accumulated JVM heap of
+    # everything before it — SCALECHECK_r11 measured
+    # dedup_minhash_components 0.751 s at the tail of the full sequence
+    # vs 0.500 s isolated, a +50% purely positional inflation that the
+    # per-run System.gc() only partially drains. Instead: BENCH_RUNS
+    # full PASSES over the query list, pass r starting at a rotated
+    # offset (deterministic — r * ceil(N/RUNS), so each query's N
+    # sequence positions spread across the whole range), one timing per
+    # query per pass, per-query MIN across passes. Every query now takes
+    # its min over runs at different heap depths, so minima are
+    # order-independent. Timing protocol per run is unchanged
+    # (gc + clearCache outside the timer, noop materialization inside).
+    pairs: list[tuple[str, object]] = [
+        (name, (lambda n=name: specs[n].spark(spark, SF_DIR))) for name in HEADLINE
+    ]
+    pairs.append(("etl_covid_pipeline", lambda: _etl_covid(spark, sf_val)))
+
+    # Warmup tier 2 — one UNTIMED full pass: spawns the Python workers,
+    # JIT-compiles the codegen'd stages, and faults in every jar/class
+    # each query touches. Without it the first timed run absorbs
+    # one-time costs that best-of-N only partially hides (the r6 "+16%
+    # regression" was exactly this: a cold driver VM, not slower plans).
+    alive: list[tuple[str, object]] = []
+    for name, build in pairs:
         try:
-            # Warmup tier 2 — one UNTIMED full pass: spawns the Python
-            # workers, JIT-compiles the codegen'd stages, and faults in
-            # every jar/class this query touches. Without it the first
-            # timed run absorbs one-time costs that best-of-N only
-            # partially hides (the r6 "+16% regression" was exactly
-            # this: a cold driver VM, not slower plans).
             spark.catalog.clearCache()
             build().write.format("noop").mode("overwrite").save()
-            runs = sorted(timed(build))
-            # queries values stay plain seconds (min) — the driver's
-            # artifact contract; the spread rides a sibling key so a
-            # driver-box outlier (e.g. r9 stream_static_enrich +26% in
-            # the driver env only) is classifiable without a rerun:
-            # min<<max with a stable median = one-sided contention,
-            # min~median~max all higher = a real plan change.
-            timings[name] = round(runs[0], 3)
-            spread[name] = {
-                "min": round(runs[0], 3),
-                "median": round(runs[len(runs) // 2], 3),
-                "max": round(runs[-1], 3),
-            }
+            alive.append((name, build))
         except Exception as exc:  # noqa: BLE001 — record and continue
             timings[name] = None
             failed.append(name)
             first = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
             print(f"[bench] {name} FAILED: {first}", file=sys.stderr)
 
-    for name in HEADLINE:
-        run_one(name, lambda: specs[name].spark(spark, SF_DIR))
-    run_one("etl_covid_pipeline", lambda: _etl_covid(spark, sf_val))
+    runs_by_query: dict[str, list[float]] = {name: [] for name, _ in alive}
+    offset_step = max(1, -(-len(alive) // BENCH_RUNS))  # ceil div
+    for r in range(BENCH_RUNS):
+        off = (r * offset_step) % max(1, len(alive))
+        for name, build in alive[off:] + alive[:off]:
+            if name in failed:
+                continue
+            try:
+                # Collect garbage OUTSIDE the timed region: accumulated
+                # heap from earlier queries otherwise triggers GC pauses
+                # inside random timed runs (measured r7: exact_dedup
+                # jittered 0.23-1.09 s without this, 0.17-0.21 s with).
+                spark.sparkContext._jvm.System.gc()
+                spark.catalog.clearCache()
+                df = build()
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs_by_query[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                timings[name] = None
+                failed.append(name)
+                first = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+                print(f"[bench] {name} FAILED: {first}", file=sys.stderr)
+
+    for name, _ in alive:
+        if name in failed:
+            continue
+        runs = sorted(runs_by_query[name])
+        # queries values stay plain seconds (min) — the driver's
+        # artifact contract; the spread rides a sidecar key so a
+        # driver-box outlier (e.g. r9 stream_static_enrich +26% in the
+        # driver env only) is classifiable without a rerun: min<<max
+        # with a stable median = one-sided contention, min~median~max
+        # all higher = a real plan change.
+        timings[name] = round(runs[0], 3)
+        spread[name] = {
+            "min": round(runs[0], 3),
+            "median": round(runs[len(runs) // 2], 3),
+            "max": round(runs[-1], 3),
+        }
+    # stdout key order must stay the frozen HEADLINE order regardless of
+    # rotation bookkeeping (artifact diffs round-over-round stay clean)
+    timings = {
+        name: timings.get(name) for name, _ in pairs
+    }
 
     # Self-reporting regressions: diff against the latest recorded round
     # (delta > 0 means slower than last round). Stderr commentary only —
@@ -288,6 +314,10 @@ def main() -> None:
         "spread": spread,
         "prev_round": prev_file,
         "delta_vs_prev": delta,
+        # protocol fingerprint so round-over-round artifacts record
+        # whether minima came from rotated passes (r12+) or the old
+        # fixed-order per-query loop (<= r11)
+        "protocol": f"rotated-passes min-of-{BENCH_RUNS} step={offset_step}",
     }
     sidecar_path = Path(__file__).resolve().parent / "BENCH_SPREAD.json"
     try:

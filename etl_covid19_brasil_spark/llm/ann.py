@@ -896,6 +896,27 @@ def pq_encode(
     )
 
 
+def _adc_scores(q_mat: np.ndarray, i_codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance (ADC) inner-product score matrix: for each
+    query build the (m, pq_k) lookup table of per-subspace dot products
+    against the codebook rows (one einsum), then score each index
+    vector as the sum of ``m`` table gathers by its byte codes —
+    algebraically ``sum_j dot(q[j*sub:(j+1)*sub], books[j][codes[i,j]])``,
+    i.e. the dot product of the query against the PQ *reconstruction* of
+    the index vector, computed without materializing reconstructions.
+    Pure kernel shared by the per-cell ``applyInPandas`` scorer so the
+    property differential (tests/test_ann_recall.py) exercises the
+    exact shipped math against a sequential per-pair reference.
+    Shapes: q_mat (Q, dim), i_codes (I, m) ints, books (m, pq_k, dim/m)
+    -> (Q, I) float64."""
+    mm, _, sub = books.shape
+    luts = np.einsum("qms,mks->qmk", q_mat.reshape(len(q_mat), mm, sub), books)
+    scores = np.zeros((len(q_mat), len(i_codes)))
+    for j in range(mm):
+        scores += luts[:, j, :][:, i_codes[:, j]]
+    return scores
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -1018,15 +1039,7 @@ def ivfpq_topk(
         )
 
     def _adc_block(q_ids, q_mat, i_ids, i_codes) -> pd.DataFrame:
-        bks = bc_b.value
-        mm, kk_codes, sub = bks.shape
-        # asymmetric LUT: (Q, m, pq_k) dot tables, then gather by code
-        luts = np.einsum(
-            "qms,mks->qmk", q_mat.reshape(len(q_mat), mm, sub), bks
-        )
-        scores = np.zeros((len(q_mat), len(i_ids)))
-        for j in range(mm):
-            scores += luts[:, j, :][:, i_codes[:, j]]
+        scores = _adc_scores(q_mat, i_codes, bc_b.value)
         scores[q_ids[:, None] == i_ids[None, :]] = -np.inf
         take = min(k * rerank, len(i_ids))
         order = np.lexsort((np.broadcast_to(i_ids, scores.shape), -scores), axis=-1)[

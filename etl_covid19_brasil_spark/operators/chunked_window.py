@@ -84,8 +84,23 @@ def _pin(df: DataFrame, reliable: bool) -> DataFrame:
     identical partition ids (recomputation may resample). Reliable mode
     writes to the session checkpoint dir (set sc.setCheckpointDir) and
     survives executor loss; local mode is cheaper but executor-bound —
-    see the module docstring."""
-    return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
+    see the module docstring.
+
+    Local pins use DISK_ONLY storage (r12): the default
+    MEMORY_AND_DISK level parks the whole pinned frame in the unified
+    memory pool, where the storageFraction-protected blocks starve the
+    very window sorts the chunked rewrite fans out — measured at 60M
+    one-key rows under the 8g default heap, chunked_scd2 died with
+    UNABLE_TO_ACQUIRE_MEMORY while the plain single-task window (which
+    pins nothing and spills one sort against the full pool) completed.
+    The chunked path exists precisely for when memory is tight, so its
+    lineage pin must never compete with execution memory; the
+    sequential disk re-read is noise next to the shuffles it feeds."""
+    if reliable:
+        return df.checkpoint(eager=False)
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def _ns_join(
@@ -170,12 +185,23 @@ def chunked_running_sum(
     )
 
 
-# Measured crossover (SCALECHECK_r10, scripts/skew_check.py
-# --window-stress): on a one-key frame the plain window wins below
-# ~10M hot-key rows (constant-factor chunk bookkeeping dominates);
-# the chunked rewrite wins 1.73x at 10M and 2.74x at 30M — and above
-# executor memory the plain form cannot complete at all.
+# Measured crossovers (SCALECHECK_r10 + r12, scripts/skew_check.py
+# --window-stress --shapes ...): on a one-key frame the plain window
+# wins below the crossover (constant-factor chunk bookkeeping
+# dominates); the chunked rewrite wins above it — and once the hot
+# key's sort exceeds executor memory the plain form cannot complete at
+# all. r12 re-measured every dispatcher shape at 10M one-key rows
+# under the DISK_ONLY lineage pin (chunked/plain wall-clock):
+# running_sum 0.68, sessionize 0.75, scd2 0.87, moving_frame 0.42 —
+# three shapes share the 10M constant (same side, ratios within the
+# protocol's noise floor of each other at the threshold), while the
+# bounded-frame shape crosses far earlier (0.88 at 1M, 0.52 at 3M:
+# the plain sliding frame re-aggregates w rows per output row inside
+# ONE task, so its single-task cost grows ~w-fold faster). A mis-route
+# near a threshold costs only the constant-factor gap — both routes
+# are exact.
 CROSSOVER_HOT_ROWS = 10_000_000
+MOVING_FRAME_CROSSOVER_HOT_ROWS = 2_000_000
 
 
 def pick_window_strategy(
@@ -200,11 +226,26 @@ def pick_window_strategy(
     full-fidelity profile (skew ratio, top-10 mass) run the
     diag_key_skew query (queries/relational.py) and choose explicitly.
 
+    Crossover constants are PER-SHAPE where measured to differ
+    (ADVICE r11): the unbounded-prefix shapes (running sum, sessionize,
+    SCD2) share CROSSOVER_HOT_ROWS = 10M — all three measured chunked-
+    favorable at 10M one-key rows under the DISK_ONLY pin (ratios 0.68/
+    0.75/0.87) — while the bounded-frame shape routes at its own
+    MOVING_FRAME_CROSSOVER_HOT_ROWS = 2M (the plain sliding frame's
+    single-task cost grows ~frame-width-fold faster). Each constant is
+    an approximation for its shape's measured workload; pass
+    ``hot_rows_crossover`` to override per corpus.
+
     NOTE: this (and therefore every ``*_auto`` operator) runs ONE eager
     Spark job at CONSTRUCTION time — a dispatcher cannot be lazy, since
-    the route must be decided before the plan is built. Callers that
-    need pure-lazy builders (plan pinning, repeated construction)
-    should pick ``chunked_*`` or the plain window explicitly.
+    the route must be decided before the plan is built. The sampled
+    scan re-executes ``df``'s full upstream lineage once per dispatch:
+    callers whose input is an expensive derived frame (multi-join,
+    UDF-heavy) should ``df.cache()`` (or persist) before calling an
+    ``*_auto`` operator — or profile once with diag_key_skew and call
+    the chosen route explicitly. Callers that need pure-lazy builders
+    (plan pinning, repeated construction) should pick ``chunked_*`` or
+    the plain window explicitly.
     """
     if not 0.0 < sample_fraction <= 1.0:
         raise ValueError(
@@ -355,12 +396,15 @@ def moving_frame_auto(
     out_cnt: str = "frame_cnt",
     num_partitions: int | None = None,
     sample_fraction: float = 0.001,
-    hot_rows_crossover: int = CROSSOVER_HOT_ROWS,
+    hot_rows_crossover: int = MOVING_FRAME_CROSSOVER_HOT_ROWS,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Skew-aware bounded-frame aggregate: routes to the plain window
     below the crossover or :func:`chunked_moving_frame` above it.
-    Identical output either way (input columns + out_sum/out_cnt)."""
+    Identical output either way (input columns + out_sum/out_cnt).
+    Default crossover is the bounded-frame shape's OWN measured
+    constant (2M, not the 10M the unbounded shapes share — see
+    MOVING_FRAME_CROSSOVER_HOT_ROWS)."""
     order = list(order)
     route = pick_window_strategy(df, [key], sample_fraction, hot_rows_crossover)
     if route == "chunked":

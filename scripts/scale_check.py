@@ -205,19 +205,53 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
-def run_recall_probe(spark, replicas: int) -> dict:
+def build_clustered_embeddings(spark, replicas: int) -> str:
+    """A CLUSTERED embeddings corpus at the same row count the flat
+    probe uses (base count x replicas) — the other corpus shape the
+    r12 probe dispatch routes on (VERDICT r11 item 3). Deterministic
+    (seeded rng): 32 anchor directions, vector i = normalize(anchor[i %
+    32] + 0.08 * noise) — tight clusters whose IVF cell occupancy is
+    concentrated, so pick_probe_strategy must take the FIXED route and
+    recall must hold at 10 probes (neighbors co-locate in few cells)."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.io import load_table
+
+    n = load_table(spark, BASE, "embeddings").count() * replicas
+    rng = np.random.default_rng(42)
+    anchors = rng.normal(size=(32, 64))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    vecs = anchors[np.arange(n) % 32] + 0.08 * rng.normal(size=(n, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    out = Path(tempfile.mkdtemp(prefix=f"clustered{replicas}x_"))
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def run_recall_probe(spark, replicas: int, shape: str = "flat") -> dict:
     """Recall@5 of each ANN tier against brute-force truth ON the
     replica-scaled corpus — recall, like memory, can degrade with corpus
     growth (auto-scaled plane/cell counts change the bucket geometry),
     and the CI floors (tests/test_ann_recall.py) only pin it at sf0.01.
-    The scaled corpus is adversarial for recall by construction: each
-    replica is a dimension-roll of the base vectors, so near-neighbor
-    structure replicates without creating new easy clusters."""
+    The flat scaled corpus is adversarial for recall by construction:
+    each replica is a dimension-roll of the base vectors, so
+    near-neighbor structure replicates without creating new easy
+    clusters. ``shape="clustered"`` probes the OTHER regime (r12): a
+    concentrated-occupancy corpus where the shape-aware dispatch must
+    keep fixed probes and hold recall at linear total work."""
     from etl_covid19_brasil_spark.io import load_table
     from etl_covid19_brasil_spark.llm.ann import ivf_topk, ivfpq_topk, lsh_topk
     from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
 
-    big = build_scaled_dir(spark, replicas)
+    big = (
+        build_clustered_embeddings(spark, replicas)
+        if shape == "clustered"
+        else build_scaled_dir(spark, replicas)
+    )
     emb = load_table(spark, big, "embeddings")
     n = emb.count()
     truth = {
@@ -238,10 +272,26 @@ def run_recall_probe(spark, replicas: int) -> dict:
     # (plan-statistics estimate, 4x-inflated fallback) could derive a
     # different cell count than the artifact states (r11 review).
     n_cells = auto_n_cells(n)
+    # record which way the r12 shape-aware dispatch ROUTES this corpus
+    # (the same untrained first-n_cells centroids ivf_topk defaults to)
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import pick_probe_strategy
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    cent_pdf = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).toPandas()
+    )
+    route, routed_probe = pick_probe_strategy(
+        emb, _normalize(np.stack(cent_pdf["embedding"].to_numpy()))
+    )
     out = {
         "n_vectors": n,
         "n_cells": n_cells,
         "n_probe_derived": auto_n_probe(n_cells),
+        "shape": shape,
+        "dispatch_route": route,
+        "dispatch_n_probe": routed_probe,
     }
     for name, fn in (
         ("ann_lsh_topk", lambda: lsh_topk(emb, k=5)),
@@ -277,11 +327,19 @@ def main() -> None:
         help="measure ANN recall@5 vs brute-force truth on the scaled "
         "corpus instead of timing the probe set",
     )
+    ap.add_argument(
+        "--recall-shape",
+        default="flat",
+        choices=["flat", "clustered"],
+        help="corpus shape for --recall: flat (dimension-rolled "
+        "replicas, cluster-free) or clustered (32 tight anchors — the "
+        "regime the r12 probe dispatch routes fixed)",
+    )
     args = ap.parse_args()
     if args.recall:
         spark = get_spark(app_name="scale-check-recall")
         spark.sparkContext.setLogLevel("ERROR")
-        out = run_recall_probe(spark, args.replicas)
+        out = run_recall_probe(spark, args.replicas, args.recall_shape)
         print(json.dumps({"recall": out, "replicas": args.replicas}))
         return
     names = args.queries.split(",") if args.queries else QUERIES
