@@ -33,6 +33,7 @@ in tests/test_ann_recall.py.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -465,12 +466,28 @@ def auto_n_probe(n_cells: int) -> int:
     return max(_PROBE_NUM, math.ceil(n_cells * _PROBE_NUM / _PROBE_DEN))
 
 
-# Shape-aware probe dispatch (VERDICT r11 item 3). The occupancy probe
+# Shape-aware probe dispatch (VERDICT r11 item 3). The shape probe
 # samples at most this many vectors (the pq_train / _drop_collapsed_tables
-# sampling pattern) and routes FIXED probes when the _PROBE_NUM most
-# occupied cells hold at least this fraction of the sampled mass.
+# sampling pattern) and routes FIXED probes when either signal says the
+# cells are meaningful: the _PROBE_NUM most occupied cells holding at
+# least _CONCENTRATED_TOP_MASS of the sampled mass (few dominant cells),
+# or mean cos(x, assigned centroid) >= _TIGHT_CELL_COS (tight cells —
+# the signal that survives a TRAINED quantizer, which equalizes
+# occupancy by construction; calibrated r12: 0.27-0.28 on the flat 8x
+# corpus vs 0.75-0.85 on the clustered one, trained or untrained).
 _OCCUPANCY_SAMPLE_CAP = 4096
 _CONCENTRATED_TOP_MASS = 0.5
+_TIGHT_CELL_COS = 0.5
+# rerank pool width on tight cells (ivfpq_topk docstring: measured
+# clustered 8x recall 0.55/0.86/1.00 at rerank 4/16/64)
+_TIGHT_RERANK = 16
+
+
+class ProbeRoute(NamedTuple):
+    route: str  # "fixed" | "fraction"
+    n_probe: int
+    top_mass: float  # sampled mass in the _PROBE_NUM fullest cells
+    tight_cos: float  # mean cos(x, assigned centroid) over the sample
 
 
 def pick_probe_strategy(
@@ -479,38 +496,43 @@ def pick_probe_strategy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int = _OCCUPANCY_SAMPLE_CAP,
-) -> tuple[str, int]:
-    """Route the default ``n_probe`` from the corpus's measured cell-
-    occupancy SHAPE — the :func:`pick_window_strategy` pattern applied
-    to IVF probing (VERDICT r11 item 3). Returns ``(route, n_probe)``
-    where route is ``"fixed"`` (concentrated occupancy — the standard
+) -> ProbeRoute:
+    """Route the default ``n_probe`` from the corpus's measured cell
+    SHAPE — the :func:`pick_window_strategy` pattern applied to IVF
+    probing (VERDICT r11 item 3). Returns a :class:`ProbeRoute`;
+    ``route`` is ``"fixed"`` (meaningful cells — the standard
     clustered-corpus IVF regime, n_probe = the measured sf0.01 operating
-    point, linear total work) or ``"fraction"`` (flat occupancy —
+    point, linear total work) or ``"fraction"`` (cluster-free —
     :func:`auto_n_probe`'s fraction-held count, the only recall-holding
-    config on cluster-free vectors, linear per-query work).
+    config on such vectors, linear per-query work).
 
-    Why occupancy concentration is the right diagnostic: a clustered
-    corpus concentrates vectors — and therefore each query's true
-    neighbors — into few Voronoi cells, so probing a fixed small number
-    of the query's nearest cells captures the neighbor's cell with high
-    probability (the regime faiss sizing guidance assumes). Cluster-free
-    vectors spread neighbors uniformly over cells, and only covering a
-    fixed FRACTION of cells holds recall (auto_n_probe's documented
-    information bound). Occupancy is a proxy — a query probes its own
-    nearest cells, not the globally hottest — but on clustered data the
-    two coincide for the overwhelming mass of queries (a query sits in a
-    cluster; its nearest cells are that cluster's cells), and a
-    mis-route costs only compute, never correctness: both routes return
-    exact-cosine-ranked results from probed cells.
+    Two complementary diagnostics, either sufficient for "fixed":
+
+    - OCCUPANCY concentration (``top_mass``): a handful of dominant
+      cells means each query's true neighbors concentrate where its
+      nearest probes go. Uniform occupancy over C cells puts
+      ~_PROBE_NUM/C in the top cells — far below the 0.5 threshold once
+      C > 2 * _PROBE_NUM. Reliable for arbitrary/untrained centroids.
+    - TIGHTNESS (``tight_cos``): mean cos(x, assigned centroid). A
+      TRAINED quantizer equalizes occupancy by construction (Lloyd
+      splits heavy clusters into sub-cells), so concentration vanishes
+      even on tightly clustered corpora — but tight cells (cos >= 0.5,
+      i.e. residual norm below vector norm) mean the quantizer resolved
+      real structure: neighbors co-locate in the query's nearest cells
+      and fixed probes hold recall. Calibrated r12 on the 8x probes:
+      0.27-0.28 flat vs 0.75-0.85 clustered, trained or untrained.
+
+    Both are proxies — a query probes its own nearest cells, not the
+    globally hottest — and a mis-route costs only compute, never
+    correctness: both routes return exact-cosine-ranked results from
+    probed cells. ``tight_cos`` doubles as ivfpq_topk's ``by_residual``
+    signal (residual codes only beat raw when residuals are small —
+    the same cos >= 0.5 condition).
 
     Mechanics: assign <= ``sample_cap`` vectors (the ``sample_cap``
     smallest ``xxhash64(id)`` values — content-deterministic, never
     partition-layout-dependent; the pq_train seeding pattern) to their
-    nearest centroid driver-side under the sliced similarity budget,
-    then compare the mass held by the :data:`_PROBE_NUM` fullest cells
-    against :data:`_CONCENTRATED_TOP_MASS` (uniform occupancy over C
-    cells puts ~_PROBE_NUM/C there — far below 0.5 once C > 2 *
-    _PROBE_NUM; a handful of real clusters put ~1.0 there).
+    nearest centroid driver-side under the sliced similarity budget.
 
     NOTE: like every dispatcher, this runs ONE eager Spark job (a
     bounded TakeOrdered + toPandas) at CONSTRUCTION time when the
@@ -524,7 +546,7 @@ def pick_probe_strategy(
     fixed = min(_PROBE_NUM, n_cells)
     auto = min(auto_n_probe(n_cells), n_cells)
     if auto <= fixed:  # regimes coincide at the <=16-cell floor
-        return "fraction", auto
+        return ProbeRoute("fraction", auto, float("nan"), float("nan"))
     from etl_covid19_brasil_spark.llm.similarity import _normalize
 
     pdf = (
@@ -534,32 +556,40 @@ def pick_probe_strategy(
         .toPandas()
     )
     if pdf.empty:
-        return "fraction", auto
+        return ProbeRoute("fraction", auto, float("nan"), float("nan"))
     mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-    nearest = _sliced_cell_rows(lambda s: np.argmax(s, axis=1), mat, centroids)
+    # one sliced pass yields both signals: nearest cell id + its cos
+    packed = _sliced_cell_rows(
+        lambda s: np.stack([np.argmax(s, axis=1), np.max(s, axis=1)], axis=1),
+        mat,
+        centroids,
+    )
+    nearest = packed[:, 0].astype(np.int64)
+    tight_cos = float(packed[:, 1].mean())
     counts = np.bincount(nearest, minlength=n_cells)
     top_mass = float(np.sort(counts)[::-1][:fixed].sum()) / len(mat)
-    if top_mass >= _CONCENTRATED_TOP_MASS:
-        return "fixed", fixed
-    # flat occupancy: fraction-held is the only recall-holding default,
+    if top_mass >= _CONCENTRATED_TOP_MASS or tight_cos >= _TIGHT_CELL_COS:
+        return ProbeRoute("fixed", fixed, top_mass, tight_cos)
+    # cluster-free: fraction-held is the only recall-holding default,
     # and its cost cliff deserves a visible warning (ADVICE r11): the
     # derived count scans ~62.5% of the corpus per query.
     import logging
 
     logging.getLogger(__name__).warning(
-        "pick_probe_strategy: flat cell occupancy (top-%d cells hold "
-        "%.0f%% of sampled mass) — routing fraction-held n_probe=%d of "
-        "%d cells (~%.0f%% of the corpus scanned per query, linear "
-        "per-query work). If your corpus is genuinely clustered or you "
-        "can trade recall for compute, pass a fixed n_probe (and "
-        "n_cells ~ sqrt(n)) explicitly.",
+        "pick_probe_strategy: cluster-free cells (top-%d occupancy "
+        "%.0f%%, mean assignment cos %.2f) — routing fraction-held "
+        "n_probe=%d of %d cells (~%.0f%% of the corpus scanned per "
+        "query, linear per-query work). If your corpus is genuinely "
+        "clustered or you can trade recall for compute, pass a fixed "
+        "n_probe (and n_cells ~ sqrt(n)) explicitly.",
         fixed,
         100 * top_mass,
+        tight_cos,
         auto,
         n_cells,
         100 * auto / n_cells,
     )
-    return "fraction", auto
+    return ProbeRoute("fraction", auto, top_mass, tight_cos)
 
 
 def ivf_topk(
@@ -642,7 +672,7 @@ def ivf_topk(
         )
         cent_mat = _normalize(np.stack(cent_pdf[vec_col].to_numpy()))
     if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
-        _, n_probe = pick_probe_strategy(embeddings, cent_mat, id_col, vec_col)
+        n_probe = pick_probe_strategy(embeddings, cent_mat, id_col, vec_col).n_probe
     # argsort top-n_probe caps at the cell count, but the fan-out
     # bookkeeping (np.repeat by n_probe) must agree with the actual
     # probed width — clamp rather than mis-shape.
@@ -813,6 +843,7 @@ def pq_train(
     sample_cap: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Train product-quantization codebooks: the vector space is split
     into ``m`` contiguous subspaces and each gets a ``k``-centroid
@@ -821,6 +852,21 @@ def pq_train(
     the cap keeps the driver collect O(sample_cap * dim) at any scale).
     Sampling is deterministic: the ``sample_cap`` smallest xxhash64(id)
     values. Returns ``(m, k, dim/m)`` codebooks.
+
+    ``centroids`` (r12): when given, books are trained on RESIDUALS —
+    each sampled vector is L2-normalized (matching the ivfpq assign
+    kernel's preprocessing), assigned to its nearest centroid, and the
+    centroid subtracted before the subspace Lloyd loop. This is the
+    classic faiss IVF-PQ layout: raw-vector codes mostly spend their
+    bytes re-encoding which cluster a vector sits in (information the
+    cell id already carries), so on a clustered corpus the quantization
+    error swamps the within-cell neighbor separations — the r12 8×
+    clustered probe measured raw-code IVFPQ recall 0.28 vs IVF-flat
+    1.0. Residual codes spend the same bytes on the within-cell offsets
+    ADC actually needs to rank. The trade runs the OTHER way on
+    cluster-free corpora (residuals are larger than the vectors,
+    measured 0.79 vs raw 0.87 at the flat 8× probe) — ivfpq_topk routes
+    the choice from the measured occupancy shape.
     """
     import pyspark.sql.functions as F
 
@@ -831,6 +877,13 @@ def pq_train(
         .toPandas()
     )
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    if centroids is not None:
+        from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+        cents = np.asarray(centroids, dtype=np.float64)
+        mat = _normalize(mat)
+        nearest = _sliced_cell_rows(lambda s: np.argmax(s, axis=1), mat, cents)
+        mat = mat - cents[nearest]
     n, dim = mat.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -924,9 +977,10 @@ def ivfpq_topk(
     n_probe: int | None = None,
     m: int = 8,
     pq_k: int = 256,
-    rerank: int = 4,
+    rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ: the memory-bounded ANN tier — candidates meet in IVF cells
     (same one-shuffle shape as :func:`ivf_topk`), but the INDEX side
@@ -934,6 +988,24 @@ def ivfpq_topk(
     candidates with an asymmetric-distance lookup table (per subspace:
     dot(query_sub, codebook row), precomputed once per query — scoring a
     candidate is then ``m`` table lookups, no float vector needed).
+
+    ``by_residual`` (r12): whether codes encode the residual to the
+    assigned cell's centroid (the faiss IVF-PQ layout) or the raw
+    vector — and the right answer is CORPUS-SHAPED, measured both
+    directions at the 8× probes: on a clustered corpus raw codes
+    re-encode cluster identity the cell id already carries and collapse
+    (0.28 recall vs residual 0.55 vs IVF-flat 1.0); on a cluster-free
+    corpus residuals are LARGER than the vectors they replace
+    (||x - c||² = 2(1 - cos) with weak cos) and inflate quantization
+    error (0.79 vs raw 0.87). ``None`` (default) therefore keys on the
+    TIGHTNESS signal the probe dispatch already samples (mean cos of a
+    vector to its assigned centroid — cos >= 0.5 is exactly "residuals
+    smaller than vectors"): residual on tight cells, raw on loose —
+    one routing job decides both knobs. When the caller passes
+    ``n_probe`` explicitly (no dispatch runs), the default is raw;
+    clustered corpora should pass ``by_residual=True``. The dropped dot(q, centroid) term under
+    residual scoring is constant per (query, cell), so within-cell ADC
+    order — the only thing the scores are used for — is exact.
 
     This is the faiss IVFPQ layout re-expressed on DataFrames: at 100 TB
     the index shuffle moves (cell, id, m bytes) per vector — 64x less
@@ -949,6 +1021,17 @@ def ivfpq_topk(
     top-k. The re-rank join touches only n_q * rerank * k rows, so the
     64x index compression is preserved; recall floor pinned in
     tests/test_ann_recall.py.
+
+    ``rerank=None`` (default, r12) also routes on the tightness signal:
+    4 on loose cells (the r11 default — ADC separates candidates and a
+    narrow pool suffices, flat 8× recall 0.868) but
+    :data:`_TIGHT_RERANK` = 16 on tight cells, where within-cell
+    neighbor gaps sit BELOW the quantizer's distortion floor and ADC
+    order among near-ties is effectively random — the pool must be wide
+    enough to contain the true top-k by coverage rather than ranking
+    (measured at the 8× clustered probe: recall 0.55 / 0.86 / 1.00 at
+    rerank 4 / 16 / 64; the widened pool only grows the candidate-
+    bounded exact join, never the ADC scan).
 
     ``n_probe=None`` (default; shape-aware since r12) routes via
     :func:`pick_probe_strategy` on the trained centroids — fixed probes
@@ -968,14 +1051,36 @@ def ivfpq_topk(
         n_cells = auto_n_cells(_estimate_rows(embeddings))
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
     if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
-        _, n_probe = pick_probe_strategy(embeddings, cents, id_col, vec_col)
+        routed = pick_probe_strategy(embeddings, cents, id_col, vec_col)
+        n_probe = routed.n_probe
+        tight = routed.tight_cos >= _TIGHT_CELL_COS
+        # one shape measurement decides all three knobs; by_residual and
+        # rerank key on TIGHTNESS specifically — residual codes only
+        # beat raw when residuals are smaller than the vectors (cos >=
+        # 0.5), and tight cells need the wide rerank pool (docstring) —
+        # regardless of how occupancy routed the probes
+        if by_residual is None:
+            by_residual = tight
+        if rerank is None:
+            rerank = _TIGHT_RERANK if tight else 4
+    if by_residual is None:
+        by_residual = False  # explicit n_probe, no dispatch: raw codes
+    if rerank is None:
+        rerank = 4
     # clamp to the ACTUAL centroid count, not the nominal n_cells:
     # kmeans_lloyd inits from limit(k), so a corpus smaller than n_cells
     # returns fewer centroids, and the assign kernel's fan-out
     # bookkeeping (np.repeat by n_probe) must agree with the probed
     # width argsort can actually deliver.
     n_probe = min(n_probe, len(cents))
-    books = pq_train(embeddings, m=m, k=pq_k, id_col=id_col, vec_col=vec_col)
+    books = pq_train(
+        embeddings,
+        m=m,
+        k=pq_k,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=cents if by_residual else None,
+    )
     bc_c = spark.sparkContext.broadcast(cents)
     bc_b = spark.sparkContext.broadcast(books)
 
@@ -998,9 +1103,12 @@ def ivfpq_topk(
             probed = _sliced_cell_rows(
                 lambda s: np.argsort(-s, axis=1)[:, :n_probe], mat, cmat
             )
+            # under by_residual, encode the residual to the assigned
+            # cell's centroid (codebooks are residual-trained to match)
+            res = mat - cmat[probed[:, 0]] if by_residual else mat
             codes = np.empty((len(mat), mm), dtype=np.int32)
             for j in range(mm):
-                x = mat[:, j * sub : (j + 1) * sub]
+                x = res[:, j * sub : (j + 1) * sub]
                 d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = np.argmin(d2, axis=1)
             # index row (nearest cell, codes only) + query rows (probed cells)
@@ -1039,6 +1147,11 @@ def ivfpq_topk(
         )
 
     def _adc_block(q_ids, q_mat, i_ids, i_codes) -> pd.DataFrame:
+        # under by_residual the LUT gather yields dot(q, x_i) -
+        # dot(q, c_cell); the dropped term is constant across every
+        # candidate in the group and ADC scores are consumed only to
+        # pick the per-cell rerank pool — within-cell ranking is
+        # identical to scoring the full dot product.
         scores = _adc_scores(q_mat, i_codes, bc_b.value)
         scores[q_ids[:, None] == i_ids[None, :]] = -np.inf
         take = min(k * rerank, len(i_ids))

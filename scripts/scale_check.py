@@ -209,19 +209,27 @@ def build_clustered_embeddings(spark, replicas: int) -> str:
     """A CLUSTERED embeddings corpus at the same row count the flat
     probe uses (base count x replicas) — the other corpus shape the
     r12 probe dispatch routes on (VERDICT r11 item 3). Deterministic
-    (seeded rng): 32 anchor directions, vector i = normalize(anchor[i %
-    32] + 0.08 * noise) — tight clusters whose IVF cell occupancy is
-    concentrated, so pick_probe_strategy must take the FIXED route and
-    recall must hold at 10 probes (neighbors co-locate in few cells)."""
+    (seeded rng): 8 anchor directions, vector i = normalize(anchor[i %
+    8] + 0.08 * noise) — tight clusters occupying ~8 of the ~32 derived
+    cells, so pick_probe_strategy must take the FIXED route and recall
+    must hold at 10 probes (neighbors co-locate in few cells).
+
+    Shape-probe caveat learned building this (r12): a corpus of 32
+    equal clusters over 32 cells is occupancy-FLAT — each cluster owns
+    one cell — so the dispatcher routes fraction-held even though fixed
+    probes would deliver recall 1.0 (each query's nearest cell IS its
+    cluster's). The occupancy heuristic is conservative by design: a
+    mis-route in that direction costs compute, never recall. 8 anchors
+    < the 10-probe operating point exercises the fixed route."""
     import numpy as np
 
     from etl_covid19_brasil_spark.io import load_table
 
     n = load_table(spark, BASE, "embeddings").count() * replicas
     rng = np.random.default_rng(42)
-    anchors = rng.normal(size=(32, 64))
+    anchors = rng.normal(size=(8, 64))
     anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
-    vecs = anchors[np.arange(n) % 32] + 0.08 * rng.normal(size=(n, 64))
+    vecs = anchors[np.arange(n) % 8] + 0.08 * rng.normal(size=(n, 64))
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     out = Path(tempfile.mkdtemp(prefix=f"clustered{replicas}x_"))
     import pandas as pd
@@ -282,7 +290,7 @@ def run_recall_probe(spark, replicas: int, shape: str = "flat") -> dict:
     cent_pdf = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_cells).toPandas()
     )
-    route, routed_probe = pick_probe_strategy(
+    routed = pick_probe_strategy(
         emb, _normalize(np.stack(cent_pdf["embedding"].to_numpy()))
     )
     out = {
@@ -290,8 +298,10 @@ def run_recall_probe(spark, replicas: int, shape: str = "flat") -> dict:
         "n_cells": n_cells,
         "n_probe_derived": auto_n_probe(n_cells),
         "shape": shape,
-        "dispatch_route": route,
-        "dispatch_n_probe": routed_probe,
+        "dispatch_route": routed.route,
+        "dispatch_n_probe": routed.n_probe,
+        "dispatch_top_mass": round(routed.top_mass, 4),
+        "dispatch_tight_cos": round(routed.tight_cos, 4),
     }
     for name, fn in (
         ("ann_lsh_topk", lambda: lsh_topk(emb, k=5)),

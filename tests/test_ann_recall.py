@@ -590,8 +590,8 @@ def test_pick_probe_strategy_short_circuits_at_cell_floor():
 
     rng = np.random.default_rng(7)
     cents = _unit(rng.normal(size=(16, 64)))
-    route, n_probe = pick_probe_strategy(None, cents)
-    assert (route, n_probe) == ("fraction", 10)
+    r = pick_probe_strategy(None, cents)
+    assert (r.route, r.n_probe) == ("fraction", 10)
 
 
 def test_pick_probe_strategy_routes_fixed_on_clustered(spark):
@@ -611,9 +611,10 @@ def test_pick_probe_strategy_routes_fixed_on_clustered(spark):
     df = spark.createDataFrame(
         [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
     )
-    route, n_probe = pick_probe_strategy(df, cents)
-    assert route == "fixed"
-    assert n_probe == 10
+    r = pick_probe_strategy(df, cents)
+    assert r.route == "fixed"
+    assert r.n_probe == 10
+    assert r.top_mass >= 0.5  # the occupancy signal fired
 
 
 def test_pick_probe_strategy_routes_fraction_on_flat(spark):
@@ -630,9 +631,10 @@ def test_pick_probe_strategy_routes_fraction_on_flat(spark):
     df = spark.createDataFrame(
         [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
     )
-    route, n_probe = pick_probe_strategy(df, cents)
-    assert route == "fraction"
-    assert n_probe == auto_n_probe(64) == 40
+    r = pick_probe_strategy(df, cents)
+    assert r.route == "fraction"
+    assert r.n_probe == auto_n_probe(64) == 40
+    assert r.top_mass < 0.5 and r.tight_cos < 0.5  # neither signal fired
 
 
 def test_ivf_fixed_route_recall_on_clustered_corpus(spark):
@@ -664,9 +666,12 @@ def test_ivf_fixed_route_recall_on_clustered_corpus(spark):
     from etl_covid19_brasil_spark.llm.ann import kmeans_lloyd
 
     cents = kmeans_lloyd(df, k=32, iters=3)
-    route, n_probe = pick_probe_strategy(df, cents)
-    assert route == "fixed" and n_probe == 10
-    rows = ivf_topk(df, k=5, centroids=cents, n_probe=n_probe).collect()
+    r = pick_probe_strategy(df, cents)
+    assert r.route == "fixed" and r.n_probe == 10
+    # trained sub-centroids of tight clusters: the TIGHTNESS signal is
+    # the one that must fire (Lloyd equalizes occupancy — r12 finding)
+    assert r.tight_cos >= 0.5
+    rows = ivf_topk(df, k=5, centroids=cents, n_probe=r.n_probe).collect()
     got = {(r["query_id"], r["neighbor_id"]) for r in rows}
     r = len(got & truth) / len(truth)
     assert r >= 0.9, f"fixed-route recall on clustered corpus collapsed: {r:.3f}"
@@ -793,3 +798,46 @@ def test_pq_encode_matches_sequential_reference(spark):
             assert abs(mse_got - err / dim) <= 1e-9 * max(1.0, abs(err))
 
     differential()
+
+
+def test_ivfpq_residual_routing_on_clustered_corpus(spark):
+    """by_residual follows the occupancy route (r12): on a clustered
+    corpus the dispatch goes fixed + residual codes, and residual ADC
+    must beat raw codes at the same probe count — raw codes spend their
+    bytes re-encoding cluster identity the cell id already carries
+    (measured 0.28 raw vs 0.55 residual at the 8× clustered probe).
+    Flat-corpus behavior (raw codes, 0.8 floor) is pinned by
+    test_ivf_default_config_recall_holds_at_8x."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    rng = np.random.default_rng(23)
+    anchors = _unit(rng.normal(size=(4, 64)))
+    vecs = _unit(
+        anchors[rng.integers(0, 4, size=1500)] + 0.08 * rng.normal(size=(1500, 64))
+    )
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(df, k=5, n_cells=32, **kw).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_routed = recall()  # dispatch: concentrated -> fixed probes + residual
+    r_raw = recall(n_probe=10, by_residual=False)
+    print(f"clustered IVFPQ recall: routed(residual)={r_routed:.3f} raw={r_raw:.3f}")
+    assert r_routed > r_raw, (
+        f"residual codes must beat raw on clustered cells: "
+        f"{r_routed:.3f} <= {r_raw:.3f}"
+    )
+    df.unpersist()
