@@ -50,6 +50,28 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 
+# Cap on the OUTPUT rows of one yielded fan-out batch. The banding /
+# probe kernels multiply every input row by a fan-out factor (LSH:
+# tables x (probes + salt replicas); IVF/IVF-PQ: n_probe), each output
+# row carrying the full float64 vector — so yielding one input batch's
+# whole fan-out as a single pandas frame allocates fan-out-proportional
+# Arrow DIRECT memory per task. At the r12 64x probe (T=15, fan 8) one
+# yield was ~650 MB/task and 32 concurrent tasks blew netty's 8 GB
+# direct-memory cap (OutOfDirectMemoryError — SCALECHECK_r12). 64k
+# output rows x ~550 B x 32 tasks ~ 1.2 GB total keeps the stage
+# comfortably inside any sane executor. Row-sliced yields are
+# bit-identical: only the Arrow record-batch framing changes.
+_FANOUT_OUT_ROWS = 65536
+
+
+def _fanout_slices(pdf: pd.DataFrame, per_row_out: int):
+    """Yield row-slices of ``pdf`` so each slice's fan-out output stays
+    under :data:`_FANOUT_OUT_ROWS` rows (see the constant's note)."""
+    step = max(1, _FANOUT_OUT_ROWS // max(1, per_row_out))
+    for s in range(0, len(pdf), step):
+        yield pdf.iloc[s : s + step]
+
+
 def _planes(n_tables: int, n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_planes, dim))
@@ -323,7 +345,10 @@ def lsh_topk(
         fan = 1 + n_flips  # querying roles per (vector, table)
         s_n = max(1, q_salts)
         rows = fan + (s_n - 1)  # + non-querying index replicas
-        for pdf in batches:
+        sliced = (
+            sub for whole in batches for sub in _fanout_slices(whole, t_n * rows)
+        )
+        for pdf in sliced:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             proj = (mat @ flat.T).reshape(len(ids), t_n, p_n)
@@ -690,7 +715,12 @@ def ivf_topk(
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
-        for pdf in batches:
+        # row-sliced yields: each input row fans out to n_probe vector-
+        # carrying output rows (see _FANOUT_OUT_ROWS)
+        sliced = (
+            sub for whole in batches for sub in _fanout_slices(whole, n_probe)
+        )
+        for pdf in sliced:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
             cells = _sliced_cell_rows(
@@ -1097,7 +1127,13 @@ def ivfpq_topk(
     def assign(batches):
         cmat, bks = bc_c.value, bc_b.value
         mm, _, sub = bks.shape
-        for pdf in batches:
+        # row-sliced yields: each input row fans out to 1 + n_probe
+        # output rows, the query side carrying the full vector (see
+        # _FANOUT_OUT_ROWS)
+        sliced = (
+            s for whole in batches for s in _fanout_slices(whole, 1 + n_probe)
+        )
+        for pdf in sliced:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             probed = _sliced_cell_rows(
