@@ -35,6 +35,14 @@ that is comparable round-over-round:
      min<<max with a stable median classifies a one-sided contention
      outlier; min~median~max uniformly higher flags a real plan
      change — no rerun needed to tell them apart.
+  5. (r12) sequence-position de-bias WITHOUT losing warmth: the
+     per-query back-to-back min-of-N block sweep runs twice, forward
+     then reversed, min across both blocks. A full rotated-pass
+     protocol (reps spaced a whole sequence apart) was A/B-measured
+     +27% broad-based minima inflation on the same quiet box
+     (SCALECHECK_r12) and rejected — spaced reps never compound
+     codegen-cache/page-cache/worker warmth, which the floors were
+     calibrated on.
 
 HEADLINE SET IS FROZEN as of r10 at the r09 twenty-four (the relational
 core + LLM-data scale paths + the r9 heavy tier + etl_covid_pipeline)
@@ -194,19 +202,27 @@ def main() -> None:
     spread: dict[str, dict[str, float]] = {}
     failed: list[str] = []
 
-    # Sequence-order de-bias (VERDICT r11 item 5): with the old
-    # per-query min-of-5 loop the execution ORDER was fixed, so a query
-    # running late in the sequence inherited the accumulated JVM heap of
-    # everything before it — SCALECHECK_r11 measured
-    # dedup_minhash_components 0.751 s at the tail of the full sequence
-    # vs 0.500 s isolated, a +50% purely positional inflation that the
-    # per-run System.gc() only partially drains. Instead: BENCH_RUNS
-    # full PASSES over the query list, pass r starting at a rotated
-    # offset (deterministic — r * ceil(N/RUNS), so each query's N
-    # sequence positions spread across the whole range), one timing per
-    # query per pass, per-query MIN across passes. Every query now takes
-    # its min over runs at different heap depths, so minima are
-    # order-independent. Timing protocol per run is unchanged
+    # Sequence-order de-bias (VERDICT r11 item 5): with a single fixed
+    # order a query running late in the sequence inherits the
+    # accumulated JVM heap of everything before it — SCALECHECK_r11
+    # measured dedup_minhash_components 0.751 s at the tail of the full
+    # sequence vs 0.500 s isolated, a +50% purely positional inflation
+    # that the per-run System.gc() only partially drains. The first r12
+    # attempt (BENCH_RUNS full passes at rotated offsets, one timing
+    # per query per pass) de-biased position but DESTROYED back-to-back
+    # warmth — each query's reps were spaced a full sequence apart, so
+    # codegen-cache hits, OS page-cache reuse and Python-worker
+    # affinity never compounded, and the A/B on one quiet box measured
+    # +27% broad-based minima inflation (12.378 s vs 9.758 s total,
+    # SCALECHECK_r12): a far larger distortion than the one-query tail
+    # bias it fixed. Shipped protocol instead: per-query BACK-TO-BACK
+    # min-of-BENCH_RUNS blocks (the floor-reaching warm protocol,
+    # unchanged), swept in TWO deterministic orders — the frozen
+    # headline order, then its reverse — with each query's min taken
+    # across both blocks. A tail query in the forward sweep runs at the
+    # head of the reverse sweep, so per-query minima are
+    # position-independent while every block keeps the warmth the
+    # floors were calibrated on. Timing protocol per run is unchanged
     # (gc + clearCache outside the timer, noop materialization inside).
     pairs: list[tuple[str, object]] = [
         (name, (lambda n=name: specs[n].spark(spark, SF_DIR))) for name in HEADLINE
@@ -231,28 +247,31 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {first}", file=sys.stderr)
 
     runs_by_query: dict[str, list[float]] = {name: [] for name, _ in alive}
-    offset_step = max(1, -(-len(alive) // BENCH_RUNS))  # ceil div
-    for r in range(BENCH_RUNS):
-        off = (r * offset_step) % max(1, len(alive))
-        for name, build in alive[off:] + alive[:off]:
+    for sweep in (alive, alive[::-1]):
+        for name, build in sweep:
             if name in failed:
                 continue
-            try:
-                # Collect garbage OUTSIDE the timed region: accumulated
-                # heap from earlier queries otherwise triggers GC pauses
-                # inside random timed runs (measured r7: exact_dedup
-                # jittered 0.23-1.09 s without this, 0.17-0.21 s with).
-                spark.sparkContext._jvm.System.gc()
-                spark.catalog.clearCache()
-                df = build()
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                runs_by_query[name].append(time.perf_counter() - t0)
-            except Exception as exc:  # noqa: BLE001 — record and continue
-                timings[name] = None
-                failed.append(name)
-                first = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
-                print(f"[bench] {name} FAILED: {first}", file=sys.stderr)
+            for _ in range(BENCH_RUNS):
+                try:
+                    # Collect garbage OUTSIDE the timed region:
+                    # accumulated heap from earlier queries otherwise
+                    # triggers GC pauses inside random timed runs
+                    # (measured r7: exact_dedup jittered 0.23-1.09 s
+                    # without this, 0.17-0.21 s with).
+                    spark.sparkContext._jvm.System.gc()
+                    spark.catalog.clearCache()
+                    df = build()
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    runs_by_query[name].append(time.perf_counter() - t0)
+                except Exception as exc:  # noqa: BLE001 — record, continue
+                    timings[name] = None
+                    failed.append(name)
+                    first = (
+                        str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+                    )
+                    print(f"[bench] {name} FAILED: {first}", file=sys.stderr)
+                    break
 
     for name, _ in alive:
         if name in failed:
@@ -315,9 +334,10 @@ def main() -> None:
         "prev_round": prev_file,
         "delta_vs_prev": delta,
         # protocol fingerprint so round-over-round artifacts record
-        # whether minima came from rotated passes (r12+) or the old
-        # fixed-order per-query loop (<= r11)
-        "protocol": f"rotated-passes min-of-{BENCH_RUNS} step={offset_step}",
+        # which protocol produced the minima: the r12+ two-order warm
+        # blocks, vs the <= r11 fixed-order per-query loop (and the
+        # rejected rotated-passes experiment — SCALECHECK_r12)
+        "protocol": f"fwd+rev warm blocks min-of-{BENCH_RUNS} each",
     }
     sidecar_path = Path(__file__).resolve().parent / "BENCH_SPREAD.json"
     try:

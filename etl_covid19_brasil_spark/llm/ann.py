@@ -536,8 +536,12 @@ def pick_probe_strategy(
     - OCCUPANCY concentration (``top_mass``): a handful of dominant
       cells means each query's true neighbors concentrate where its
       nearest probes go. Uniform occupancy over C cells puts
-      ~_PROBE_NUM/C in the top cells — far below the 0.5 threshold once
-      C > 2 * _PROBE_NUM. Reliable for arbitrary/untrained centroids.
+      ~_PROBE_NUM/C in the top cells, so the gate is
+      ``max(0.5, 2 * _PROBE_NUM / C)`` — at least twice the uniform
+      baseline, which keeps the signal meaningful in the
+      16 < C <= 2*_PROBE_NUM band where a flat corpus alone already
+      reaches 0.5 (r12 self-review). Reliable for arbitrary/untrained
+      centroids.
     - TIGHTNESS (``tight_cos``): mean cos(x, assigned centroid). A
       TRAINED quantizer equalizes occupancy by construction (Lloyd
       splits heavy clusters into sub-cells), so concentration vanishes
@@ -576,7 +580,7 @@ def pick_probe_strategy(
 
     pdf = (
         embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_cap)
         .toPandas()
     )
@@ -593,7 +597,18 @@ def pick_probe_strategy(
     tight_cos = float(packed[:, 1].mean())
     counts = np.bincount(nearest, minlength=n_cells)
     top_mass = float(np.sort(counts)[::-1][:fixed].sum()) / len(mat)
-    if top_mass >= _CONCENTRATED_TOP_MASS or tight_cos >= _TIGHT_CELL_COS:
+    # the mass gate must sit ABOVE the uniform baseline: a perfectly
+    # flat corpus puts fixed/n_cells in the top cells, which for
+    # 16 < n_cells <= 2*fixed already exceeds the absolute 0.5
+    # threshold — without the 2x-uniform floor that band would route
+    # every cluster-free corpus "fixed" and silently drop the
+    # recall-held operating point (r12 self-review). Requiring twice
+    # the uniform expectation makes "concentrated" mean concentrated at
+    # every cell count; the mis-route direction when mass is thereby
+    # disqualified stays fraction-held (compute, never recall), and
+    # tight_cos still routes genuinely clustered corpora fixed.
+    mass_gate = max(_CONCENTRATED_TOP_MASS, 2.0 * fixed / n_cells)
+    if top_mass >= mass_gate or tight_cos >= _TIGHT_CELL_COS:
         return ProbeRoute("fixed", fixed, top_mass, tight_cos)
     # cluster-free: fraction-held is the only recall-holding default,
     # and its cost cliff deserves a visible warning (ADVICE r11): the
@@ -874,6 +889,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray | None" = None,
+    normalize: bool = False,
 ) -> np.ndarray:
     """Train product-quantization codebooks: the vector space is split
     into ``m`` contiguous subspaces and each gets a ``k``-centroid
@@ -897,6 +913,18 @@ def pq_train(
     cluster-free corpora (residuals are larger than the vectors,
     measured 0.79 vs raw 0.87 at the flat 8× probe) — ivfpq_topk routes
     the choice from the measured occupancy shape.
+
+    ``normalize`` (r12 self-review): L2-normalize the sample before the
+    Lloyd loop. Callers whose ENCODER normalizes its inputs (ivfpq_topk's
+    assign kernel scores cosine, so it unit-norms every vector before
+    byte-coding) must train books on the same scale — raw-path books
+    trained on unnormalized samples would sit at the corpus's native
+    magnitude while the encoder quantizes unit vectors, degenerating the
+    codes on any non-unit-norm corpus. The residual path (``centroids``)
+    always normalizes, as residuals are only defined against the
+    unit-sphere centroids. The standalone compressor pipeline
+    (embedding_pq_codes: pq_train + pq_encode, both unnormalized) stays
+    self-consistent with the default False.
     """
     import pyspark.sql.functions as F
 
@@ -907,6 +935,10 @@ def pq_train(
         .toPandas()
     )
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    if normalize and centroids is None:
+        from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+        mat = _normalize(mat)
     if centroids is not None:
         from etl_covid19_brasil_spark.llm.similarity import _normalize
 
@@ -1103,6 +1135,11 @@ def ivfpq_topk(
     # bookkeeping (np.repeat by n_probe) must agree with the probed
     # width argsort can actually deliver.
     n_probe = min(n_probe, len(cents))
+    # normalize=True on the raw path: the assign kernel byte-codes
+    # L2-normalized vectors (cosine scoring), so the books must train on
+    # the same scale — unnormalized raw books degenerate the codes on
+    # any non-unit-norm corpus (r12 self-review; pinned by the varied-
+    # norm invariance test in tests/test_ann_recall.py).
     books = pq_train(
         embeddings,
         m=m,
@@ -1110,6 +1147,7 @@ def ivfpq_topk(
         id_col=id_col,
         vec_col=vec_col,
         centroids=cents if by_residual else None,
+        normalize=True,
     )
     bc_c = spark.sparkContext.broadcast(cents)
     bc_b = spark.sparkContext.broadcast(books)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import shutil
 import sys
 import tempfile
@@ -300,8 +301,15 @@ def run_recall_probe(spark, replicas: int, shape: str = "flat") -> dict:
         "shape": shape,
         "dispatch_route": routed.route,
         "dispatch_n_probe": routed.n_probe,
-        "dispatch_top_mass": round(routed.top_mass, 4),
-        "dispatch_tight_cos": round(routed.tight_cos, 4),
+        # NaN signals (the dispatcher's zero-job short-circuit at the
+        # <=16-cell floor) must serialize as null — json.dumps would
+        # otherwise emit literal NaN, which strict JSON consumers reject
+        "dispatch_top_mass": None
+        if math.isnan(routed.top_mass)
+        else round(routed.top_mass, 4),
+        "dispatch_tight_cos": None
+        if math.isnan(routed.tight_cos)
+        else round(routed.tight_cos, 4),
     }
     for name, fn in (
         ("ann_lsh_topk", lambda: lsh_topk(emb, k=5)),
@@ -342,7 +350,7 @@ def main() -> None:
         default="flat",
         choices=["flat", "clustered"],
         help="corpus shape for --recall: flat (dimension-rolled "
-        "replicas, cluster-free) or clustered (32 tight anchors — the "
+        "replicas, cluster-free) or clustered (8 tight anchors — the "
         "regime the r12 probe dispatch routes fixed)",
     )
     args = ap.parse_args()

@@ -637,6 +637,83 @@ def test_pick_probe_strategy_routes_fraction_on_flat(spark):
     assert r.top_mass < 0.5 and r.tight_cos < 0.5  # neither signal fired
 
 
+def test_pick_probe_strategy_flat_small_cell_band_routes_fraction(spark):
+    """In the 16 < n_cells <= 20 band a PERFECTLY FLAT corpus puts
+    ~10/n_cells >= 0.5 in the top-10 cells, so an absolute 0.5 mass
+    threshold would route every cluster-free corpus "fixed" there and
+    silently drop the recall-held operating point (r12 self-review).
+    The gate is max(0.5, 2x the uniform baseline): mass alone must NOT
+    fire in this band, and the loose tight_cos of a cluster-free cloud
+    keeps the route fraction-held — the mis-route direction the
+    dispatcher promises (compute, never recall)."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import auto_n_probe, pick_probe_strategy
+
+    rng = np.random.default_rng(29)
+    cents = _unit(rng.normal(size=(18, 64)))
+    vecs = _unit(rng.normal(size=(800, 64)))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    r = pick_probe_strategy(df, cents)
+    # the uniform baseline itself sits at/above the absolute threshold
+    # here — exactly the regime the 2x-uniform floor exists for
+    assert r.top_mass >= 0.5
+    assert r.tight_cos < 0.5
+    assert r.route == "fraction"
+    assert r.n_probe == min(auto_n_probe(18), 18)
+
+
+def test_ivfpq_raw_codes_scale_invariant(spark):
+    """ivfpq_topk scores cosine — per-vector magnitudes must not change
+    the answer. The raw-code path is where this can silently break:
+    the assign kernel byte-codes L2-NORMALIZED vectors, so pq_train
+    must train the books on the same scale (normalize=True); books
+    trained on unnormalized varied-norm samples would sit at the
+    corpus's native magnitude and degenerate the codes (r12
+    self-review — unit-norm test corpora hid it). Pin: recall on a
+    varied-norm corpus (norms 0.1-10) stays at the unit-norm corpus's
+    recall for the identical raw-path config."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    rng = np.random.default_rng(31)
+    unit = _unit(rng.normal(size=(600, 64)))
+    scales = rng.uniform(0.1, 10.0, size=600)
+    scaled = unit * scales[:, None]
+
+    def recall(rows):
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(rows)],
+            "vec_id long, embedding array<double>",
+        ).cache()
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(df, k=5).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                df, k=5, n_cells=16, n_probe=10, by_residual=False
+            ).collect()
+        }
+        df.unpersist()
+        return len(got & truth) / len(truth)
+
+    r_unit = recall(unit)
+    r_scaled = recall(scaled)
+    print(f"IVFPQ raw-path recall: unit={r_unit:.3f} varied-norm={r_scaled:.3f}")
+    # identical up to float-rounding tie flips in the normalize step
+    assert r_scaled >= r_unit - 0.05, (
+        f"varied-norm recall collapsed vs unit-norm: {r_scaled:.3f} < "
+        f"{r_unit:.3f} - 0.05 — pq_train/assign-kernel scale mismatch"
+    )
+
+
 def test_ivf_fixed_route_recall_on_clustered_corpus(spark):
     """End-to-end both-routes pin: on a clustered corpus the default
     dispatch takes the FIXED route and still recovers essentially all
@@ -688,12 +765,33 @@ def test_lsh_topk_collapse_probe_opt_out(spark):
     from etl_covid19_brasil_spark.io import load_table
     from etl_covid19_brasil_spark.llm import ann
 
+    import numpy as np
+
     emb = load_table(spark, SF, "embeddings")
     with mock.patch.object(
         ann, "_drop_collapsed_tables", side_effect=AssertionError("probe ran")
     ):
-        out = ann.lsh_topk(emb, k=5, n_planes=6, drop_collapsed_tables=False)
-        assert out.limit(1).count() >= 0  # plan builds and runs probe-free
+        out = (
+            ann.lsh_topk(emb, k=5, n_planes=6, drop_collapsed_tables=False)
+            .toPandas()
+            .sort_values(["query_id", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+    # recall-equivalence is exact equivalence here: on this corpus the
+    # probe keeps every table (pinned by test_collapse_probe_keeps_all_
+    # tables_on_normal_corpus), so opting out must not change a single
+    # (query, neighbor, score) row — a vacuous >= 0 rowcount would let
+    # an opt-out that drops tables or returns empty slip through.
+    ref = (
+        ann.lsh_topk(emb, k=5, n_planes=6)
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref) > 0
+    assert out["query_id"].equals(ref["query_id"])
+    assert out["neighbor_id"].equals(ref["neighbor_id"])
+    assert np.allclose(out["cosine"], ref["cosine"])
 
 
 # ---------------------------------------------------------------------------
@@ -834,10 +932,16 @@ def test_ivfpq_residual_routing_on_clustered_corpus(spark):
         return len(got & truth) / len(truth)
 
     r_routed = recall()  # dispatch: concentrated -> fixed probes + residual
-    r_raw = recall(n_probe=10, by_residual=False)
+    # the raw arm gets the SAME rerank pool as the routed arm's
+    # _TIGHT_RERANK=16: per the r12 stepwise measurements, widening the
+    # pool 4 -> 16 alone lifts clustered recall 0.55 -> 0.86, so leaving
+    # the raw arm at the default 4 would let a broken residual kernel
+    # pass on pool width alone (r12 self-review) — equal rerank isolates
+    # the encoding variable this test exists to pin.
+    r_raw = recall(n_probe=10, by_residual=False, rerank=16)
     print(f"clustered IVFPQ recall: routed(residual)={r_routed:.3f} raw={r_raw:.3f}")
     assert r_routed > r_raw, (
-        f"residual codes must beat raw on clustered cells: "
-        f"{r_routed:.3f} <= {r_raw:.3f}"
+        f"residual codes must beat raw on clustered cells at equal "
+        f"probes and rerank: {r_routed:.3f} <= {r_raw:.3f}"
     )
     df.unpersist()
