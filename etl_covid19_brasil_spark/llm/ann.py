@@ -1080,9 +1080,12 @@ def ivfpq_topk(
     ``rerank * k`` ADC candidates per cell, the survivors join back to
     their exact vectors (two hash joins, candidate-bounded — the classic
     two-stage retrieval shape), and exact cosine re-ranks the final
-    top-k. The re-rank join touches only n_q * rerank * k rows, so the
-    64x index compression is preserved; recall floor pinned in
-    tests/test_ann_recall.py.
+    top-k. The re-rank join touches n_q * n_probe * rerank * k rows
+    (the pool is per PROBED CELL — the r12 clustered-64x control
+    measured rerank=64 at fixed 10 probes driving a 410M-row join the
+    local rig could not complete, so size the knob with the n_probe
+    factor in mind); the 64x index compression is preserved on the scan
+    side; recall floor pinned in tests/test_ann_recall.py.
 
     ``rerank=None`` (default, r12) also routes on the tightness signal:
     4 on loose cells (the r11 default — ADC separates candidates and a
