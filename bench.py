@@ -9,12 +9,13 @@ Prints ONE JSON line:
 Each query is forced to full materialization with the noop writer (no
 driver collect bottleneck, no output skipped by count() shortcuts). One
 untimed warmup of a trivial action absorbs JVM startup; each query is
-then timed $SPARK_GRAFT_BENCH_RUNS times end-to-end (default 3; plan +
-execute; the DataFrame cache is cleared before every timed run so a
-pipeline's internal persist() never carries state across runs) and the
-fastest run is reported — the steady-state number a resident engine
-process delivers, excluding one-time codegen/classloading warm-up,
-which is the standard warm-run convention for engine benchmarks.
+then timed 2 x $SPARK_GRAFT_BENCH_RUNS times end-to-end (default 5 per
+sweep, two sweeps — see protocol item 5; plan + execute; the DataFrame
+cache is cleared before every timed run so a pipeline's internal
+persist() never carries state across runs) and the fastest run is
+reported — the steady-state number a resident engine process delivers,
+excluding one-time codegen/classloading warm-up, which is the standard
+warm-run convention for engine benchmarks.
 
 BENCH PROTOCOL (established r7 after the r6 +16% drift investigation):
 timings on a shared 32-core box are polluted by ANY concurrent Spark
@@ -42,7 +43,13 @@ that is comparable round-over-round:
      +27% broad-based minima inflation on the same quiet box
      (SCALECHECK_r12) and rejected — spaced reps never compound
      codegen-cache/page-cache/worker warmth, which the floors were
-     calibrated on.
+     calibrated on. Residual-bias bound: a query at forward depth i
+     runs at reverse depth N-1-i, so its best heap depth is
+     min(i, N-1-i) — zero for head/tail queries, up to ~N/2 for the
+     middle of the order. That bound equals the single-order loop's
+     depth for the exact middle query and strictly improves every
+     other position; full independence would need more sweep orders
+     at proportionally more wall-clock.
 
 HEADLINE SET IS FROZEN as of r10 at the r09 twenty-four (the relational
 core + LLM-data scale paths + the r9 heavy tier + etl_covid_pipeline)
@@ -219,10 +226,13 @@ def main() -> None:
     # min-of-BENCH_RUNS blocks (the floor-reaching warm protocol,
     # unchanged), swept in TWO deterministic orders — the frozen
     # headline order, then its reverse — with each query's min taken
-    # across both blocks. A tail query in the forward sweep runs at the
-    # head of the reverse sweep, so per-query minima are
-    # position-independent while every block keeps the warmth the
-    # floors were calibrated on. Timing protocol per run is unchanged
+    # across both blocks. A tail query in the forward sweep runs at
+    # the head of the reverse sweep, bounding each query's best heap
+    # depth at min(i, N-1-i): zero for head/tail, ~N/2 worst-case for
+    # the middle of the order — never worse than the single fixed
+    # order, strictly better everywhere but the exact middle (module
+    # docstring item 5), while every block keeps the warmth the floors
+    # were calibrated on. Timing protocol per run is unchanged
     # (gc + clearCache outside the timer, noop materialization inside).
     pairs: list[tuple[str, object]] = [
         (name, (lambda n=name: specs[n].spark(spark, SF_DIR))) for name in HEADLINE

@@ -538,10 +538,14 @@ def pick_probe_strategy(
       nearest probes go. Uniform occupancy over C cells puts
       ~_PROBE_NUM/C in the top cells, so the gate is
       ``max(0.5, 2 * _PROBE_NUM / C)`` — at least twice the uniform
-      baseline, which keeps the signal meaningful in the
-      16 < C <= 2*_PROBE_NUM band where a flat corpus alone already
-      reaches 0.5 (r12 self-review). Reliable for arbitrary/untrained
-      centroids.
+      baseline. In the 16 < C <= 2*_PROBE_NUM band a flat corpus alone
+      already reaches 0.5, and twice-uniform exceeds 1.0 there — i.e.
+      the gate deliberately DISABLES the occupancy signal where it
+      cannot be distinguished from uniform, leaving tightness as the
+      sole fixed-router in that band (r12 self-review); a concentrated
+      but loose-cosine corpus there routes fraction-held, the
+      compute-not-recall mis-route direction. Reliable for
+      arbitrary/untrained centroids at larger C.
     - TIGHTNESS (``tight_cos``): mean cos(x, assigned centroid). A
       TRAINED quantizer equalizes occupancy by construction (Lloyd
       splits heavy clusters into sub-cells), so concentration vanishes

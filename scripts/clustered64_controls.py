@@ -23,8 +23,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np  # noqa: E402
-
 from etl_covid19_brasil_spark import get_spark  # noqa: E402
 from etl_covid19_brasil_spark.io import load_table  # noqa: E402
 from scripts.scale_check import build_clustered_embeddings  # noqa: E402
@@ -36,8 +34,6 @@ def main() -> None:
     args = ap.parse_args()
 
     from etl_covid19_brasil_spark.llm.ann import auto_n_cells, ivf_topk, ivfpq_topk
-    from etl_covid19_brasil_spark.llm.similarity import _normalize
-
     # maxResultSize raised for the stress rig only: at 64x the ivf_flat
     # job's RESULT-stage accounting charges ~98 MiB per task (32 tasks,
     # ~3.1 GiB total) against spark.driver.maxResultSize even though the
@@ -52,19 +48,9 @@ def main() -> None:
     n = emb.count()
     n_cells = auto_n_cells(n)
 
-    full = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
-    ids = full["vec_id"].to_numpy()
-    mat = _normalize(np.stack(full["embedding"].to_numpy()))
-    q_idx = np.arange(0, n, max(1, n // 256))[:256]
-    sims = mat[q_idx] @ mat.T
-    sims[np.arange(len(q_idx)), q_idx] = -np.inf
-    top5 = np.argsort(-sims, axis=1)[:, :5]
-    truth = {
-        (int(ids[q_idx[i]]), int(ids[j]))
-        for i in range(len(q_idx))
-        for j in top5[i]
-    }
-    sample_qids = {int(ids[i]) for i in q_idx}
+    from scripts.scale_check import sampled_recall_truth
+
+    truth, sample_qids, _ = sampled_recall_truth(emb, n)
 
     out: dict = {"replicas": args.replicas, "n": n, "n_cells": n_cells}
     for label, fn in (
@@ -79,15 +65,19 @@ def main() -> None:
         # one control failing (this is a memory-pressure stress rig)
         # must not lose the other's row
         print(f"# running {label}", file=sys.stderr)
+        # noop-write timing (the scale_check/bench protocol); the recall
+        # readout collects UNTIMED afterwards
         t0 = time.perf_counter()
         try:
-            pdf = fn().toPandas()
+            res = fn()
+            res.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — record and continue
             out[f"{label}_sec"] = round(time.perf_counter() - t0, 3)
             out[f"{label}_error"] = str(exc).splitlines()[0][:200]
             print(f"# {label} FAILED after {out[f'{label}_sec']}s", file=sys.stderr)
             continue
         out[f"{label}_sec"] = round(time.perf_counter() - t0, 3)
+        pdf = res.toPandas()
         got = {
             (int(r.query_id), int(r.neighbor_id))
             for r in pdf.itertuples()

@@ -49,14 +49,20 @@ def main() -> None:
     spark = get_spark(app_name="clustered64-probe")
     out: dict = {"replicas": args.replicas, "shape": "clustered"}
 
+    from scripts.scale_check import sampled_recall_truth
+
     for tier, replicas in (("t_base", 1), ("t_big", args.replicas)):
         path = build_clustered_embeddings(spark, replicas)
         emb = load_table(spark, path, "embeddings").cache()
         n = emb.count()
         n_cells = auto_n_cells(n)
+        # timing matches the scale_check/bench protocol (noop write, no
+        # driver collect in the timed region — the result transfer is
+        # O(n) and would pollute the ratio); recall is read from an
+        # UNTIMED second materialization below
         t0 = time.perf_counter()
         res = ivfpq_topk(emb, k=5, n_cells=n_cells)
-        pdf = res.toPandas()
+        res.write.format("noop").mode("overwrite").save()
         out[tier] = round(time.perf_counter() - t0, 3)
         out[f"{tier}_n"] = n
         out[f"{tier}_n_cells"] = n_cells
@@ -77,30 +83,15 @@ def main() -> None:
             )
             out["dispatch_route"] = routed.route
             out["dispatch_n_probe"] = routed.n_probe
-            # sampled recall@5: deterministic query sample, exact truth
-            # from the full corpus driver-side
-            full = (
-                emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
-            )
-            ids = full["vec_id"].to_numpy()
-            mat = _normalize(np.stack(full["embedding"].to_numpy()))
-            q_idx = np.arange(0, n, max(1, n // 256))[:256]
-            sims = mat[q_idx] @ mat.T
-            sims[np.arange(len(q_idx)), q_idx] = -np.inf
-            top5 = np.argsort(-sims, axis=1)[:, :5]
-            truth = {
-                (int(ids[q_idx[i]]), int(ids[j]))
-                for i in range(len(q_idx))
-                for j in top5[i]
-            }
-            sample_qids = {int(ids[i]) for i in q_idx}
+            truth, sample_qids, n_sampled = sampled_recall_truth(emb, n)
+            pdf = res.toPandas()  # untimed — recall readout only
             got = {
                 (int(r.query_id), int(r.neighbor_id))
                 for r in pdf.itertuples()
                 if int(r.query_id) in sample_qids
             }
             out["recall_at5_sampled"] = round(len(got & truth) / len(truth), 4)
-            out["recall_sample_queries"] = len(q_idx)
+            out["recall_sample_queries"] = n_sampled
         emb.unpersist()
         import shutil
 

@@ -206,6 +206,41 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+def sampled_recall_truth(emb, n: int, n_queries: int = 256):
+    """Exact top-5 truth for a deterministic ~``n_queries``-query sample,
+    computed driver-side against the FULL corpus (bounded: n x dim
+    doubles — 65 MB at the 64x probe scale, where full brute-force truth
+    would be O(n^2)).
+
+    The sample stride is forced ODD so it is coprime with the clustered
+    builder's 8-anchor cycle (``anchor = i % 8``): the naive ``n //
+    n_queries`` stride at 64x is 500 ≡ 4 (mod 8), which silently samples
+    queries from only 2 of the 8 clusters (r12 self-review) — an odd
+    stride walks every anchor residue. Returns (truth_pairs,
+    sample_query_ids, n_sampled).
+    """
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    full = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    ids = full["vec_id"].to_numpy()
+    mat = _normalize(np.stack(full["embedding"].to_numpy()))
+    stride = max(1, n // n_queries)
+    if stride % 2 == 0:
+        stride += 1
+    q_idx = np.arange(0, n, stride)[:n_queries]
+    sims = mat[q_idx] @ mat.T
+    sims[np.arange(len(q_idx)), q_idx] = -np.inf
+    top5 = np.argsort(-sims, axis=1)[:, :5]
+    truth = {
+        (int(ids[q_idx[i]]), int(ids[j]))
+        for i in range(len(q_idx))
+        for j in top5[i]
+    }
+    return truth, {int(ids[i]) for i in q_idx}, len(q_idx)
+
+
 def build_clustered_embeddings(spark, replicas: int) -> str:
     """A CLUSTERED embeddings corpus at the same row count the flat
     probe uses (base count x replicas) — the other corpus shape the
