@@ -275,8 +275,14 @@ def main() -> None:
                     df.write.format("noop").mode("overwrite").save()
                     runs_by_query[name].append(time.perf_counter() - t0)
                 except Exception as exc:  # noqa: BLE001 — record, continue
-                    timings[name] = None
-                    failed.append(name)
+                    # a failure mid-sweep must not discard minima already
+                    # measured in completed blocks, nor double-count the
+                    # query in `failed` when both sweeps trip (ADVICE
+                    # r12): keep the partial runs — the spread sidecar
+                    # flags them "partial" below — and skip the query's
+                    # remaining blocks via the `failed` guard above.
+                    if name not in failed:
+                        failed.append(name)
                     first = (
                         str(exc).splitlines()[0] if str(exc) else type(exc).__name__
                     )
@@ -284,7 +290,10 @@ def main() -> None:
                     break
 
     for name, _ in alive:
-        if name in failed:
+        if not runs_by_query[name]:
+            # warmed up but produced no timed run (failed on its first
+            # timed rep) — nothing to report beyond the failure
+            timings[name] = None
             continue
         runs = sorted(runs_by_query[name])
         # queries values stay plain seconds (min) — the driver's
@@ -299,6 +308,12 @@ def main() -> None:
             "median": round(runs[len(runs) // 2], 3),
             "max": round(runs[-1], 3),
         }
+        if name in failed:
+            # a later block failed after these runs completed: the min
+            # stands (it is a valid floor over real completed runs) but
+            # consumers comparing round-over-round must know the block
+            # count was short (ADVICE r12)
+            spread[name]["partial"] = True
     # stdout key order must stay the frozen HEADLINE order regardless of
     # rotation bookkeeping (artifact diffs round-over-round stay clean)
     timings = {

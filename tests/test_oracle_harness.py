@@ -247,7 +247,14 @@ def test_driver_prefix_rotates_onto_stalest_rows():
         f"prefix holds a round-{max_in} row while a round-{min_out} "
         "row waits outside — stalest-first rotation broken"
     )
-    # the current tree's concrete state: the r1 cohort leads the prefix
-    r1 = [n for n in names if last_round[n] == min(last_round.values())]
-    for n in r1:
-        assert names.index(n) < 50, f"stalest query {n} missed the prefix"
+    # The stalest cohort must lead the prefix — but only when it FITS:
+    # once rotation shrinks the tail, the stalest round's cohort can
+    # exceed 50 members (e.g. the 328-strong r12 cohort after the
+    # pre-r12 rows retire), and demanding all of them inside a 50-slot
+    # prefix would fail spuriously while the max_in <= min_out property
+    # above still holds (ADVICE r12 — the r1-cohort form of this
+    # assertion pinned the concrete r12 tree state).
+    stalest = [n for n in names if last_round[n] == min(last_round.values())]
+    if len(stalest) <= 50:
+        for n in stalest:
+            assert names.index(n) < 50, f"stalest query {n} missed the prefix"

@@ -581,6 +581,29 @@ def test_obt_denormalize_broadcasts_all_dims(spark, specs):
     assert "CartesianProduct" not in p
 
 
+def test_ivfpq_global_rerank_pool_below_exact_join(spark, specs):
+    """The r13 global per-query rerank pool (VERDICT r12 item 1): the
+    ADC pool's WindowGroupLimit must sit BELOW the exact-vector joins,
+    so the join input is n_q * rerank * k rows — not the per-cell
+    n_q * n_probe * rerank * k union that failed the 64x rig at
+    rerank=64 (410M rows). Two row_number windows ship (pool + final
+    top-k), each rewritten by InferWindowGroupLimit to Partial + Final
+    limits; the POOL pair must print below the deepest join in the
+    physical tree (nested inside the join's stream child). A regression
+    here (pool hoisted above the join, or the filter shape falling out
+    of the rewrite) silently reverts the exact-rerank stage to joining
+    every per-cell candidate."""
+    p = plan_of(q(specs, spark, "ann_ivfpq_topk"), mode="extended")
+    phys = p.split("== Physical Plan ==")[-1]
+    # pool (Partial+Final) + final top-k (Partial+Final)
+    assert phys.count("WindowGroupLimit") >= 4, phys
+    last_join = max(phys.rfind("HashJoin"), phys.rfind("SortMergeJoin"))
+    assert last_join != -1, phys
+    # tree prints depth-last: the pool's WindowGroupLimit lines must
+    # appear after (i.e. below) the deepest exact-rerank join
+    assert phys.rfind("WindowGroupLimit") > last_join, phys
+
+
 def test_top_k_per_group_partial_window_group_limit(spark, specs):
     """SURVEY §4's optional stretch rule — push top-k-per-group into a
     partial per-partition limit before the shuffle — is BUILT IN to
