@@ -166,8 +166,33 @@ def _global_topk(local: DataFrame, k: int) -> DataFrame:
 _TARGET_BUCKET_ROWS = 256
 
 
+def _sample_matrix(
+    embeddings: DataFrame, id_col: str, vec_col: str, cap: int = 4096
+) -> "np.ndarray | None":
+    """The shared content-deterministic shape sample (the ``cap``
+    smallest ``xxhash64(id)`` values — the pq_train seeding pattern,
+    never partition-layout-dependent) as a float64 matrix, or None on
+    an empty source. One bounded TakeOrdered + toPandas job; lsh_topk
+    pulls it ONCE and feeds both the collapsed-table probe and the
+    angle-derived table count (r13) so adding the second consumer
+    added zero construction-time jobs."""
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(cap)
+        .toPandas()
+    )
+    if pdf.empty:
+        return None
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
 def _drop_collapsed_tables(
-    embeddings: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    planes: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    sample_mat: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Degenerate-shape early-exit (VERDICT r10 item 5): a table whose
     sign buckets collapse to ONE bucket on a random sample indexes the
@@ -197,15 +222,11 @@ def _drop_collapsed_tables(
     collapsed table, and the kept-table set stays deterministic for a
     given corpus content.
     """
-    pdf = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(4096)
-        .toPandas()
-    )
-    if pdf.empty:
+    if sample_mat is None:
+        sample_mat = _sample_matrix(embeddings, id_col, vec_col)
+    if sample_mat is None:
         return planes
-    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat = sample_mat
     t_n, p_n = planes.shape[0], planes.shape[1]
     proj = mat @ planes.reshape(t_n * p_n, -1).T
     buckets = (

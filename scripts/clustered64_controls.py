@@ -56,10 +56,20 @@ def main() -> None:
     for label, fn in (
         ("ivf_flat_fixed10", lambda: ivf_topk(emb, k=5, n_cells=n_cells, n_probe=10)),
         (
+            # r13 semantics: rerank is the GLOBAL pool width (pool 320
+            # across all probed cells; the r12 per-cell scheme this rig
+            # failed on joined 410M rows at the same nominal rerank)
             "ivfpq_rerank64",
             lambda: ivfpq_topk(
                 emb, k=5, n_cells=n_cells, n_probe=10, by_residual=True, rerank=64
             ),
+        ),
+        (
+            # shipped default: the r13 tight-cell dispatch must tier-
+            # route this to exact in-cell scoring (VERDICT r12 item 2 —
+            # done = >= 0.8 here, vs 0.608 for the r12 PQ default)
+            "ivfpq_default",
+            lambda: ivfpq_topk(emb, k=5, n_cells=n_cells),
         ),
     ):
         # one control failing (this is a memory-pressure stress rig)

@@ -995,3 +995,111 @@ def test_ivfpq_global_pool_restores_cross_cell_adc_term(spark):
         f"narrow global pool lost near-cluster neighbors ({recall:.3f}) — "
         f"the cross-cell dot(q, centroid) ADC term is not being restored"
     )
+
+
+# --- dispatch mis-route direction property (VERDICT r12 item 7) ------------
+#
+# The r12 gate-fix argument: ANY pick_probe_strategy mis-route lands
+# fraction-held — it can overspend compute, but never costs recall.
+# That argument has two halves, each pinned over generated corpora:
+#
+#   (a) the "fixed" route never fires on hallucinated structure — when
+#       the sampled signals say concentrated/tight, the FULL corpus
+#       (numpy, independently of the sampling path) must agree;
+#   (b) on every generated FLAT corpus the shipped default's recall is
+#       >= the fixed-10 config's recall (the fraction-held route is the
+#       recall-safe direction there).
+#
+# Corpus generator: anchors in {0 (flat), 2..32} tight clusters, varied
+# dims and per-vector norms (the normalize-scale regression class r12
+# caught in pq_train). Sizes stay small (<=600 rows) so each Spark
+# round-trip is seconds; the value is the shapes hypothesis finds.
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+_ROUTE_PROP = hyp_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    n_anchors=st.sampled_from([0, 2, 4, 8, 16, 32]),
+    dim=st.sampled_from([16, 32, 64]),
+    vary_norms=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@_ROUTE_PROP
+def test_dispatch_misroute_direction_costs_compute_not_recall(
+    spark, n_anchors, dim, vary_norms, seed
+):
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import (
+        _CONCENTRATED_TOP_MASS,
+        _PROBE_NUM,
+        _TIGHT_CELL_COS,
+        ivf_topk,
+        pick_probe_strategy,
+    )
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    n, n_cells = 600, 24  # > 16 cells so the dispatch actually engages
+    rng = np.random.default_rng(seed)
+    if n_anchors == 0:
+        vecs = rng.normal(size=(n, dim))
+    else:
+        anchors = rng.normal(size=(n_anchors, dim))
+        anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+        vecs = anchors[np.arange(n) % n_anchors] + 0.08 * rng.normal(size=(n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    if vary_norms:
+        vecs = vecs * rng.uniform(0.1, 10.0, size=n)[:, None]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = _normalize(vecs[:n_cells])  # the ivf_topk default centroids
+
+    routed = pick_probe_strategy(df, cents)
+
+    # (a) no hallucinated structure: re-derive both signals over the
+    # FULL corpus independently of the dispatch's sampling machinery
+    unit = _normalize(vecs)
+    sims = unit @ cents.T
+    nearest = np.argmax(sims, axis=1)
+    full_tight = float(np.max(sims, axis=1).mean())
+    counts = np.bincount(nearest, minlength=n_cells)
+    fixed = min(_PROBE_NUM, n_cells)
+    full_mass = float(np.sort(counts)[::-1][:fixed].sum()) / n
+    gate = max(_CONCENTRATED_TOP_MASS, 2.0 * fixed / n_cells)
+    if routed.route == "fixed":
+        assert full_mass >= gate * 0.9 or full_tight >= _TIGHT_CELL_COS * 0.9, (
+            f"fixed route on unconcentrated corpus: full mass {full_mass:.3f} "
+            f"(gate {gate:.3f}), full tight {full_tight:.3f} — a mis-route "
+            f"in the recall-costing direction (anchors={n_anchors})"
+        )
+
+    # (b) flat corpora: the shipped default must not trail fixed-10
+    if n_anchors == 0:
+        k = 5
+        s = unit @ unit.T
+        np.fill_diagonal(s, -np.inf)
+        top = np.argsort(-s, axis=1)[:, :k]
+        truth = {(int(i), int(j)) for i in range(n) for j in top[i]}
+
+        def recall(**kw):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_topk(df, k=k, n_cells=n_cells, **kw).collect()
+            }
+            return len(got & truth) / len(truth)
+
+        r_default, r_fixed = recall(), recall(n_probe=10)
+        assert r_default >= r_fixed - 0.02, (
+            f"default route recalls below fixed-10 on a flat corpus: "
+            f"{r_default:.3f} < {r_fixed:.3f} - 0.02 (route={routed.route})"
+        )
+    df.unpersist()
