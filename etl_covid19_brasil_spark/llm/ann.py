@@ -248,8 +248,124 @@ def auto_n_tables(n_planes: int) -> int:
     recall: 5 at the small-corpus plane floor (every pinned CI
     measurement), +2 tables per extra plane (see lsh_topk docstring —
     measured 0.778 -> 0.933 recall@5 at 8x/P=6; linear in corpus size
-    because bucket sizes stay ~constant)."""
+    because bucket sizes stay ~constant).
+
+    Since r13 this is the CAP (the cluster-free worst case):
+    :func:`derive_n_tables` measures, on the shared shape sample, how
+    many of these tables the corpus's actual neighbor angles need, and
+    clustered corpora come out at the floor — see VERDICT r12 item 5
+    (LSH held recall 1.000 at 64x clustered but spent 3.7x IVF-flat's
+    wall-clock doing it; the table count was angle-blind)."""
     return 5 + 2 * max(0, n_planes - 4)
+
+
+# The smallest table count any derivation returns — the small-corpus
+# operating point every pinned CI floor was measured at.
+_TABLE_FLOOR = 5
+# Sampled in-sample top-5 pair inclusion the derived table count must
+# reach. Inclusion of a candidate pair IS recall for LSH (candidates are
+# exact-cosine ranked), and in-sample neighbors are FARTHER than the
+# full corpus's true neighbors (a 4096-row sample of a big corpus thins
+# every neighborhood), so sampled inclusion underestimates true recall:
+# a table count passing this gate on the sample holds at least it on
+# the corpus. 0.98 sits above every pinned recall floor.
+_TABLE_TARGET_INCLUSION = 0.98
+
+
+class TableRoute(NamedTuple):
+    n_tables: int  # the chosen count, in [_TABLE_FLOOR, cap]
+    sampled_inclusion: float  # in-sample top-5 pair inclusion at n_tables
+    cap: int  # auto_n_tables(n_planes) — the cluster-free fallback
+
+
+def derive_n_tables(
+    sample_mat: np.ndarray,
+    n_planes: int,
+    dim: int,
+    cap: int | None = None,
+    multi_probe: bool = True,
+    target: float = _TABLE_TARGET_INCLUSION,
+) -> TableRoute:
+    """Measure how many LSH tables THIS corpus's neighbor angles need
+    (VERDICT r12 item 5) — the :func:`pick_probe_strategy` pattern
+    applied to the table count: :func:`auto_n_tables` is angle-blind
+    (it tracks the plane count's per-table recall loss at the flat
+    cosine~0.5 regime the probes measure), so a tightly clustered
+    corpus — whose neighbors collide at near-certainty per table —
+    pays the full cluster-free table budget for recall it would get at
+    the floor (measured r12: recall 1.000 at 64x clustered, but 466 s
+    vs IVF-flat's 126 s at the identical corpus).
+
+    Entirely driver-side numpy over the shared ``<=4096``-row shape
+    sample (:func:`_sample_matrix` — content-deterministic, one bounded
+    job shared with :func:`_drop_collapsed_tables`, so the derivation
+    adds ZERO Spark jobs): take each sampled vector's top-5 in-sample
+    cosine neighbors, replay the ACTUAL banding semantics per candidate
+    table (sign signature + the d=1 multi-probe flips of the
+    ``min(P, 4)`` least-confident bits, exactly ``sign_kernel``'s fan)
+    against the ACTUAL plane tensor (``_planes`` is prefix-stable:
+    table t of a T-table generation equals table t of any longer one,
+    verified by test), and return the smallest count in
+    [:data:`_TABLE_FLOOR`, cap] whose cumulative pair inclusion reaches
+    ``target``. No independence assumption — the curve is evaluated on
+    the very tables the operator will use.
+
+    Mis-route direction (the dispatch-family invariant the r12 property
+    test pins for probes): in-sample top-5 neighbors are FARTHER than
+    true top-5 neighbors — sampling thins neighborhoods — so measured
+    inclusion UNDERESTIMATES true-pair inclusion and the chosen count
+    errs toward MORE tables; the cluster-free corpora the cap was
+    calibrated on never reach ``target`` early and keep the cap
+    unchanged (the 8x flat probe's T=9 stays T=9). Only compute is ever
+    at stake, never recall.
+    """
+    if cap is None:
+        cap = auto_n_tables(n_planes)
+    if cap <= _TABLE_FLOOR or sample_mat is None or len(sample_mat) < 8:
+        return TableRoute(max(cap, _TABLE_FLOOR), float("nan"), cap)
+    from etl_covid19_brasil_spark.llm import similarity as _sim
+    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+
+    n = len(sample_mat)
+    unit = _normalize(sample_mat.astype(np.float64))
+    # in-sample top-5 neighbor pairs, row-sliced under the sims budget
+    k = min(5, n - 1)
+    rows_per = max(1, _sim.SIMS_BUDGET_BYTES // (8 * n))
+    tops = []
+    for s in range(0, n, rows_per):
+        sims = _ordered_dot(unit[s : s + rows_per, None, :], unit[None, :, :])
+        sims[np.arange(sims.shape[0]), np.arange(s, s + sims.shape[0])] = -np.inf
+        tops.append(np.argsort(-sims, axis=1)[:, :k])
+    top = np.concatenate(tops, axis=0)  # (n, k)
+    pair_i = np.repeat(np.arange(n), k)
+    pair_j = top.reshape(-1)
+    # replay banding on the actual plane tensor: signatures + flip masks
+    planes = _planes(cap, n_planes, dim)
+    proj = (sample_mat @ planes.reshape(cap * n_planes, -1).T).reshape(
+        n, cap, n_planes
+    )
+    bits = proj > 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    codes = (bits * weights).sum(axis=2)  # (n, cap)
+    n_flips = min(n_planes, 4) if multi_probe else 0
+    if n_flips:
+        least = np.argsort(np.abs(proj), axis=2)[:, :, :n_flips]
+        flipmask = np.bitwise_or.reduce(1 << least, axis=2)  # (n, cap)
+    else:
+        flipmask = np.zeros_like(codes)
+    # pair (i, j) meets in a table iff same bucket, or one sign bit
+    # apart with that bit in either side's probe fan (each vector is
+    # both query and index, so either direction's probe suffices)
+    xor = codes[pair_i] ^ codes[pair_j]  # (pairs, cap)
+    union = flipmask[pair_i] | flipmask[pair_j]
+    one_bit = (xor != 0) & ((xor & (xor - 1)) == 0)
+    meet = (xor == 0) | (one_bit & ((xor & union) != 0))
+    coverage = np.logical_or.accumulate(meet, axis=1).mean(axis=0)  # (cap,)
+    enough = np.nonzero(coverage[_TABLE_FLOOR - 1 :] >= target)[0]
+    if len(enough) == 0:
+        return TableRoute(cap, float(coverage[-1]), cap)
+    t = _TABLE_FLOOR + int(enough[0])
+    return TableRoute(t, float(coverage[t - 1]), cap)
 
 
 def lsh_topk(
@@ -268,15 +384,18 @@ def lsh_topk(
     with multi-probe querying.
 
     Construction-time job note (ADVICE r11): when the derived (or
-    passed) ``n_planes`` exceeds the small-corpus floor of 4, the
-    degenerate-corpus early-exit (:func:`_drop_collapsed_tables`) runs
-    ONE bounded eager Spark job — a <=4096-row content-deterministic
-    TakeOrdered + toPandas — before the lazy plan is built, mirroring
-    the dispatcher pattern ``pick_window_strategy`` documents. Gate- and
-    bench-scale corpora (P=4) run zero extra jobs. Pass
-    ``drop_collapsed_tables=False`` to skip the probe and keep lsh_topk
-    a pure-lazy builder (expert configs that already know their corpus
-    is non-degenerate, or plan-pinning callers).
+    passed) ``n_planes`` exceeds the small-corpus floor of 4, ONE
+    bounded eager Spark job — a <=4096-row content-deterministic
+    TakeOrdered + toPandas (:func:`_sample_matrix`) — runs before the
+    lazy plan is built, mirroring the dispatcher pattern
+    ``pick_window_strategy`` documents; the sample is SHARED by the
+    degenerate-corpus early-exit (:func:`_drop_collapsed_tables`) and
+    the angle-derived table count (:func:`derive_n_tables`, r13), so
+    the two consumers cost one job total. Gate- and bench-scale corpora
+    (P=4) run zero extra jobs. Pass an explicit ``n_tables`` AND
+    ``drop_collapsed_tables=False`` to skip the sample entirely and
+    keep lsh_topk a pure-lazy builder (expert configs that already know
+    their corpus shape, or plan-pinning callers).
 
     ``q_salts`` splits each (table, bucket) group's QUERY side across
     that many sub-groups (index rows replicate into every sub-group,
@@ -299,12 +418,19 @@ def lsh_topk(
     More planes per table lowers per-table recall (P(collide)^P); the
     d=1 multi-probe fan compensates partially but its flip budget is
     capped at 4 bits, so inclusion still declines as planes grow.
-    ``n_tables=None`` (default) therefore scales the TABLE count with
+    ``n_tables=None`` (default) therefore caps the TABLE count with
     the plane count — ``5 + 2 * (P - 4)`` — lifting overall recall
     1-(1-p)^T as per-table p falls: the r10 8x recall probe measured
     0.778 at the old fixed T=5 (P=6) vs 0.933 with the derived T=9,
     while the sf0.01/sf0.1 regimes (P=4) keep T=5, leaving every pinned
-    CI floor and bench number untouched. Cost is a constant factor per
+    CI floor and bench number untouched. Since r13 that cap is the
+    cluster-free WORST CASE, not the spend: :func:`derive_n_tables`
+    replays the banding semantics over the shared shape sample and
+    keeps only as many tables as the corpus's measured neighbor angles
+    need (tight clusters collide at near-certainty per table and come
+    out at the floor of 5; flat corpora never reach the inclusion
+    target early and keep the cap — the compute-not-recall mis-route
+    direction, same as the probe dispatch). Cost is a constant factor per
     corpus size (banding fan-out x T; bucket sizes stay ~constant), so
     total work remains linear in n — unlike raising the probe FRACTION,
     which would reintroduce the quadratic the r6 probe killed. Honest
@@ -337,17 +463,32 @@ def lsh_topk(
 
         n_est = _estimate_rows(embeddings)
         n_planes = max(4, math.ceil(math.log2(max(2, n_est / _TARGET_BUCKET_ROWS))))
+    derive_tables = n_tables is None
     if n_tables is None:
         n_tables = auto_n_tables(n_planes)
     if q_salts is None:
         q_salts = 4 if n_planes > 4 else 1
+    # ONE shared shape sample (see _sample_matrix) feeds both the
+    # angle-derived table count (r13) and the collapsed-table early-exit
+    # — pulled only above the plane floor, where auto_n_tables spends
+    # real compute; at the P=4 gate/bench floor both consumers are
+    # no-ops and lsh_topk stays a zero-extra-job lazy builder
+    sample_mat = None
+    if n_planes > 4 and (derive_tables or drop_collapsed_tables):
+        sample_mat = _sample_matrix(embeddings, id_col, vec_col)
+    if derive_tables and n_planes > 4:
+        n_tables = derive_n_tables(
+            sample_mat, n_planes, dim, cap=n_tables, multi_probe=multi_probe
+        ).n_tables
     planes = _planes(n_tables, n_planes, dim)
     # above the plane floor (where the table derivation spends real
     # compute), drop duplicate fully-collapsed tables — the degenerate-
     # corpus early-exit; see _drop_collapsed_tables and the
     # construction-time-job note in the docstring
     if drop_collapsed_tables and n_planes > 4 and planes.shape[0] > 1:
-        planes = _drop_collapsed_tables(embeddings, planes, id_col, vec_col)
+        planes = _drop_collapsed_tables(
+            embeddings, planes, id_col, vec_col, sample_mat
+        )
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(planes)
 

@@ -564,6 +564,107 @@ def test_lsh_table_count_tracks_plane_count():
     assert auto_n_tables(3) == 5  # never below the floor
 
 
+def test_derive_n_tables_floor_on_clustered_cap_on_flat():
+    """The r13 measured table route (VERDICT r12 item 5): a tightly
+    clustered sample — whose neighbor pairs collide at near-certainty
+    per table — must come out well under the cap with its measured
+    inclusion above the target, while a cluster-free gaussian sample
+    (the regime auto_n_tables was calibrated on) must keep the cap
+    unchanged. Pure numpy: the derivation runs driver-side on the
+    shared shape sample, adding zero Spark jobs."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import (
+        _TABLE_FLOOR,
+        _TABLE_TARGET_INCLUSION,
+        auto_n_tables,
+        derive_n_tables,
+    )
+
+    rng = np.random.default_rng(0)
+    anchors = _unit(rng.normal(size=(8, 64)))
+    n = 2048
+    clustered = _unit(
+        anchors[np.arange(n) % 8] + 0.08 * rng.normal(size=(n, 64))
+    )
+    flat = rng.normal(size=(n, 64))
+    for n_planes in (6, 9):
+        cap = auto_n_tables(n_planes)
+        rc = derive_n_tables(clustered, n_planes, 64)
+        rf = derive_n_tables(flat, n_planes, 64)
+        assert rc.cap == rf.cap == cap
+        assert _TABLE_FLOOR <= rc.n_tables <= max(_TABLE_FLOOR, cap // 2), (
+            f"clustered corpus should need far fewer than the cluster-free "
+            f"cap: got {rc.n_tables} of cap {cap} at P={n_planes}"
+        )
+        assert rc.sampled_inclusion >= _TABLE_TARGET_INCLUSION
+        assert rf.n_tables == cap, (
+            f"flat corpus must keep the calibrated cap (compute-not-recall "
+            f"mis-route direction): got {rf.n_tables} of {cap}"
+        )
+    # tiny/degenerate samples fall back to the cap, never below floor
+    import math
+
+    tiny = derive_n_tables(flat[:4], 6, 64)
+    assert tiny.n_tables == auto_n_tables(6) and math.isnan(tiny.sampled_inclusion)
+
+
+def test_derive_n_tables_uses_prefix_stable_planes():
+    """The derivation evaluates the inclusion curve on the cap-width
+    plane tensor and the operator then generates only the chosen count
+    — sound only because _planes is prefix-stable (table t of a T-table
+    generation equals table t of any longer one)."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import _planes
+
+    assert np.array_equal(_planes(15, 9, 64)[:5], _planes(5, 9, 64))
+    assert np.array_equal(_planes(9, 6, 32)[:7], _planes(7, 6, 32))
+
+
+def test_lsh_derived_tables_hold_recall_on_clustered_corpus(spark):
+    """End-to-end guard for the r13 table route: on a clustered corpus
+    with the plane count forced above the floor (so the derivation
+    actually engages and picks fewer tables than the cap), lsh_topk's
+    default-config recall against brute force must hold the CI floor —
+    the saved tables may only cost compute, never recall."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import (
+        _sample_matrix,
+        auto_n_tables,
+        derive_n_tables,
+        lsh_topk,
+    )
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    anchors = _unit(rng.normal(size=(8, 64)))
+    n = 600
+    vecs = _unit(anchors[np.arange(n) % 8] + 0.08 * rng.normal(size=(n, 64)))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    n_planes = 6
+    route = derive_n_tables(_sample_matrix(df, "vec_id", "embedding"), n_planes, 64)
+    assert route.n_tables < auto_n_tables(n_planes), (
+        "the derivation did not engage — this test would only re-measure "
+        "the cap configuration"
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, k=5).collect()
+    }
+    rows = lsh_topk(df, k=5, n_planes=n_planes).collect()
+    df.unpersist()
+    r = _recall(rows, truth)
+    assert r >= 0.9, (
+        f"derived {route.n_tables} tables (cap {auto_n_tables(n_planes)}, "
+        f"sampled inclusion {route.sampled_inclusion:.3f}) lost recall: {r:.3f}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shape-aware probe dispatch (VERDICT r11 item 3): pick_probe_strategy
 # routes fixed probes on concentrated cell occupancy, fraction-held on
