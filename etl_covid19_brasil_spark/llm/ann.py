@@ -1271,7 +1271,13 @@ def ivfpq_topk(
     ADC distortion caps raw-score recall around ~0.6 regardless of probe
     count (measured: 0.49 @ 5 probes, 0.60 @ 10 — the quantizer misranks
     near-ties), so the standard second stage follows: each probed cell
-    emits its ADC top ``rerank * k`` per query (bounding kernel output),
+    emits its ADC top per query (depth ``rerank * k`` on fixed-probe
+    routes, where the constant probe count bounds the pool shuffle and
+    tight clusters need deep per-cell emission; capped at the r12
+    per-cell width ``4k`` on the derived fraction-held route, where
+    both n_probe and the pool width scale with the cell count and deep
+    emission would make the pool stage a quadratic shuffle — 2.6G rows
+    of window spill at the flat 32× probe),
     a GLOBAL per-query pool keeps the best ``rerank * k`` ACROSS cells
     (a row_number window Spark 4 rewrites to a partial WindowGroupLimit
     — the faiss global-heap step, r13; sound because the kernel restores
@@ -1334,11 +1340,13 @@ def ivfpq_topk(
     if n_cells is None:  # corpus-size-derived (see auto_n_cells)
         n_cells = auto_n_cells(_estimate_rows(embeddings))
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
+    fraction_route = False
     if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
         routed = pick_probe_strategy(
             embeddings, cents, id_col, vec_col, force_sample=probe_floor_shape
         )
         n_probe = routed.n_probe
+        fraction_route = routed.route == "fraction"
         tight = routed.tight_cos >= _TIGHT_CELL_COS
         # Tier route (r13, VERDICT r12 item 2): on TIGHT cells with no
         # explicit PQ knobs, score the probed cells EXACTLY instead of
@@ -1394,6 +1402,28 @@ def ivfpq_topk(
     # bookkeeping (np.repeat by n_probe) must agree with the probed
     # width argsort can actually deliver.
     n_probe = min(n_probe, len(cents))
+    # Per-cell ADC emission depth. On FIXED-probe routes (tight cells,
+    # or a caller-chosen n_probe) deep emission — min(k*rerank, |cell|)
+    # per query — is bounded by the constant probe count, and the
+    # global pool needs it (on tight clusters the true top-pool lives
+    # in one or two cells; capping per-cell depth at the r12 width
+    # measured 0.856 where deep emission measures 0.989). On the
+    # DERIVED fraction-held route both n_probe and the pool width scale
+    # with the cell count, so deep emission turns the pool stage into a
+    # QUADRATIC SHUFFLE — n_q x n_probe x |cell| skinny rows, 2.6G rows
+    # / 60+ GB of window spill at the flat 32x probe (r13). There the
+    # emission is capped at the r12 per-cell width (4k, i.e. the global
+    # width divided by the probe count it was scaled by): the union the
+    # pool ranks is then EXACTLY the candidate set r12 joined (flat 8x:
+    # 0.868), every stage is bounded by the same budget r12's 64x flat
+    # refresh survived, and the pool/join still carry r13's n_probe-free
+    # join bound. ADC ranking on loose cells has real signal (that is
+    # why raw codes win there), so per-cell truncation costs little —
+    # re-measured at the flat 8x probe after the cap: see
+    # SCALECHECK_r13.
+    emit_rows = k * rerank
+    if fraction_route:
+        emit_rows = k * max(4, rerank // max(1, n_probe))
     # normalize=True on the raw path: the assign kernel byte-codes
     # L2-normalized vectors (cosine scoring), so the books must train on
     # the same scale — unnormalized raw books degenerate the codes on
@@ -1495,7 +1525,7 @@ def ivfpq_topk(
         if cent is not None:
             scores = scores + _ordered_dot(q_mat, cent[None, :])[:, None]
         scores[q_ids[:, None] == i_ids[None, :]] = -np.inf
-        take = min(k * rerank, len(i_ids))
+        take = min(emit_rows, len(i_ids))
         order = np.lexsort((np.broadcast_to(i_ids, scores.shape), -scores), axis=-1)[
             :, :take
         ]

@@ -353,7 +353,16 @@ def run_recall_probe(spark, replicas: int, shape: str = "flat") -> dict:
         ("ann_ivfpq_topk", lambda: ivfpq_topk(emb, k=5, n_cells=n_cells)),
         ("ann_ivfpq_topk_fixed10", lambda: ivfpq_topk(emb, k=5, n_cells=n_cells, n_probe=10)),
     ):
-        got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
+        # one tier failing (at big replicas this is a memory-pressure
+        # rig: the r13 flat-32x run lost four tiers' rows to one Arrow
+        # direct-memory trip) must not lose the others' rows — the
+        # clustered64_controls pattern
+        try:
+            got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            out[f"{name}_error"] = str(exc).splitlines()[0][:200]
+            print(f"# {name} FAILED: {out[f'{name}_error']}", file=sys.stderr)
+            continue
         r = len(got & truth) / len(truth)
         out[name] = round(r, 4)
         print(f"# {name}: recall@5 = {r:.4f} over {n} vectors", file=sys.stderr)
