@@ -272,6 +272,32 @@ _TABLE_FLOOR = 5
 _TABLE_TARGET_INCLUSION = 0.98
 
 
+def _sample_top_pairs(unit: np.ndarray, k: int = 5):
+    """In-sample top-``k`` cosine neighbor pairs ``(pair_i, pair_j)``
+    over a normalized sample matrix, row-sliced under the sims budget.
+    Shared by :func:`derive_n_tables` (which tables do these pairs
+    need) and the neighbor-cell-rank probe derivation in
+    :func:`pick_probe_strategy` (which probe count reaches them) — the
+    two measured-route consumers of the one shape sample. In-sample
+    top-k pairs are FARTHER than the corpus's true top-k (sampling
+    thins neighborhoods), so every derivation built on them
+    underestimates how easy the corpus is and errs toward more
+    tables/probes: compute, never recall."""
+    n = len(unit)
+    k = min(k, n - 1)
+    from etl_covid19_brasil_spark.llm import similarity as _sim
+    from etl_covid19_brasil_spark.llm.similarity import _ordered_dot
+
+    rows_per = max(1, _sim.SIMS_BUDGET_BYTES // (8 * n))
+    tops = []
+    for s in range(0, n, rows_per):
+        sims = _ordered_dot(unit[s : s + rows_per, None, :], unit[None, :, :])
+        sims[np.arange(sims.shape[0]), np.arange(s, s + sims.shape[0])] = -np.inf
+        tops.append(np.argsort(-sims, axis=1)[:, :k])
+    top = np.concatenate(tops, axis=0)  # (n, k)
+    return np.repeat(np.arange(n), k), top.reshape(-1)
+
+
 class TableRoute(NamedTuple):
     n_tables: int  # the chosen count, in [_TABLE_FLOOR, cap]
     sampled_inclusion: float  # in-sample top-5 pair inclusion at n_tables
@@ -323,22 +349,11 @@ def derive_n_tables(
         cap = auto_n_tables(n_planes)
     if cap <= _TABLE_FLOOR or sample_mat is None or len(sample_mat) < 8:
         return TableRoute(max(cap, _TABLE_FLOOR), float("nan"), cap)
-    from etl_covid19_brasil_spark.llm import similarity as _sim
-    from etl_covid19_brasil_spark.llm.similarity import _normalize, _ordered_dot
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
 
     n = len(sample_mat)
     unit = _normalize(sample_mat.astype(np.float64))
-    # in-sample top-5 neighbor pairs, row-sliced under the sims budget
-    k = min(5, n - 1)
-    rows_per = max(1, _sim.SIMS_BUDGET_BYTES // (8 * n))
-    tops = []
-    for s in range(0, n, rows_per):
-        sims = _ordered_dot(unit[s : s + rows_per, None, :], unit[None, :, :])
-        sims[np.arange(sims.shape[0]), np.arange(s, s + sims.shape[0])] = -np.inf
-        tops.append(np.argsort(-sims, axis=1)[:, :k])
-    top = np.concatenate(tops, axis=0)  # (n, k)
-    pair_i = np.repeat(np.arange(n), k)
-    pair_j = top.reshape(-1)
+    pair_i, pair_j = _sample_top_pairs(unit)
     # replay banding on the actual plane tensor: signatures + flip masks
     planes = _planes(cap, n_planes, dim)
     proj = (sample_mat @ planes.reshape(cap * n_planes, -1).T).reshape(
@@ -682,6 +697,70 @@ class ProbeRoute(NamedTuple):
     tight_cos: float  # mean cos(x, assigned centroid) over the sample
 
 
+# Fraction of sampled top-5 neighbor pairs the rank-derived fixed probe
+# count must reach (the pair's neighbor cell ranks inside the query's
+# probed set). 0.95 tracks the clustered operating envelope every pin
+# was taken at.
+_PROBE_RANK_COVERAGE = 0.95
+
+
+def _rank_derived_probes(
+    unit: np.ndarray,
+    centroids: np.ndarray,
+    nearest: np.ndarray,
+    fixed: int,
+    auto: int,
+) -> int:
+    """How many probes do THIS corpus's neighbors actually need —
+    measured, not assumed (r13, closing VERDICT r12 item 2 at 64x).
+
+    The fixed route used to hard-code the sf0.01 operating point
+    (n_probe=10) on every clustered corpus. That holds while neighbors'
+    cells rank inside the query's 10 nearest — true at 32 cells — but
+    as auto_n_cells grows the cell count with the corpus, each tight
+    cluster SPANS more cells (an 8-anchor 64x corpus puts ~31 trained
+    cells under each anchor) and the true neighbors' cells slide down
+    the query's centroid ranking: the 64x clustered control measured
+    the tier-routed exact default at 0.6734 — pure probe coverage, the
+    quantizer already out of the loop.
+
+    So measure it on the shared shape sample (zero extra Spark jobs):
+    for each in-sample top-5 pair (i, j), the rank of j's assigned cell
+    in i's centroid-similarity ordering — probing ``rank+1`` cells
+    reaches that neighbor. Return the :data:`_PROBE_RANK_COVERAGE`
+    quantile of that distribution, clamped to [``fixed``, ``auto``]:
+    never below the pinned operating floor, never above the
+    fraction-held count (beyond which the fraction route is the honest
+    regime anyway). Small clustered corpora derive the floor (every
+    pinned 8x number is unchanged); dense ones derive what their
+    measured geometry needs. Conservative direction as always:
+    in-sample neighbors are farther than true neighbors, so their cells
+    rank WORSE and the derived count errs toward more probes — linear
+    extra exact-kernel work, never recall.
+    """
+    from etl_covid19_brasil_spark.llm import similarity as _sim
+    from etl_covid19_brasil_spark.llm.similarity import _ordered_dot
+
+    pair_i, pair_j = _sample_top_pairs(unit)
+    if len(pair_i) == 0:
+        return fixed
+    n, n_cells = len(unit), len(centroids)
+    ranks = np.zeros(len(pair_i), dtype=np.int64)
+    rows_per = max(1, _sim.SIMS_BUDGET_BYTES // (8 * max(1, n_cells)))
+    for s in range(0, n, rows_per):
+        sims = _ordered_dot(unit[s : s + rows_per, None, :], centroids[None, :, :])
+        m = (pair_i >= s) & (pair_i < s + sims.shape[0])
+        if not m.any():
+            continue
+        qi = pair_i[m] - s
+        target = sims[qi, nearest[pair_j[m]]]
+        # rank = number of cells strictly more similar than the
+        # neighbor's cell; probing rank+1 cells includes it
+        ranks[m] = (sims[qi] > target[:, None]).sum(axis=1)
+    p = int(np.quantile(ranks, _PROBE_RANK_COVERAGE)) + 1
+    return int(np.clip(p, fixed, auto))
+
+
 def pick_probe_strategy(
     embeddings: DataFrame,
     centroids: np.ndarray,
@@ -694,10 +773,12 @@ def pick_probe_strategy(
     SHAPE — the :func:`pick_window_strategy` pattern applied to IVF
     probing (VERDICT r11 item 3). Returns a :class:`ProbeRoute`;
     ``route`` is ``"fixed"`` (meaningful cells — the standard
-    clustered-corpus IVF regime, n_probe = the measured sf0.01 operating
-    point, linear total work) or ``"fraction"`` (cluster-free —
-    :func:`auto_n_probe`'s fraction-held count, the only recall-holding
-    config on such vectors, linear per-query work).
+    clustered-corpus IVF regime, linear total work; the COUNT floors at
+    the measured sf0.01 operating point and rises to what the sampled
+    neighbor cell ranks require — see :func:`_rank_derived_probes`,
+    r13) or ``"fraction"`` (cluster-free — :func:`auto_n_probe`'s
+    fraction-held count, the only recall-holding config on such
+    vectors, linear per-query work).
 
     Two complementary diagnostics, either sufficient for "fixed":
 
@@ -791,7 +872,12 @@ def pick_probe_strategy(
     # tight_cos still routes genuinely clustered corpora fixed.
     mass_gate = max(_CONCENTRATED_TOP_MASS, 2.0 * fixed / n_cells)
     if top_mass >= mass_gate or tight_cos >= _TIGHT_CELL_COS:
-        return ProbeRoute("fixed", fixed, top_mass, tight_cos)
+        # the fixed route's COUNT is itself measured (r13): the floor
+        # is the pinned operating point, but a dense corpus whose
+        # clusters span many cells needs the probes its neighbor cell
+        # ranks say — see _rank_derived_probes
+        derived = _rank_derived_probes(mat, centroids, nearest, fixed, auto)
+        return ProbeRoute("fixed", derived, top_mass, tight_cos)
     # cluster-free: fraction-held is the only recall-holding default,
     # and its cost cliff deserves a visible warning (ADVICE r11): the
     # derived count scans ~62.5% of the corpus per query.

@@ -680,6 +680,39 @@ def _unit(rows):
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def test_rank_derived_probes_floor_small_rise_with_density():
+    """The fixed route's probe COUNT is measured (r13, closing the 64x
+    clustered gap): at small cell counts every neighbor's cell ranks
+    inside the pinned 10-probe floor, so the derivation returns exactly
+    the floor (all 8x pins unchanged); as auto_n_cells spreads each
+    tight cluster over more cells, the sampled neighbor cell ranks
+    slide and the count must rise — and it stays clamped at the
+    fraction-held bound. Pure numpy on the shared shape sample."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import _rank_derived_probes
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    rng = np.random.default_rng(42)
+    anchors = _unit(rng.normal(size=(8, 64)))
+    n = 2048
+    vecs = _unit(anchors[np.arange(n) % 8] + 0.08 * rng.normal(size=(n, 64)))
+    unit = _normalize(vecs)
+    got = {}
+    for n_cells in (32, 250):
+        cents = _normalize(vecs[:n_cells])
+        nearest = np.argmax(unit @ cents.T, axis=1)
+        auto = max(10, int(np.ceil(n_cells * 10 / 16)))
+        got[n_cells] = _rank_derived_probes(unit, cents, nearest, 10, auto)
+    assert got[32] == 10, f"small clustered corpus must keep the floor: {got[32]}"
+    assert 10 < got[250] <= 157, (
+        f"dense corpus (clusters span ~31 cells) must derive more probes "
+        f"than the floor, clamped at the fraction bound: {got[250]}"
+    )
+    # degenerate: a sample too small for pairs returns the floor
+    assert _rank_derived_probes(unit[:1], _normalize(vecs[:8]), np.zeros(1, int), 10, 20) == 10
+
+
 def test_pick_probe_strategy_short_circuits_at_cell_floor():
     """At <=16 cells auto_n_probe == the fixed operating point, so the
     dispatcher must return WITHOUT touching the embeddings DataFrame
