@@ -585,6 +585,18 @@ def lsh_topk(
 
 
 _TARGET_CELL_ROWS = 512
+# Query rows one (cell, salt) kernel group should carry before the IVF
+# query side is salted across sub-groups (r13). auto_n_cells holds the
+# INDEX side at ~_TARGET_CELL_ROWS, but the QUERY side of a cell is
+# ~n_probe x that: the fraction-held route at the flat 32x probe put
+# ~40k vector-carrying query rows in every group — applyInPandas
+# groups are indivisible units AQE cannot split, and 32 concurrent
+# tasks x ~460 MB of Arrow group input overran netty's direct-memory
+# cap (which tracks the default 8g heap). 8192 query rows x 64-dim
+# float64 ~ 4 MB vectors per group keeps any probe count inside
+# default executors; the n_probe=10 operating point derives 1 salt, so
+# gate/bench plans are unchanged.
+_TARGET_CELL_QUERY_ROWS = 8192
 
 
 def _sliced_cell_rows(op, mat, cents):
@@ -909,8 +921,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: "np.ndarray | None" = None,
     label_col: str | None = None,
+    q_salts: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors.
+
+    ``q_salts`` (r13) splits each cell's QUERY side across that many
+    (cell, salt) sub-groups, replicating the cell's index rows into
+    every sub-group flagged ``qrole=0`` so they don't re-query — the
+    IVF twin of lsh_topk's query salting, and the same reason:
+    applyInPandas groups are indivisible units AQE cannot split, and a
+    cell's query side is ~``n_probe`` times its ~constant index size,
+    so high probe counts (the fraction-held route) build groups whose
+    Arrow transfer alone overruns default executors (measured: ~40k
+    vector-carrying query rows per group at the flat 32× probe — 32
+    concurrent tasks tripped netty's direct-memory cap). Each
+    (query, index) pair still meets exactly once (the query lands in
+    ONE salt of each probed cell; the index is present in all salts of
+    its home cell). Default (None) derives
+    ``ceil(n_probe * _TARGET_CELL_ROWS / _TARGET_CELL_QUERY_ROWS)`` —
+    1 at the 10-probe operating point (gate/bench plans unchanged),
+    growing only where the probe count does. Result-invariant by
+    construction; pinned by the salted-layout invariance test.
 
     ``label_col``: when set, neighbors sharing the query's label are
     masked out inside the per-cell kernel — the ANN scale twin of
@@ -985,6 +1016,13 @@ def ivf_topk(
     # bookkeeping (np.repeat by n_probe) must agree with the actual
     # probed width — clamp rather than mis-shape.
     n_probe = min(n_probe, len(cent_mat))
+    if q_salts is None:
+        # expected query rows per cell ~ n_probe x the held cell size —
+        # independent of n by construction; see _TARGET_CELL_QUERY_ROWS
+        q_salts = max(
+            1, -(-n_probe * _TARGET_CELL_ROWS // _TARGET_CELL_QUERY_ROWS)
+        )
+    s_n = max(1, q_salts)
     bc = spark.sparkContext.broadcast(cent_mat)
 
     assign_schema = StructType(
@@ -993,15 +1031,20 @@ def ivf_topk(
             StructField("vid", LongType()),
             StructField("vec", ArrayType(DoubleType())),
             StructField("is_index", IntegerType()),  # 1 only in the nearest cell
+            StructField("qs", IntegerType()),  # query-salt sub-group
+            StructField("qrole", IntegerType()),  # 0 = index replica only
         ]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
-        # row-sliced yields: each input row fans out to n_probe vector-
-        # carrying output rows (see _FANOUT_OUT_ROWS)
+        # row-sliced yields: each input row fans out to n_probe query
+        # rows + (s_n - 1) index replicas, all vector-carrying (see
+        # _FANOUT_OUT_ROWS)
         sliced = (
-            sub for whole in batches for sub in _fanout_slices(whole, n_probe)
+            sub
+            for whole in batches
+            for sub in _fanout_slices(whole, n_probe + s_n - 1)
         )
         for pdf in sliced:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -1009,16 +1052,38 @@ def ivf_topk(
             cells = _sliced_cell_rows(
                 lambda s: np.argsort(-s, axis=1)[:, :n_probe], mat, cents
             )  # (n, n_probe)
-            yield pd.DataFrame(
-                {
-                    "cell": cells.reshape(-1).astype(np.int32),
-                    "vid": np.repeat(ids, n_probe),
-                    "vec": list(np.repeat(mat, n_probe, axis=0)),
-                    "is_index": np.tile(
-                        (np.arange(n_probe) == 0).astype(np.int32), len(ids)
+            own = (ids % s_n).astype(np.int32)
+            out = {
+                "cell": cells.reshape(-1).astype(np.int32),
+                "vid": np.repeat(ids, n_probe),
+                "vec": list(np.repeat(mat, n_probe, axis=0)),
+                "is_index": np.tile(
+                    (np.arange(n_probe) == 0).astype(np.int32), len(ids)
+                ),
+                "qs": np.repeat(own, n_probe),
+                "qrole": np.ones(len(ids) * n_probe, dtype=np.int32),
+            }
+            if s_n > 1:
+                # index replicas into the OTHER salts of the home cell,
+                # flagged qrole=0 so they never re-query
+                other = np.arange(1, s_n, dtype=np.int32)
+                out = {
+                    "cell": np.concatenate(
+                        [out["cell"], np.repeat(cells[:, 0], s_n - 1).astype(np.int32)]
+                    ),
+                    "vid": np.concatenate([out["vid"], np.repeat(ids, s_n - 1)]),
+                    "vec": out["vec"] + list(np.repeat(mat, s_n - 1, axis=0)),
+                    "is_index": np.concatenate(
+                        [out["is_index"], np.ones(len(ids) * (s_n - 1), dtype=np.int32)]
+                    ),
+                    "qs": np.concatenate(
+                        [out["qs"], ((own[:, None] + other[None, :]) % s_n).reshape(-1)]
+                    ),
+                    "qrole": np.concatenate(
+                        [out["qrole"], np.zeros(len(ids) * (s_n - 1), dtype=np.int32)]
                     ),
                 }
-            )
+            yield pd.DataFrame(out)
 
     assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema=assign_schema)
 
@@ -1033,12 +1098,13 @@ def ivf_topk(
         # (the r9 64x-probe OOM class); per-query top-k is
         # row-independent so slicing is bit-identical.
         idx = pdf[pdf["is_index"] == 1]
-        if idx.empty:
+        qry = pdf[pdf["qrole"] == 1]
+        if idx.empty or qry.empty:
             return pd.DataFrame({c: [] for c in empty_cols}).astype(empty_cols)
         return _by_query_chunks(
             _cell_block,
-            pdf["vid"].to_numpy(dtype=np.int64),
-            np.stack(pdf["vec"].to_numpy()),
+            qry["vid"].to_numpy(dtype=np.int64),
+            np.stack(qry["vec"].to_numpy()),
             idx["vid"].to_numpy(dtype=np.int64),
             np.stack(idx["vec"].to_numpy()),
         )
@@ -1075,7 +1141,7 @@ def ivf_topk(
     out_schema = "query_id long, neighbor_id long, cosine double"
     if label_col is not None:
         out_schema += ", neighbor_label int"
-    local = assigned.groupBy("cell").applyInPandas(cell_topk, schema=out_schema)
+    local = assigned.groupBy("cell", "qs").applyInPandas(cell_topk, schema=out_schema)
     return _global_topk(local, k)
 
 
@@ -1527,6 +1593,13 @@ def ivfpq_topk(
     bc_c = spark.sparkContext.broadcast(cents)
     bc_b = spark.sparkContext.broadcast(books)
 
+    # query-salt count: same derivation and rationale as ivf_topk's
+    # (see _TARGET_CELL_QUERY_ROWS) — 1 at the 10-probe operating point,
+    # growing only with the probe count. Index replicas here are SKINNY
+    # code rows (m bytes), so salting costs (s_n - 1) code rows per
+    # vector, never vectors.
+    s_n = max(1, -(-n_probe * _TARGET_CELL_ROWS // _TARGET_CELL_QUERY_ROWS))
+
     schema = StructType(
         [
             StructField("cell", IntegerType()),
@@ -1534,17 +1607,18 @@ def ivfpq_topk(
             StructField("vec", ArrayType(DoubleType())),  # queries only
             StructField("codes", ArrayType(IntegerType())),  # index only
             StructField("is_index", IntegerType()),
+            StructField("qs", IntegerType()),  # query-salt sub-group
         ]
     )
 
     def assign(batches):
         cmat, bks = bc_c.value, bc_b.value
         mm, _, sub = bks.shape
-        # row-sliced yields: each input row fans out to 1 + n_probe
-        # output rows, the query side carrying the full vector (see
-        # _FANOUT_OUT_ROWS)
+        # row-sliced yields: each input row fans out to s_n index rows
+        # + n_probe query rows, the query side carrying the full vector
+        # (see _FANOUT_OUT_ROWS)
         sliced = (
-            s for whole in batches for s in _fanout_slices(whole, 1 + n_probe)
+            s for whole in batches for s in _fanout_slices(whole, s_n + n_probe)
         )
         for pdf in sliced:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -1560,17 +1634,28 @@ def ivfpq_topk(
                 x = res[:, j * sub : (j + 1) * sub]
                 d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = np.argmin(d2, axis=1)
-            # index row (nearest cell, codes only) + query rows (probed cells)
+            # index rows (nearest cell, codes only, one per salt) +
+            # query rows (probed cells, own salt); index and query are
+            # disjoint rows here, so no qrole flag is needed
+            own = (ids % s_n).astype(np.int32)
             out = {
-                "cell": np.concatenate([probed[:, 0], probed.reshape(-1)]).astype(
-                    np.int32
-                ),
-                "vid": np.concatenate([ids, np.repeat(ids, n_probe)]),
-                "vec": [None] * len(ids) + list(np.repeat(mat, n_probe, axis=0)),
-                "codes": list(codes) + [None] * (len(ids) * n_probe),
-                "is_index": np.concatenate(
-                    [np.ones(len(ids)), np.zeros(len(ids) * n_probe)]
+                "cell": np.concatenate(
+                    [np.repeat(probed[:, 0], s_n), probed.reshape(-1)]
                 ).astype(np.int32),
+                "vid": np.concatenate([np.repeat(ids, s_n), np.repeat(ids, n_probe)]),
+                "vec": [None] * (len(ids) * s_n)
+                + list(np.repeat(mat, n_probe, axis=0)),
+                "codes": list(np.repeat(codes, s_n, axis=0))
+                + [None] * (len(ids) * n_probe),
+                "is_index": np.concatenate(
+                    [np.ones(len(ids) * s_n), np.zeros(len(ids) * n_probe)]
+                ).astype(np.int32),
+                "qs": np.concatenate(
+                    [
+                        np.tile(np.arange(s_n, dtype=np.int32), len(ids)),
+                        np.repeat(own, n_probe),
+                    ]
+                ),
             }
             yield pd.DataFrame(out)
 
@@ -1625,7 +1710,7 @@ def ivfpq_topk(
             }
         )
 
-    local = assigned.groupBy("cell").applyInPandas(
+    local = assigned.groupBy("cell", "qs").applyInPandas(
         cell_topk, schema="query_id long, neighbor_id long, score double"
     )
     # Global per-query rerank pool (r13, VERDICT r12 item 1): keep the

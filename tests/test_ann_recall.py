@@ -680,6 +680,97 @@ def _unit(rows):
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def test_ivf_salted_layout_is_result_invariant(spark):
+    """IVF query-salting (r13 — the LSH q_salts pattern applied to the
+    cell kernels after the flat-32x probe tripped netty's direct-memory
+    cap on ~40k-query Arrow groups): splitting each cell's query side
+    across (cell, salt) sub-groups with qrole=0 index replicas must be
+    pure layout — same (query, neighbor) set, same cosines (allclose:
+    BLAS chunk shapes differ), on both the plain and the packed-label
+    paths. The n_probe=10 operating point derives 1 salt, so gate and
+    bench plans are unchanged."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    a, b = (
+        ivf_topk(emb, k=5, n_cells=16, n_probe=10, q_salts=s)
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+        for s in (1, 4)
+    )
+    assert len(a) == len(b) > 0
+    assert a["query_id"].equals(b["query_id"])
+    assert a["neighbor_id"].equals(b["neighbor_id"])
+    assert np.allclose(a["cosine"], b["cosine"])
+    lab = emb.selectExpr("vec_id", "embedding", "cast(vec_id % 3 as int) as lbl")
+    la, lb = (
+        ivf_topk(lab, k=3, n_cells=16, n_probe=10, label_col="lbl", q_salts=s)
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+        for s in (1, 4)
+    )
+    assert len(la) == len(lb) > 0
+    assert la["query_id"].equals(lb["query_id"])
+    assert la["neighbor_id"].equals(lb["neighbor_id"])
+    assert la["neighbor_label"].equals(lb["neighbor_label"])
+    assert np.allclose(la["cosine"], lb["cosine"])
+
+
+def test_ivfpq_salted_layout_is_result_invariant(spark, monkeypatch):
+    """The IVF-PQ twin: its salt count derives internally from the
+    probe count, so force the multi-salt regime by shrinking the
+    query-rows target and compare against the derived-1-salt run —
+    index replicas there are skinny code rows, and the global rerank
+    pool must see the identical candidate set either way."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm import ann
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def run():
+        return (
+            ann.ivfpq_topk(
+                emb, k=5, n_cells=16, n_probe=10, by_residual=False, rerank=4
+            )
+            .toPandas()
+            .sort_values(["query_id", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+
+    ref = run()  # derives s_n = 1 at the operating point
+    monkeypatch.setattr(ann, "_TARGET_CELL_QUERY_ROWS", 64)  # forces s_n >> 1
+    out = run()
+    assert len(out) == len(ref) > 0
+    assert out["query_id"].equals(ref["query_id"])
+    assert out["neighbor_id"].equals(ref["neighbor_id"])
+    assert np.allclose(out["cosine"], ref["cosine"])
+
+
+def test_ivf_salt_count_derivation():
+    """1 salt at every fixed-probe operating point (gate/bench plans
+    unchanged); grows with the probe count on the fraction-held route
+    (the regime that built 40k-query groups)."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        _TARGET_CELL_QUERY_ROWS,
+        _TARGET_CELL_ROWS,
+    )
+
+    def derive(n_probe):
+        return max(1, -(-n_probe * _TARGET_CELL_ROWS // _TARGET_CELL_QUERY_ROWS))
+
+    assert derive(10) == 1  # the pinned operating point
+    assert derive(16) == 1
+    assert derive(20) == 2  # flat 8x fraction route
+    assert derive(79) == 5  # flat 32x fraction route — the crash regime
+
+
 def test_rank_derived_probes_floor_small_rise_with_density():
     """The fixed route's probe COUNT is measured (r13, closing the 64x
     clustered gap): at small cell counts every neighbor's cell ranks
