@@ -80,6 +80,33 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # reproducible round-over-round.
 BENCH_RUNS = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")), 1)
 
+# A/B experiment knobs (r14, VERDICT r13 item 1 — the driver-box bench
+# anomaly investigation). Both default UNSET, leaving the artifact
+# protocol byte-identical; when either filters the set, the stdout
+# metric is renamed "headline_total_sec_filtered" so a filtered
+# experiment line can never be mistaken for a round artifact.
+#   SPARK_GRAFT_BENCH_ONLY=a,b     run only these headline queries
+#   SPARK_GRAFT_BENCH_EXCLUDE=a,b  run the sequence without these
+BENCH_ONLY = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+BENCH_EXCLUDE = {
+    s for s in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",") if s
+}
+
+
+def _storage_state(spark) -> dict:
+    """Live RDD-block storage snapshot (count + bytes) — the leak
+    signature the r13 driver-bench anomaly investigation watches:
+    localCheckpoint blocks (minhash _shared_scan) and broadcast pieces
+    are freed by the ContextCleaner only after their Python/JVM refs
+    drop, so monotone growth across sweeps on a resident session is
+    the session-state-accumulation hypothesis made measurable."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return {
+        "rdd_blocks": len(infos),
+        "mem_bytes": int(sum(i.memSize() for i in infos)),
+        "disk_bytes": int(sum(i.diskSize() for i in infos)),
+    }
+
 # Headline set: the shuffle-heavy relational core + the LLM-data scale
 # paths, covering scan/filter/agg, star join, window, as-of, sessionize,
 # dedup (exact + LSH + connected components), similarity (brute force +
@@ -238,6 +265,11 @@ def main() -> None:
         (name, (lambda n=name: specs[n].spark(spark, SF_DIR))) for name in HEADLINE
     ]
     pairs.append(("etl_covid_pipeline", lambda: _etl_covid(spark, sf_val)))
+    filtered = bool(BENCH_ONLY or BENCH_EXCLUDE)
+    if BENCH_ONLY:
+        pairs = [p for p in pairs if p[0] in BENCH_ONLY]
+    if BENCH_EXCLUDE:
+        pairs = [p for p in pairs if p[0] not in BENCH_EXCLUDE]
 
     # Warmup tier 2 — one UNTIMED full pass: spawns the Python workers,
     # JIT-compiles the codegen'd stages, and faults in every jar/class
@@ -256,8 +288,9 @@ def main() -> None:
             first = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
             print(f"[bench] {name} FAILED: {first}", file=sys.stderr)
 
+    print(f"[bench] storage after warmup: {_storage_state(spark)}", file=sys.stderr)
     runs_by_query: dict[str, list[float]] = {name: [] for name, _ in alive}
-    for sweep in (alive, alive[::-1]):
+    for sweep_i, sweep in enumerate((alive, alive[::-1])):
         for name, build in sweep:
             if name in failed:
                 continue
@@ -288,6 +321,10 @@ def main() -> None:
                     )
                     print(f"[bench] {name} FAILED: {first}", file=sys.stderr)
                     break
+        print(
+            f"[bench] storage after sweep {sweep_i}: {_storage_state(spark)}",
+            file=sys.stderr,
+        )
 
     for name, _ in alive:
         if not runs_by_query[name]:
@@ -362,7 +399,12 @@ def main() -> None:
         # which protocol produced the minima: the r12+ two-order warm
         # blocks, vs the <= r11 fixed-order per-query loop (and the
         # rejected rotated-passes experiment — SCALECHECK_r12)
-        "protocol": f"fwd+rev warm blocks min-of-{BENCH_RUNS} each",
+        "protocol": f"fwd+rev warm blocks min-of-{BENCH_RUNS} each"
+        + (
+            f" [FILTERED only={sorted(BENCH_ONLY)} exclude={sorted(BENCH_EXCLUDE)}]"
+            if filtered
+            else ""
+        ),
     }
     sidecar_path = Path(__file__).resolve().parent / "BENCH_SPREAD.json"
     try:
@@ -374,7 +416,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_total_sec",
+                "metric": "headline_total_sec_filtered"
+                if filtered
+                else "headline_total_sec",
                 "value": round(sum(t for t in timings.values() if t is not None), 3),
                 "unit": "sec",
                 "queries": timings,

@@ -368,13 +368,21 @@ def derive_n_tables(
         flipmask = np.bitwise_or.reduce(1 << least, axis=2)  # (n, cap)
     else:
         flipmask = np.zeros_like(codes)
-    # pair (i, j) meets in a table iff same bucket, or one sign bit
-    # apart with that bit in either side's probe fan (each vector is
-    # both query and index, so either direction's probe suffices)
+    # pair (i, j) meets FOR QUERY i's top-k iff same bucket, or one
+    # sign bit apart with that bit in i's OWN probe fan — the shipped
+    # kernel probes from the query side only (query i retrieves index
+    # j only when the flip bit is in i's fan; j's probe row in i's
+    # bucket emits the (j, i) pair, which feeds query j's list, not
+    # query i's). An earlier union-of-fans evaluation (either
+    # endpoint's fan counts) inflated measured inclusion and derived a
+    # table count UNDERSHOOTING its own target on clustered corpora —
+    # reproduced at P=9: union inclusion 0.983 at T=7 while the
+    # directed inclusion at T=7 was 0.970, needing T=9 (ADVICE r13).
+    # pair_i is the query of each sampled pair by construction
+    # (_sample_top_pairs emits (query, its top-k neighbor)).
     xor = codes[pair_i] ^ codes[pair_j]  # (pairs, cap)
-    union = flipmask[pair_i] | flipmask[pair_j]
     one_bit = (xor != 0) & ((xor & (xor - 1)) == 0)
-    meet = (xor == 0) | (one_bit & ((xor & union) != 0))
+    meet = (xor == 0) | (one_bit & ((xor & flipmask[pair_i]) != 0))
     coverage = np.logical_or.accumulate(meet, axis=1).mean(axis=0)  # (cap,)
     enough = np.nonzero(coverage[_TABLE_FLOOR - 1 :] >= target)[0]
     if len(enough) == 0:
@@ -769,7 +777,12 @@ def _rank_derived_probes(
         # rank = number of cells strictly more similar than the
         # neighbor's cell; probing rank+1 cells includes it
         ranks[m] = (sims[qi] > target[:, None]).sum(axis=1)
-    p = int(np.quantile(ranks, _PROBE_RANK_COVERAGE)) + 1
+    # method="higher": the default linear interpolation truncates a
+    # fractional quantile DOWNWARD through int() (12.7 -> 12), a small
+    # bias against the conservative direction this docstring promises;
+    # taking the next order statistic up keeps the derived count at or
+    # above the true 95th-percentile rank (ADVICE r13).
+    p = int(np.quantile(ranks, _PROBE_RANK_COVERAGE, method="higher")) + 1
     return int(np.clip(p, fixed, auto))
 
 
@@ -1052,7 +1065,16 @@ def ivf_topk(
             cells = _sliced_cell_rows(
                 lambda s: np.argsort(-s, axis=1)[:, :n_probe], mat, cents
             )  # (n, n_probe)
-            own = (ids % s_n).astype(np.int32)
+            # salt from the UNPACKED vector id: with label_col the ids
+            # are vec_id*256+label, and any s_n dividing 256 (2 or 4 —
+            # exactly the derived counts at n_probe~20-60) collapses
+            # ids % s_n to label % s_n, so skewed/constant labels put
+            # every query in one salt and silently defeat the
+            # direct-memory guard while still paying the replica cost
+            # (ADVICE r13). Result-invariant: the salt only partitions
+            # query rows across sub-groups.
+            raw_ids = (ids >> 8) if label_col is not None else ids
+            own = (raw_ids % s_n).astype(np.int32)
             out = {
                 "cell": cells.reshape(-1).astype(np.int32),
                 "vid": np.repeat(ids, n_probe),
@@ -1377,7 +1399,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     by_residual: bool | None = None,
-    probe_floor_shape: bool = False,
+    probe_floor_shape: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the memory-bounded ANN tier — candidates meet in IVF cells
     (same one-shuffle shape as :func:`ivf_topk`), but the INDEX side
@@ -1400,15 +1422,18 @@ def ivfpq_topk(
     smaller than vectors"): residual on tight cells, raw on loose —
     one routing job decides both knobs. When the caller passes
     ``n_probe`` explicitly (no dispatch runs), the default is raw;
-    clustered corpora should pass ``by_residual=True``. The SAME
-    default-raw fallback applies at the <=16-cell floor (ADVICE r12):
-    there the dispatch short-circuits with zero jobs and NaN signals,
-    so ``by_residual=False`` / ``rerank=4`` ship unless the caller opts
-    in — a small clustered corpus pays for it in recall (the raw-code
-    arm measured 0.28 on the clustered 8x shape). Pass
-    ``probe_floor_shape=True`` to run the tightness sample even at the
-    floor (one bounded job) and let both knobs route, or set them
-    explicitly. Under residual scoring the per-cell ADC gather drops
+    clustered corpora should pass ``by_residual=True``.
+    ``probe_floor_shape`` (default True since r14, VERDICT r13 item 4):
+    run the tightness sample even at the <=16-cell floor, where the
+    probe COUNTS coincide and the dispatch would otherwise
+    short-circuit with NaN signals — without it a small clustered
+    corpus silently shipped raw codes (measured 0.28 recall on the
+    clustered 8x shape), the engine's last silent-recall-loss default.
+    The cost is ONE bounded job (<=4096-row TakeOrdered + toPandas) at
+    a scale where everything is cheap; the probe count itself is
+    unchanged at the floor, so a flat corpus routes raw exactly as
+    before. Pass ``probe_floor_shape=False`` (with explicit knobs, or
+    an explicit ``n_probe``) for the pure-lazy construction path. Under residual scoring the per-cell ADC gather drops
     the dot(q, centroid) term; it is constant per (query, cell) but NOT
     across cells, so the cell kernel RESTORES it before emitting
     (r13) — emitted scores are dot(q, PQ-reconstruction of x) in both
@@ -1492,13 +1517,11 @@ def ivfpq_topk(
     if n_cells is None:  # corpus-size-derived (see auto_n_cells)
         n_cells = auto_n_cells(_estimate_rows(embeddings))
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
-    fraction_route = False
     if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
         routed = pick_probe_strategy(
             embeddings, cents, id_col, vec_col, force_sample=probe_floor_shape
         )
         n_probe = routed.n_probe
-        fraction_route = routed.route == "fraction"
         tight = routed.tight_cos >= _TIGHT_CELL_COS
         # Tier route (r13, VERDICT r12 item 2): on TIGHT cells with no
         # explicit PQ knobs, score the probed cells EXACTLY instead of
@@ -1554,27 +1577,34 @@ def ivfpq_topk(
     # bookkeeping (np.repeat by n_probe) must agree with the probed
     # width argsort can actually deliver.
     n_probe = min(n_probe, len(cents))
-    # Per-cell ADC emission depth. On FIXED-probe routes (tight cells,
-    # or a caller-chosen n_probe) deep emission — min(k*rerank, |cell|)
-    # per query — is bounded by the constant probe count, and the
-    # global pool needs it (on tight clusters the true top-pool lives
-    # in one or two cells; capping per-cell depth at the r12 width
-    # measured 0.856 where deep emission measures 0.989). On the
-    # DERIVED fraction-held route both n_probe and the pool width scale
-    # with the cell count, so deep emission turns the pool stage into a
-    # QUADRATIC SHUFFLE — n_q x n_probe x |cell| skinny rows, 2.6G rows
-    # / 60+ GB of window spill at the flat 32x probe (r13). There the
-    # emission is capped at the r12 per-cell width (4k, i.e. the global
-    # width divided by the probe count it was scaled by): the union the
-    # pool ranks is then EXACTLY the candidate set r12 joined (flat 8x:
-    # 0.868), every stage is bounded by the same budget r12's 64x flat
-    # refresh survived, and the pool/join still carry r13's n_probe-free
-    # join bound. ADC ranking on loose cells has real signal (that is
-    # why raw codes win there), so per-cell truncation costs little —
-    # re-measured at the flat 8x probe after the cap: see
-    # SCALECHECK_r13.
+    # Per-cell ADC emission depth. On small fixed-probe operating
+    # points (tight cells' rank-derived counts, or a caller-chosen
+    # modest n_probe) deep emission — min(k*rerank, |cell|) per query —
+    # is bounded by the constant probe count, and the global pool needs
+    # it (on tight clusters the true top-pool lives in one or two
+    # cells; capping per-cell depth at the r12 width measured 0.856
+    # where deep emission measures 0.989). But once the PROBE COUNT
+    # reaches the fraction-held envelope (auto_n_probe of the actual
+    # centroid count — where n_probe scales with the cell count and so
+    # does the default pool width), deep emission turns the pool stage
+    # into a QUADRATIC SHUFFLE — n_q x n_probe x |cell| skinny rows,
+    # 2.6G rows / 60+ GB of window spill at the flat 32x probe (r13).
+    # There the emission is capped at the r12 per-cell width (4k, the
+    # global width divided by the probe count it was scaled by): the
+    # union the pool ranks is then EXACTLY the candidate set r12
+    # joined (flat 8x: 0.868), every stage is bounded by the same
+    # budget r12's 64x flat refresh survived, and the pool/join still
+    # carry r13's n_probe-free join bound. The guard keys on the probe
+    # count ITSELF, not on which route chose it (ADVICE r13): an
+    # explicit n_probe=79 — the documented pure-lazy escape hatch for
+    # flat corpora at 32x — recreates the exact shuffle volume the
+    # derived fraction route does, and r13's route-flag cap silently
+    # let it through. ADC ranking on loose cells has real signal (that
+    # is why raw codes win there), so per-cell truncation costs little
+    # — re-measured at the flat 8x probe after the cap: SCALECHECK_r13.
+    fraction_envelope = min(auto_n_probe(len(cents)), len(cents))
     emit_rows = k * rerank
-    if fraction_route:
+    if n_probe >= fraction_envelope:
         emit_rows = k * max(4, rerank // max(1, n_probe))
     # normalize=True on the raw path: the assign kernel byte-codes
     # L2-normalized vectors (cosine scoring), so the books must train on
@@ -1795,4 +1825,143 @@ def lsh_pairs_above(
         )
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine").alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_auto: the one ANN front door (r14, VERDICT r13 item 3)
+# ---------------------------------------------------------------------------
+
+# Corpus size below which the exact broadcast tier is the right tool:
+# brute_force_topk at 4096 rows is one broadcast + a 4096^2 matmul
+# (~134M multiply-adds per dim-slice — milliseconds on any executor),
+# recall 1.0 by construction, zero index to build. Above it the
+# quadratic term starts to matter and the measured tier menu applies.
+_EXACT_TIER_MAX = 4096
+
+
+class TierRoute(NamedTuple):
+    tier: str  # "exact" | "ivf" | "ivfpq" | "lsh"
+    n_est: int  # plan-statistics row estimate the size gate used
+    dim: int  # measured vector dimensionality (0 on the exact tier)
+    probe: "ProbeRoute | None"  # shape signals (None on the exact tier)
+
+
+def pick_ann_tier(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_budget_bytes: "int | None" = None,
+) -> TierRoute:
+    """Pick the ANN tier for THIS corpus — the README's measured tier
+    menu (SCALECHECK_r13) as a routing function:
+
+    - ``exact``   n <= _EXACT_TIER_MAX: brute-force broadcast top-k.
+      Recall 1.0, trivially cheap at this size — the same reasoning as
+      the <=16-cell floors, made explicit.
+    - ``ivf``     measured-tight / concentrated cells (the FIXED probe
+      route): exact in-cell scoring on trained centroids with
+      rank-derived probes — the measured winner on clustered corpora
+      at every probed scale (64x clustered: 0.977 at 161 s vs LSH's
+      0.991 at 325 s vs the r12 ADC default's 0.608 at 381 s).
+    - ``ivfpq``   same clustered regime when the caller declares an
+      index byte budget the raw float64 index would overflow
+      (``index_budget_bytes``): the PQ path's m-byte codes are 64x
+      smaller on the index-side shuffle — the regime where IVF-PQ
+      pays off (billion-row, high-dim corpora on a real cluster);
+      residual/raw and the pool width route from the same tightness
+      signal inside :func:`ivfpq_topk`. Budget is caller knowledge —
+      no sample can measure a cluster's memory ceiling.
+    - ``lsh``     flat cluster-free cells (the FRACTION route): banded
+      signatures on derived tables — LINEAR total work where
+      fraction-held IVF is the information-bound quadratic (64x flat:
+      LSH completes in linear time; IVF-fraction measured 232x-104x
+      base at 64x data). On flat corpora recall decays gently with
+      scale (0.933 at 8x, 0.841 at 32x) and that is the honest trade:
+      the alternatives hold recall only by scanning ~62.5% of the
+      corpus per query.
+
+    Shape signals come from the SAME machinery every dispatcher uses:
+    :func:`pick_probe_strategy` (forced at the floor so tightness is
+    always measured) over the untrained centroid seed — the r12
+    calibration showed tightness separates flat (0.27-0.28) from
+    clustered (0.75-0.85) corpora trained or untrained, so the seed is
+    shape-faithful without paying Lloyd for corpora that will route to
+    LSH anyway. Cost: one bounded TakeOrdered seed job + the one
+    bounded shape sample.
+
+    Mis-route direction (the dispatch-family invariant): a clustered
+    corpus mis-read as flat routes LSH, which holds recall ~0.99 on
+    clustered shapes at more wall-clock (compute, never recall); a
+    flat corpus mis-read as clustered is exactly what the misroute
+    property test pins against (`pick_probe_strategy` fires "fixed"
+    only when the full corpus shows the claimed structure); the exact
+    tier is recall-1.0 by construction. The chosen executor re-derives
+    its own knobs on its own (trained) geometry, each with its own
+    conservative derivation.
+    """
+    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows, _normalize
+
+    n_est = _estimate_rows(embeddings)
+    if n_est <= _EXACT_TIER_MAX:
+        return TierRoute("exact", n_est, 0, None)
+    n_cells = auto_n_cells(n_est)
+    seed_pdf = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).toPandas()
+    )
+    if seed_pdf.empty:
+        return TierRoute("exact", n_est, 0, None)
+    cents0 = _normalize(np.stack(seed_pdf[vec_col].to_numpy()).astype(np.float64))
+    routed = pick_probe_strategy(
+        embeddings, cents0, id_col, vec_col, force_sample=True
+    )
+    dim = int(cents0.shape[1])
+    clustered = routed.route == "fixed" or (
+        routed.tight_cos == routed.tight_cos and routed.tight_cos >= _TIGHT_CELL_COS
+    )
+    if clustered:
+        if (
+            index_budget_bytes is not None
+            and n_est * dim * 8 > index_budget_bytes
+        ):
+            return TierRoute("ivfpq", n_est, dim, routed)
+        return TierRoute("ivf", n_est, dim, routed)
+    return TierRoute("lsh", n_est, dim, routed)
+
+
+def ann_topk_auto(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_budget_bytes: "int | None" = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors with the tier chosen by
+    :func:`pick_ann_tier` — the single ANN front door. All tiers emit
+    the same ``(query_id, neighbor_id, cosine, rank)`` schema with the
+    same deterministic (cosine desc, neighbor_id asc) tie-break, so
+    callers can treat the router as one operator. Recall floors for
+    the routed tiers at 8x both shapes are pinned in
+    tests/test_ann_recall.py; route choices at 8x/32x/64x recorded in
+    SCALECHECK_r14."""
+    route = pick_ann_tier(embeddings, id_col, vec_col, index_budget_bytes)
+    if route.tier == "exact":
+        from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+        return brute_force_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    if route.tier == "lsh":
+        return lsh_topk(
+            embeddings, k=k, dim=route.dim, id_col=id_col, vec_col=vec_col
+        )
+    if route.tier == "ivfpq":
+        return ivfpq_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    # "ivf": trained cells; n_probe=None re-derives the probe count on
+    # the TRAINED geometry (rank-derived, floor 10) — the seed probe's
+    # count was measured against the untrained seed cells
+    n_cells = auto_n_cells(route.n_est)
+    cents = kmeans_lloyd(
+        embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col
+    )
+    return ivf_topk(
+        embeddings, k=k, centroids=cents, id_col=id_col, vec_col=vec_col
     )

