@@ -93,6 +93,36 @@ BENCH_EXCLUDE = {
 }
 
 
+def _host_refs() -> dict:
+    """Fixed-work host reference probes, recorded in the sidecar so a
+    round-over-round query-floor shift can be classified without a
+    rerun: if the CPU/IO refs moved WITH the queries, the box moved
+    (the r13 driver-bench anomaly / r14 quiet-box reproduction — both
+    showed elevated minima across entire rep distributions on
+    bit-identical code); refs flat + queries up = a real plan change.
+    CPU: ten 1536^2 float64 matmuls (BLAS-bound, ~same kernel class as
+    the Arrow ANN/minhash hot loops). IO: write+read 64 MB in /tmp
+    (where the bench's covid CSV and shuffle spills live). Both
+    deliberately small (a few seconds) and run BEFORE the JVM exists,
+    so they sample pure host state."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1536, 1536))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        a = a @ a * 1e-3  # rescale to keep values finite
+    cpu = time.perf_counter() - t0
+    blob = b"\x5a" * (64 << 20)
+    p = Path("/tmp/bench_ioref.bin")
+    t0 = time.perf_counter()
+    p.write_bytes(blob)
+    _ = p.read_bytes()
+    io = time.perf_counter() - t0
+    p.unlink(missing_ok=True)
+    return {"cpu_matmul_sec": round(cpu, 3), "io_64mb_sec": round(io, 3)}
+
+
 def _storage_state(spark) -> dict:
     """Live RDD-block storage snapshot (count + bytes) — the leak
     signature the r13 driver-bench anomaly investigation watches:
@@ -210,6 +240,8 @@ def _env_versions() -> dict:
 
 
 def main() -> None:
+    host_refs = _host_refs()  # before any JVM exists — pure host state
+    print(f"[bench] host refs: {host_refs}", file=sys.stderr)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_specs()
@@ -395,6 +427,7 @@ def main() -> None:
         "spread": spread,
         "prev_round": prev_file,
         "delta_vs_prev": delta,
+        "host_refs": host_refs,
         # protocol fingerprint so round-over-round artifacts record
         # which protocol produced the minima: the r12+ two-order warm
         # blocks, vs the <= r11 fixed-order per-query loop (and the

@@ -246,17 +246,28 @@ def _drop_collapsed_tables(
 def auto_n_tables(n_planes: int) -> int:
     """Table count spending compute where the plane derivation spent
     recall: 5 at the small-corpus plane floor (every pinned CI
-    measurement), +2 tables per extra plane (see lsh_topk docstring —
-    measured 0.778 -> 0.933 recall@5 at 8x/P=6; linear in corpus size
-    because bucket sizes stay ~constant).
+    measurement), +3 tables per extra plane (r14; was +2). The r13
+    verdict asked whether the flat-corpus recall decay (0.841 at 32x)
+    was TABLE-bounded or PLANE-bounded; the 32x flat sweep
+    (SCALECHECK_r14 §3, scripts/lsh_flat32_sweep.py) answered
+    table-bounded with cheap headroom: at the derived P=8, the old cap
+    T=13 measured 0.851 while T=17 measured 0.905 at +10% wall-clock
+    (T=21 reached 0.944 but at 2.7x the cost — past the knee), and
+    P=9 at ITS cap collapsed to 0.762 (more planes prune harder —
+    the plane count is not the recovery lever). Linear in corpus size
+    because bucket sizes stay ~constant.
 
     Since r13 this is the CAP (the cluster-free worst case):
     :func:`derive_n_tables` measures, on the shared shape sample, how
     many of these tables the corpus's actual neighbor angles need, and
-    clustered corpora come out at the floor — see VERDICT r12 item 5
+    clustered corpora come out near the floor — see VERDICT r12 item 5
     (LSH held recall 1.000 at 64x clustered but spent 3.7x IVF-flat's
-    wall-clock doing it; the table count was angle-blind)."""
-    return 5 + 2 * max(0, n_planes - 4)
+    wall-clock doing it; the table count was angle-blind). The bump
+    therefore costs clustered corpora nothing (their derived count is
+    target-bound, not cap-bound) and buys flat corpora the measured
+    recall the old cap left on the table; gate/bench regimes sit at
+    the P=4 floor where the cap is 5 under either coefficient."""
+    return 5 + 3 * max(0, n_planes - 4)
 
 
 # The smallest table count any derivation returns — the small-corpus

@@ -2,7 +2,7 @@
 """r14 probe (VERDICT r13 item 5): is LSH's flat-corpus 32x recall
 decay (0.841 at the derived default) TABLE-bounded or PLANE-bounded?
 
-derive_n_tables keeps auto_n_tables' cap (5 + 2*(P-4)) on flat corpora
+derive_n_tables keeps auto_n_tables' cap on flat corpora
 by design — the open question is whether that CAP is the right ceiling
 as P grows with n, or whether the decay is hyperplane geometry no
 linear table budget recovers. One sweep answers it: at 32x flat

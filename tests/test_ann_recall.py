@@ -552,15 +552,18 @@ def test_ivfpq_tiny_corpus_clamps_probe_to_actual_centroids(spark):
 def test_lsh_table_count_tracks_plane_count():
     """The r10 8x recall probe found recall silently decaying below the
     CI floor because planes auto-scaled with corpus size while tables
-    stayed fixed at 5. Pin the derivation: tables grow 2-per-plane above
-    the P=4 floor (0.778 -> 0.933 recall@5 measured at 8x/P=6), and the
-    gate-scale regimes keep T=5 so every floor in this file measures the
-    same configuration it always did."""
+    stayed fixed at 5. Pin the derivation: tables grow 3-per-plane
+    above the P=4 floor (r14 — the 32x flat sweep measured the old
+    2-per-plane cap leaving +0.054 recall on the table at +10%
+    wall-clock, SCALECHECK_r14 §3; clustered corpora are unaffected,
+    their derived count is target-bound not cap-bound), and the
+    gate-scale regimes keep T=5 so every floor in this file measures
+    the same configuration it always did."""
     from etl_covid19_brasil_spark.llm.ann import auto_n_tables
 
     assert auto_n_tables(4) == 5  # sf0.01 / sf0.1: unchanged config
-    assert auto_n_tables(6) == 9  # the 8x probe point
-    assert auto_n_tables(12) == 21  # 64x regime: linear spend, no cap
+    assert auto_n_tables(6) == 11  # the 8x probe point (r14 cap)
+    assert auto_n_tables(12) == 29  # 64x regime: linear spend, no cap
     assert auto_n_tables(3) == 5  # never below the floor
 
 
