@@ -1596,3 +1596,39 @@ def test_ann_topk_auto_routes_clustered_to_ivf_and_holds_recall(spark):
     print(f"auto-router 8x clustered (ivf tier) recall: {r:.3f}")
     assert r >= 0.9, f"auto-routed IVF recall on clustered corpus: {r:.3f}"
     emb.unpersist()
+
+
+def test_ivfpq_emission_cap_keys_on_probe_count(spark):
+    """ADVICE r13 (emission cap): the quadratic-pool-shuffle guard must
+    key on the PROBE COUNT itself, not on which route chose it — an
+    explicit fraction-envelope n_probe (the documented pure-lazy escape
+    hatch for flat corpora) previously got deep per-cell emission with
+    the rerank=4*n_probe default, recreating the exact pool shuffle the
+    r13 route-flag cap fixed for the derived route. Pin by equivalence:
+    on the flat gate corpus the dispatch derives exactly
+    (n_probe=10 of 16 cells, raw codes, rerank=40), so the explicit
+    form of that same config must now produce the IDENTICAL result set
+    — before the fix the explicit arm emitted 10x deeper per cell and
+    pooled a different candidate union."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    derived = (
+        ivfpq_topk(emb, k=5, n_cells=16)  # dispatch: flat floor config
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    explicit = (
+        ivfpq_topk(emb, k=5, n_cells=16, n_probe=10, by_residual=False, rerank=40)
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    assert len(explicit) == len(derived) > 0
+    assert explicit["query_id"].equals(derived["query_id"])
+    assert explicit["neighbor_id"].equals(derived["neighbor_id"])
+    assert np.allclose(explicit["cosine"], derived["cosine"])
