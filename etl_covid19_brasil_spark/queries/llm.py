@@ -4627,3 +4627,121 @@ def ann_topk_auto(spark: SparkSession, sf: str) -> DataFrame:
     from etl_covid19_brasil_spark.llm.ann import ann_topk_auto as _auto
 
     return _auto(T(spark, sf, "embeddings"), k=5)
+
+
+@query(
+    "rank_maxsim_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, token,
+               row_number() OVER (PARTITION BY doc_id ORDER BY token) AS rn
+        FROM (SELECT DISTINCT doc_id, unnest({_O_TOKENS}) AS token FROM documents)
+      ) WHERE rn <= 8
+    ),
+    js AS (SELECT unnest(generate_series(1, 8)) AS j),
+    comps AS (
+      SELECT doc_id, token, j,
+             CAST(ascii(substr(md5(token || '#' || CAST(j AS VARCHAR)), 1, 1))
+                  % 7 - 3 AS BIGINT) AS c
+      FROM toks CROSS JOIN js
+    ),
+    qdocs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16),
+    dots AS (
+      SELECT qc.doc_id AS query_doc, qc.token AS q_token,
+             dc.doc_id AS did, dc.token AS d_token,
+             CAST(SUM(qc.c * dc.c) AS BIGINT) AS dot
+      FROM comps qc
+      JOIN comps dc ON qc.j = dc.j AND dc.doc_id <> qc.doc_id
+      WHERE qc.doc_id IN (SELECT doc_id FROM qdocs)
+      GROUP BY 1, 2, 3, 4
+    ),
+    best AS (
+      SELECT query_doc, q_token, did, MAX(dot) AS m FROM dots GROUP BY 1, 2, 3
+    ),
+    scores AS (
+      SELECT query_doc, did AS doc_id, CAST(SUM(m) AS BIGINT) AS maxsim
+      FROM best GROUP BY 1, 2
+    )
+    SELECT query_doc, doc_id, maxsim, rank FROM (
+      SELECT query_doc, doc_id, maxsim,
+             CAST(row_number() OVER (
+               PARTITION BY query_doc ORDER BY maxsim DESC, doc_id ASC
+             ) AS INT) AS rank
+      FROM scores
+    ) WHERE rank <= 5
+    """,
+    section="2.10",
+    doc="Late-interaction (ColBERT-style MaxSim) retrieval over MULTI-VECTOR "
+    "documents — the missing ranking class next to the single-vector "
+    "TF-IDF/BM25/RRF/dense tiers: each document is a BAG of per-token "
+    "vectors, score(q, d) = sum over q's tokens of the max dot product "
+    "against d's token vectors. Token vectors are hash-derived integer "
+    "embeddings (per component: ascii of an md5 hex digit mod 7 - 3 — the "
+    "embedding_random_projection pattern, md5 being the engine-portable "
+    "hash), so every dot product is exact int64 arithmetic and the DuckDB "
+    "oracle matches bit-for-bit. Scale shape: the QUERY side (16 docs x "
+    "<= 8 tokens) is broadcast; candidates stream through one explode + "
+    "distinct-token window, the per-(q_token, doc) max and per-(q, doc) "
+    "sum are two hash aggregations, and the final per-query top-5 is a "
+    "row_number window Spark 4 rewrites to WindowGroupLimit — linear in "
+    "the corpus, the standard ColBERT serving decomposition with the "
+    "token index replaced by a scan (an IVF/LSH token-bucket prefilter "
+    "is the documented growth path, same as the dense tiers).",
+    added=14,
+)
+def rank_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    toks = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("token")),
+        )
+        .filter(F.col("rn") <= 8)
+        .drop("rn")
+    )
+    comp = toks.withColumn(
+        "vec",
+        F.array(
+            *[
+                (
+                    F.ascii(
+                        F.substring(
+                            F.md5(F.concat_ws("#", F.col("token"), F.lit(str(j)))),
+                            1,
+                            1,
+                        )
+                    )
+                    % 7
+                    - 3
+                ).cast("long")
+                for j in range(1, 9)
+            ]
+        ),
+    )
+    qd = d.select("doc_id").orderBy("doc_id").limit(16)
+    qcomp = comp.join(qd, "doc_id").select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("token").alias("q_token"),
+        F.col("vec").alias("q_vec"),
+    )
+    pairs = comp.crossJoin(F.broadcast(qcomp)).filter(
+        F.col("doc_id") != F.col("query_doc")
+    )
+    dot = F.aggregate(
+        F.zip_with("vec", "q_vec", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_qtok = (
+        pairs.select("query_doc", "q_token", "doc_id", dot.alias("dot"))
+        .groupBy("query_doc", "doc_id", "q_token")
+        .agg(F.max("dot").alias("m"))
+    )
+    scores = per_qtok.groupBy("query_doc", "doc_id").agg(F.sum("m").alias("maxsim"))
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("maxsim").desc(), F.col("doc_id").asc()
+    )
+    return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)

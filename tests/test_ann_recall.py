@@ -1632,3 +1632,72 @@ def test_ivfpq_emission_cap_keys_on_probe_count(spark):
     assert explicit["query_id"].equals(derived["query_id"])
     assert explicit["neighbor_id"].equals(derived["neighbor_id"])
     assert np.allclose(explicit["cosine"], derived["cosine"])
+
+
+@given(
+    n_anchors=st.sampled_from([0, 2, 4, 8, 16]),
+    n_planes=st.sampled_from([5, 6, 8, 9]),
+    dim=st.sampled_from([16, 32, 64]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@_ROUTE_PROP
+def test_derive_n_tables_contract_on_generated_corpora(
+    n_anchors, n_planes, dim, seed
+):
+    """Property form of the directed table derivation (pure numpy, no
+    Spark): across generated corpora — flat and clustered, varied plane
+    counts and dims — derive_n_tables must return a count in
+    [floor, cap] whose DIRECTED in-sample inclusion is at/above the
+    target, or the cap when no count reaches it (the compute-not-recall
+    fallback). The inclusion it reports must be the real coverage of
+    its chosen count: recomputing coverage at n_tables-1 must fall
+    BELOW target whenever n_tables > floor (minimality — the derivation
+    never buys a table it didn't measure the need for)."""
+    import numpy as np
+
+    from etl_covid19_brasil_spark.llm.ann import (
+        _TABLE_FLOOR,
+        _TABLE_TARGET_INCLUSION,
+        _planes,
+        _sample_top_pairs,
+        auto_n_tables,
+        derive_n_tables,
+    )
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    n = 512
+    rng = np.random.default_rng(seed)
+    if n_anchors == 0:
+        sample = rng.normal(size=(n, dim))
+    else:
+        anchors = _unit(rng.normal(size=(n_anchors, dim)))
+        sample = _unit(
+            anchors[np.arange(n) % n_anchors] + 0.08 * rng.normal(size=(n, dim))
+        )
+    cap = auto_n_tables(n_planes)
+    route = derive_n_tables(sample, n_planes, dim)
+    assert _TABLE_FLOOR <= route.n_tables <= cap
+    # independent directed-coverage reference (the kernel's semantics)
+    unit = _normalize(sample.astype(np.float64))
+    pair_i, pair_j = _sample_top_pairs(unit)
+    planes = _planes(cap, n_planes, dim)
+    proj = (sample @ planes.reshape(cap * n_planes, -1).T).reshape(n, cap, n_planes)
+    codes = ((proj > 0) * (1 << np.arange(n_planes)).astype(np.int64)).sum(axis=2)
+    least = np.argsort(np.abs(proj), axis=2)[:, :, : min(n_planes, 4)]
+    flip = np.bitwise_or.reduce(1 << least, axis=2)
+    xor = codes[pair_i] ^ codes[pair_j]
+    one = (xor != 0) & ((xor & (xor - 1)) == 0)
+    meet = (xor == 0) | (one & ((xor & flip[pair_i]) != 0))
+    cov = np.logical_or.accumulate(meet, axis=1).mean(axis=0)
+    t = route.n_tables
+    if cov[cap - 1] >= _TABLE_TARGET_INCLUSION:
+        # reachable: chosen count must reach target, minimally
+        assert cov[t - 1] >= _TABLE_TARGET_INCLUSION
+        if t > _TABLE_FLOOR:
+            assert cov[t - 2] < _TABLE_TARGET_INCLUSION, (
+                f"non-minimal: T={t} chosen but T={t-1} already covers "
+                f"{cov[t - 2]:.4f}"
+            )
+    else:
+        # unreachable: must fall back to the cap (compute, never recall)
+        assert t == cap
