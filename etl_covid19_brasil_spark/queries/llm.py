@@ -4745,3 +4745,117 @@ def rank_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("maxsim").desc(), F.col("doc_id").asc()
     )
     return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+@query(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_O_TOKENS}) AS token FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, lang,
+             (ascii(substr(md5(token), 1, 1)) % 16) * 16
+             + ascii(substr(md5(token), 2, 1)) % 16 AS b
+      FROM toks
+    ),
+    tl AS (
+      SELECT lang AS tl FROM documents WHERE lang IS NOT NULL
+      GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+    ),
+    counts AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(CASE WHEN lang = (SELECT tl FROM tl) THEN 1 ELSE 0 END)
+               AS BIGINT) AS nt
+      FROM tb GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(ns) AS BIGINT) AS big_ns,
+             CAST(SUM(nt) AS BIGINT) AS big_nt
+      FROM counts
+    ),
+    w AS (
+      SELECT b,
+             CAST(floor(ln(CAST((nt + 1) * (big_ns + 256) AS DOUBLE)
+                           / ((ns + 1) * (big_nt + 256))) * 1000000 + 0.5)
+               AS BIGINT) AS w_u6
+      FROM counts, tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w_u6) AS BIGINT) AS dsir_u6
+    FROM tb JOIN w USING (b)
+    GROUP BY doc_id
+    ORDER BY dsir_u6 DESC, doc_id ASC
+    LIMIT 20
+    """,
+    section="2.10",
+    doc="DSIR-style importance resampling (Xie et al., data selection via "
+    "importance resampling): rank documents by how much more probable "
+    "their hashed-unigram feature stream is under the TARGET distribution "
+    "(docs in the corpus's dominant language — a deterministic in-corpus "
+    "proxy for the curated target) than under the SOURCE (the whole "
+    "corpus). Tokens hash to 256 buckets via md5 hex digits (the "
+    "engine-portable hash); per-bucket log-ratio ln(p_t/p_s) with add-1 "
+    "smoothing is quantized to INTEGER micro-nats before the per-doc sum "
+    "(the text_unigram_logprob policy — associative integer arithmetic, "
+    "no summation-order drift), and both engines compute ln of the "
+    "bit-identical rational double. Scale shape: one token shuffle for "
+    "the 256-bucket counts, the weight table broadcasts (256 rows — "
+    "FIXED size by construction, unlike a vocabulary), one map-side "
+    "join + per-doc aggregation, TakeOrdered top-20. Selecting top "
+    "importance-weight docs is the DSIR selection step; the sampled "
+    "variant rides sample_weighted_reservoir on dsir_u6.",
+    added=14,
+)
+def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    top_lang = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("__tl"))
+    )
+    bucket = (
+        (F.ascii(F.substring(F.md5("token"), 1, 1)) % 16) * 16
+        + F.ascii(F.substring(F.md5("token"), 2, 1)) % 16
+    )
+    tb = (
+        d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+        .withColumn("b", bucket.cast("int"))
+        .crossJoin(F.broadcast(top_lang))
+    )
+    counts = tb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum(F.when(F.col("lang") == F.col("__tl"), 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+    )
+    tot = counts.agg(
+        F.sum("ns").cast("long").alias("big_ns"),
+        F.sum("nt").cast("long").alias("big_nt"),
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("nt") + 1) * (F.col("big_ns") + 256)).cast("double")
+                / ((F.col("ns") + 1) * (F.col("big_nt") + 256))
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("w_u6"),
+    )
+    return (
+        tb.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_u6").alias("dsir_u6"),
+        )
+        .orderBy(F.desc("dsir_u6"), F.asc("doc_id"))
+        .limit(20)
+    )
