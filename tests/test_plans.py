@@ -637,3 +637,19 @@ def test_chunked_running_sum_plan_shape(spark, specs):
     assert "SortMergeJoin LeftOuter" not in p, p
     # the window sort requirement rides (pid, key) clustering
     assert "hashpartitioning(__cw_pid" in p, p
+
+
+def test_rank_maxsim_broadcasts_query_side_and_limits_topk(spark, specs):
+    """rank_maxsim_topk's scale contract (r14): the QUERY side (16 docs
+    x <= 8 tokens of hash-derived vectors) must reach the candidate
+    stream as a BroadcastExchange — a shuffled join here would hash the
+    whole exploded candidate token stream by join key for a 128-row
+    side — and the per-query top-5 must ship as the Partial+Final
+    WindowGroupLimit pair (map-side candidate truncation before the
+    final window). A regression in either silently turns the linear
+    one-pass scoring plan into an extra corpus-sized shuffle."""
+    p = plan_of(q(specs, spark, "rank_maxsim_topk"), mode="extended")
+    phys = p.split("== Physical Plan ==")[-1]
+    assert "BroadcastExchange" in phys, phys
+    assert ", Partial" in phys and ", Final" in phys, phys
+    assert "WindowGroupLimit" in phys, phys
