@@ -239,6 +239,56 @@ def _env_versions() -> dict:
     return {"pyspark": pyspark.__version__, "duckdb": duckdb.__version__}
 
 
+def _classify_movers(
+    timings: dict, prev_queries: dict, host_refs: dict, prev_refs: dict
+) -> dict:
+    """Classify every >10% per-query mover vs the previous round as
+    box-moved vs plan-moved, using the fixed-work host refs both
+    artifacts carry (r15, VERDICT r14 item 2 — the r13/r14 hand
+    analysis as a sidecar field).
+
+    The measured box behavior this encodes (SCALECHECK_r14 §1): the
+    fixed 10x 1536^2 matmul spreads ~2x across back-to-back quiet runs
+    with zero Spark involved, and the refs move WITH the query floors
+    on bit-identical code. So:
+      - ``box-moved``: the cpu ref moved >=10% in the SAME direction as
+        the query — the host explains the delta; no plan investigation
+        needed.
+      - ``plan-moved``: the cpu ref is flat (<10%) while the query
+        moved — the delta is real relative to the host's sampled state;
+        look at the plan/code first.
+      - ``ambiguous``: the ref moved >=10% in the OPPOSITE direction —
+        the box shifted but cannot explain the query's sign; treat as
+        plan-suspect.
+    Refs are one-shot probes of a drifting quantity, so this is a
+    classifier, not a proof — but it replaces prose re-derivation with
+    a field the round artifact carries.
+    """
+    out: dict[str, dict] = {}
+    cpu, prev_cpu = host_refs.get("cpu_matmul_sec"), prev_refs.get("cpu_matmul_sec")
+    ref_ratio = (cpu / prev_cpu) if (cpu and prev_cpu) else None
+    for q, t in timings.items():
+        p = prev_queries.get(q)
+        if t is None or p is None or p <= 0:
+            continue
+        ratio = t / p
+        if abs(ratio - 1) <= 0.10:
+            continue
+        row = {"ratio": round(ratio, 3)}
+        if ref_ratio is None:
+            row["class"] = "unclassified"  # no prev-round refs on disk
+        else:
+            row["ref_cpu_ratio"] = round(ref_ratio, 3)
+            if abs(ref_ratio - 1) < 0.10:
+                row["class"] = "plan-moved"
+            elif (ratio - 1) * (ref_ratio - 1) > 0:
+                row["class"] = "box-moved"
+            else:
+                row["class"] = "ambiguous"
+        out[q] = row
+    return out
+
+
 def main() -> None:
     host_refs = _host_refs()  # before any JVM exists — pure host state
     print(f"[bench] host refs: {host_refs}", file=sys.stderr)
@@ -415,6 +465,26 @@ def main() -> None:
         if abs(d) >= 0.25:
             print(f"[bench] {q}: {d:+.3f}s vs {prev_file}", file=sys.stderr)
 
+    # Mover classification (r15, VERDICT r14 item 2): the artifacts have
+    # carried fixed-work host refs since r14, but the r13/r14 box-vs-plan
+    # adjudication still happened by hand in SCALECHECK prose. Consume
+    # the instrumentation here: the PREVIOUS round's sidecar (read before
+    # this run overwrites it) carries the refs the previous minima were
+    # measured under; every >10% per-query mover is classified against
+    # the cpu-ref ratio. Filtered experiment runs no longer overwrite the
+    # round sidecar (ADVICE r14), so the on-disk sidecar is the last FULL
+    # run's — the comparison base delta_vs_prev already assumes.
+    prev_refs = {}
+    sidecar_path = Path(__file__).resolve().parent / "BENCH_SPREAD.json"
+    try:
+        prev_sidecar = json.loads(sidecar_path.read_text())
+        prev_refs = prev_sidecar.get("host_refs") or {}
+    except (OSError, ValueError):
+        pass
+    movers = _classify_movers(timings, prev_queries, host_refs, prev_refs)
+    for q, row in movers.items():
+        print(f"[bench] mover {q}: {row}", file=sys.stderr)
+
     # Bulk keys (spread, delta) go to a SIDECAR file + stderr, NOT the
     # stdout headline line. r10 lesson (VERDICT r10 "What's wrong" #1):
     # the driver tail-captures stdout, and riding spread+delta on the
@@ -427,6 +497,8 @@ def main() -> None:
         "spread": spread,
         "prev_round": prev_file,
         "delta_vs_prev": delta,
+        "movers": movers,
+        "prev_host_refs": prev_refs,
         "host_refs": host_refs,
         # protocol fingerprint so round-over-round artifacts record
         # which protocol produced the minima: the r12+ two-order warm
@@ -439,7 +511,11 @@ def main() -> None:
             else ""
         ),
     }
-    sidecar_path = Path(__file__).resolve().parent / "BENCH_SPREAD.json"
+    # Filtered A/B experiments write a SEPARATE sidecar (ADVICE r14): an
+    # experiment run must never clobber the last full-run artifact that
+    # delta_vs_prev / round tooling reads as the comparison base.
+    if filtered:
+        sidecar_path = Path(__file__).resolve().parent / "BENCH_SPREAD_filtered.json"
     try:
         sidecar_path.write_text(json.dumps(sidecar, indent=1) + "\n")
     except OSError as exc:

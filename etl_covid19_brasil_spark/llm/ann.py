@@ -453,9 +453,12 @@ def lsh_topk(
     d=1 multi-probe fan compensates partially but its flip budget is
     capped at 4 bits, so inclusion still declines as planes grow.
     ``n_tables=None`` (default) therefore caps the TABLE count with
-    the plane count — ``5 + 2 * (P - 4)`` — lifting overall recall
-    1-(1-p)^T as per-table p falls: the r10 8x recall probe measured
-    0.778 at the old fixed T=5 (P=6) vs 0.933 with the derived T=9,
+    the plane count — ``5 + 3 * (P - 4)`` since r14 (the 32x flat sweep
+    measured the old 2-per-plane cap table-bounded: T=13 → 0.851 vs
+    T=17 → 0.905 at +10% wall-clock, see :func:`auto_n_tables`) —
+    lifting overall recall 1-(1-p)^T as per-table p falls: the r10 8x
+    recall probe measured 0.778 at the old fixed T=5 (P=6) vs 0.933
+    with the then-derived T=9 under the r10-era 2-per-plane cap,
     while the sf0.01/sf0.1 regimes (P=4) keep T=5, leaving every pinned
     CI floor and bench number untouched. Since r13 that cap is the
     cluster-free WORST CASE, not the spend: :func:`derive_n_tables`
@@ -1399,6 +1402,25 @@ def _adc_scores(q_mat: np.ndarray, i_codes: np.ndarray, books: np.ndarray) -> np
     return scores
 
 
+def _adc_emission_depth(
+    k: int, rerank: int, n_probe: int, n_cents: int, tight_cells: bool
+) -> int:
+    """Per-cell ADC emission depth for :func:`ivfpq_topk` — deep
+    (``k * rerank``) by default, capped at the r12 per-cell width
+    (``k * max(4, rerank // n_probe)``) only where deep emission turns
+    the global pool into a quadratic shuffle: the probe count has
+    reached the fraction-held envelope AND the route is neither
+    measured-tight (constant rank-derived count — the explicit-PQ
+    clustered path that NEEDS depth, 0.989 vs 0.856 at the 8x clustered
+    sweep) nor at the <=16-cell floor (bounded corpus; ADVICE r14).
+    Extracted so the boundary cases are unit-testable without running
+    the plan."""
+    fraction_envelope = min(auto_n_probe(n_cents), n_cents)
+    if n_probe >= fraction_envelope and not tight_cells and n_cents > _PROBE_DEN:
+        return k * max(4, rerank // max(1, n_probe))
+    return k * rerank
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -1528,12 +1550,14 @@ def ivfpq_topk(
     if n_cells is None:  # corpus-size-derived (see auto_n_cells)
         n_cells = auto_n_cells(_estimate_rows(embeddings))
     cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
+    tight_cells = False  # measured-tight fixed route (set when dispatch runs)
     if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
         routed = pick_probe_strategy(
             embeddings, cents, id_col, vec_col, force_sample=probe_floor_shape
         )
         n_probe = routed.n_probe
         tight = routed.tight_cos >= _TIGHT_CELL_COS
+        tight_cells = tight
         # Tier route (r13, VERDICT r12 item 2): on TIGHT cells with no
         # explicit PQ knobs, score the probed cells EXACTLY instead of
         # via ADC. On tight clusters the quantizer's distortion sits
@@ -1613,10 +1637,17 @@ def ivfpq_topk(
     # let it through. ADC ranking on loose cells has real signal (that
     # is why raw codes win there), so per-cell truncation costs little
     # — re-measured at the flat 8x probe after the cap: SCALECHECK_r13.
-    fraction_envelope = min(auto_n_probe(len(cents)), len(cents))
-    emit_rows = k * rerank
-    if n_probe >= fraction_envelope:
-        emit_rows = k * max(4, rerank // max(1, n_probe))
+    # Two exemptions (ADVICE r14 — the r13 cap over-triggered at the
+    # boundary): (a) measured-TIGHT cells, where the rank-derived fixed
+    # count can collide with the envelope at the <=16-cell floor
+    # (auto_n_probe(16) = 10 = the pinned operating floor) yet the
+    # whole point of the explicit-PQ tight path is deep per-cell
+    # emission (0.989 vs 0.856 at the 8x clustered sweep); the count is
+    # CONSTANT there, so the shuffle stays bounded. (b) the <=16-cell
+    # floor itself, where auto_n_cells caps the corpus at ~16 *
+    # _TARGET_CELL_ROWS rows — every stage is bounded at that size and
+    # an explicit n_probe can only recreate a trivially small pool.
+    emit_rows = _adc_emission_depth(k, rerank, n_probe, len(cents), tight_cells)
     # normalize=True on the raw path: the assign kernel byte-codes
     # L2-normalized vectors (cosine scoring), so the books must train on
     # the same scale — unnormalized raw books degenerate the codes on
@@ -1965,7 +1996,17 @@ def ann_topk_auto(
             embeddings, k=k, dim=route.dim, id_col=id_col, vec_col=vec_col
         )
     if route.tier == "ivfpq":
-        return ivfpq_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+        # by_residual=True pins the PQ path: the tier is only chosen on
+        # CLUSTERED corpora (residual codes are the measured layout
+        # there) whose raw float64 index overflows the caller's declared
+        # index_budget_bytes — without the explicit knob ivfpq_topk's
+        # internal tight-cell dispatch would route back to ivf_topk's
+        # exact kernel with the full-width index, silently ignoring the
+        # budget that selected this tier (ADVICE r14). rerank stays
+        # derived (_TIGHT_RERANK * n_probe on the tight route).
+        return ivfpq_topk(
+            embeddings, k=k, id_col=id_col, vec_col=vec_col, by_residual=True
+        )
     # "ivf": trained cells; n_probe=None re-derives the probe count on
     # the TRAINED geometry (rank-derived, floor 10) — the seed probe's
     # count was measured against the untrained seed cells

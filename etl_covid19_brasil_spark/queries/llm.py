@@ -4816,6 +4816,13 @@ def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("lang"))
         .limit(1)
         .select(F.col("lang").alias("__tl"))
+        # Degenerate all-NULL-lang corpus (ADVICE r14): collapse to ONE
+        # row whose __tl is NULL — max() over zero rows — so the cross
+        # join below never annihilates the stream and `lang == NULL`
+        # evaluates to NULL -> nt=0 everywhere, exactly the oracle's
+        # scalar-subquery semantics (its SELECT tl FROM tl yields NULL
+        # on an empty tl). On a normal corpus this is max of one row.
+        .agg(F.max("__tl").alias("__tl"))
     )
     bucket = (
         (F.ascii(F.substring(F.md5("token"), 1, 1)) % 16) * 16

@@ -1701,3 +1701,97 @@ def test_derive_n_tables_contract_on_generated_corpora(
     else:
         # unreachable: must fall back to the cap (compute, never recall)
         assert t == cap
+
+
+def test_adc_emission_depth_boundaries():
+    """ADVICE r14: the probe-count-keyed emission cap over-triggered at
+    the boundary — at the <=16-cell floor the fraction envelope equals
+    the pinned operating floor (auto_n_probe(16) = 10), so a tight
+    clustered corpus with explicit by_residual=True and its rank-derived
+    n_probe=10 got per-cell emission capped to rerank//n_probe, the
+    exact configuration measured 0.989 deep vs 0.856 capped. Pin the
+    decision table of the extracted helper:
+
+      - <=16-cell floor: NEVER capped (bounded corpus), tight or not.
+      - measured-tight route above the floor: never capped (constant
+        rank-derived count — the explicit-PQ deep-emission path).
+      - flat route at the fraction envelope above the floor: capped
+        (the r13 quadratic-shuffle guard, unchanged).
+      - any route below the envelope: deep.
+    """
+    from etl_covid19_brasil_spark.llm.ann import (
+        _adc_emission_depth,
+        auto_n_probe,
+    )
+
+    k = 5
+    # the ADVICE boundary case: 16-cell floor, n_probe=10=envelope,
+    # tight, rerank = _TIGHT_RERANK * 10 = 160 -> must stay DEEP
+    assert _adc_emission_depth(k, 160, 10, 16, tight_cells=True) == k * 160
+    # same floor, explicit flat knobs: still deep (bounded corpus)
+    assert _adc_emission_depth(k, 40, 10, 16, tight_cells=False) == k * 40
+    # tight route above the floor, rank-derived count at the envelope:
+    # deep — the constant probe count bounds the pool shuffle
+    env64 = auto_n_probe(64)
+    assert (
+        _adc_emission_depth(k, 16 * env64, env64, 64, tight_cells=True)
+        == k * 16 * env64
+    )
+    # flat fraction route above the floor at the envelope: CAPPED at
+    # the r12 per-cell width (the r13 guard, byte-unchanged)
+    rerank = 4 * env64
+    assert _adc_emission_depth(k, rerank, env64, 64, tight_cells=False) == k * max(
+        4, rerank // env64
+    )
+    # below the envelope above the floor: deep regardless of route
+    assert _adc_emission_depth(k, 40, 10, 64, tight_cells=False) == k * 40
+
+
+def test_ann_topk_auto_budget_route_executes_pq_path(spark):
+    """ADVICE r14 (medium): ann_topk_auto's 'ivfpq' branch used to call
+    ivfpq_topk with zero knobs, whose internal tight-cell dispatch
+    routed straight back to ivf_topk's exact kernel with the full
+    float64 index — silently ignoring the index_budget_bytes that was
+    the sole reason the compressed tier was chosen. The branch now pins
+    by_residual=True. Execution proof: monkeypatch ann.ivf_topk to a
+    tripwire — the PQ path never calls it — and hold a recall floor on
+    the budget route (tight clusters + residual codes + the derived
+    _TIGHT_RERANK pool measured 0.989 at the 8x sweep)."""
+    import numpy as np
+    import pandas as pd
+
+    import etl_covid19_brasil_spark.llm.ann as ann_mod
+    from etl_covid19_brasil_spark.llm.ann import ann_topk_auto, pick_ann_tier
+
+    rng = np.random.default_rng(31)
+    n, dim = 6000, 32
+    anchors = _unit(rng.normal(size=(8, dim)))
+    vecs = _unit(
+        anchors[np.arange(n) % 8] + 0.08 * rng.normal(size=(n, dim))
+    ).astype(np.float64)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    ).cache()
+    budget = n * dim  # 1/8 of the raw float64 index -> ivfpq tier
+    route = pick_ann_tier(emb, index_budget_bytes=budget)
+    assert route.tier == "ivfpq", f"budget route must pick ivfpq: {route}"
+
+    real_ivf_topk = ann_mod.ivf_topk
+
+    def tripwire(*args, **kwargs):
+        raise AssertionError(
+            "ivfpq budget route fell back to the exact ivf_topk kernel —"
+            " the declared index byte budget was ignored"
+        )
+
+    ann_mod.ivf_topk = tripwire
+    try:
+        rows = ann_topk_auto(emb, k=5, index_budget_bytes=budget).collect()
+    finally:
+        ann_mod.ivf_topk = real_ivf_topk
+    truth = _numpy_truth_topk(vecs, np.arange(n, dtype=np.int64), k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    r = len(got & truth) / len(truth)
+    print(f"auto-router budget (ivfpq tier, PQ path) recall: {r:.3f}")
+    assert r >= 0.9, f"budget-route PQ recall collapsed: {r:.3f}"
+    emb.unpersist()

@@ -258,3 +258,39 @@ def test_driver_prefix_rotates_onto_stalest_rows():
     if len(stalest) <= 50:
         for n in stalest:
             assert names.index(n) < 50, f"stalest query {n} missed the prefix"
+
+
+def test_sample_importance_dsir_all_null_lang_matches_oracle(spark, tmp_path):
+    """ADVICE r14 (low): on a corpus where EVERY documents.lang is NULL,
+    the Spark side's crossJoin(broadcast(top_lang)) used to annihilate
+    the stream (empty top_lang frame), while the oracle's scalar
+    subquery yields NULL (nt=0 everywhere) and still emits top-20 rows.
+    The Spark side now collapses top_lang to one possibly-NULL row
+    (max over zero rows), so both engines agree on the degenerate
+    corpus. Differential-checked end-to-end on a synthetic all-NULL
+    documents table through the same comparator the gate uses."""
+    import duckdb
+
+    from etl_covid19_brasil_spark.registry import all_specs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": [f"alpha beta gamma doc {i} token{i % 3}" for i in range(12)],
+            "lang": [None] * 12,
+            "source": ["s0"] * 12,
+            "n_chars": np.full(12, 30, dtype=np.int64),
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    spec = all_specs()["sample_importance_dsir"]
+    spark_pdf = spec.spark(spark, str(tmp_path)).toPandas()
+    assert len(spark_pdf) == 12, "degenerate corpus must still rank all docs"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    oracle_pdf = con.execute(spec.oracle).df()
+    con.close()
+    ok, detail = compare_frames(spark_pdf, oracle_pdf)
+    assert ok, detail
