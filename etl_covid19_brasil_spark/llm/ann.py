@@ -1433,6 +1433,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     by_residual: bool | None = None,
     probe_floor_shape: bool = True,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-PQ: the memory-bounded ANN tier — candidates meet in IVF cells
     (same one-shuffle shape as :func:`ivf_topk`), but the INDEX side
@@ -1547,9 +1548,17 @@ def ivfpq_topk(
     )
 
     spark = embeddings.sparkSession
-    if n_cells is None:  # corpus-size-derived (see auto_n_cells)
-        n_cells = auto_n_cells(_estimate_rows(embeddings))
-    cents = kmeans_lloyd(embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col)
+    if centroids is not None:
+        # precomputed handle (prepare_ann_route / ann_topk_auto route
+        # reuse, VERDICT r14 item 5) — already L2-normalized Lloyd
+        # output; re-normalizing is an idempotent safety net
+        cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        if n_cells is None:  # corpus-size-derived (see auto_n_cells)
+            n_cells = auto_n_cells(_estimate_rows(embeddings))
+        cents = kmeans_lloyd(
+            embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col
+        )
     tight_cells = False  # measured-tight fixed route (set when dispatch runs)
     if n_probe is None:  # shape-aware dispatch (see pick_probe_strategy)
         routed = pick_probe_strategy(
@@ -1887,6 +1896,14 @@ class TierRoute(NamedTuple):
     n_est: int  # plan-statistics row estimate the size gate used
     dim: int  # measured vector dimensionality (0 on the exact tier)
     probe: "ProbeRoute | None"  # shape signals (None on the exact tier)
+    # Trained coarse quantizer (kmeans_lloyd output) when the route was
+    # built by :func:`prepare_ann_route` — the index-build/index-use
+    # split (VERDICT r14 item 5): a caller running many top-k calls over
+    # the same corpus passes the handle back so construction (the seed
+    # job, the shape sample, AND the 3-iter Lloyd on the ivf/ivfpq
+    # tiers) amortizes instead of re-running per call. None on routes
+    # from :func:`pick_ann_tier` (route-only, no training).
+    centroids: "np.ndarray | None" = None
 
 
 def pick_ann_tier(
@@ -1971,12 +1988,43 @@ def pick_ann_tier(
     return TierRoute("lsh", n_est, dim, routed)
 
 
+def prepare_ann_route(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_budget_bytes: "int | None" = None,
+) -> TierRoute:
+    """Index-BUILD step of the auto router (VERDICT r14 item 5): pick
+    the tier via :func:`pick_ann_tier` and train what the chosen tier
+    needs once — the 3-iter Lloyd centroids on the ivf/ivfpq tiers —
+    returning a :class:`TierRoute` handle the caller passes back into
+    :func:`ann_topk_auto` (or :func:`~.search.ann_search`) on every
+    subsequent call over the SAME corpus. Without the handle each call
+    re-pays one bounded seed job + one shape sample + (ivf route) a
+    full Lloyd; with it, a top-k call starts at the lazy plan build.
+    Results are byte-identical either way (pinned in
+    tests/test_ann_recall.py): every derivation downstream of the
+    centroids is deterministic in them."""
+    route = pick_ann_tier(embeddings, id_col, vec_col, index_budget_bytes)
+    if route.tier in ("ivf", "ivfpq"):
+        cents = kmeans_lloyd(
+            embeddings,
+            k=auto_n_cells(route.n_est),
+            iters=3,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        return route._replace(centroids=cents)
+    return route
+
+
 def ann_topk_auto(
     embeddings: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_budget_bytes: "int | None" = None,
+    route: "TierRoute | None" = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors with the tier chosen by
     :func:`pick_ann_tier` — the single ANN front door. All tiers emit
@@ -1985,8 +2033,15 @@ def ann_topk_auto(
     callers can treat the router as one operator. Recall floors for
     the routed tiers at 8x both shapes are pinned in
     tests/test_ann_recall.py; route choices at 8x/32x/64x recorded in
-    SCALECHECK_r14."""
-    route = pick_ann_tier(embeddings, id_col, vec_col, index_budget_bytes)
+    SCALECHECK_r14.
+
+    ``route``: a precomputed :class:`TierRoute` handle from
+    :func:`prepare_ann_route` (or :func:`pick_ann_tier`) — skips the
+    per-call routing jobs and, when the handle carries trained
+    centroids, the per-call Lloyd (VERDICT r14 item 5). The caller owns
+    the contract that the handle was built on THIS corpus."""
+    if route is None:
+        route = pick_ann_tier(embeddings, id_col, vec_col, index_budget_bytes)
     if route.tier == "exact":
         from etl_covid19_brasil_spark.llm.similarity import brute_force_topk
 
@@ -2005,15 +2060,27 @@ def ann_topk_auto(
         # budget that selected this tier (ADVICE r14). rerank stays
         # derived (_TIGHT_RERANK * n_probe on the tight route).
         return ivfpq_topk(
-            embeddings, k=k, id_col=id_col, vec_col=vec_col, by_residual=True
+            embeddings,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            by_residual=True,
+            centroids=route.centroids,
         )
     # "ivf": trained cells; n_probe=None re-derives the probe count on
     # the TRAINED geometry (rank-derived, floor 10) — the seed probe's
-    # count was measured against the untrained seed cells
-    n_cells = auto_n_cells(route.n_est)
-    cents = kmeans_lloyd(
-        embeddings, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col
-    )
+    # count was measured against the untrained seed cells. A handle from
+    # prepare_ann_route carries the trained centroids; training runs
+    # per call only without one.
+    cents = route.centroids
+    if cents is None:
+        cents = kmeans_lloyd(
+            embeddings,
+            k=auto_n_cells(route.n_est),
+            iters=3,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     return ivf_topk(
         embeddings, k=k, centroids=cents, id_col=id_col, vec_col=vec_col
     )

@@ -1,0 +1,363 @@
+"""Separate query-set retrieval: ``ann_search(queries, index)``.
+
+Every other ANN entry point in this engine (``lsh_topk``, ``ivf_topk``,
+``ivfpq_topk``, ``brute_force_topk``, ``ann_topk_auto``) is SELF-JOIN
+top-k: one table in which every vector is both query and index. The
+real serving/eval shape — a small query batch against a big frozen
+index, train-vs-test contamination checks, eval-set nearest-neighbor
+lookups — was only reachable through label-packing hacks (the
+hard-negative-mining pattern). ``ann_search`` is the two-DataFrame form
+(VERDICT r14 item 1).
+
+Reference basis: the reference repo's data lake exists "para consultas"
+(arbitrary queries over loaded tables, ``/root/reference/dags/
+create-data-lake.py:23-24``); a query-set-vs-index retrieval operator is
+the EXT mandate's serving shape for the embeddings table, modeled on the
+faiss ``index.search(queries, k)`` API re-expressed on DataFrames.
+
+Tier menu (routed on the INDEX side — the side whose geometry decides
+what an index can afford; the query side only decides which exact plan
+SHAPE is cheapest):
+
+- **bounded index** (``n_index <= MAX_INDEX_ROWS``): broadcast the
+  index once, stream the queries through an Arrow kernel — recall 1.0,
+  zero shuffle, ranks straight from the kernel. The eval-set-lookup
+  twin of ``brute_force_topk``'s broadcast tier.
+- **clustered big index** (``pick_ann_tier`` → ivf/ivfpq): one
+  cell-meet shuffle — index rows land in their home Voronoi cell
+  (trained 3-iter Lloyd, or the centroids carried by a
+  ``prepare_ann_route`` handle), query rows fan to their ``n_probe``
+  nearest cells, exact in-cell scoring (the measured winner on
+  clustered shapes — the ADC/PQ two-frame variant is the documented
+  growth path for indexes whose VECTORS can't afford the shuffle),
+  global window top-k. Per-query work is n_probe x ~constant cell
+  size, independent of index size.
+- **flat big index** (``pick_ann_tier`` → lsh): the honest answer for
+  a SEPARATE small query batch is the broadcast-query exact scan —
+  queries broadcast once (bounded: <= _EXACT_TIER_MAX rows), the index
+  streams through the kernel WITHOUT ever shuffling its vectors, each
+  scan task emits its local per-query top-k, and one window merges the
+  skinny (query_id, neighbor_id, cosine) candidates. Linear in the
+  index per batch — on cluster-free geometry every sublinear scheme
+  pays its recall decay for exactly this scan's cost (the lsh_topk
+  docstring's information bound), and the batch amortizes the scan
+  across all its queries in ONE pass. A two-frame LSH bucket-meet is
+  the growth path if flat indexes must be probed sublinearly.
+- **both sides big**: the cogrouped block-nested-loop
+  (``_cogrouped_partials`` — index hash-tiled, queries hash-salted,
+  no broadcast, no driver transit) + window merge, exactly
+  ``brute_force_topk``'s unbounded tier with two distinct frames.
+
+Output: ``(query_id, neighbor_id, cosine, rank)`` — identical schema
+and (cosine desc, neighbor_id asc) tie-break as the self-join family,
+so callers can swap shapes. Family-consistent semantics: a neighbor
+with the SAME id as the query is excluded (all shared kernels mask
+``q_id == i_id``); on the disjoint splits this shape exists for, the
+mask never fires.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from etl_covid19_brasil_spark.llm.ann import (
+    TierRoute,
+    _global_topk,
+    _sliced_cell_rows,
+    _TARGET_CELL_QUERY_ROWS,
+    auto_n_cells,
+    kmeans_lloyd,
+    pick_ann_tier,
+    pick_probe_strategy,
+)
+from etl_covid19_brasil_spark.llm.similarity import (
+    MAX_INDEX_ROWS,
+    QUERY_BLOCK_ROWS,
+    TOPK_SCHEMA,
+    _bounded_index,
+    _by_query_chunks,
+    _cogrouped_partials,
+    _estimate_rows,
+    _normalize,
+    _spread,
+    _topk_block,
+)
+
+# Query batches up to this many rows broadcast whole (vectors included):
+# 4096 x dim=64 float64 ~ 2 MB — the same bound every ANN construction
+# sample uses (_EXACT_TIER_MAX / _OCCUPANCY_SAMPLE_CAP). Bigger batches
+# take the cogrouped tier.
+QUERY_BROADCAST_MAX = 4096
+
+
+def _rerank_global(local: DataFrame, k: int) -> DataFrame:
+    """Merge per-task local top-k candidate lists into the global
+    per-query top-k — the skinny-row window merge brute_force_topk's
+    unbounded tier uses (Spark 4 rewrites the row_number filter to a
+    partial WindowGroupLimit, so the exchange carries at most k rows
+    per (query, upstream task))."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        local.drop("rank")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _broadcast_index_search(
+    queries: DataFrame, index: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Bounded index: one broadcast, zero shuffle, exact."""
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(_bounded_index(index, id_col, vec_col))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            yield _by_query_chunks(_topk_block, q_ids, q_mat, ids, mat, k)
+
+    return _spread(queries.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=TOPK_SCHEMA
+    )
+
+
+def _broadcast_query_scan(
+    queries: DataFrame, index: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Small query batch vs big index: broadcast the QUERY side once and
+    stream the index through the kernel — the rank_maxsim plan shape.
+    The index's vectors NEVER shuffle (plan-pinned in tests/
+    test_plans.py); the only exchange carries the skinny per-task
+    candidate triples into the window merge."""
+    spark = index.sparkSession
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    if q_pdf.empty:  # zero-row batch: zero-row result, not np.stack([])
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+    bc = spark.sparkContext.broadcast(
+        (
+            q_pdf[id_col].to_numpy(dtype=np.int64),
+            _normalize(np.stack(q_pdf[vec_col].to_numpy())),
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            i_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            i_mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            # roles swap vs the broadcast-index kernel: the broadcast
+            # queries stay the q side so ranks/tie-breaks are unchanged
+            yield _by_query_chunks(_topk_block, q_ids, q_mat, i_ids, i_mat, k)
+
+    local = _spread(index.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=TOPK_SCHEMA
+    )
+    return _rerank_global(local, k)
+
+
+def _ivf_search(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    cent_mat: np.ndarray,
+    n_probe: int,
+    n_q: int,
+) -> DataFrame:
+    """Clustered big index: the two-frame IVF cell meet. Index rows land
+    in their home cell (ONE row each — the index-build shuffle), query
+    rows fan to their n_probe nearest cells; exact in-cell scoring
+    (cosine on pre-normalized vectors), global window top-k. Query
+    salting splits hot cells' query sides across sub-groups exactly as
+    ivf_topk does (applyInPandas groups are indivisible units AQE can't
+    split); index rows replicate into every salt flagged qrole=0."""
+    spark = index.sparkSession
+    n_cells = len(cent_mat)
+    # expected per-cell QUERY rows = n_q * n_probe / n_cells (the
+    # two-frame version of ivf_topk's derivation — there n_q == n and
+    # cell size is held constant); one salt at small batches
+    s_n = max(1, -(-n_q * n_probe // max(1, n_cells * _TARGET_CELL_QUERY_ROWS)))
+    bc = spark.sparkContext.broadcast(cent_mat)
+
+    assign_schema = (
+        "cell int, vid long, vec array<double>, is_index int, qs int, qrole int"
+    )
+
+    def assign_query(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            cells = _sliced_cell_rows(
+                lambda s: np.argsort(-s, axis=1)[:, :n_probe], mat, cents
+            )  # (n, n_probe)
+            own = (ids % s_n).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "cell": cells.reshape(-1).astype(np.int32),
+                    "vid": np.repeat(ids, n_probe),
+                    "vec": list(np.repeat(mat, n_probe, axis=0)),
+                    "is_index": np.zeros(len(ids) * n_probe, dtype=np.int32),
+                    "qs": np.repeat(own, n_probe),
+                    "qrole": np.ones(len(ids) * n_probe, dtype=np.int32),
+                }
+            )
+
+    def assign_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()))
+            home = _sliced_cell_rows(
+                lambda s: np.argmax(s, axis=1), mat, cents
+            ).astype(np.int32)
+            # index rows replicate into EVERY query salt of their home
+            # cell (qrole=0: they never query — the two-frame shape has
+            # no query role on the index side at all)
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(home, s_n),
+                    "vid": np.repeat(ids, s_n),
+                    "vec": list(np.repeat(mat, s_n, axis=0)),
+                    "is_index": np.ones(len(ids) * s_n, dtype=np.int32),
+                    "qs": np.tile(np.arange(s_n, dtype=np.int32), len(ids)),
+                    "qrole": np.zeros(len(ids) * s_n, dtype=np.int32),
+                }
+            )
+
+    assigned = (
+        queries.select(id_col, vec_col)
+        .mapInPandas(assign_query, schema=assign_schema)
+        .unionByName(
+            index.select(id_col, vec_col).mapInPandas(
+                assign_index, schema=assign_schema
+            )
+        )
+    )
+
+    empty_cols = {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = pdf[pdf["is_index"] == 1]
+        qry = pdf[pdf["qrole"] == 1]
+        if idx.empty or qry.empty:
+            return pd.DataFrame({c: [] for c in empty_cols}).astype(empty_cols)
+        return _by_query_chunks(
+            _cell_block,
+            qry["vid"].to_numpy(dtype=np.int64),
+            np.stack(qry["vec"].to_numpy()),
+            idx["vid"].to_numpy(dtype=np.int64),
+            np.stack(idx["vec"].to_numpy()),
+        )
+
+    def _cell_block(q_ids, q_mat, i_ids, i_mat) -> pd.DataFrame:
+        sims = q_mat @ i_mat.T  # pre-normalized -> cosine
+        # family-consistent same-id mask (no-op on disjoint splits)
+        sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        kk = min(k, len(i_ids))
+        order = np.lexsort(
+            (np.broadcast_to(i_ids, sims.shape), -sims), axis=-1
+        )[:, :kk]
+        got = np.take_along_axis(sims, order, axis=1).reshape(-1)
+        keep = got > -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, kk)[keep],
+                "neighbor_id": i_ids[order].reshape(-1)[keep],
+                "cosine": got[keep],
+            }
+        )
+
+    local = assigned.groupBy("cell", "qs").applyInPandas(
+        cell_topk, schema="query_id long, neighbor_id long, cosine double"
+    )
+    return _global_topk(local, k)
+
+
+def ann_search(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    route: "TierRoute | None" = None,
+    index_budget_bytes: "int | None" = None,
+    n_queries: int | None = None,
+    n_index: int | None = None,
+) -> DataFrame:
+    """Top-``k`` cosine neighbors of each QUERY vector among the INDEX
+    vectors — the two-DataFrame serving/eval shape (module docstring).
+
+    ``route``: a :class:`TierRoute` handle from
+    :func:`~.ann.prepare_ann_route` built on the INDEX side — amortizes
+    the routing jobs and (ivf tiers) the Lloyd across calls; results
+    are byte-identical with or without it. ``n_queries``/``n_index``
+    are caller hints for the tier choice (plan statistics otherwise —
+    no extra scan; the choice is performance-only, both exact plans and
+    the recall-floored ivf plan share the output contract)."""
+    n_idx = n_index if n_index is not None else _estimate_rows(index)
+    n_q = n_queries if n_queries is not None else _estimate_rows(queries)
+    if n_idx <= MAX_INDEX_ROWS:
+        # bounded index: exact, recall 1.0, zero shuffle — no routing
+        # jobs needed at all (a handle's tier is a performance hint;
+        # the bounded tier dominates every approximate plan here)
+        return _broadcast_index_search(queries, index, k, id_col, vec_col)
+    if route is None:
+        route = pick_ann_tier(index, id_col, vec_col, index_budget_bytes)
+    if route.tier in ("ivf", "ivfpq"):
+        cent_mat = route.centroids
+        if cent_mat is None:
+            cent_mat = kmeans_lloyd(
+                index,
+                k=auto_n_cells(route.n_est),
+                iters=3,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        cent_mat = _normalize(np.asarray(cent_mat, dtype=np.float64))
+        # rank-derived probes on the TRAINED geometry of the index —
+        # the same dispatch every self-join tier uses
+        n_probe = min(
+            pick_probe_strategy(index, cent_mat, id_col, vec_col).n_probe,
+            len(cent_mat),
+        )
+        return _ivf_search(
+            queries, index, k, id_col, vec_col, cent_mat, n_probe, n_q
+        )
+    # flat big index (lsh route; a stale "exact" handle lands here too
+    # and stays exact): scan — broadcast the small query batch when it
+    # fits, else the cogrouped block-nested-loop
+    if n_q <= QUERY_BROADCAST_MAX:
+        return _broadcast_query_scan(queries, index, k, id_col, vec_col)
+    n_tiles = max(1, math.ceil(n_idx / MAX_INDEX_ROWS))
+    n_salts = max(1, math.ceil(n_q / QUERY_BLOCK_ROWS))
+    local = _cogrouped_partials(
+        queries,
+        index,
+        id_col,
+        vec_col,
+        n_tiles,
+        n_salts,
+        lambda q_ids, q_mat, ids, mat: _topk_block(q_ids, q_mat, ids, mat, k),
+        TOPK_SCHEMA,
+    )
+    return _rerank_global(local, k)

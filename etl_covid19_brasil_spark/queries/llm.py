@@ -4866,3 +4866,144 @@ def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("dsir_u6"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_search: the two-DataFrame retrieval shape (r15, VERDICT r14 item 1).
+# One hash split of embeddings (vec_id % 20 — the decontaminate split
+# discipline) plays query batch vs frozen index across all four tiers;
+# the three exact tiers share ONE oracle (they are bit-identical by
+# contract), the approximate ivf tier is rows-only with its recall floor
+# pinned in tests/test_ann_recall.py.
+# ---------------------------------------------------------------------------
+
+_O_ANN_SEARCH = f"""
+    WITH n AS (SELECT vec_id, {_O_NORMED} AS ne FROM embeddings),
+    q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+    i AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+    sims AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+             {_O_NDOT.format(a='q.ne', b='i.ne')} AS cosine
+      FROM q JOIN i ON q.vec_id <> i.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+def _ann_search_split(spark: SparkSession, sf: str):
+    e = T(spark, sf, "embeddings")
+    return (
+        e.filter(F.col("vec_id") % 20 == 0),
+        e.filter(F.col("vec_id") % 20 != 0),
+    )
+
+
+@query(
+    "ann_search_topk",
+    oracle=_O_ANN_SEARCH,
+    section="2.10",
+    doc="Separate query-set retrieval (faiss index.search(queries, k) "
+    "re-expressed on DataFrames): top-5 cosine neighbors of each held-out "
+    "query vector among the frozen index split — the serving/eval shape "
+    "every self-join ANN tier lacked. At gate SF the index is bounded, so "
+    "the router takes the broadcast-index exact tier (recall 1.0, zero "
+    "shuffle) and the result hash-matches the oracle; above the bound the "
+    "same call routes via pick_ann_tier on the INDEX side "
+    "(llm/search.py).",
+    added=15,
+)
+def ann_search_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    q, i = _ann_search_split(spark, sf)
+    return ann_search(q, i, k=5)
+
+
+@query(
+    "ann_search_scan",
+    oracle=_O_ANN_SEARCH,
+    section="2.10",
+    doc="ann_search's broadcast-QUERY scan tier forced at gate scale (an "
+    "unbounded-index hint + a flat-index route): the query batch "
+    "broadcasts once, the index streams through the Arrow kernel without "
+    "ever shuffling its vectors, one skinny-row window merges per-task "
+    "candidates (plan-pinned in tests/test_plans.py). Exact by "
+    "construction — shares ann_search_topk's oracle, so the hash match "
+    "proves the big-index scan tier bit-identical to the bounded tier.",
+    added=15,
+)
+def ann_search_scan(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import TierRoute
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    q, i = _ann_search_split(spark, sf)
+    # declare the index unbounded + flat so the scan tier runs at gate
+    # scale (the tier choice is performance-only; results are exact)
+    return ann_search(
+        q,
+        i,
+        k=5,
+        route=TierRoute("lsh", MAX_INDEX_ROWS + 1, 0, None),
+        n_index=MAX_INDEX_ROWS + 1,
+    )
+
+
+@query(
+    "ann_search_bnl",
+    oracle=_O_ANN_SEARCH,
+    section="2.10",
+    doc="ann_search's cogrouped block-nested-loop tier forced at gate "
+    "scale (both sides declared over their broadcast bounds): index "
+    "hash-tiled, queries hash-salted, every (tile, salt) block pair "
+    "meets in one cogrouped applyInPandas — no broadcast, no driver "
+    "transit — then a window merge. Exact; shares ann_search_topk's "
+    "oracle, proving the both-sides-big tier bit-identical.",
+    added=15,
+)
+def ann_search_bnl(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import TierRoute
+    from etl_covid19_brasil_spark.llm.search import (
+        MAX_INDEX_ROWS,
+        QUERY_BROADCAST_MAX,
+        ann_search,
+    )
+
+    q, i = _ann_search_split(spark, sf)
+    return ann_search(
+        q,
+        i,
+        k=5,
+        route=TierRoute("lsh", MAX_INDEX_ROWS + 1, 0, None),
+        n_index=MAX_INDEX_ROWS + 1,
+        n_queries=QUERY_BROADCAST_MAX + 1,
+    )
+
+
+@query(
+    "ann_search_ivf",
+    oracle=None,  # approximate (probed cells) -> rows-only
+    section="2.10",
+    doc="ann_search's clustered-index IVF tier forced at gate scale "
+    "(trained 16-cell Lloyd handle + an unbounded-index hint): index "
+    "rows land in their home cell, queries fan to their rank-derived "
+    "probe cells, exact in-cell scoring, global window top-k — the "
+    "two-frame cell meet whose per-query work is n_probe x ~constant "
+    "cell size regardless of index size. Recall floor vs the exact "
+    "split pinned in tests/test_ann_recall.py.",
+    added=15,
+)
+def ann_search_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    q, i = _ann_search_split(spark, sf)
+    cents = kmeans_lloyd(i, k=16, iters=3)
+    route = TierRoute("ivf", MAX_INDEX_ROWS + 1, 0, None, centroids=cents)
+    return ann_search(q, i, k=5, route=route, n_index=MAX_INDEX_ROWS + 1)

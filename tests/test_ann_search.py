@@ -1,0 +1,187 @@
+"""ann_search (two-DataFrame retrieval, VERDICT r14 item 1) and the
+prepare_ann_route handle (item 5): tier equivalence, the 8x recall
+floor vs brute force on the same split, and byte-identity of the
+amortized-construction path. Plan pins live in tests/test_plans.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _unit(m):
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _truth_two_frame(q_ids, q_mat, i_ids, i_mat, k=5) -> set:
+    """Exact two-frame top-k truth set in numpy (same tie-break)."""
+    qn, idxn = _unit(q_mat.astype(np.float64)), _unit(i_mat.astype(np.float64))
+    sims = qn @ idxn.T
+    sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
+    out = set()
+    for r, qid in enumerate(q_ids):
+        order = np.lexsort((i_ids, -sims[r]))[:k]
+        out.update((int(qid), int(i_ids[j])) for j in order if sims[r, j] > -np.inf)
+    return out
+
+
+def _split_frames(spark, n, dim, seed, anchors_n=8, noise=0.08):
+    """Clustered corpus split 1/20 queries vs 19/20 index (the
+    registered split discipline), returned as (q_df, i_df, numpy truth
+    inputs)."""
+    rng = np.random.default_rng(seed)
+    anchors = _unit(rng.normal(size=(anchors_n, dim)))
+    vecs = _unit(
+        anchors[np.arange(n) % anchors_n] + noise * rng.normal(size=(n, dim))
+    ).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64)
+    qm = ids % 20 == 0
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf)
+    q = df.filter("vec_id % 20 = 0")
+    i = df.filter("vec_id % 20 <> 0")
+    return q, i, (ids[qm], vecs[qm], ids[~qm], vecs[~qm])
+
+
+def test_ann_search_exact_tiers_agree_on_gate_split(spark):
+    """The three exact tiers (bounded-index broadcast, broadcast-query
+    scan, cogrouped block-nested-loop) must return the IDENTICAL
+    (query_id, neighbor_id, rank) result on the same split — they are
+    one operator at three plan shapes. Driver-checked too (they share
+    one oracle), but the equality must hold locally without DuckDB in
+    the loop."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import TierRoute
+    from etl_covid19_brasil_spark.llm.search import (
+        MAX_INDEX_ROWS,
+        QUERY_BROADCAST_MAX,
+        ann_search,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q, i = e.filter("vec_id % 20 = 0"), e.filter("vec_id % 20 <> 0")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine"], 12))
+            for r in df.collect()
+        )
+
+    bounded = rows(ann_search(q, i, k=5))
+    flat_route = TierRoute("lsh", MAX_INDEX_ROWS + 1, 0, None)
+    scan = rows(ann_search(q, i, k=5, route=flat_route, n_index=MAX_INDEX_ROWS + 1))
+    bnl = rows(
+        ann_search(
+            q,
+            i,
+            k=5,
+            route=flat_route,
+            n_index=MAX_INDEX_ROWS + 1,
+            n_queries=QUERY_BROADCAST_MAX + 1,
+        )
+    )
+    assert len(bounded) > 0
+    assert scan == bounded
+    assert bnl == bounded
+
+
+def test_ann_search_ivf_recall_floor_at_8x(spark):
+    """The approximate tier's quality gate (VERDICT r14 item 1 'done'
+    condition): at the 8x size regime (4000 vectors, clustered — the
+    shape the ivf tier exists for), the two-frame cell meet must
+    recover >= 0.9 of the brute-force truth ON THE SAME SPLIT. The
+    16-cell trained handle + rank-derived probes mirror the registered
+    ann_search_ivf query's construction."""
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    q, i, (q_ids, q_mat, i_ids, i_mat) = _split_frames(spark, 4000, 64, seed=37)
+    cents = kmeans_lloyd(i, k=16, iters=3)
+    route = TierRoute("ivf", MAX_INDEX_ROWS + 1, 0, None, centroids=cents)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search(
+            q, i, k=5, route=route, n_index=MAX_INDEX_ROWS + 1
+        ).collect()
+    }
+    truth = _truth_two_frame(q_ids, q_mat, i_ids, i_mat, k=5)
+    r = len(got & truth) / len(truth)
+    print(f"ann_search ivf 8x clustered split recall: {r:.3f}")
+    assert r >= 0.9, f"two-frame IVF recall collapsed: {r:.3f}"
+
+
+def test_ann_search_route_handle_is_byte_identical(spark):
+    """prepare_ann_route amortization contract (VERDICT r14 item 5):
+    the handle changes WHERE construction runs, never WHAT is computed.
+    Two comparisons pin that:
+
+    1. ann_topk_auto(route=handle) == ivf_topk(centroids=handle's) —
+       the handle path is exactly the per-call path GIVEN the same
+       trained centroids (every derivation downstream of the centroids
+       is deterministic in them). A fresh no-handle call is NOT the
+       comparison baseline: re-running Lloyd re-sums doubles across a
+       shuffle, so two trainings are equal only to float tolerance —
+       the handle exists precisely so construction runs once.
+    2. Reusing ONE handle across calls is self-identical (the amortized
+       path injects no per-call state).
+
+    Plus the two-frame consumer: ann_search with the handle equals
+    ann_search without it at the bounded tier (where the tier hint is
+    ignored by design)."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        ann_topk_auto,
+        ivf_topk,
+        prepare_ann_route,
+    )
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    rng = np.random.default_rng(41)
+    n, dim = 6000, 32
+    anchors = _unit(rng.normal(size=(8, dim)))
+    vecs = _unit(
+        anchors[np.arange(n) % 8] + 0.08 * rng.normal(size=(n, dim))
+    ).astype(np.float64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    ).cache()
+    route = prepare_ann_route(df)
+    assert route.tier == "ivf" and route.centroids is not None
+
+    def rows(d):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in d.collect()
+        )
+
+    with_handle = rows(ann_topk_auto(df, k=5, route=route))
+    direct = rows(ivf_topk(df, k=5, centroids=route.centroids))
+    assert with_handle == direct and len(with_handle) > 0
+    reused = rows(ann_topk_auto(df, k=5, route=route))
+    assert reused == with_handle
+
+    q, i = df.filter("vec_id % 20 = 0"), df.filter("vec_id % 20 <> 0")
+    # two-frame: at this index size both calls take the bounded exact
+    # tier, covering the handle-ignored-safely contract. The explicit
+    # n_index hint pins that: a cached local relation has no row-count
+    # statistics, so the plan estimate would otherwise overshoot the
+    # bound and route both calls onto the approximate tier.
+    ni = i.count()
+    s_with = rows(ann_search(q, i, k=5, route=route, n_index=ni))
+    s_without = rows(ann_search(q, i, k=5, n_index=ni))
+    assert s_with == s_without and len(s_with) > 0
+    df.unpersist()
+
+
+def test_ann_search_empty_query_batch(spark):
+    """A zero-row query batch must return a zero-row (not crashed)
+    result on the bounded tier — the eval-harness edge every serving
+    API hits eventually."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter("vec_id < 0")
+    assert ann_search(q, e, k=5).count() == 0

@@ -653,3 +653,32 @@ def test_rank_maxsim_broadcasts_query_side_and_limits_topk(spark, specs):
     assert "BroadcastExchange" in phys, phys
     assert ", Partial" in phys and ", Final" in phys, phys
     assert "WindowGroupLimit" in phys, phys
+
+
+def test_ann_search_bounded_tier_is_shuffle_free(spark, specs):
+    """ann_search's bounded-index tier (the gate-scale route): the index
+    rides a Python-side broadcast into one Arrow kernel over the query
+    stream — the physical plan must be a single pipeline with NO hash
+    exchange and NO join operator. Any Exchange hashpartitioning here
+    means the exact lookup silently grew a shuffle."""
+    p = plan_of(q(specs, spark, "ann_search_topk"))
+    assert "MapInPandas" in p, p
+    assert "hashpartitioning" not in p, p
+    assert "Join" not in p, p
+
+
+def test_ann_search_scan_never_reshuffles_the_index(spark, specs):
+    """The broadcast-query scan tier's 100 TB contract (VERDICT r14
+    item 1 plan pin): the index's VECTORS stream through the kernel in
+    place — the only hash exchange in the plan is the skinny
+    (query_id, neighbor_id, cosine) candidate merge, partitioned on
+    query_id, feeding a WindowGroupLimit top-k. An index-side
+    re-shuffle (hashpartitioning on anything else) would move the
+    whole index's vectors per query batch."""
+    import re
+
+    p = plan_of(q(specs, spark, "ann_search_scan"))
+    keys = re.findall(r"hashpartitioning\((\w+)", p)
+    assert keys and all(k2 == "query_id" for k2 in keys), (keys, p)
+    assert "WindowGroupLimit" in p, p
+    assert "Join" not in p, p
