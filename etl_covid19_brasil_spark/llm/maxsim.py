@@ -1,0 +1,217 @@
+"""Late-interaction (ColBERT MaxSim) retrieval — scan and prefiltered
+forms sharing one exact scoring core.
+
+``rank_maxsim_topk`` (r14) ships the SCAN form: every candidate token
+meets every query token (a broadcast of the 16 x <=8-token query side
+over the corpus token stream — linear in the corpus, the right plan at
+the declared serving shape). Its docstring promised the standard
+ColBERT growth path for when the corpus or query side grows: a
+token-bucket PREFILTER that generates candidate (query_doc, doc) pairs
+from an LSH collision join over the token vectors, then scores ONLY the
+candidates exactly (VERDICT r14 item 7). This module lands both behind
+one routing function:
+
+- scoring is ONE implementation (:func:`_maxsim_score`) — hash-derived
+  integer token embeddings, exact int64 dots, per-(q_token, doc) max,
+  per-(q, doc) sum, WindowGroupLimit top-k — so the prefiltered form
+  differs from the scan ONLY in which pairs reach it;
+- candidate generation replays the engine's LSH discipline
+  (:func:`~.ann._planes` sign buckets, multi-table OR) over the token
+  vectors: token rows shuffle as skinny (table, code) buckets, a hash
+  join meets query and candidate tokens per bucket, and the top
+  ``cand_k`` docs per query by COLLISION COUNT (see
+  :func:`maxsim_candidates` — bare bucket membership prunes nothing on
+  shared-vocabulary corpora) are the ONLY pairs the scorer sees. Docs
+  outside that candidate set are never scored — that is the
+  approximation (recall floor pinned in tests/test_maxsim.py; the
+  scan form remains the exact reference and the DuckDB-oracled query).
+
+Scale shape of the prefiltered form: bucket join volume is
+sum_buckets |q_tokens_in_bucket| x |corpus_tokens_in_bucket| — with
+P sign planes the expected bucket holds |tokens|/2^P rows, so the
+candidate stream shrinks geometrically in P where the scan's is
+|q_tokens| x |corpus_tokens| flat (the 8x probe in SCALECHECK_r15
+measures the reduction). The pair list then joins back to the token
+streams (Catalyst/AQE picks broadcast vs shuffle on its measured
+size), so the exact-scoring stage is linear in the CANDIDATE set, not
+the corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from etl_covid19_brasil_spark.llm.ann import _planes
+
+# Above this estimated token-stream size the default route engages the
+# prefilter (the scan's candidate stream is |q_tokens| x |tokens|); the
+# gate/bench corpora sit far below it, so registered defaults keep the
+# exact scan and its oracle.
+MAXSIM_SCAN_MAX_TOKENS = 1_000_000
+
+# Token-vector geometry (fixed by the r14 oracle contract): 8 integer
+# components in [-3, 3], each the ascii of an md5 hex digit mod 7 - 3.
+MAXSIM_DIM = 8
+
+
+def token_vec(token: Column, dim: int = MAXSIM_DIM) -> Column:
+    """Hash-derived integer token embedding (engine-portable md5 — the
+    embedding_random_projection pattern; exact int64 dots)."""
+    return F.array(
+        *[
+            (
+                F.ascii(
+                    F.substring(F.md5(F.concat_ws("#", token, F.lit(str(j)))), 1, 1)
+                )
+                % 7
+                - 3
+            ).cast("long")
+            for j in range(1, dim + 1)
+        ]
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _maxsim_score(pairs: DataFrame, comp: DataFrame, qcomp: DataFrame, k: int) -> DataFrame:
+    """Exact MaxSim top-``k`` over the given (query_doc, doc_id) pairs:
+    join back both token streams, one int64 dot per token pair, the
+    per-(q_token, doc) max and per-(q, doc) sum as two hash
+    aggregations, WindowGroupLimit top-k. The scan form passes the full
+    cross-pair set implicitly (pairs=None)."""
+    if pairs is None:
+        cand = comp.crossJoin(F.broadcast(qcomp))
+    else:
+        cand = comp.join(pairs, "doc_id").join(
+            F.broadcast(qcomp.withColumnRenamed("query_doc", "qd")),
+            F.col("qd") == F.col("query_doc"),
+        ).drop("qd")
+    cand = cand.filter(F.col("doc_id") != F.col("query_doc"))
+    per_qtok = (
+        cand.select(
+            "query_doc", "q_token", "doc_id", _dot(F.col("vec"), F.col("q_vec")).alias("dot")
+        )
+        .groupBy("query_doc", "doc_id", "q_token")
+        .agg(F.max("dot").alias("m"))
+    )
+    scores = per_qtok.groupBy("query_doc", "doc_id").agg(F.sum("m").alias("maxsim"))
+    w = Window.partitionBy("query_doc").orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+    return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _bucket_cols(vec: Column, planes) -> Column:
+    """Array of per-table sign-bucket codes for an integer token vector
+    — pure JVM expressions (the float plane weights fold to literals),
+    one code per LSH table."""
+    codes = []
+    for t in range(planes.shape[0]):
+        code = F.lit(0)
+        for p in range(planes.shape[1]):
+            proj = F.lit(0.0)
+            for i in range(planes.shape[2]):
+                proj = proj + vec[i].cast("double") * F.lit(float(planes[t, p, i]))
+            code = code + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        codes.append(code)
+    return F.array(*codes)
+
+
+def maxsim_candidates(
+    comp: DataFrame,
+    qcomp: DataFrame,
+    n_tables: int = 2,
+    n_planes: int = 8,
+    cand_k: int = 64,
+) -> DataFrame:
+    """LSH token-bucket candidate generation: the ``cand_k`` docs per
+    query doc with the MOST token-bucket collisions (then doc_id asc —
+    deterministic). Skinny shuffle — (table, code, doc_id) triples,
+    never vectors; the query side is tiny and broadcast.
+
+    Why a CAP and not bare collision membership: on shared-vocabulary
+    corpora (every real text corpus) common tokens collide universally
+    — measured at the gate corpus, bare membership kept 7979 of 7984
+    possible pairs, i.e. pruned nothing. Collision COUNT is the
+    standard ColBERT candidate signal (identical tokens collide in
+    every table and contribute the maximal per-token dot, so heavy
+    colliders are exactly the high-MaxSim docs), and the per-query cap
+    makes the exact-scoring stage's size STRUCTURAL:
+    n_query_docs x cand_k pairs regardless of corpus size. The window
+    is a WindowGroupLimit over skinny (query_doc, doc_id, hits) rows."""
+    planes = _planes(n_tables, n_planes, MAXSIM_DIM)
+    cand_b = comp.select(
+        "doc_id", F.posexplode(_bucket_cols(F.col("vec"), planes)).alias("tbl", "code")
+    )
+    q_b = qcomp.select(
+        "query_doc",
+        F.posexplode(_bucket_cols(F.col("q_vec"), planes)).alias("tbl", "code"),
+    ).distinct()
+    hits = (
+        cand_b.join(F.broadcast(q_b), ["tbl", "code"])
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", "doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("hits").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("cr", F.row_number().over(w))
+        .filter(F.col("cr") <= cand_k)
+        .select("query_doc", "doc_id")
+    )
+
+
+def maxsim_topk(
+    toks: DataFrame,
+    k: int = 5,
+    n_query_docs: int = 16,
+    max_doc_tokens: int = 8,
+    prefilter: "bool | None" = None,
+    n_tables: int = 2,
+    n_planes: int = 8,
+    cand_k: int = 64,
+    est_tokens: int | None = None,
+) -> DataFrame:
+    """MaxSim top-``k`` docs per query doc over a (doc_id, token) frame.
+
+    ``prefilter=None`` routes on the estimated token-stream size (the
+    dispatcher discipline): the exact scan below
+    :data:`MAXSIM_SCAN_MAX_TOKENS` — where one corpus pass amortized
+    over the bounded query side is the measured-right plan — and the
+    LSH token-bucket prefilter above it. Explicit True/False pins the
+    form (the registered queries pin scan for the oracle and prefilter
+    for the growth-path row). Output schema is identical either way:
+    (query_doc, doc_id, maxsim, rank)."""
+    from etl_covid19_brasil_spark.llm.similarity import _estimate_rows
+
+    toks = (
+        toks.distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("token"))
+        )
+        .filter(F.col("rn") <= max_doc_tokens)
+        .drop("rn")
+    )
+    comp = toks.withColumn("vec", token_vec(F.col("token")))
+    qd = toks.select("doc_id").distinct().orderBy("doc_id").limit(n_query_docs)
+    qcomp = comp.join(qd, "doc_id").select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("token").alias("q_token"),
+        F.col("vec").alias("q_vec"),
+    )
+    if prefilter is None:
+        n = est_tokens if est_tokens is not None else _estimate_rows(toks)
+        prefilter = n > MAXSIM_SCAN_MAX_TOKENS
+    pairs = (
+        maxsim_candidates(
+            comp, qcomp, n_tables=n_tables, n_planes=n_planes, cand_k=cand_k
+        )
+        if prefilter
+        else None
+    )
+    return _maxsim_score(pairs, comp, qcomp, k)

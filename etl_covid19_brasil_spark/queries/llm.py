@@ -4687,64 +4687,49 @@ def ann_topk_auto(spark: SparkSession, sf: str) -> DataFrame:
     "row_number window Spark 4 rewrites to WindowGroupLimit — linear in "
     "the corpus, the standard ColBERT serving decomposition with the "
     "token index replaced by a scan (an IVF/LSH token-bucket prefilter "
-    "is the documented growth path, same as the dense tiers).",
+    "is the documented growth path, same as the dense tiers — landed "
+    "r15 as rank_maxsim_prefiltered over the shared scoring core in "
+    "llm/maxsim.py).",
     added=14,
 )
 def rank_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.maxsim import maxsim_topk
+
     d = T(spark, sf, "documents")
-    toks = (
-        d.select("doc_id", F.explode(_tokens()).alias("token"))
-        .distinct()
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("token")),
-        )
-        .filter(F.col("rn") <= 8)
-        .drop("rn")
-    )
-    comp = toks.withColumn(
-        "vec",
-        F.array(
-            *[
-                (
-                    F.ascii(
-                        F.substring(
-                            F.md5(F.concat_ws("#", F.col("token"), F.lit(str(j)))),
-                            1,
-                            1,
-                        )
-                    )
-                    % 7
-                    - 3
-                ).cast("long")
-                for j in range(1, 9)
-            ]
-        ),
-    )
-    qd = d.select("doc_id").orderBy("doc_id").limit(16)
-    qcomp = comp.join(qd, "doc_id").select(
-        F.col("doc_id").alias("query_doc"),
-        F.col("token").alias("q_token"),
-        F.col("vec").alias("q_vec"),
-    )
-    pairs = comp.crossJoin(F.broadcast(qcomp)).filter(
-        F.col("doc_id") != F.col("query_doc")
-    )
-    dot = F.aggregate(
-        F.zip_with("vec", "q_vec", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    per_qtok = (
-        pairs.select("query_doc", "q_token", "doc_id", dot.alias("dot"))
-        .groupBy("query_doc", "doc_id", "q_token")
-        .agg(F.max("dot").alias("m"))
-    )
-    scores = per_qtok.groupBy("query_doc", "doc_id").agg(F.sum("m").alias("maxsim"))
-    w = Window.partitionBy("query_doc").orderBy(
-        F.col("maxsim").desc(), F.col("doc_id").asc()
-    )
-    return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    # prefilter=False pins the exact scan form — the DuckDB-oracled
+    # reference; the routed default takes it anyway below
+    # MAXSIM_SCAN_MAX_TOKENS
+    return maxsim_topk(toks, k=5, prefilter=False)
+
+
+@query(
+    "rank_maxsim_prefiltered",
+    oracle=None,  # LSH candidate generation -> rows-only; recall floor
+    # vs the oracled scan form pinned in tests/test_maxsim.py
+    section="2.10",
+    doc="rank_maxsim_topk's GROWTH PATH (the r14 docstring's promise, "
+    "VERDICT r14 item 7): LSH token-bucket candidate generation before "
+    "the exact MaxSim scoring core both forms share (llm/maxsim.py). "
+    "Token vectors shuffle as skinny (table, sign-code, doc_id) bucket "
+    "triples; query and candidate tokens meet in a per-bucket hash join "
+    "(expected bucket = |tokens|/2^P rows, so the candidate stream "
+    "shrinks geometrically in the plane count where the scan's is "
+    "|q_tokens| x |corpus_tokens| flat — reduction measured at the 8x "
+    "probe, SCALECHECK_r15); only colliding (query_doc, doc) pairs are "
+    "scored — exactly, with the same int64 dots, aggregations and "
+    "WindowGroupLimit as the scan. The routed default (maxsim_topk "
+    "prefilter=None) engages this form above MAXSIM_SCAN_MAX_TOKENS; "
+    "this registered query pins prefilter=True so the growth path is "
+    "driver-exercised at gate scale.",
+    added=15,
+)
+def rank_maxsim_prefiltered(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.maxsim import maxsim_topk
+
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    return maxsim_topk(toks, k=5, prefilter=True)
 
 
 @query(

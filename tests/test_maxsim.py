@@ -1,0 +1,112 @@
+"""rank_maxsim growth path (llm/maxsim.py, VERDICT r14 item 7): the
+LSH token-bucket prefilter must (a) actually prune the candidate
+stream, (b) hold a recall floor against the exact scan form it
+approximates, and (c) engage only on the routed side of the size
+dispatch. The scan form's bit-identity to the DuckDB oracle is the
+driver's job (rank_maxsim_topk stays oracled)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _toks(spark, sf=SF):
+    from etl_covid19_brasil_spark.queries.llm import _tokens
+    from etl_covid19_brasil_spark.registry import T
+
+    return T(spark, sf, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+
+
+def test_maxsim_prefilter_recall_floor_vs_scan(spark):
+    """Candidate generation is the ONLY approximation — scoring is
+    shared — so recall of the prefiltered top-5 against the scan top-5
+    is purely bucket-inclusion. Measured 1.0 at gate scale (3 tables x
+    4 planes over 8-dim integer token vectors); pin a conservative
+    floor so a broken plane tensor / collision join fails loudly."""
+    from etl_covid19_brasil_spark.llm.maxsim import maxsim_topk
+
+    toks = _toks(spark)
+    scan = {
+        (r["query_doc"], r["doc_id"])
+        for r in maxsim_topk(toks, k=5, prefilter=False).collect()
+    }
+    pre = {
+        (r["query_doc"], r["doc_id"])
+        for r in maxsim_topk(toks, k=5, prefilter=True).collect()
+    }
+    r = len(pre & scan) / len(scan)
+    print(f"maxsim prefilter recall vs scan: {r:.3f}")
+    assert r >= 0.8, f"token-bucket prefilter recall collapsed: {r:.3f}"
+
+
+def test_maxsim_prefilter_prunes_the_candidate_stream(spark):
+    """The prefilter must generate STRICTLY fewer (query_doc, doc)
+    pairs than the scan's implicit full cross (16 query docs x every
+    other doc) — otherwise it is pure overhead. The 8x probe in
+    SCALECHECK_r15 measures the reduction at scale; this pins the
+    mechanism."""
+    from etl_covid19_brasil_spark.llm.maxsim import (
+        maxsim_candidates,
+        token_vec,
+    )
+    from pyspark.sql import Window
+
+    toks = (
+        _toks(spark)
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("token"))
+        )
+        .filter("rn <= 8")
+        .drop("rn")
+    )
+    comp = toks.withColumn("vec", token_vec(F.col("token")))
+    qd = toks.select("doc_id").distinct().orderBy("doc_id").limit(16)
+    qcomp = comp.join(qd, "doc_id").select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("token").alias("q_token"),
+        F.col("vec").alias("q_vec"),
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    full = 16 * (n_docs - 1)
+    cand = maxsim_candidates(comp, qcomp).count()
+    print(f"maxsim candidates: {cand} of {full} full-cross pairs")
+    assert 0 < cand < full
+
+
+def test_maxsim_routing_dispatches_on_token_volume(spark):
+    """prefilter=None must route scan below MAXSIM_SCAN_MAX_TOKENS and
+    prefilter above it (the est_tokens hint stands in for plan
+    statistics). The two forms are distinguishable by plan: the scan
+    broadcasts the query side through a nested-loop cross join; the
+    prefiltered form replaces it with the bucket hash join."""
+    import contextlib
+    import io as pyio
+
+    from etl_covid19_brasil_spark.llm.maxsim import (
+        MAXSIM_SCAN_MAX_TOKENS,
+        maxsim_topk,
+    )
+
+    toks = _toks(spark)
+
+    def plan(df):
+        buf = pyio.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    scan_plan = plan(maxsim_topk(toks, k=5, est_tokens=1))
+    pre_plan = plan(maxsim_topk(toks, k=5, est_tokens=MAXSIM_SCAN_MAX_TOKENS + 1))
+    assert "BroadcastNestedLoopJoin" in scan_plan, scan_plan
+    assert "BroadcastNestedLoopJoin" not in pre_plan, pre_plan
+    # results at gate scale: prefiltered output is a valid top-k frame
+    rows = maxsim_topk(toks, k=5, est_tokens=MAXSIM_SCAN_MAX_TOKENS + 1).limit(
+        200
+    ).collect()
+    assert rows and set(rows[0].asDict()) == {"query_doc", "doc_id", "maxsim", "rank"}
