@@ -25,6 +25,9 @@ from __future__ import annotations
 
 import pytest
 
+# full-lane tier (r15, VERDICT r14 item 6): ANN recall floors + route properties (~13 min of the full lane)
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 
 
@@ -1418,9 +1421,15 @@ def test_ivfpq_floor_default_routes_clustered_shape(spark):
     now defaults True: one bounded sample job at a scale where
     everything is cheap, letting by_residual/rerank (and the r13 tier
     route) see the tightness signal. Pin: a clustered corpus AT the
-    floor with ZERO knobs reaches >= 0.8 recall, and strictly beats the
-    pure-lazy opt-out (probe_floor_shape=False), which reproduces the
-    old raw-code floor default."""
+    floor with ZERO knobs reaches >= 0.8 recall, and is never WORSE
+    than the pure-lazy opt-out (probe_floor_shape=False). The opt-out
+    originally reproduced the old raw-code floor default (0.28 on this
+    shape) and the pin was strict; since the r15 emission-depth floor
+    exemption (ADVICE r14 — _adc_emission_depth) the opt-out gets deep
+    per-cell emission at the bounded <=16-cell floor, and the wide
+    global pool's exact re-rank washes out the ADC distortion entirely
+    (both paths measure 1.0 here) — the opt-out is no longer silently
+    degraded, which is a second fix, not a regression."""
     import numpy as np
 
     from etl_covid19_brasil_spark.llm.ann import ivfpq_topk
@@ -1453,9 +1462,9 @@ def test_ivfpq_floor_default_routes_clustered_shape(spark):
         f"zero-knob floor default must resolve the clustered shape: "
         f"{r_default:.3f}"
     )
-    assert r_default > r_lazy, (
-        f"the floor sample must buy recall over the raw-code opt-out on "
-        f"this shape: {r_default:.3f} <= {r_lazy:.3f}"
+    assert r_default >= r_lazy, (
+        f"the floor default must never lose to the raw-code opt-out on "
+        f"this shape: {r_default:.3f} < {r_lazy:.3f}"
     )
     df.unpersist()
 

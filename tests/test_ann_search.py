@@ -88,6 +88,7 @@ def test_ann_search_exact_tiers_agree_on_gate_split(spark):
     assert bnl == bounded
 
 
+@pytest.mark.slow  # full-lane tier: 8x corpus build + two-frame truth
 def test_ann_search_ivf_recall_floor_at_8x(spark):
     """The approximate tier's quality gate (VERDICT r14 item 1 'done'
     condition): at the 8x size regime (4000 vectors, clustered — the
@@ -113,6 +114,7 @@ def test_ann_search_ivf_recall_floor_at_8x(spark):
     assert r >= 0.9, f"two-frame IVF recall collapsed: {r:.3f}"
 
 
+@pytest.mark.slow  # full-lane tier: trains Lloyd twice on a 6k corpus
 def test_ann_search_route_handle_is_byte_identical(spark):
     """prepare_ann_route amortization contract (VERDICT r14 item 5):
     the handle changes WHERE construction runs, never WHAT is computed.

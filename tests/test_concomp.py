@@ -3,6 +3,8 @@ transitivity, singletons, and edge-list hygiene (duplicates/direction)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from etl_covid19_brasil_spark.operators.concomp import connected_components
@@ -87,6 +89,7 @@ def _union_find(pairs, nodes):
     return out
 
 
+@pytest.mark.slow  # full-lane tier (r15): >10 s wall-clock
 def test_random_graphs_match_union_find(spark):
     # deterministic pseudo-random graph family (no runtime RNG): edges from
     # a multiplicative-hash walk, sized to force merges, chains, and isolates

@@ -83,6 +83,7 @@ def test_asof_forward_matches_naive(spark, sides):
     assert got[(1, ts(10))] is None
 
 
+@pytest.mark.slow  # full-lane tier (r15): >10 s wall-clock
 def test_range_join_matches_naive_theta(spark):
     points = spark.createDataFrame([(i, float(i)) for i in range(50)], "pid long, x double")
     intervals = spark.createDataFrame(

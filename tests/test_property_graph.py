@@ -10,6 +10,9 @@ hunts the adversarial ones.
 from __future__ import annotations
 
 import pytest
+
+# full-lane tier (r15, VERDICT r14 item 6): hypothesis graph differentials
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+
+# full-lane tier (r15, VERDICT r14 item 6): hypothesis differentials vs naive references (~5 min)
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

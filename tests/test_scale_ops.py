@@ -7,6 +7,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+# full-lane tier (r15, VERDICT r14 item 6): derived-corpus scale probes
+pytestmark = pytest.mark.slow
+
 from etl_covid19_brasil_spark.io import load_table
 from etl_covid19_brasil_spark.operators.bucketing import bucketed_join, write_bucketed
 from etl_covid19_brasil_spark.operators.skew import salted_join

@@ -123,6 +123,7 @@ def test_arbitrary_state_running_totals(spark, batch_events):
         q.stop()
 
 
+@pytest.mark.slow  # full-lane tier (r15): >10 s wall-clock
 def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     """Watermark discard semantics (SURVEY.md §2.9 late_data): once the
     watermark passes a window's end, a late row for it is dropped and the
@@ -351,6 +352,7 @@ def test_static_enrich_matches_batch(spark, stream_events, batch_events):
     )
 
 
+@pytest.mark.slow  # full-lane tier (r15): >10 s wall-clock
 def test_inactivity_timers_fire_and_are_correct(spark):
     """Event-time timers: sessions closed by the ABSENCE of events. The
     split replay advances the watermark across batches, so users idle for
@@ -494,6 +496,7 @@ def test_inactivity_timeout_pandas_state_fires_and_is_correct(spark):
         assert int(prefix["cents"].sum()) == row.value_cents
 
 
+@pytest.mark.slow  # full-lane tier (r15): >10 s wall-clock
 def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     """Stop/restart against the same checkpoint must resume from the
     recorded offsets: files processed before the stop are NOT reprocessed,
