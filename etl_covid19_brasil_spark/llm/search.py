@@ -41,8 +41,10 @@ SHAPE is cheapest):
   index per batch — on cluster-free geometry every sublinear scheme
   pays its recall decay for exactly this scan's cost (the lsh_topk
   docstring's information bound), and the batch amortizes the scan
-  across all its queries in ONE pass. A two-frame LSH bucket-meet is
-  the growth path if flat indexes must be probed sublinearly.
+  across all its queries in ONE pass. When BOTH sides are big and
+  sublinear is worth its recall trade, :func:`lsh_search` is the
+  opt-in two-frame LSH bucket meet (never a silent default — exact
+  plans exist for every regime).
 - **both sides big**: the cogrouped block-nested-loop
   (``_cogrouped_partials`` — index hash-tiled, queries hash-salted,
   no broadcast, no driver transit) + window merge, exactly
@@ -68,10 +70,17 @@ from pyspark.sql import DataFrame, Window
 
 from etl_covid19_brasil_spark.llm.ann import (
     TierRoute,
+    _BANDED_SCHEMA,
+    _bucket_topk_kernel,
+    _fanout_slices,
     _global_topk,
+    _planes,
     _sliced_cell_rows,
+    _TARGET_BUCKET_ROWS,
     _TARGET_CELL_QUERY_ROWS,
     auto_n_cells,
+    auto_n_tables,
+    derive_n_tables,
     kmeans_lloyd,
     pick_ann_tier,
     pick_probe_strategy,
@@ -361,3 +370,150 @@ def ann_search(
         TOPK_SCHEMA,
     )
     return _rerank_global(local, k)
+
+
+def lsh_search(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int | None = None,
+    n_index: int | None = None,
+) -> DataFrame:
+    """Two-frame LSH bucket meet — the SUBLINEAR tier for a FLAT big
+    index when the query side is ALSO big (the regime where both exact
+    plans lose: the broadcast-query scan needs the batch to fit a
+    broadcast, and the cogrouped BNL's kernel work is n_q x n_idx).
+
+    Never a silent default (house mis-route discipline: approximate
+    tiers are opt-in where an exact plan exists): :func:`ann_search`
+    stays exact on flat routes; callers with a big-batch/big-index flat
+    workload call this form directly and get the lsh_topk recall
+    envelope (flat 8x ~0.93 measured for the self-join form; the
+    two-frame recall floor is pinned in tests/test_ann_search.py).
+
+    Shape: the INDEX side emits one signature row per table (its own
+    bucket only — index rows never probe); the QUERY side emits the
+    signature plus the capped d=1 multi-probe fan, exactly
+    ``lsh_topk``'s banding semantics split across two frames. One hash
+    shuffle on (table, bucket, salt); per-bucket Arrow kernel; global
+    window top-k. Plane count derives from the INDEX size (expected
+    bucket size ~constant), the table count from the index's measured
+    neighbor angles (:func:`~.ann.derive_n_tables` over the shared
+    shape sample — clustered indexes come out at the floor), and hot
+    buckets split their query side across salts with index replicas,
+    the same skew discipline as every bucketed kernel in the engine."""
+    import math
+
+    from etl_covid19_brasil_spark.llm.ann import _sample_matrix
+
+    spark = index.sparkSession
+    # Exact counts, not plan statistics, when the caller gives no hint:
+    # unlike the tier choices (performance-only — any tier is correct),
+    # the plane count is RECALL-BEARING, and Catalyst's estimate on a
+    # filtered/cached frame overshoots by orders of magnitude (measured:
+    # the 8x split estimated ~10^6 for 15,200 rows, deriving P=12 whose
+    # 4-bit probe fan collapsed recall to 0.37 vs 0.92 at the true P=6).
+    # The same overshoot on n_q would derive ~100 query salts and
+    # replicate the index 100x. Two count() jobs are the documented
+    # construction cost; pass both hints for the pure-lazy form.
+    n_idx = n_index if n_index is not None else index.count()
+    n_q = n_queries if n_queries is not None else queries.count()
+    sample = _sample_matrix(index, id_col, vec_col)
+    if sample is None:
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+    dim = sample.shape[1]
+    p_n = max(4, math.ceil(math.log2(max(2, n_idx / _TARGET_BUCKET_ROWS))))
+    t_n = (
+        derive_n_tables(sample, p_n, dim).n_tables
+        if p_n > 4
+        else auto_n_tables(p_n)
+    )
+    planes = _planes(t_n, p_n, dim)
+    bc = spark.sparkContext.broadcast(planes)
+    n_flips = min(p_n, 4)
+    fan = 1 + n_flips
+    # expected per-(tbl, bucket) query rows = n_q * fan / 2^P; salt hot
+    # buckets' query sides so no applyInPandas group outgrows the Arrow
+    # budget (the lsh_topk q_salts discipline, derived not assumed)
+    s_n = max(1, -(-n_q * fan // ((1 << p_n) * _TARGET_CELL_QUERY_ROWS)))
+
+    def _codes(pl, mat):
+        t, p = pl.shape[0], pl.shape[1]
+        proj = (mat @ pl.reshape(t * p, -1).T).reshape(len(mat), t, p)
+        weights = (1 << np.arange(p)).astype(np.int64)
+        return proj, ((proj > 0) * weights).sum(axis=2).astype(np.int32)
+
+    def sign_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        t = pl.shape[0]
+        sliced = (
+            sub for whole in batches for sub in _fanout_slices(whole, t * s_n)
+        )
+        for pdf in sliced:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            _, buckets = _codes(pl, mat)  # (n, T)
+            rows = t * s_n
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(ids, rows),
+                    "vec": list(np.repeat(mat, rows, axis=0)),
+                    "tbl": np.tile(
+                        np.repeat(np.arange(t, dtype=np.int32), s_n), len(ids)
+                    ),
+                    "bucket": np.repeat(buckets.reshape(-1), s_n),
+                    "is_index": np.ones(len(ids) * rows, dtype=np.int32),
+                    "qs": np.tile(np.arange(s_n, dtype=np.int32), len(ids) * t),
+                    "qrole": np.zeros(len(ids) * rows, dtype=np.int32),
+                }
+            )
+
+    def sign_query(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        t = pl.shape[0]
+        sliced = (
+            sub for whole in batches for sub in _fanout_slices(whole, t * fan)
+        )
+        for pdf in sliced:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj, buckets = _codes(pl, mat)
+            probes = buckets[:, :, None]
+            if n_flips:
+                least = np.argsort(np.abs(proj), axis=2)[:, :, :n_flips]
+                flips = buckets[:, :, None] ^ (1 << least).astype(np.int32)
+                probes = np.concatenate([probes, flips], axis=2)  # (n, T, fan)
+            rows = t * fan
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(ids, rows),
+                    "vec": list(np.repeat(mat, rows, axis=0)),
+                    "tbl": np.tile(
+                        np.repeat(np.arange(t, dtype=np.int32), fan), len(ids)
+                    ),
+                    "bucket": probes.reshape(-1),
+                    "is_index": np.zeros(len(ids) * rows, dtype=np.int32),
+                    "qs": np.repeat((ids % s_n).astype(np.int32), rows),
+                    "qrole": np.ones(len(ids) * rows, dtype=np.int32),
+                }
+            )
+
+    banded = (
+        _spread(index.select(id_col, vec_col))
+        .mapInPandas(sign_index, schema=_BANDED_SCHEMA)
+        .unionByName(
+            _spread(queries.select(id_col, vec_col)).mapInPandas(
+                sign_query, schema=_BANDED_SCHEMA
+            )
+        )
+    )
+    local = banded.groupBy("tbl", "bucket", "qs").applyInPandas(
+        _bucket_topk_kernel(k), schema="query_id long, neighbor_id long, cosine double"
+    )
+    return _global_topk(local, k)

@@ -4992,3 +4992,30 @@ def ann_search_ivf(spark: SparkSession, sf: str) -> DataFrame:
     cents = kmeans_lloyd(i, k=16, iters=3)
     route = TierRoute("ivf", MAX_INDEX_ROWS + 1, 0, None, centroids=cents)
     return ann_search(q, i, k=5, route=route, n_index=MAX_INDEX_ROWS + 1)
+
+
+@query(
+    "ann_search_lsh",
+    oracle=None,  # LSH bucket meet -> rows-only; recall floor pinned
+    # at the 8x split in tests/test_ann_search.py
+    section="2.10",
+    doc="ann_search's SUBLINEAR tier for flat big indexes when the query "
+    "side is also big (llm/search.py:lsh_search — the regime where the "
+    "broadcast-query scan can't hold the batch and the cogrouped BNL's "
+    "kernel work is n_q x n_idx): index rows emit one signature per "
+    "table, query rows add the capped d=1 multi-probe fan (lsh_topk's "
+    "banding semantics split across two frames), one (table, bucket, "
+    "salt) shuffle, per-bucket Arrow kernel, global window top-k. Plane "
+    "count derives from the EXACT index count (recall-bearing knob — "
+    "plan-statistic overshoot on a filtered frame measured P=12 instead "
+    "of 6 and collapsed recall 0.92 -> 0.37), table count from the "
+    "index's measured neighbor angles. Opt-in, never a silent default: "
+    "exact plans exist for every other regime. 8x flat split recall "
+    "0.959 vs exact (floor 0.85 pinned).",
+    added=15,
+)
+def ann_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.search import lsh_search
+
+    q, i = _ann_search_split(spark, sf)
+    return lsh_search(q, i, k=5)

@@ -187,3 +187,59 @@ def test_ann_search_empty_query_batch(spark):
     e = load_table(spark, SF, "embeddings")
     q = e.filter("vec_id < 0")
     assert ann_search(q, e, k=5).count() == 0
+
+
+def test_lsh_search_recall_floor_on_gate_split(spark):
+    """Two-frame LSH bucket meet at gate scale (P=4 floor, exhaustive
+    d=1 fan): recall vs the exact split reference — measured 0.976."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.search import ann_search, lsh_search
+
+    e = load_table(spark, SF, "embeddings")
+    q, i = e.filter("vec_id % 20 = 0"), e.filter("vec_id % 20 <> 0")
+    ref = {(r["query_id"], r["neighbor_id"]) for r in ann_search(q, i, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in lsh_search(q, i, k=5).collect()}
+    r = len(got & ref) / len(ref)
+    print(f"lsh_search gate split recall: {r:.3f}")
+    assert r >= 0.9, f"two-frame LSH gate recall collapsed: {r:.3f}"
+
+
+@pytest.mark.slow  # full-lane tier: 8x corpus build + exact reference
+def test_lsh_search_recall_floor_at_8x_flat(spark):
+    """The tier's quality gate at the scale it exists for: 8x flat
+    (16,000 dimension-rolled vectors, split 800 queries / 15,200
+    index), derived P=6 / T=11, recall vs the exact reference —
+    measured 0.959. Also the regression pin for the recall-bearing
+    count fix: deriving P from Catalyst's filtered-frame estimate
+    instead of the exact count measured P=12 and recall 0.367."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.scale_check import build_scaled_dir
+
+    import pyspark.sql.functions as F
+    import shutil
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.search import ann_search, lsh_search
+
+    path = build_scaled_dir(spark, 8)
+    try:
+        emb = load_table(spark, path, "embeddings").cache()
+        emb.count()
+        q = emb.filter(F.col("vec_id") % 20 == 0)
+        i = emb.filter(F.col("vec_id") % 20 != 0)
+        ref = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_search(q, i, k=5, n_index=i.count()).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"]) for r in lsh_search(q, i, k=5).collect()
+        }
+        r = len(got & ref) / len(ref)
+        print(f"lsh_search 8x flat split recall: {r:.3f}")
+        assert r >= 0.85, f"two-frame LSH 8x recall collapsed: {r:.3f}"
+        emb.unpersist()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
