@@ -28,10 +28,12 @@ SHAPE is cheapest):
   (trained 3-iter Lloyd, or the centroids carried by a
   ``prepare_ann_route`` handle), query rows fan to their ``n_probe``
   nearest cells, exact in-cell scoring (the measured winner on
-  clustered shapes — the ADC/PQ two-frame variant is the documented
-  growth path for indexes whose VECTORS can't afford the shuffle),
-  global window top-k. Per-query work is n_probe x ~constant cell
-  size, independent of index size.
+  clustered shapes), global window top-k. Per-query work is n_probe x
+  ~constant cell size, independent of index size. Under a declared
+  ``index_budget_bytes`` the ivfpq route takes :func:`_ivfpq_search`
+  instead: the index side shuffles only m-byte residual codes (64x
+  smaller than the vectors — the thing the budget bought), ADC
+  scoring + global rerank pool + exact-cosine rerank join.
 - **flat big index** (``pick_ann_tier`` → lsh): the honest answer for
   a SEPARATE small query batch is the broadcast-query exact scan —
   queries broadcast once (bounded: <= _EXACT_TIER_MAX rows), the index
@@ -302,6 +304,190 @@ def _ivf_search(
     return _global_topk(local, k)
 
 
+def _ivfpq_search(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    cent_mat: np.ndarray,
+    n_probe: int,
+    n_q: int,
+    m: int = 8,
+    pq_k: int = 256,
+) -> DataFrame:
+    """Budget-bound clustered big index: the two-frame IVF-PQ meet —
+    the INDEX side shuffles only (cell, vid, m codes) rows (64x smaller
+    than raw float64 vectors — the regime the caller's
+    ``index_budget_bytes`` declared), queries fan to their probe cells
+    with full vectors, per-cell ADC scoring against the broadcast
+    codebooks, a global per-query WindowGroupLimit rerank pool, and
+    only pool survivors join back to exact vectors for the final
+    cosine top-k — ``ivfpq_topk``'s faiss layout with the two sides
+    split. This tier is only routed on MEASURED-CLUSTERED indexes
+    (pick_ann_tier), so codes are residual-to-centroid and the pool
+    takes the tight default ``_TIGHT_RERANK * n_probe`` — the 8x
+    clustered self-join sweep measured 0.989 at that width."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        _adc_emission_depth,
+        _adc_scores,
+        _TIGHT_RERANK,
+        pq_train,
+    )
+    from etl_covid19_brasil_spark.llm.similarity import _ordered_dot
+
+    spark = index.sparkSession
+    n_cells = len(cent_mat)
+    books = pq_train(
+        index, m=m, k=pq_k, id_col=id_col, vec_col=vec_col,
+        centroids=cent_mat, normalize=True,
+    )
+    rerank = _TIGHT_RERANK * max(1, n_probe)
+    emit_rows = _adc_emission_depth(k, rerank, n_probe, n_cells, tight_cells=True)
+    s_n = max(1, -(-n_q * n_probe // max(1, n_cells * _TARGET_CELL_QUERY_ROWS)))
+    bc_c = spark.sparkContext.broadcast(cent_mat)
+    bc_b = spark.sparkContext.broadcast(books)
+
+    assign_schema = (
+        "cell int, vid long, vec array<double>, codes array<int>, qs int, "
+        "is_index int"
+    )
+
+    def assign_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat, bks = bc_c.value, bc_b.value
+        mm, _, sub = bks.shape
+        sliced = (s for whole in batches for s in _fanout_slices(whole, s_n))
+        for pdf in sliced:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            home = _sliced_cell_rows(lambda s: np.argmax(s, axis=1), mat, cmat)
+            res = mat - cmat[home]  # residual codes (clustered-only tier)
+            codes = np.empty((len(mat), mm), dtype=np.int32)
+            for j in range(mm):
+                x = res[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(home.astype(np.int32), s_n),
+                    "vid": np.repeat(ids, s_n),
+                    "vec": [None] * (len(ids) * s_n),
+                    "codes": list(np.repeat(codes, s_n, axis=0)),
+                    "qs": np.tile(np.arange(s_n, dtype=np.int32), len(ids)),
+                    "is_index": np.ones(len(ids) * s_n, dtype=np.int32),
+                }
+            )
+
+    def assign_query(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat = bc_c.value
+        sliced = (s for whole in batches for s in _fanout_slices(whole, n_probe))
+        for pdf in sliced:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            probed = _sliced_cell_rows(
+                lambda s: np.argsort(-s, axis=1)[:, :n_probe], mat, cmat
+            )
+            yield pd.DataFrame(
+                {
+                    "cell": probed.reshape(-1).astype(np.int32),
+                    "vid": np.repeat(ids, n_probe),
+                    "vec": list(np.repeat(mat, n_probe, axis=0)),
+                    "codes": [None] * (len(ids) * n_probe),
+                    "qs": np.repeat((ids % s_n).astype(np.int32), n_probe),
+                    "is_index": np.zeros(len(ids) * n_probe, dtype=np.int32),
+                }
+            )
+
+    assigned = (
+        index.select(id_col, vec_col)
+        .mapInPandas(assign_index, schema=assign_schema)
+        .unionByName(
+            queries.select(id_col, vec_col).mapInPandas(
+                assign_query, schema=assign_schema
+            )
+        )
+    )
+
+    def _adc_block(q_ids, q_mat, i_ids, i_codes, cent) -> pd.DataFrame:
+        # residual layout: the LUT gather yields dot(q, x) - dot(q, c);
+        # restore the per-(query, cell) term so scores are cross-cell
+        # comparable in the global pool (the ivfpq_topk r13 invariant)
+        scores = _adc_scores(q_mat, i_codes, bc_b.value)
+        scores = scores + _ordered_dot(q_mat, cent[None, :])[:, None]
+        scores[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        take = min(emit_rows, len(i_ids))
+        order = np.lexsort(
+            (np.broadcast_to(i_ids, scores.shape), -scores), axis=-1
+        )[:, :take]
+        got = np.take_along_axis(scores, order, axis=1).reshape(-1)
+        keep = got > -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, take)[keep],
+                "neighbor_id": i_ids[order].reshape(-1)[keep],
+                "score": got[keep],
+            }
+        )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "score": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "score": "float64"})
+        idx = pdf[pdf["is_index"] == 1]
+        qry = pdf[pdf["is_index"] == 0]
+        if idx.empty or qry.empty:
+            return empty
+        cent = bc_c.value[int(pdf["cell"].iloc[0])]
+        return _by_query_chunks(
+            _adc_block,
+            qry["vid"].to_numpy(dtype=np.int64),
+            np.stack(qry["vec"].to_numpy()),
+            idx["vid"].to_numpy(dtype=np.int64),
+            np.stack(idx["codes"].to_numpy()),
+            cent,
+        )
+
+    local = assigned.groupBy("cell", "qs").applyInPandas(
+        cell_topk, schema="query_id long, neighbor_id long, score double"
+    )
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        local.withColumn("__pr", F.row_number().over(pool_w))
+        .filter(F.col("__pr") <= k * rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+    @F.pandas_udf("double")
+    def _exact_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        am = _normalize(np.stack(a.to_numpy()))
+        bm = _normalize(np.stack(b.to_numpy()))
+        return pd.Series(_ordered_dot(am, bm))
+
+    nbr = index.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nvec"))
+    qry = queries.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec"))
+    exact = (
+        cand.join(nbr, cand["neighbor_id"] == nbr["__nid"])
+        .join(qry, cand["query_id"] == qry["__qid"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            _exact_cos("__qvec", "__nvec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_search(
     queries: DataFrame,
     index: DataFrame,
@@ -349,6 +535,13 @@ def ann_search(
             pick_probe_strategy(index, cent_mat, id_col, vec_col).n_probe,
             len(cent_mat),
         )
+        if route.tier == "ivfpq":
+            # the byte budget that chose this tier means the index side
+            # must ship m-byte codes, not full vectors (the self-join
+            # ADVICE r14 lesson applied to the two-frame form)
+            return _ivfpq_search(
+                queries, index, k, id_col, vec_col, cent_mat, n_probe, n_q
+            )
         return _ivf_search(
             queries, index, k, id_col, vec_col, cent_mat, n_probe, n_q
         )

@@ -5019,3 +5019,30 @@ def ann_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     q, i = _ann_search_split(spark, sf)
     return lsh_search(q, i, k=5)
+
+
+@query(
+    "ann_search_pq",
+    oracle=None,  # compressed-index ADC tier -> rows-only; recall floor
+    # at the 8x clustered split pinned in tests/test_ann_search.py
+    section="2.10",
+    doc="ann_search's BUDGET tier forced at gate scale (trained 16-cell "
+    "handle + an unbounded-index hint on the ivfpq route): the two-frame "
+    "IVF-PQ meet (llm/search.py:_ivfpq_search) — the index side shuffles "
+    "only (cell, vid, 8 residual byte-codes) rows, 64x smaller than raw "
+    "float64 vectors (the regime a declared index_budget_bytes names), "
+    "queries fan to probe cells with full vectors, per-cell ADC scoring "
+    "against broadcast codebooks with the cross-cell term restored, a "
+    "global per-query WindowGroupLimit rerank pool, exact-cosine rerank "
+    "join for the pool survivors only. The faiss IVF-PQ serving layout "
+    "split across two frames.",
+    added=15,
+)
+def ann_search_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    q, i = _ann_search_split(spark, sf)
+    cents = kmeans_lloyd(i, k=16, iters=3)
+    route = TierRoute("ivfpq", MAX_INDEX_ROWS + 1, 0, None, centroids=cents)
+    return ann_search(q, i, k=5, route=route, n_index=MAX_INDEX_ROWS + 1)

@@ -243,3 +243,28 @@ def test_lsh_search_recall_floor_at_8x_flat(spark):
         emb.unpersist()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.mark.slow  # full-lane tier: Lloyd + PQ train on a 4k corpus
+def test_ann_search_pq_recall_floor_on_clustered_split(spark):
+    """The budget tier's quality gate: two-frame IVF-PQ (residual byte
+    codes on the index shuffle, global rerank pool, exact-cosine rerank
+    join) on the 8-anchor clustered split — the only shape the tier is
+    routed on. Measured 1.0 at 4000 x 64; pin a conservative floor so a
+    broken codebook/pool/rerank stage fails loudly."""
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    q, i, (q_ids, q_mat, i_ids, i_mat) = _split_frames(spark, 4000, 64, seed=61)
+    cents = kmeans_lloyd(i, k=16, iters=3)
+    route = TierRoute("ivfpq", MAX_INDEX_ROWS + 1, 64, None, centroids=cents)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search(
+            q, i, k=5, route=route, n_index=MAX_INDEX_ROWS + 1
+        ).collect()
+    }
+    truth = _truth_two_frame(q_ids, q_mat, i_ids, i_mat, k=5)
+    r = len(got & truth) / len(truth)
+    print(f"ann_search two-frame ivfpq clustered split recall: {r:.3f}")
+    assert r >= 0.9, f"two-frame IVF-PQ recall collapsed: {r:.3f}"
