@@ -5046,3 +5046,72 @@ def ann_search_pq(spark: SparkSession, sf: str) -> DataFrame:
     cents = kmeans_lloyd(i, k=16, iters=3)
     route = TierRoute("ivfpq", MAX_INDEX_ROWS + 1, 0, None, centroids=cents)
     return ann_search(q, i, k=5, route=route, n_index=MAX_INDEX_ROWS + 1)
+
+
+@query(
+    "decontaminate_embedding_cross",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_O_NORMED} AS ne FROM embeddings),
+    q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+    i AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+    sims AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+             {_O_NDOT.format(a='q.ne', b='i.ne')} AS cosine
+      FROM q JOIN i ON q.vec_id <> i.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ),
+    hits AS (
+      SELECT query_id, neighbor_id, cosine FROM ranked
+      WHERE rank <= 5 AND cosine >= 0.3
+    )
+    SELECT train_id, n_eval_hits, max_cosine, top_eval_id FROM (
+      SELECT neighbor_id AS train_id, cosine AS max_cosine,
+             query_id AS top_eval_id,
+             CAST(COUNT(*) OVER (PARTITION BY neighbor_id) AS BIGINT)
+               AS n_eval_hits,
+             ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                ORDER BY cosine DESC, query_id ASC) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """,
+    section="2.10",
+    doc="Semantic eval-set decontamination across a train/eval split — "
+    "the embedding-space twin of decontaminate_ngram_overlap, composed "
+    "on ann_search: every train-split vector that appears in ANY "
+    "eval-split vector's top-5 with cosine >= 0.3 is flagged with its "
+    "hit count, best cosine and the eval id that found it (the docs a "
+    "training pipeline must drop or audit before evals mean anything). "
+    "Exact at gate scale (ann_search's bounded tier — cosines "
+    "bit-identical to the oracle, proven by ann_search_topk's hash "
+    "match); above the bound the same call inherits the routed tiers "
+    "and their pinned recall floors. One skinny window pass over the "
+    "top-k stream; no new shuffle class.",
+    added=15,
+)
+def decontaminate_embedding_cross(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    q, i = _ann_search_split(spark, sf)
+    res = ann_search(q, i, k=5).filter(F.col("cosine") >= 0.3)
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("cosine"), F.asc("query_id")
+    )
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_eval_hits",
+            F.count(F.lit(1)).over(Window.partitionBy("neighbor_id")).cast("long"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("neighbor_id").alias("train_id"),
+            "n_eval_hits",
+            F.col("cosine").alias("max_cosine"),
+            F.col("query_id").alias("top_eval_id"),
+        )
+    )
