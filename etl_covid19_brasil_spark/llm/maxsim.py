@@ -176,6 +176,7 @@ def maxsim_topk(
     n_planes: int = 8,
     cand_k: int = 64,
     est_tokens: int | None = None,
+    query_docs: "DataFrame | None" = None,
 ) -> DataFrame:
     """MaxSim top-``k`` docs per query doc over a (doc_id, token) frame.
 
@@ -186,7 +187,18 @@ def maxsim_topk(
     LSH token-bucket prefilter above it. Explicit True/False pins the
     form (the registered queries pin scan for the oracle and prefilter
     for the growth-path row). Output schema is identical either way:
-    (query_doc, doc_id, maxsim, rank)."""
+    (query_doc, doc_id, maxsim, rank).
+
+    ``query_docs``: the DOCUMENT-table frame (any frame with a
+    ``doc_id`` column) the first ``n_query_docs`` query ids are drawn
+    from. Pass the document table itself so the selection matches the
+    oracle's ``SELECT doc_id FROM documents ORDER BY doc_id LIMIT n``
+    even when a doc among the first n has NULL/empty text — such a doc
+    yields no token rows, and drawing from the exploded token stream
+    would silently promote the (n+1)-th doc into the query set (ADVICE
+    r15). A tokenless query doc simply produces no result rows, same as
+    the oracle. ``None`` keeps the token-stream draw for callers that
+    only have the token frame."""
     from etl_covid19_brasil_spark.llm.similarity import _estimate_rows
 
     toks = (
@@ -198,7 +210,8 @@ def maxsim_topk(
         .drop("rn")
     )
     comp = toks.withColumn("vec", token_vec(F.col("token")))
-    qd = toks.select("doc_id").distinct().orderBy("doc_id").limit(n_query_docs)
+    qd_src = toks if query_docs is None else query_docs
+    qd = qd_src.select("doc_id").distinct().orderBy("doc_id").limit(n_query_docs)
     qcomp = comp.join(qd, "doc_id").select(
         F.col("doc_id").alias("query_doc"),
         F.col("token").alias("q_token"),

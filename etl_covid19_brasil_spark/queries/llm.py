@@ -4699,8 +4699,11 @@ def rank_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
     # prefilter=False pins the exact scan form — the DuckDB-oracled
     # reference; the routed default takes it anyway below
-    # MAXSIM_SCAN_MAX_TOKENS
-    return maxsim_topk(toks, k=5, prefilter=False)
+    # MAXSIM_SCAN_MAX_TOKENS. query_docs=d: qdocs come from the
+    # DOCUMENT table like the oracle's, not the token stream (a
+    # NULL-text doc among the first 16 ids would otherwise shift the
+    # query set — ADVICE r15).
+    return maxsim_topk(toks, k=5, prefilter=False, query_docs=d)
 
 
 @query(
@@ -4729,7 +4732,7 @@ def rank_maxsim_prefiltered(spark: SparkSession, sf: str) -> DataFrame:
 
     d = T(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    return maxsim_topk(toks, k=5, prefilter=True)
+    return maxsim_topk(toks, k=5, prefilter=True, query_docs=d)
 
 
 @query(

@@ -79,6 +79,35 @@ def test_maxsim_prefilter_prunes_the_candidate_stream(spark):
     assert 0 < cand < full
 
 
+def test_maxsim_query_docs_follow_document_table_not_token_stream(spark):
+    """Oracle-contract pin (ADVICE r15): the oracle draws its 16 query
+    docs from the DOCUMENT table (`SELECT doc_id FROM documents ORDER BY
+    doc_id LIMIT 16`); a doc with NULL/empty text among the first 16 ids
+    yields no token rows, and drawing query docs from the exploded token
+    stream would silently promote the 17th doc into the query set. With
+    query_docs passed, the tokenless doc occupies its slot (producing no
+    result rows, same as the oracle) and the 17th doc stays out."""
+    import pandas as pd
+
+    from etl_covid19_brasil_spark.llm.maxsim import maxsim_topk
+
+    rows = []
+    for d in range(24):
+        if d == 3:  # NULL-text doc: present in documents, absent in toks
+            continue
+        for t in (f"alpha{d % 5}", f"beta{d % 7}", f"gamma{d}"):
+            rows.append((d, t))
+    toks = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "token"]))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(24))})
+    )
+    got = maxsim_topk(toks, k=3, n_query_docs=16, prefilter=False, query_docs=docs)
+    qset = {r["query_doc"] for r in got.select("query_doc").distinct().collect()}
+    assert 16 not in qset, "17th doc promoted into the query set"
+    assert 3 not in qset  # tokenless query doc scores nothing — like the oracle
+    assert qset == set(range(16)) - {3}
+
+
 def test_maxsim_routing_dispatches_on_token_volume(spark):
     """prefilter=None must route scan below MAXSIM_SCAN_MAX_TOKENS and
     prefilter above it (the est_tokens hint stands in for plan
