@@ -1904,6 +1904,13 @@ class TierRoute(NamedTuple):
     # tiers) amortizes instead of re-running per call. None on routes
     # from :func:`pick_ann_tier` (route-only, no training).
     centroids: "np.ndarray | None" = None
+    # Corpus size the handle's training saw (r16 — the append/staleness
+    # contract's reference point): set by :func:`prepare_ann_route`;
+    # :func:`ann_index_append` compares the grown corpus against it so
+    # repeated non-stale appends accumulate toward ONE growth bound
+    # instead of resetting it each call. 0 = untrained route
+    # (:func:`pick_ann_tier`), where n_est itself is the fallback base.
+    n_trained: int = 0
 
 
 def pick_ann_tier(
@@ -2006,6 +2013,7 @@ def prepare_ann_route(
     tests/test_ann_recall.py): every derivation downstream of the
     centroids is deterministic in them."""
     route = pick_ann_tier(embeddings, id_col, vec_col, index_budget_bytes)
+    route = route._replace(n_trained=route.n_est)
     if route.tier in ("ivf", "ivfpq"):
         cents = kmeans_lloyd(
             embeddings,
@@ -2016,6 +2024,134 @@ def prepare_ann_route(
         )
         return route._replace(centroids=cents)
     return route
+
+
+# Growth bound for the append/staleness contract (faiss retrain
+# guidance: an IVF index trained on n vectors serves well until the
+# corpus roughly doubles past its training size — beyond that, trained
+# cells average 2x their target occupancy and the per-cell kernels'
+# constant-size premise erodes). Measured against n_trained, so
+# repeated non-stale appends accumulate toward one bound.
+_RETRAIN_GROWTH = 2.0
+
+
+class AppendReport(NamedTuple):
+    n_delta: int  # exact rows appended this call
+    delta_tight_cos: float  # mean cos(delta vec, nearest trained cell); NaN if unmeasured
+    delta_top_mass: float  # delta mass in its fullest _PROBE_NUM cells; NaN if unmeasured
+    stale: bool  # True when the handle no longer fits the grown corpus
+    reason: str  # "" | "size" | "shape" | "tier-gate"
+
+
+def ann_index_append(
+    route: TierRoute,
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_budget_bytes: "int | None" = None,
+    retrain: bool = True,
+) -> "tuple[TierRoute, DataFrame, AppendReport]":
+    """Append a delta batch to a frozen :class:`TierRoute` handle — the
+    other half of the faiss serving contract next to
+    :func:`prepare_ann_route`'s ``train()`` (VERDICT r15 item 1:
+    ``index.add()`` + a measured retrain trigger).
+
+    Append itself is FREE in this engine's layout: the ivf/ivfpq
+    kernels assign every index row to its home trained cell per Arrow
+    batch at query time (no materialized inverted lists), so serving
+    the union is just ``ann_search(queries, base UNION delta,
+    route=handle)`` — new vectors land in the TRAINED cells with zero
+    re-Lloyd, and results on the unchanged prefix are byte-identical
+    (the centroids, probes and kernels are untouched; pinned in
+    tests/test_ann_lifecycle.py). What a production loop actually needs
+    from ``add()`` is the STALENESS question: when has the corpus grown
+    or drifted enough that the frozen handle mis-serves it? Two
+    measured triggers, each reusing the engine's own routing bounds:
+
+    - **size** (``n_base + n_delta > _RETRAIN_GROWTH * n_trained``):
+      ``auto_n_cells`` sized the quantizer so cells hold
+      ~_TARGET_CELL_ROWS rows; past ~2x growth every cell averages
+      double that and the constant-cell-size premise behind the probe
+      derivations erodes. This bound also caps hot-cell growth from
+      skewed deltas: a delta funneling into ONE trained cell can at
+      most double the corpus — and so that cell — before this trigger
+      forces a retrain, and the per-cell kernels are query-chunked
+      (:func:`~.similarity._by_query_chunks`) in the interim.
+    - **shape** (``delta_tight_cos < _TIGHT_CELL_COS``): the bounded
+      shape sample (same xxhash64-seeded, capped draw as
+      :func:`pick_probe_strategy`) re-measured on the DELTA against the
+      handle's trained centroids. The ivf/ivfpq tiers were routed
+      because assignment cosine cleared the engine's own clustered
+      threshold; a delta that lands BELOW it (off-distribution data —
+      a new modality, a new embedding model) would be served from
+      cells that don't resolve it, so the trigger fires at exactly the
+      threshold that would have routed it away from this tier.
+    - **tier-gate** (exact tier only): the union outgrew
+      ``_EXACT_TIER_MAX``, so the size gate that picked the exact tier
+      no longer holds.
+
+    The lsh tier carries no trained state (planes/tables derive per
+    call from exact counts), so its handle never goes stale — only
+    ``n_est`` advances.
+
+    When a trigger fires and ``retrain=True`` (default), the returned
+    handle is a fresh :func:`prepare_ann_route` over the union — the
+    retrain the trigger exists to demand; ``retrain=False`` returns the
+    grown-but-stale handle (still correct: every tier's mis-route
+    direction is compute/recall-envelope, never wrong answers) so
+    callers can schedule the rebuild themselves. Returns
+    ``(handle, union_frame, report)``; the one eager cost of a
+    non-stale append is ``delta.count()`` plus the bounded shape sample
+    — both on the DELTA, the small side by construction, never the
+    accumulated index (the 8x probe in SCALECHECK_r16 measures append
+    cost well under rebuild cost)."""
+    from etl_covid19_brasil_spark.llm.similarity import _normalize
+
+    union = base.unionByName(delta)
+    # exact count on the DELTA only — the bounded side of an append by
+    # construction (the accumulated index is never re-scanned)
+    n_delta = delta.count()
+    n_new = route.n_est + n_delta
+    n_ref = route.n_trained if route.n_trained > 0 else route.n_est
+    stale, reason = False, ""
+    d_tight, d_mass = float("nan"), float("nan")
+    if route.tier == "exact":
+        if n_new > _EXACT_TIER_MAX:
+            stale, reason = True, "tier-gate"
+    elif route.tier in ("ivf", "ivfpq") and route.centroids is not None:
+        if n_new > _RETRAIN_GROWTH * n_ref:
+            stale, reason = True, "size"
+        elif n_delta > 0:
+            pdf = (
+                delta.select(id_col, vec_col)
+                .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+                .limit(_OCCUPANCY_SAMPLE_CAP)
+                .toPandas()
+            )
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            packed = _sliced_cell_rows(
+                lambda s: np.stack(
+                    [np.argmax(s, axis=1), np.max(s, axis=1)], axis=1
+                ),
+                mat,
+                route.centroids,
+            )
+            d_tight = float(packed[:, 1].mean())
+            counts = np.bincount(
+                packed[:, 0].astype(np.int64), minlength=len(route.centroids)
+            )
+            d_mass = float(np.sort(counts)[::-1][:_PROBE_NUM].sum()) / len(mat)
+            if d_tight < _TIGHT_CELL_COS:
+                stale, reason = True, "shape"
+    report = AppendReport(n_delta, d_tight, d_mass, stale, reason)
+    if stale and retrain:
+        return (
+            prepare_ann_route(union, id_col, vec_col, index_budget_bytes),
+            union,
+            report,
+        )
+    return route._replace(n_est=n_new), union, report
 
 
 def ann_topk_auto(

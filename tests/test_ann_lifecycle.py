@@ -1,0 +1,249 @@
+"""Index lifecycle (VERDICT r15 item 1): ann_index_append's append +
+staleness contract on a frozen TierRoute handle — non-stale appends keep
+the trained state byte-for-byte (unchanged-prefix stability), the
+measured triggers (size growth, shape drift, exact-tier gate) fire at
+the engine's own routing bounds, and the served union holds the pinned
+recall floor. The append-cost-vs-rebuild-cost probe lives in
+scripts/append_probe.py (SCALECHECK_r16)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _unit(m):
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _clustered(
+    spark, n, dim, seed, id_start=0, anchors_n=8, noise=0.08, anchor_seed=99
+):
+    # anchors come from a SHARED seed so a (base, delta) pair drawn with
+    # different noise seeds is genuinely the same distribution
+    anchors = _unit(np.random.default_rng(anchor_seed).normal(size=(anchors_n, dim)))
+    rng = np.random.default_rng(seed)
+    vecs = _unit(
+        anchors[np.arange(n) % anchors_n] + noise * rng.normal(size=(n, dim))
+    ).astype(np.float64)
+    ids = np.arange(id_start, id_start + n, dtype=np.int64)
+    return (
+        spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+        ),
+        ids,
+        vecs,
+    )
+
+
+def _flat(spark, n, dim, seed, id_start=0):
+    rng = np.random.default_rng(seed)
+    vecs = _unit(rng.normal(size=(n, dim))).astype(np.float64)
+    ids = np.arange(id_start, id_start + n, dtype=np.int64)
+    return (
+        spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+        ),
+        ids,
+        vecs,
+    )
+
+
+def _truth(q_ids, q_mat, i_ids, i_mat, k=5) -> set:
+    sims = _unit(q_mat) @ _unit(i_mat).T
+    sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
+    out = set()
+    for r, qid in enumerate(q_ids):
+        order = np.lexsort((i_ids, -sims[r]))[:k]
+        out.update((int(qid), int(i_ids[j])) for j in order if sims[r, j] > -np.inf)
+    return out
+
+
+def test_append_in_distribution_delta_is_not_stale(spark):
+    """A delta drawn from the SAME anchor geometry as the trained base
+    must pass both staleness triggers: its assignment cosine clears the
+    clustered threshold and sub-2x growth stays under the size bound.
+    The handle's trained state must be untouched (same centroid array)
+    and n_est must advance by the exact delta count."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        TierRoute,
+        ann_index_append,
+        kmeans_lloyd,
+    )
+
+    base, _, _ = _clustered(spark, 1200, 32, seed=11)
+    delta, _, _ = _clustered(spark, 300, 32, seed=12, id_start=1200)
+    cents = kmeans_lloyd(base, k=16, iters=3)
+    route = TierRoute("ivf", 1200, 32, None, centroids=cents, n_trained=1200)
+    new_route, union, report = ann_index_append(route, base, delta)
+    assert not report.stale and report.reason == ""
+    assert report.n_delta == 300
+    assert report.delta_tight_cos > 0.5  # cleared the routing threshold
+    assert new_route.centroids is cents  # zero re-Lloyd
+    assert new_route.n_est == 1500 and new_route.n_trained == 1200
+    assert union.count() == 1500
+
+
+def test_append_unchanged_prefix_is_byte_stable(spark):
+    """Serving the BASE through the post-append handle must be
+    byte-identical to serving it through the pre-append handle: a
+    non-stale append changes bookkeeping (n_est), never trained state,
+    and every derivation downstream of the centroids is deterministic
+    in them."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        TierRoute,
+        ann_index_append,
+        kmeans_lloyd,
+    )
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    base, _, _ = _clustered(spark, 1200, 32, seed=21)
+    delta, _, _ = _clustered(spark, 300, 32, seed=22, id_start=1200)
+    q, i = base.filter("vec_id % 20 = 0"), base.filter("vec_id % 20 <> 0")
+    cents = kmeans_lloyd(i, k=16, iters=3)
+    route = TierRoute("ivf", 1140, 32, None, centroids=cents, n_trained=1140)
+    new_route, _, report = ann_index_append(route, i, delta)
+    assert not report.stale
+
+    def rows(r):
+        return sorted(
+            (x["query_id"], x["neighbor_id"], x["rank"], x["cosine"])
+            for x in ann_search(
+                q, i, k=5, route=r, n_index=MAX_INDEX_ROWS + 1
+            ).collect()
+        )
+
+    before, after = rows(route), rows(new_route)
+    assert before == after and len(before) > 0
+
+
+def test_append_shape_drift_triggers_retrain(spark):
+    """Off-distribution delta (flat random vectors against a handle
+    trained on 8-anchor clusters): the bounded shape sample measures
+    assignment cosine BELOW the engine's clustered-routing threshold —
+    the cells can't resolve the new data — and the shape trigger
+    fires."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        TierRoute,
+        ann_index_append,
+        kmeans_lloyd,
+    )
+
+    base, _, _ = _clustered(spark, 1200, 32, seed=31)
+    delta, _, _ = _flat(spark, 300, 32, seed=32, id_start=1200)
+    cents = kmeans_lloyd(base, k=16, iters=3)
+    route = TierRoute("ivf", 1200, 32, None, centroids=cents, n_trained=1200)
+    new_route, _, report = ann_index_append(route, base, delta, retrain=False)
+    assert report.stale and report.reason == "shape"
+    assert report.delta_tight_cos < 0.5
+    # retrain=False: the grown-but-stale handle is returned as-is
+    assert new_route.centroids is cents and new_route.n_est == 1500
+
+
+def test_append_size_growth_triggers_retrain(spark):
+    """Corpus growth past _RETRAIN_GROWTH x the TRAINING size fires the
+    size trigger even when the delta fits the trained geometry — and
+    the bound accumulates across appends (measured against n_trained,
+    not the post-append n_est)."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        TierRoute,
+        ann_index_append,
+        kmeans_lloyd,
+    )
+
+    base, _, _ = _clustered(spark, 900, 32, seed=41)
+    d1, _, _ = _clustered(spark, 500, 32, seed=42, id_start=900)
+    d2, _, _ = _clustered(spark, 500, 32, seed=43, id_start=1400)
+    cents = kmeans_lloyd(base, k=16, iters=3)
+    route = TierRoute("ivf", 900, 32, None, centroids=cents, n_trained=900)
+    route1, union1, rep1 = ann_index_append(route, base, d1)
+    assert not rep1.stale and route1.n_est == 1400
+    # second append crosses 2 x 900 = 1800 cumulatively
+    _, _, rep2 = ann_index_append(route1, union1, d2, retrain=False)
+    assert rep2.stale and rep2.reason == "size"
+
+
+def test_append_exact_tier_gate_retrains_to_a_routed_tier(spark):
+    """An exact-tier handle whose union outgrows _EXACT_TIER_MAX must
+    report tier-gate staleness, and retrain=True must hand back a
+    freshly routed handle over the union (clustered union -> ivf with
+    trained centroids and n_trained stamped)."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        _EXACT_TIER_MAX,
+        ann_index_append,
+        prepare_ann_route,
+    )
+
+    base, _, _ = _clustered(spark, 3000, 32, seed=51)
+    delta, _, _ = _clustered(
+        spark, _EXACT_TIER_MAX - 3000 + 500, 32, seed=52, id_start=3000
+    )
+    route = prepare_ann_route(base.cache())
+    # a 3000-row local relation estimates over the exact gate only if
+    # statistics overshoot; pin the premise with the count fallback
+    if route.tier != "exact":
+        route = route._replace(tier="exact", n_est=3000, n_trained=3000,
+                               centroids=None)
+    new_route, union, report = ann_index_append(route, base, delta)
+    assert report.stale and report.reason == "tier-gate"
+    assert new_route.tier in ("ivf", "lsh")
+    assert new_route.n_trained > 0
+    if new_route.tier == "ivf":
+        assert new_route.centroids is not None
+    base.unpersist()
+
+
+def test_append_lsh_handle_only_grows(spark):
+    """The lsh tier carries no trained state (planes/tables derive per
+    call from exact counts) — its handle never reports stale; only the
+    size bookkeeping advances."""
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, ann_index_append
+
+    base, _, _ = _flat(spark, 800, 16, seed=61)
+    delta, _, _ = _flat(spark, 5000, 16, seed=62, id_start=800)
+    route = TierRoute("lsh", 800, 16, None, n_trained=800)
+    new_route, _, report = ann_index_append(route, base, delta)
+    assert not report.stale and report.reason == ""
+    assert new_route.tier == "lsh" and new_route.n_est == 5800
+
+
+@pytest.mark.slow  # full-lane tier: Lloyd + two-frame truth at 8x-ish size
+def test_append_then_search_holds_recall_floor_on_union(spark):
+    """The 'done' condition: append -> ann_search over the UNION holds
+    the routed ivf tier's recall floor (>= 0.9 on the clustered shape)
+    for queries against a handle that never saw the delta at training
+    time — in-distribution growth is served by trained-cell assignment
+    alone."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        TierRoute,
+        ann_index_append,
+        kmeans_lloyd,
+    )
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    base, b_ids, b_vecs = _clustered(spark, 3200, 64, seed=71)
+    delta, d_ids, d_vecs = _clustered(spark, 800, 64, seed=72, id_start=3200)
+    q, i = base.filter("vec_id % 20 = 0"), base.filter("vec_id % 20 <> 0")
+    cents = kmeans_lloyd(i, k=16, iters=3)
+    route = TierRoute("ivf", 3040, 64, None, centroids=cents, n_trained=3040)
+    new_route, union, report = ann_index_append(route, i, delta)
+    assert not report.stale
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search(
+            q, union, k=5, route=new_route, n_index=MAX_INDEX_ROWS + 1
+        ).collect()
+    }
+    qm = b_ids % 20 == 0
+    im = ~qm
+    u_ids = np.concatenate([b_ids[im], d_ids])
+    u_vecs = np.concatenate([b_vecs[im], d_vecs])
+    truth = _truth(b_ids[qm], b_vecs[qm], u_ids, u_vecs, k=5)
+    r = len(got & truth) / len(truth)
+    print(f"post-append union recall: {r:.3f}")
+    assert r >= 0.9, f"post-append recall collapsed: {r:.3f}"
+    # delta rows are genuinely served: some appear among the neighbors
+    assert any(nid >= 3200 for _, nid in got)
