@@ -760,3 +760,103 @@ def run_foreach_batch_upsert(
     return spark.read.parquet(str(final)).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
+
+
+def run_stream_ann_enrich(
+    spark: SparkSession,
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    n_files: int = 3,
+    timeout_seconds: float = 180.0,
+    route=None,
+    order_col: str = "vec_id",
+    n_index: int | None = None,
+) -> "tuple[DataFrame, int]":
+    """Online semantic enrich: stream a query-embedding feed as
+    micro-batches against a FROZEN index handle — the first composition
+    of the streaming tier with the two-frame retrieval surface (VERDICT
+    r15 item 2), and the serving loop an online semantic-dedup /
+    contamination-gate / retrieval-enrich pipeline runs: embeddings
+    arrive continuously, the index and its trained route are built once
+    (``prepare_ann_route``), and every micro-batch is just
+    ``ann_search(batch, index, route=handle)`` inside ``foreachBatch``
+    — ordinary batch code per trigger, so the whole ann_search tier
+    menu (and its plan pins) applies unchanged per batch.
+
+    Correctness is oracle-grade, not merely plausible: per-query top-k
+    is independent across queries, so the union of per-batch results is
+    EXACTLY the batch ``ann_search`` over all queries at the exact
+    tiers — any micro-batch split commutes with the operator. That is
+    the invariant that makes streaming retrieval correct under replay,
+    and it is what the registered query's DuckDB oracle checks.
+
+    Handle amortization is the point of the composition: the route (and
+    on ivf tiers the trained centroids) is constructed BEFORE the
+    stream starts and reused by every trigger — no per-batch Lloyd, no
+    per-batch routing jobs (asserted by monkeypatch-tripwire in
+    tests/test_ann_lifecycle.py). ``route=None`` builds it here via
+    :func:`~etl_covid19_brasil_spark.llm.ann.prepare_ann_route`.
+
+    Returns ``(results, n_batches)`` — results read back from the
+    append-mode parquet sink, plus the number of micro-batches the
+    replay actually executed (the reuse claim needs >= 2)."""
+    from etl_covid19_brasil_spark.llm.ann import prepare_ann_route
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    if route is None:
+        route = prepare_ann_route(index)
+    if n_index is None:
+        # one exact count at stream construction — pinned so every
+        # trigger makes the same tier decision (a per-batch estimate
+        # could flap tiers mid-stream); caller hint skips the job
+        n_index = index.count()
+
+    # stage the query feed as n_files ordered slices (the
+    # file_replay_stream_split rig — fixture-only; production feeds
+    # arrive from Kafka/files and are never re-staged)
+    stage = Path(tempfile.mkdtemp(prefix="ann_enrich_stream_"))
+    sliced = queries.withColumn(
+        "__slice", F.ntile(n_files).over(Window.orderBy(order_col))
+    )
+    for i in range(1, n_files + 1):
+        tmp_i = stage / f"_tmp_{i}"
+        (
+            sliced.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.parquet(str(tmp_i))
+        )
+        part = next(Path(tmp_i).glob("part-*.parquet"))
+        part.rename(stage / f"slice_{i - 1:03d}.parquet")
+        shutil.rmtree(tmp_i)
+
+    schema = spark.read.parquet(str(stage / "slice_000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    out_dir = Path(tempfile.mkdtemp(prefix="ann_enrich_out_")) / "res"
+    seen = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen["n"] += 1
+        # ordinary batch retrieval per trigger, same frozen handle each
+        # time; the append sink is idempotent enough for availableNow
+        # replay of a fixture (production would key files by batch_id)
+        ann_search(batch_df, index, k=k, route=route, n_index=n_index).write.mode(
+            "append"
+        ).parquet(str(out_dir))
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError("ann enrich replay did not finish")
+    return spark.read.parquet(str(out_dir)), seen["n"]

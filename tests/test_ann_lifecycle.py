@@ -210,6 +210,62 @@ def test_append_lsh_handle_only_grows(spark):
     assert new_route.tier == "lsh" and new_route.n_est == 5800
 
 
+def test_stream_ann_enrich_live_twin_matches_batch(spark):
+    """The streaming x ann_search composition (VERDICT r15 item 2): the
+    readStream micro-batch replay through run_stream_ann_enrich must
+    equal the whole-batch ann_search over the same split (per-query
+    top-k commutes with any batch split), and the replay must actually
+    execute >= 2 micro-batches — otherwise the handle-reuse claim is
+    vacuous."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.search import ann_search
+    from etl_covid19_brasil_spark.streaming.jobs import run_stream_ann_enrich
+
+    e = load_table(spark, SF, "embeddings")
+    q, i = e.filter("vec_id % 20 = 0"), e.filter("vec_id % 20 <> 0")
+    res, n_batches = run_stream_ann_enrich(spark, q, i, k=5, n_files=3)
+    assert n_batches >= 2, f"replay ran in {n_batches} micro-batch(es)"
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in df.collect()
+        )
+
+    assert rows(res) == rows(ann_search(q, i, k=5)) and res.count() > 0
+
+
+def test_stream_ann_enrich_never_retrains_per_batch(spark, monkeypatch):
+    """Handle-reuse tripwire: with a trained ivf handle passed in, NO
+    micro-batch may reach kmeans_lloyd — construction amortizes across
+    the stream's lifetime (the no-per-batch-Lloyd 'done' condition).
+    foreachBatch sinks run driver-side, so the tripwire sees every
+    trigger."""
+    import etl_covid19_brasil_spark.llm.search as search_mod
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS
+    from etl_covid19_brasil_spark.streaming.jobs import run_stream_ann_enrich
+
+    base, _, _ = _clustered(spark, 1500, 32, seed=81)
+    q = base.filter("vec_id % 20 = 0")
+    i = base.filter("vec_id % 20 <> 0")
+    cents = kmeans_lloyd(i, k=16, iters=3)
+    route = TierRoute(
+        "ivf", MAX_INDEX_ROWS + 1, 32, None, centroids=cents, n_trained=1425
+    )
+
+    def tripwire(*a, **k):
+        raise AssertionError("per-batch Lloyd: the frozen handle was ignored")
+
+    monkeypatch.setattr(search_mod, "kmeans_lloyd", tripwire)
+    # the unbounded n_index hint forces the routed ivf tier (the bounded
+    # exact tier would ignore the handle and make the tripwire vacuous)
+    res, n_batches = run_stream_ann_enrich(
+        spark, q, i, k=5, n_files=2, route=route, n_index=MAX_INDEX_ROWS + 1
+    )
+    assert n_batches >= 2 and res.count() > 0
+
+
 @pytest.mark.slow  # full-lane tier: Lloyd + two-frame truth at 8x-ish size
 def test_append_then_search_holds_recall_floor_on_union(spark):
     """The 'done' condition: append -> ann_search over the UNION holds
