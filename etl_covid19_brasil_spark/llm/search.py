@@ -746,3 +746,273 @@ def lsh_search(
         _bucket_topk_kernel(k), schema="query_id long, neighbor_id long, cosine double"
     )
     return _global_topk(local, k)
+
+
+def lsh_adc_search(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int | None = None,
+    n_index: int | None = None,
+    m: int = 16,
+    pq_k: int = 256,
+    rerank: int = 32,
+    bucket_emit: int | None = None,
+) -> DataFrame:
+    """LSH bucket meet with an ADC-coded index side — the BUDGET tier of
+    :func:`lsh_search` (VERDICT r15 item 3, closing what's-wrong #2).
+
+    The structural cost of the full-vector LSH tiers is that every
+    banded index row carries the float64 vector, so the one hash
+    shuffle replicates the index's vector bytes ``tables x salts``-fold
+    — at the r14 flat table cap (T up to 20) a 20x+ amplification, the
+    dominant shuffle at 100 TB. This form applies the
+    :func:`_ivfpq_search` pattern to the banding shuffle: the index
+    side ships (vid, m byte-codes) rows — for dim-64 float64 vectors
+    and m=16 that is 64 code bytes vs 512 vector bytes per banded row,
+    ~8x less vector payload (the (vid, tbl, bucket, salt) frame rides
+    both forms equally) — ADC scores rank candidates inside each
+    bucket, a global per-query WindowGroupLimit pool keeps the best
+    ``k * rerank`` pairs, and ONLY pool survivors join back to exact
+    vectors for the final cosine top-k. Codes are RAW (not residual):
+    this tier exists for the flat route, where residuals are larger
+    than the vectors and measured worse (the r12 pq_train calibration);
+    books train normalized to match the cosine encoder.
+
+    ``m``/``rerank`` defaults are the MEASURED knee at the 8x flat
+    split (recall vs the full-vector form): m=8 subspaces quantize
+    8-dim slices of near-random unit vectors too coarsely for the flat
+    regime's thin cosine margins (rerank 32: 0.873; even rerank 64
+    only 0.951), while m=16 (4-dim slices) holds 0.986 at rerank 16
+    and 0.999 at rerank 32 for the same wall-clock — so the defaults
+    take the 16/32 point and keep ~8x of the byte saving.
+
+    The approximation stack vs :func:`lsh_search` is bucket recall
+    (shared — identical planes, tables, probe fan and salting) PLUS
+    ADC ranking error bounded by the rerank pool: a true neighbor lost
+    here was ADC-ranked below ``k * rerank`` colliding candidates
+    (recall floor vs the full-vector form pinned at the 8x flat split
+    in tests/test_ann_search.py). Same output contract as every tier:
+    (query_id, neighbor_id, cosine, rank), exact cosines (the rerank
+    recomputes them), deterministic tie-break. Self-join callers pass
+    the corpus as both frames — the q_id == i_id mask reproduces
+    ``lsh_topk``'s exclusion semantics."""
+    import math
+
+    from etl_covid19_brasil_spark.llm.ann import (
+        _adc_scores,
+        _sample_matrix,
+        pq_train,
+    )
+    from etl_covid19_brasil_spark.llm.similarity import _ordered_dot
+
+    spark = index.sparkSession
+    # exact counts when no hint: plane count is RECALL-BEARING (the
+    # lsh_search r15 lesson — estimate overshoot derived P=12 and
+    # collapsed recall to 0.37)
+    n_idx = n_index if n_index is not None else index.count()
+    n_q = n_queries if n_queries is not None else queries.count()
+    sample = _sample_matrix(index, id_col, vec_col)
+    if sample is None:
+        return spark.createDataFrame([], schema=TOPK_SCHEMA)
+    dim = sample.shape[1]
+    p_n = max(4, math.ceil(math.log2(max(2, n_idx / _TARGET_BUCKET_ROWS))))
+    t_n = (
+        derive_n_tables(sample, p_n, dim).n_tables
+        if p_n > 4
+        else auto_n_tables(p_n)
+    )
+    planes = _planes(t_n, p_n, dim)
+    books = pq_train(
+        index, m=m, k=pq_k, id_col=id_col, vec_col=vec_col, normalize=True
+    )
+    bc_p = spark.sparkContext.broadcast(planes)
+    bc_b = spark.sparkContext.broadcast(books)
+    n_flips = min(p_n, 4)
+    fan = 1 + n_flips
+    s_n = max(1, -(-n_q * fan // ((1 << p_n) * _TARGET_CELL_QUERY_ROWS)))
+    pool_rows = k * rerank
+    # Per-bucket emission depth, NOT the pool width: a query visits
+    # T x fan buckets and the pool ranks their deduped union, so
+    # emitting the full pool width from EVERY bucket multiplies the
+    # candidate shuffle T x fan-fold past what the pool can keep — the
+    # r13 ivfpq emission lesson; measured at the 8x flat split, pool-
+    # width emission made the candidate stream the DOMINANT shuffle
+    # (2.6x the full-vector form's total). 4k per bucket keeps recall
+    # at the pool's measured point (SCALECHECK_r16 sweep) while the
+    # emitted rows stay a k-proportional sliver of each ~256-row bucket.
+    emit_rows = bucket_emit if bucket_emit is not None else 4 * k
+
+    adc_schema = (
+        "vid long, vec array<double>, codes array<int>, tbl int, bucket int, "
+        "is_index int, qs int, qrole int"
+    )
+
+    def _codes(pl, mat):
+        t, p = pl.shape[0], pl.shape[1]
+        proj = (mat @ pl.reshape(t * p, -1).T).reshape(len(mat), t, p)
+        weights = (1 << np.arange(p)).astype(np.int64)
+        return proj, ((proj > 0) * weights).sum(axis=2).astype(np.int32)
+
+    def sign_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl, bks = bc_p.value, bc_b.value
+        mm, _, sub = bks.shape
+        t = pl.shape[0]
+        sliced = (
+            s for whole in batches for s in _fanout_slices(whole, t * s_n)
+        )
+        for pdf in sliced:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            _, buckets = _codes(pl, mat)  # buckets on the normalized mat:
+            # sign(w . x) is scale-invariant, so buckets match the
+            # full-vector form's exactly
+            codes = np.empty((len(mat), mm), dtype=np.int32)
+            for j in range(mm):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            rows = t * s_n
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(ids, rows),
+                    "vec": [None] * (len(ids) * rows),  # the budget: no vectors
+                    "codes": list(np.repeat(codes, rows, axis=0)),
+                    "tbl": np.tile(
+                        np.repeat(np.arange(t, dtype=np.int32), s_n), len(ids)
+                    ),
+                    "bucket": np.repeat(buckets.reshape(-1), s_n),
+                    "is_index": np.ones(len(ids) * rows, dtype=np.int32),
+                    "qs": np.tile(np.arange(s_n, dtype=np.int32), len(ids) * t),
+                    "qrole": np.zeros(len(ids) * rows, dtype=np.int32),
+                }
+            )
+
+    def sign_query(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc_p.value
+        t = pl.shape[0]
+        sliced = (
+            s for whole in batches for s in _fanout_slices(whole, t * fan)
+        )
+        for pdf in sliced:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            proj, buckets = _codes(pl, mat)
+            probes = buckets[:, :, None]
+            if n_flips:
+                least = np.argsort(np.abs(proj), axis=2)[:, :, :n_flips]
+                flips = buckets[:, :, None] ^ (1 << least).astype(np.int32)
+                probes = np.concatenate([probes, flips], axis=2)
+            rows = t * fan
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(ids, rows),
+                    "vec": list(np.repeat(mat, rows, axis=0)),
+                    "codes": [None] * (len(ids) * rows),
+                    "tbl": np.tile(
+                        np.repeat(np.arange(t, dtype=np.int32), fan), len(ids)
+                    ),
+                    "bucket": probes.reshape(-1),
+                    "is_index": np.zeros(len(ids) * rows, dtype=np.int32),
+                    "qs": np.repeat((ids % s_n).astype(np.int32), rows),
+                    "qrole": np.ones(len(ids) * rows, dtype=np.int32),
+                }
+            )
+
+    def _adc_block(q_ids, q_mat, i_ids, i_codes) -> pd.DataFrame:
+        scores = _adc_scores(q_mat, i_codes, bc_b.value)
+        scores[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        take = min(emit_rows, len(i_ids))
+        order = np.lexsort(
+            (np.broadcast_to(i_ids, scores.shape), -scores), axis=-1
+        )[:, :take]
+        got = np.take_along_axis(scores, order, axis=1).reshape(-1)
+        keep = got > -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, take)[keep],
+                "neighbor_id": i_ids[order].reshape(-1)[keep],
+                "score": got[keep],
+            }
+        )
+
+    def bucket_adc(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "score": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "score": "float64"}
+        )
+        idx = pdf[pdf["is_index"] == 1]
+        qry = pdf[pdf["qrole"] == 1]
+        if idx.empty or qry.empty:
+            return empty
+        return _by_query_chunks(
+            _adc_block,
+            qry["vid"].to_numpy(dtype=np.int64),
+            np.stack(qry["vec"].to_numpy()),
+            idx["vid"].to_numpy(dtype=np.int64),
+            np.stack(idx["codes"].to_numpy()),
+        )
+
+    banded = (
+        _spread(index.select(id_col, vec_col))
+        .mapInPandas(sign_index, schema=adc_schema)
+        .unionByName(
+            _spread(queries.select(id_col, vec_col)).mapInPandas(
+                sign_query, schema=adc_schema
+            )
+        )
+    )
+    local = banded.groupBy("tbl", "bucket", "qs").applyInPandas(
+        bucket_adc, schema="query_id long, neighbor_id long, score double"
+    )
+    # a pair colliding in several tables carries the SAME ADC score
+    # (one code row per vector) — dedup before the pool so duplicates
+    # don't crowd out distinct candidates
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("__pr", F.row_number().over(pool_w))
+        .filter(F.col("__pr") <= pool_rows)
+        .select("query_id", "neighbor_id")
+    )
+
+    @F.pandas_udf("double")
+    def _exact_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        am = _normalize(np.stack(a.to_numpy()))
+        bm = _normalize(np.stack(b.to_numpy()))
+        return pd.Series(_ordered_dot(am, bm))
+
+    nbr = index.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nvec"))
+    qry = queries.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    exact = (
+        cand.join(nbr, cand["neighbor_id"] == nbr["__nid"])
+        .join(qry, cand["query_id"] == qry["__qid"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            _exact_cos("__qvec", "__nvec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

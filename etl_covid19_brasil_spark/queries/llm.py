@@ -5025,6 +5025,37 @@ def ann_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ann_search_lsh_adc",
+    oracle=None,  # LSH bucket meet + ADC candidate ranking -> rows-only;
+    # recall floor vs the full-vector form pinned at the 8x flat split
+    # in tests/test_ann_search.py
+    section="2.10",
+    doc="lsh_search's BUDGET form (VERDICT r15 item 3 — closing the "
+    "full-vector tiers' T x salts vector-bytes shuffle amplification, "
+    "the engine's dominant shuffle at 100 TB on flat corpora): the "
+    "index side of the banding shuffle ships (vid, m byte-codes) rows "
+    "instead of float64 vectors (8x payload at dim 64 / m=16; measured "
+    "total shuffle bytes 3.2x lower on the index-heavy 8x split — "
+    "SCALECHECK_r16), ADC scores rank "
+    "candidates inside each (table, bucket, salt) group against the "
+    "broadcast codebooks, a global per-query WindowGroupLimit pool "
+    "keeps the best k x rerank pairs after cross-table dedup, and only "
+    "pool survivors join back to exact vectors for the final cosine "
+    "top-k. Raw (non-residual) codes — the flat route's measured "
+    "layout. Identical planes/tables/fan/salting as lsh_search, so the "
+    "added approximation is ONLY ADC ranking inside the pool bound "
+    "(gate split: bit-equal to the full-vector form, recall 0.976 vs "
+    "exact).",
+    added=16,
+)
+def ann_search_lsh_adc(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.search import lsh_adc_search
+
+    q, i = _ann_search_split(spark, sf)
+    return lsh_adc_search(q, i, k=5)
+
+
+@query(
     "ann_search_pq",
     oracle=None,  # compressed-index ADC tier -> rows-only; recall floor
     # at the 8x clustered split pinned in tests/test_ann_search.py

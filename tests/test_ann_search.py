@@ -322,6 +322,74 @@ def test_lsh_search_recall_floor_at_8x_flat(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_lsh_adc_search_matches_bucket_recall_on_gate_split(spark):
+    """The ADC budget form shares lsh_search's planes/tables/fan/salting
+    exactly, so at gate scale (small buckets, pool >> bucket) its result
+    must match the full-vector form — the added approximation (ADC
+    ranking inside the pool bound) has no room to bite here. Also pins
+    that the index side genuinely ships NO vectors (source pin on the
+    sign_index kernel's vec column)."""
+    import inspect
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.search import lsh_adc_search, lsh_search
+
+    e = load_table(spark, SF, "embeddings")
+    q, i = e.filter("vec_id % 20 = 0"), e.filter("vec_id % 20 <> 0")
+    full = {
+        (r["query_id"], r["neighbor_id"]) for r in lsh_search(q, i, k=5).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_adc_search(q, i, k=5).collect()
+    }
+    assert len(full) > 0
+    r = len(adc & full) / len(full)
+    print(f"lsh_adc_search gate recall vs full-vector form: {r:.3f}")
+    assert r >= 0.95, f"ADC form diverged from the full-vector form: {r:.3f}"
+    src = inspect.getsource(lsh_adc_search)
+    assert '"vec": [None] * (len(ids) * rows),  # the budget: no vectors' in src
+
+
+@pytest.mark.slow  # full-lane tier: 8x corpus + PQ train + exact reference
+def test_lsh_adc_search_recall_floor_at_8x_flat(spark):
+    """The budget tier's quality gate at the scale it exists for (the
+    VERDICT r15 item 3 'done' condition): 8x flat split, recall vs the
+    FULL-VECTOR lsh_search it replaces — the byte saving must not cost
+    bucket-level recall beyond the ADC pool bound."""
+    import shutil
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.search import lsh_adc_search, lsh_search
+    from scripts.scale_check import build_scaled_dir
+
+    path = build_scaled_dir(spark, 8)
+    try:
+        emb = load_table(spark, path, "embeddings").cache()
+        emb.count()
+        q = emb.filter(F.col("vec_id") % 20 == 0)
+        i = emb.filter(F.col("vec_id") % 20 != 0)
+        full = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_search(q, i, k=5).collect()
+        }
+        adc = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_adc_search(q, i, k=5).collect()
+        }
+        r = len(adc & full) / len(full)
+        print(f"lsh_adc_search 8x flat recall vs full-vector form: {r:.3f}")
+        assert r >= 0.85, f"ADC budget tier recall collapsed: {r:.3f}"
+        emb.unpersist()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @pytest.mark.slow  # full-lane tier: Lloyd + PQ train on a 4k corpus
 def test_ann_search_pq_recall_floor_on_clustered_split(spark):
     """The budget tier's quality gate: two-frame IVF-PQ (residual byte
