@@ -54,7 +54,10 @@ that is comparable round-over-round:
 HEADLINE SET IS FROZEN as of r10 at the r09 twenty-four (the relational
 core + LLM-data scale paths + the r9 heavy tier + etl_covid_pipeline)
 so round-over-round totals are comparable again; any future additions
-go under a separate non-headline key, never into "queries".
+go under a separate non-headline key, never into "queries". r16 adds
+exactly that: HEADLINE2 (the r13-r16 retrieval/curation surface) rides
+the same stdout line under "metric2"/"value2"/"queries2" — its own
+versioned series, the r01 yardstick untouched.
 """
 
 from __future__ import annotations
@@ -178,6 +181,34 @@ HEADLINE = [
     "embedding_pca_power",
     "near_dedup_prefix_filter",
     "dedup_minhash_components",
+]
+
+# Second-generation headline set (r16, VERDICT r15 item 7): the r13-r16
+# retrieval/curation surface — ANN router + the two-frame ann_search
+# tiers + the index lifecycle + late-interaction and lexical ranking +
+# DSIR + semantic decontamination — none of which the frozen r09
+# twenty-four could see round-over-round. Versioned SEPARATELY: the r01
+# headline set stays byte-identical for longitudinal comparability (the
+# same reason r14 kept it), and BENCH2 totals ride the stdout line under
+# their own keys ("metric2"/"value2"/"queries2") so neither series
+# contaminates the other. Same protocol (two-order warm blocks,
+# min-of-BENCH_RUNS each); note BENCH2 queries with eager construction
+# (ann_index_append's prepare+append, the maxsim oracle rig) pay it in
+# the untimed build() step, so these numbers measure SERVING cost with
+# construction amortized — the handle contract's own framing.
+HEADLINE2 = [
+    "ann_topk_auto",
+    "ann_search_topk",
+    "ann_search_ivf",
+    "ann_search_lsh",
+    "ann_search_lsh_adc",
+    "ann_index_append",
+    "rank_maxsim_topk",
+    "rank_maxsim_prefiltered",
+    "rank_bm25_topk",
+    "rank_hybrid_rrf",
+    "sample_importance_dsir",
+    "decontaminate_embedding_cross",
 ]
 
 
@@ -347,11 +378,16 @@ def main() -> None:
         (name, (lambda n=name: specs[n].spark(spark, SF_DIR))) for name in HEADLINE
     ]
     pairs.append(("etl_covid_pipeline", lambda: _etl_covid(spark, sf_val)))
+    pairs2: list[tuple[str, object]] = [
+        (name, (lambda n=name: specs[n].spark(spark, SF_DIR))) for name in HEADLINE2
+    ]
     filtered = bool(BENCH_ONLY or BENCH_EXCLUDE)
     if BENCH_ONLY:
         pairs = [p for p in pairs if p[0] in BENCH_ONLY]
+        pairs2 = [p for p in pairs2 if p[0] in BENCH_ONLY]
     if BENCH_EXCLUDE:
         pairs = [p for p in pairs if p[0] not in BENCH_EXCLUDE]
+        pairs2 = [p for p in pairs2 if p[0] not in BENCH_EXCLUDE]
 
     # Warmup tier 2 — one UNTIMED full pass: spawns the Python workers,
     # JIT-compiles the codegen'd stages, and faults in every jar/class
@@ -359,7 +395,7 @@ def main() -> None:
     # one-time costs that best-of-N only partially hides (the r6 "+16%
     # regression" was exactly this: a cold driver VM, not slower plans).
     alive: list[tuple[str, object]] = []
-    for name, build in pairs:
+    for name, build in pairs + pairs2:
         try:
             spark.catalog.clearCache()
             build().write.format("noop").mode("overwrite").save()
@@ -434,7 +470,10 @@ def main() -> None:
             # count was short (ADVICE r12)
             spread[name]["partial"] = True
     # stdout key order must stay the frozen HEADLINE order regardless of
-    # rotation bookkeeping (artifact diffs round-over-round stay clean)
+    # rotation bookkeeping (artifact diffs round-over-round stay clean);
+    # the BENCH2 series splits into its own dict so neither total
+    # contaminates the other
+    timings2 = {name: timings.get(name) for name, _ in pairs2}
     timings = {
         name: timings.get(name) for name, _ in pairs
     }
@@ -452,13 +491,17 @@ def main() -> None:
             # the driver wraps our JSON line under "parsed"
             prev = prev.get("parsed", prev) or {}
             if prev.get("queries"):
-                prev_file, prev_queries = bench_path.name, prev["queries"]
+                # both series feed one delta/movers view (the BENCH2
+                # names only exist from r16 artifacts on)
+                prev_file = bench_path.name
+                prev_queries = {**prev["queries"], **(prev.get("queries2") or {})}
                 break
         except (OSError, ValueError):
             continue
+    both = {**timings, **timings2}
     delta = {
         q: round(t - prev_queries[q], 3)
-        for q, t in timings.items()
+        for q, t in both.items()
         if q in prev_queries and t is not None and prev_queries[q] is not None
     }
     for q, d in sorted(delta.items(), key=lambda kv: -abs(kv[1])):
@@ -481,7 +524,7 @@ def main() -> None:
         prev_refs = prev_sidecar.get("host_refs") or {}
     except (OSError, ValueError):
         pass
-    movers = _classify_movers(timings, prev_queries, host_refs, prev_refs)
+    movers = _classify_movers(both, prev_queries, host_refs, prev_refs)
     for q, row in movers.items():
         print(f"[bench] mover {q}: {row}", file=sys.stderr)
 
@@ -537,6 +580,17 @@ def main() -> None:
                 # hash-reds) is diagnosable only if the artifact records
                 # which engine versions produced the round's numbers.
                 "env": _env_versions(),
+                # BENCH2 (r16): the retrieval-era series, versioned
+                # separately — trailing keys so a tail-capture that
+                # clips anything clips the NEW series, never the
+                # longitudinal contract up front (the r10 lesson).
+                "metric2": "headline2_total_sec_filtered"
+                if filtered
+                else "headline2_total_sec",
+                "value2": round(
+                    sum(t for t in timings2.values() if t is not None), 3
+                ),
+                "queries2": timings2,
             }
         )
     )

@@ -59,12 +59,16 @@ def main() -> None:
     from etl_covid19_brasil_spark.llm.maxsim import maxsim_topk
     from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
 
+    # replica factor: 8 (the r15 artifact) by default; r16 extends the
+    # two-frame tier measurements to 32x/64x (VERDICT r15 item 6)
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
     spark = get_spark(app_name="ann-search-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict = {}
+    out: dict = {"replicas": replicas}
 
-    # ---- 1. ann_search tiers at the 8x split --------------------------
-    path = build_scaled_dir(spark, 8)
+    # ---- 1. ann_search tiers at the Nx split --------------------------
+    path = build_scaled_dir(spark, replicas)
     emb = load_table(spark, path, "embeddings").cache()
     n = emb.count()
     q = emb.filter(F.col("vec_id") % 20 == 0)
@@ -105,7 +109,7 @@ def main() -> None:
     sec_ivf = _noop_time(ivf)
     ivf_recall = round(len(_pairs(ivf) & ref) / len(ref), 4)
 
-    out["tiers_8x"] = {
+    out[f"tiers_{replicas}x"] = {
         "bounded_sec": sec_bounded,
         "scan_sec": sec_scan,
         "scan_equal": scan_eq,
@@ -115,8 +119,15 @@ def main() -> None:
         "ivf_sec": sec_ivf,
         "ivf_recall_vs_exact": ivf_recall,
     }
-    print(f"# tiers_8x: {out['tiers_8x']}", file=sys.stderr)
+    print(f"# tiers_{replicas}x: {out[f'tiers_{replicas}x']}", file=sys.stderr)
     emb.unpersist()
+
+    if replicas != 8:
+        # 32x/64x runs measure the two-frame tier scaling only; the
+        # amortization and maxsim sections are 8x-pinned r15 artifacts
+        shutil.rmtree(path, ignore_errors=True)
+        print(json.dumps(out))
+        return
 
     # ---- 2. handle amortization on the ivf-routed clustered shape -----
     rng = np.random.default_rng(51)
