@@ -569,6 +569,30 @@ def ann_search(
     # flat big index (lsh route; a stale "exact" handle lands here too
     # and stays exact): scan — broadcast the small query batch when it
     # fits, else the cogrouped block-nested-loop
+    if (
+        route.tier == "lsh"
+        and index_budget_bytes is not None
+        and n_q > QUERY_BROADCAST_MAX
+        and route.dim > 0
+        and n_idx * route.dim * 8 > index_budget_bytes
+    ):
+        # both-sides-big flat under a DECLARED index byte budget: the
+        # cogrouped BNL re-shuffles full index vectors n_salts-fold
+        # (n_salts grows with n_q) and its kernel is n_q x n_idx — the
+        # regime where the banded ADC form is the honest answer, and
+        # the budget is the same explicit opt-in signal that routes
+        # ivfpq on clustered shapes (never a silent default: without
+        # the declared budget this stays exact). Bounded-batch and
+        # bounded-index regimes ignore the budget on purpose — the
+        # scan tier never shuffles index vectors at all, so a budget
+        # cannot bind there. Forward only CALLER-GIVEN counts — the
+        # plane count inside is recall-bearing and must not ride a
+        # Catalyst estimate (the r15 lsh_search lesson); without hints
+        # it pays its own two exact count() jobs.
+        return lsh_adc_search(
+            queries, index, k, id_col, vec_col,
+            n_queries=n_queries, n_index=n_index,
+        )
     if n_q <= QUERY_BROADCAST_MAX:
         # The estimate gates only whether to PROBE; the collect itself is
         # bounded by limit(N+1) — a CBO under-estimate (post-filter

@@ -351,6 +351,53 @@ def test_lsh_adc_search_matches_bucket_recall_on_gate_split(spark):
     assert '"vec": [None] * (len(ids) * rows),  # the budget: no vectors' in src
 
 
+@pytest.mark.slow  # full-lane tier: four materializations + PQ training
+def test_ann_search_budget_routes_flat_big_batch_to_adc(spark, monkeypatch):
+    """A DECLARED index byte budget on the flat route with an over-bound
+    query batch must route the banded ADC form instead of the cogrouped
+    BNL (the budget is the same explicit opt-in that routes ivfpq on
+    clustered shapes); without the budget the identical call stays on
+    the exact BNL."""
+    import etl_covid19_brasil_spark.llm.search as search_mod
+    from etl_covid19_brasil_spark.llm.ann import TierRoute
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    rng = np.random.default_rng(17)
+    n, dim = 600, 16
+    vecs = _unit(rng.normal(size=(n, dim))).astype(np.float64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    )
+    q, i = df.filter("vec_id % 2 = 0"), df.filter("vec_id % 2 <> 0")
+    flat = TierRoute("lsh", MAX_INDEX_ROWS + 1, dim, None)
+    monkeypatch.setattr(search_mod, "QUERY_BROADCAST_MAX", 50)
+    hit = []
+    orig = search_mod.lsh_adc_search
+
+    def spy(*a, **kw):
+        hit.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(search_mod, "lsh_adc_search", spy)
+    got = ann_search(
+        q, i, k=5, route=flat,
+        n_index=MAX_INDEX_ROWS + 1, n_queries=300,
+        index_budget_bytes=1024,  # raw float64 index overflows this
+    )
+    assert got.count() > 0 and hit, "budget did not route the ADC form"
+    # recall sanity vs the exact result on the same split
+    ref = {(r["query_id"], r["neighbor_id"]) for r in ann_search(q, i, k=5).collect()}
+    adc = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    assert len(adc & ref) / len(ref) >= 0.8
+    # no budget -> the exact BNL, never a silent approximate default
+    hit.clear()
+    exact = ann_search(
+        q, i, k=5, route=flat, n_index=MAX_INDEX_ROWS + 1, n_queries=300
+    )
+    assert not hit
+    assert {(r["query_id"], r["neighbor_id"]) for r in exact.collect()} == ref
+
+
 @pytest.mark.slow  # full-lane tier: 8x corpus + PQ train + exact reference
 def test_lsh_adc_search_recall_floor_at_8x_flat(spark):
     """The budget tier's quality gate at the scale it exists for (the
