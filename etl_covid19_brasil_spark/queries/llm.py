@@ -5212,3 +5212,35 @@ def stream_ann_enrich(spark: SparkSession, sf: str) -> DataFrame:
     q, i = _ann_search_split(spark, sf)
     res, _n_batches = run_stream_ann_enrich(spark, q, i, k=5, n_files=3)
     return res
+
+
+@query(
+    "stream_index_ingest",
+    oracle=_O_ANN_SEARCH,
+    section="2.9",
+    doc="Online index MAINTENANCE, live-executed: a vector feed streams "
+    "INTO the frozen index handle — the r16 lifecycle "
+    "(ann_index_append) composed with readStream, i.e. the full "
+    "production serving loop. A base index trains once "
+    "(prepare_ann_route); the delta replays as 3 micro-batch files; "
+    "every foreachBatch trigger appends its batch through the handle's "
+    "staleness contract (trained-cell assignment, no re-Lloyd while "
+    "the measured geometry holds — a fired trigger retrains over the "
+    "union, and the per-batch AppendReport list is the audit trail an "
+    "ingest loop alerts on); after the drain the final handle serves "
+    "the query batch over everything ingested. Oracle-grade: appends "
+    "commute with unions and per-query top-k is batch-split-invariant, "
+    "so the served result hash-matches the whole-corpus ann_search "
+    "oracle no matter how ingestion was micro-batched "
+    "(streaming/jobs.py:run_stream_index_ingest; staleness-mid-stream "
+    "and batch-equality pinned in tests/test_ann_lifecycle.py).",
+    added=16,
+)
+def stream_index_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.streaming.jobs import run_stream_index_ingest
+
+    q, i = _ann_search_split(spark, sf)
+    base = i.filter(F.col("vec_id") % 10 < 8)
+    delta = i.filter(F.col("vec_id") % 10 >= 8)
+    res, _reports = run_stream_index_ingest(spark, base, delta, q, k=5, n_files=3)
+    return res

@@ -860,3 +860,92 @@ def run_stream_ann_enrich(
         q.stop()
         raise TimeoutError("ann enrich replay did not finish")
     return spark.read.parquet(str(out_dir)), seen["n"]
+
+
+def run_stream_index_ingest(
+    spark: SparkSession,
+    base: DataFrame,
+    delta: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_files: int = 3,
+    timeout_seconds: float = 180.0,
+    order_col: str = "vec_id",
+) -> "tuple[DataFrame, list]":
+    """Online index MAINTENANCE: stream a vector feed INTO a frozen
+    index handle — the composition of the r16 lifecycle
+    (:func:`~etl_covid19_brasil_spark.llm.ann.ann_index_append`) with
+    the streaming tier, i.e. the full production serving loop:
+    continuous ingestion appends micro-batches to the index through the
+    handle's staleness contract (trained-cell assignment, zero re-Lloyd
+    while the geometry holds; a measured trigger retrains when it
+    drifts), and queries are served from whatever the index has become.
+
+    Per micro-batch the foreachBatch sink (driver-side, ordinary batch
+    code) runs ``ann_index_append(handle, index_so_far, batch)`` —
+    updating the handle's bookkeeping, re-measuring staleness on the
+    BATCH only, and retraining over the union exactly when a trigger
+    fires. After the replay drains, the final handle serves the query
+    batch over the full union.
+
+    Correctness is oracle-grade at the exact tiers: the served result
+    over base UNION all-batches equals the whole-corpus ``ann_search``
+    regardless of how ingestion was micro-batched (appends commute with
+    unions; per-query top-k is batch-split-invariant) — what the
+    registered query's DuckDB oracle checks.
+
+    Returns ``(results, reports)`` — the served top-k and the per-batch
+    :class:`AppendReport` list (the staleness audit trail a production
+    ingest loop would alert on)."""
+    from etl_covid19_brasil_spark.llm.ann import ann_index_append, prepare_ann_route
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    state = {"route": prepare_ann_route(base), "index": base, "reports": []}
+
+    stage = Path(tempfile.mkdtemp(prefix="index_ingest_stream_"))
+    sliced = delta.withColumn(
+        "__slice", F.ntile(n_files).over(Window.orderBy(order_col))
+    )
+    for i in range(1, n_files + 1):
+        tmp_i = stage / f"_tmp_{i}"
+        (
+            sliced.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.parquet(str(tmp_i))
+        )
+        part = next(Path(tmp_i).glob("part-*.parquet"))
+        part.rename(stage / f"slice_{i - 1:03d}.parquet")
+        shutil.rmtree(tmp_i)
+
+    schema = spark.read.parquet(str(stage / "slice_000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # re-read the staged slice as a BATCH frame: the appended index
+        # must stay a replayable lazy plan across triggers (a streaming
+        # source frame cannot be unioned into later batch queries)
+        src = sorted(Path(stage).glob("slice_*.parquet"))[batch_id]
+        batch = spark.read.parquet(str(src))
+        route, union, report = ann_index_append(
+            state["route"], state["index"], batch
+        )
+        state["route"], state["index"] = route, union
+        state["reports"].append(report)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_seconds)
+    if not finished:
+        q.stop()
+        raise TimeoutError("index ingest replay did not finish")
+    served = ann_search(queries, state["index"], k=k, route=state["route"])
+    return served, state["reports"]

@@ -266,6 +266,70 @@ def test_stream_ann_enrich_never_retrains_per_batch(spark, monkeypatch):
     assert n_batches >= 2 and res.count() > 0
 
 
+def test_stream_index_ingest_serves_whole_corpus_result(spark):
+    """The full serving loop (streaming ingest INTO the index through
+    the lifecycle handle): after 3 micro-batch appends, serving the
+    query batch from the final handle must equal ann_search over the
+    whole corpus — appends commute with unions, per-query top-k is
+    split-invariant. The per-batch report trail must show one
+    non-crashed staleness decision per micro-batch."""
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.search import ann_search
+    from etl_covid19_brasil_spark.streaming.jobs import run_stream_index_ingest
+
+    e = load_table(spark, SF, "embeddings")
+    q, i = e.filter("vec_id % 20 = 0"), e.filter("vec_id % 20 <> 0")
+    base = i.filter("vec_id % 10 < 8")
+    delta = i.filter("vec_id % 10 >= 8")
+    res, reports = run_stream_index_ingest(spark, base, delta, q, k=5, n_files=3)
+    assert len(reports) == 3 and all(r.n_delta > 0 for r in reports)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in df.collect()
+        )
+
+    assert rows(res) == rows(ann_search(q, i, k=5)) and res.count() > 0
+
+
+def test_stream_index_ingest_retrains_when_the_feed_drifts(spark):
+    """Mid-stream staleness: a clustered base with an off-distribution
+    (flat) feed must fire the shape trigger during ingestion and
+    retrain over the union — the audit-trail event a production loop
+    alerts on. The served result must still cover the drifted rows."""
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS
+    from etl_covid19_brasil_spark.streaming.jobs import run_stream_index_ingest
+    import etl_covid19_brasil_spark.llm.ann as ann_mod
+
+    base, _, _ = _clustered(spark, 1500, 32, seed=91)
+    delta, _, _ = _flat(spark, 400, 32, seed=92, id_start=1500)
+    q = base.filter("vec_id % 20 = 0")
+    # force the ivf route at training time so the handle carries trained
+    # state the drifted feed can invalidate
+    orig = ann_mod.prepare_ann_route
+
+    def routed(df, *a, **kw):
+        route = orig(df, *a, **kw)
+        if route.tier == "exact":
+            route = route._replace(
+                tier="ivf",
+                centroids=ann_mod.kmeans_lloyd(df, k=16, iters=3),
+                n_est=MAX_INDEX_ROWS + 1,
+                n_trained=MAX_INDEX_ROWS + 1,
+            )
+        return route
+
+    import unittest.mock as mock
+
+    with mock.patch.object(ann_mod, "prepare_ann_route", side_effect=routed):
+        res, reports = run_stream_index_ingest(
+            spark, base, delta, q, k=5, n_files=2
+        )
+    assert any(r.stale and r.reason == "shape" for r in reports), reports
+    assert res.count() > 0
+
+
 @pytest.mark.slow  # full-lane tier: Lloyd + two-frame truth at 8x-ish size
 def test_append_then_search_holds_recall_floor_on_union(spark):
     """The 'done' condition: append -> ann_search over the UNION holds
