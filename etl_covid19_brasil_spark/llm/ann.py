@@ -2183,6 +2183,26 @@ def ann_topk_auto(
 
         return brute_force_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
     if route.tier == "lsh":
+        if (
+            index_budget_bytes is not None
+            and route.dim > 0
+            and route.n_est * route.dim * 8 > index_budget_bytes
+        ):
+            # declared byte budget the raw float64 index overflows, on
+            # the FLAT route: the full-vector banding shuffle replicates
+            # vector bytes T x salts-fold — exactly what the budget
+            # forbids — so take the ADC-banded form (identical
+            # planes/tables/fan/salting; codes on the index side, exact
+            # rerank for pool survivors). The self-join shape passes the
+            # corpus as both frames; the q_id == i_id mask reproduces
+            # lsh_topk's exclusion semantics. Same opt-in discipline as
+            # the ivfpq budget route (ADVICE r14): without the budget
+            # this stays the full-vector form.
+            from etl_covid19_brasil_spark.llm.search import lsh_adc_search
+
+            return lsh_adc_search(
+                embeddings, embeddings, k=k, id_col=id_col, vec_col=vec_col
+            )
         return lsh_topk(
             embeddings, k=k, dim=route.dim, id_col=id_col, vec_col=vec_col
         )

@@ -351,6 +351,38 @@ def test_lsh_adc_search_matches_bucket_recall_on_gate_split(spark):
     assert '"vec": [None] * (len(ids) * rows),  # the budget: no vectors' in src
 
 
+def test_ann_topk_auto_budget_routes_flat_to_adc(spark, monkeypatch):
+    """The self-join router twin of the ivfpq budget pin (ADVICE r14):
+    a declared index byte budget the raw float64 index overflows, on a
+    flat-routed corpus, must take the ADC-banded form instead of
+    silently shipping full vectors through the banding shuffle; without
+    the budget the identical call stays on lsh_topk."""
+    import etl_covid19_brasil_spark.llm.search as search_mod
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, ann_topk_auto
+
+    rng = np.random.default_rng(23)
+    n, dim = 300, 16
+    vecs = _unit(rng.normal(size=(n, dim))).astype(np.float64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    )
+    route = TierRoute("lsh", n, dim, None)
+    hit = []
+    orig = search_mod.lsh_adc_search
+
+    def spy(*a, **kw):
+        hit.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(search_mod, "lsh_adc_search", spy)
+    got = ann_topk_auto(df, k=3, route=route, index_budget_bytes=1024)
+    assert got.count() > 0 and hit, "budget did not route the ADC self-join"
+    assert {c for c in got.columns} == {"query_id", "neighbor_id", "cosine", "rank"}
+    hit.clear()
+    full = ann_topk_auto(df, k=3, route=route)
+    assert full.count() > 0 and not hit
+
+
 @pytest.mark.slow  # full-lane tier: four materializations + PQ training
 def test_ann_search_budget_routes_flat_big_batch_to_adc(spark, monkeypatch):
     """A DECLARED index byte budget on the flat route with an over-bound
