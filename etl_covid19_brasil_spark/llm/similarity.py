@@ -202,6 +202,22 @@ def _cogrouped_partials(
     applyInPandas. The shuffle carries n_q * n_tiles + n_index * n_salts
     rows; no collect, no broadcast, peak task memory = one index tile +
     one query block."""
+    # Parallelism floor (r16): the callers derive tiles/salts from
+    # MEMORY bounds (MAX_INDEX_ROWS / QUERY_BLOCK_ROWS), which near the
+    # broadcast bound yields a 2x1 grid — the whole O(n_q x n_idx)
+    # kernel then runs in TWO applyInPandas groups while 30 of 32 cores
+    # idle (observed live: the 32x two-frame BNL probe sat in a
+    # 2-partition stage). applyInPandas groups are indivisible units
+    # AQE cannot split, so the grid itself must cover the cluster:
+    # raise the TILE count until tiles x salts >= defaultParallelism.
+    # Growing tiles (not salts) replicates the QUERY side — the smaller
+    # side in the two-frame regime this path serves — and shrinks each
+    # group's index tile, so peak task memory only drops. Results are
+    # tiling-invariant by construction (each (query, index) pair meets
+    # exactly once; per-pair doubles are the ordered fold at any
+    # tiling), pinned by test_bnl_tiling_invariance.
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    n_tiles = max(n_tiles, -(-par // max(1, n_salts)))
     # BOTH sides' grouping keys must be the SAME type (bigint): cogroup
     # key matching is by hash of the typed value, and an int-typed tile
     # (explode of int literals) never reliably meets a bigint-typed tile

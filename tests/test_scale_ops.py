@@ -168,6 +168,49 @@ def test_cogroup_key_types_match(spark):
     assert s.equals(m)
 
 
+def test_bnl_tiling_invariance(spark):
+    """Parallelism floor (r16): near the broadcast bound the
+    memory-derived grid is 2x1 and the whole O(n_q x n_idx) kernel
+    serialized into two applyInPandas groups (observed live at the 32x
+    two-frame probe). _cogrouped_partials now raises the tile count to
+    cover defaultParallelism; results must be byte-identical at ANY
+    grid (each pair meets exactly once, per-pair doubles are the
+    ordered fold), and the floor must actually be applied."""
+    import inspect
+
+    from etl_covid19_brasil_spark.io import load_table
+    from etl_covid19_brasil_spark.llm.ann import TierRoute
+    from etl_covid19_brasil_spark.llm.search import (
+        MAX_INDEX_ROWS,
+        QUERY_BROADCAST_MAX,
+        ann_search,
+    )
+    from etl_covid19_brasil_spark.llm.similarity import _cogrouped_partials
+
+    e = load_table(spark, SF, "embeddings")
+    q, i = e.filter("vec_id % 20 = 0"), e.filter("vec_id % 20 <> 0")
+    ref = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ann_search(q, i, k=5).collect()
+    )
+    # the near-bound shape that serialized: 2 memory-derived tiles, 1 salt
+    flat = TierRoute("lsh", MAX_INDEX_ROWS + 1, 0, None)
+    bnl = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ann_search(
+            q,
+            i,
+            k=5,
+            route=flat,
+            n_index=MAX_INDEX_ROWS + 1,
+            n_queries=QUERY_BROADCAST_MAX + 1,
+        ).collect()
+    )
+    assert bnl == ref and len(bnl) > 0
+    src = inspect.getsource(_cogrouped_partials)
+    assert "defaultParallelism" in src, "BNL lost its parallelism floor"
+
+
 def test_cosine_pairs_tiled_equals_single(spark):
     from etl_covid19_brasil_spark.llm.similarity import cosine_pairs_above
 
