@@ -1016,6 +1016,7 @@ def ivf_topk(
         _estimate_rows,
         _normalize,
         _ordered_dot,
+        _spread,
     )
 
     spark = embeddings.sparkSession
@@ -1121,7 +1122,14 @@ def ivf_topk(
                 }
             yield pd.DataFrame(out)
 
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema=assign_schema)
+    # _spread the map input: the assign kernel inherits the source
+    # partitioning, and a cached/few-file corpus otherwise serializes
+    # the whole assign + fan-out into 1-2 tasks (r16 — observed live:
+    # the 32x two-frame probe's one Python worker CPU-pinned for
+    # minutes; the exact and LSH tiers already carry _spread)
+    assigned = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
+        assign, schema=assign_schema
+    )
 
     empty_cols = {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
     if label_col is not None:
@@ -1545,6 +1553,7 @@ def ivfpq_topk(
         _estimate_rows,
         _normalize,
         _ordered_dot,
+        _spread,
     )
 
     spark = embeddings.sparkSession
@@ -1740,7 +1749,12 @@ def ivfpq_topk(
             }
             yield pd.DataFrame(out)
 
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+    # _spread the map input (the ivf_topk rationale — r16): the
+    # assign + byte-code kernel otherwise serializes on a cached or
+    # few-file corpus's source partitioning
+    assigned = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
+        assign, schema=schema
+    )
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []}).astype(

@@ -276,11 +276,16 @@ def _ivf_search(
                 }
             )
 
+    # _spread both map inputs: the assign kernels inherit the SOURCE
+    # partitioning, and a cached/few-file corpus otherwise serializes
+    # the whole assign + fan-out into 1-2 tasks (observed live at the
+    # 32x probe: one Python worker CPU-pinned for minutes while 31
+    # cores idled — r16; the exact tiers already carry _spread)
     assigned = (
-        queries.select(id_col, vec_col)
+        _spread(queries.select(id_col, vec_col))
         .mapInPandas(assign_query, schema=assign_schema)
         .unionByName(
-            index.select(id_col, vec_col).mapInPandas(
+            _spread(index.select(id_col, vec_col)).mapInPandas(
                 assign_index, schema=assign_schema
             )
         )
@@ -423,11 +428,12 @@ def _ivfpq_search(
                 }
             )
 
+    # _spread both map inputs (the _ivf_search rationale — r16)
     assigned = (
-        index.select(id_col, vec_col)
+        _spread(index.select(id_col, vec_col))
         .mapInPandas(assign_index, schema=assign_schema)
         .unionByName(
-            queries.select(id_col, vec_col).mapInPandas(
+            _spread(queries.select(id_col, vec_col)).mapInPandas(
                 assign_query, schema=assign_schema
             )
         )
