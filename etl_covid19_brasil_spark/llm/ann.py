@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -1932,6 +1933,7 @@ def pick_ann_tier(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_budget_bytes: "int | None" = None,
+    n_rows: "int | None" = None,
 ) -> TierRoute:
     """Pick the ANN tier for THIS corpus — the README's measured tier
     menu (SCALECHECK_r13) as a routing function:
@@ -1982,7 +1984,11 @@ def pick_ann_tier(
     """
     from etl_covid19_brasil_spark.llm.similarity import _estimate_rows, _normalize
 
-    n_est = _estimate_rows(embeddings)
+    # n_rows: caller-known corpus size — plans whose statistics lie
+    # (an anti-joined live frame after ann_index_delete inherits its
+    # base scan's estimate) would otherwise size the quantizer and the
+    # staleness reference off the stale number
+    n_est = n_rows if n_rows is not None else _estimate_rows(embeddings)
     if n_est <= _EXACT_TIER_MAX:
         return TierRoute("exact", n_est, 0, None)
     n_cells = auto_n_cells(n_est)
@@ -2014,6 +2020,7 @@ def prepare_ann_route(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_budget_bytes: "int | None" = None,
+    n_rows: "int | None" = None,
 ) -> TierRoute:
     """Index-BUILD step of the auto router (VERDICT r14 item 5): pick
     the tier via :func:`pick_ann_tier` and train what the chosen tier
@@ -2026,7 +2033,7 @@ def prepare_ann_route(
     Results are byte-identical either way (pinned in
     tests/test_ann_recall.py): every derivation downstream of the
     centroids is deterministic in them."""
-    route = pick_ann_tier(embeddings, id_col, vec_col, index_budget_bytes)
+    route = pick_ann_tier(embeddings, id_col, vec_col, index_budget_bytes, n_rows)
     route = route._replace(n_trained=route.n_est)
     if route.tier in ("ivf", "ivfpq"):
         cents = kmeans_lloyd(
@@ -2254,3 +2261,209 @@ def ann_topk_auto(
     return ivf_topk(
         embeddings, k=k, centroids=cents, id_col=id_col, vec_col=vec_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Index persistence — the faiss write_index()/read_index() half of the
+# serving contract (train -> add/delete -> SAVE -> serve elsewhere).
+
+# Stamped into the meta row so a future layout change can refuse or
+# migrate old artifacts instead of misreading them.
+_INDEX_FORMAT_VERSION = 1
+
+_INDEX_META_SCHEMA = StructType(
+    [
+        StructField("format_version", LongType(), False),
+        StructField("tier", StringType(), False),
+        StructField("n_est", LongType(), False),
+        StructField("dim", LongType(), False),
+        StructField("n_trained", LongType(), False),
+        StructField("probe_route", StringType(), True),
+        StructField("n_probe", LongType(), True),
+        StructField("top_mass", DoubleType(), True),
+        StructField("tight_cos", DoubleType(), True),
+    ]
+)
+
+_INDEX_CENTROID_SCHEMA = StructType(
+    [
+        StructField("cell_id", LongType(), False),
+        StructField("centroid", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def ann_index_save(spark, route: TierRoute, path: str) -> None:
+    """Persist a :class:`TierRoute` handle as two parquet datasets under
+    ``path`` (``meta/``: one row of tier + gate numbers + probe signals;
+    ``centroids/``: one row per trained cell) — faiss ``write_index``
+    re-expressed for a lakehouse: the artifact is ordinary parquet
+    written through the session's hadoop filesystem, so it lands on any
+    scheme the session can reach (s3a/abfss/file) and any reader —
+    including a plain SQL engine auditing what the index was trained on
+    — can inspect it without this library.
+
+    The handle IS the index in this engine's layout (no materialized
+    inverted lists — the kernels assign rows to trained cells per Arrow
+    batch at query time), so the artifact is tiny: O(n_cells x dim)
+    float64 centroids plus one meta row, regardless of corpus size.
+    float64 -> parquet DOUBLE is lossless, so a loaded handle serves
+    byte-identical results (pinned in tests/test_ann_lifecycle.py);
+    ``mode=overwrite`` gives save the same last-writer-wins semantics as
+    every engine sink."""
+    meta = [
+        (
+            _INDEX_FORMAT_VERSION,
+            route.tier,
+            int(route.n_est),
+            int(route.dim),
+            int(route.n_trained),
+            route.probe.route if route.probe is not None else None,
+            int(route.probe.n_probe) if route.probe is not None else None,
+            float(route.probe.top_mass) if route.probe is not None else None,
+            float(route.probe.tight_cos) if route.probe is not None else None,
+        )
+    ]
+    spark.createDataFrame(meta, schema=_INDEX_META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path.rstrip("/") + "/meta")
+    cents = route.centroids
+    rows = (
+        [(i, [float(x) for x in c]) for i, c in enumerate(np.asarray(cents))]
+        if cents is not None
+        else []
+    )
+    spark.createDataFrame(rows, schema=_INDEX_CENTROID_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path.rstrip("/") + "/centroids")
+
+
+def ann_index_load(spark, path: str) -> TierRoute:
+    """Load a handle saved by :func:`ann_index_save` — faiss
+    ``read_index``. The trained state (centroids, probe signals, gate
+    numbers) round-trips bit-exactly through parquet DOUBLE, so a
+    handle loaded on another session — or another cluster — serves
+    byte-identical results to the one that was saved (pinned in
+    tests/test_ann_lifecycle.py) and composes with the rest of the
+    lifecycle (:func:`ann_index_append` staleness triggers keep their
+    reference point because ``n_trained`` survives the roundtrip)."""
+    m = spark.read.parquet(path.rstrip("/") + "/meta").collect()
+    if len(m) != 1:
+        raise ValueError(f"ann_index_load: expected 1 meta row, got {len(m)}")
+    meta = m[0]
+    if meta["format_version"] != _INDEX_FORMAT_VERSION:
+        raise ValueError(
+            "ann_index_load: unsupported index format "
+            f"{meta['format_version']} (this build reads {_INDEX_FORMAT_VERSION})"
+        )
+    probe = None
+    if meta["probe_route"] is not None:
+        probe = ProbeRoute(
+            meta["probe_route"],
+            int(meta["n_probe"]),
+            float(meta["top_mass"]),
+            float(meta["tight_cos"]),
+        )
+    crows = spark.read.parquet(path.rstrip("/") + "/centroids").collect()
+    cents = None
+    if crows:
+        cents = np.stack(
+            [
+                np.asarray(r["centroid"], dtype=np.float64)
+                for r in sorted(crows, key=lambda r: r["cell_id"])
+            ]
+        )
+    return TierRoute(
+        meta["tier"],
+        int(meta["n_est"]),
+        int(meta["dim"]),
+        probe,
+        cents,
+        int(meta["n_trained"]),
+    )
+
+
+# Shrink bound for the delete/staleness contract — the mirror of
+# _RETRAIN_GROWTH: auto_n_cells sized the quantizer for ~_TARGET_CELL_ROWS
+# per cell at training size, so once deletes halve the live corpus the
+# cells average half their sized occupancy and every probe scans twice
+# the eligible fraction it was derived for (compute waste, never wrong
+# answers — the usual mis-route direction).
+_RETRAIN_SHRINK = 0.5
+
+
+class DeleteReport(NamedTuple):
+    n_tombstones: int  # distinct ids tombstoned this call
+    live_est: int  # corpus size estimate after the delete (lower bound)
+    stale: bool  # True when the handle no longer fits the shrunk corpus
+    reason: str  # "" | "shrink"
+
+
+def ann_index_delete(
+    route: TierRoute,
+    base: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_budget_bytes: "int | None" = None,
+    retrain: bool = True,
+) -> "tuple[TierRoute, DataFrame, DeleteReport]":
+    """Delete vectors from a frozen :class:`TierRoute` handle — faiss
+    ``remove_ids``, completing the lifecycle triangle next to
+    :func:`prepare_ann_route` (train) and :func:`ann_index_append`
+    (add). Deletion is a TOMBSTONE mask, not a rebuild: the returned
+    live frame is ``base ANTI-JOIN delete_ids``, and because the
+    kernels assign rows to trained cells per Arrow batch at query time
+    (no materialized inverted lists), tombstoned rows simply never
+    reach a kernel — serving the live frame through the unchanged
+    handle returns exactly what an index built without those rows
+    returns on the exact tier (DuckDB-oracled in the registered query)
+    and keeps results on surviving neighbors byte-identical. The
+    anti-join broadcasts ``delete_ids`` — the small side of a delete by
+    construction — so the mask adds no shuffle over the index.
+
+    The lifecycle question a delete owes production is again STALENESS:
+    the ``shrink`` trigger fires when the live estimate falls below
+    ``_RETRAIN_SHRINK x n_trained`` — past half the training size the
+    trained cells average half their sized occupancy and every probe
+    derivation over-scans (the mirror of the append path's 2x growth
+    bound; both accumulate against the SAME ``n_trained`` reference, so
+    interleaved appends and deletes trip whichever bound the net drift
+    crosses first). The eager cost of a delete is one
+    ``delete_ids.distinct().count()`` on the tombstone side — the
+    accumulated index is never re-scanned; ``live_est`` therefore
+    subtracts the full tombstone count and is a LOWER bound (ids absent
+    from ``base`` over-subtract), which errs toward retraining early,
+    never toward serving a degenerate handle. The exact and lsh tiers
+    carry no trained state, so their handles never go stale on delete —
+    only ``n_est`` shrinks. A fired trigger with ``retrain=True``
+    returns a fresh :func:`prepare_ann_route` over the live frame;
+    ``retrain=False`` returns the shrunk-but-stale handle for callers
+    that schedule rebuilds themselves."""
+    tomb = delete_ids.select(id_col).distinct()
+    n_tomb = tomb.count()
+    live = base.join(F.broadcast(tomb), on=id_col, how="left_anti")
+    live_est = max(int(route.n_est) - n_tomb, 0)
+    n_ref = route.n_trained if route.n_trained > 0 else route.n_est
+    stale, reason = False, ""
+    if (
+        route.tier in ("ivf", "ivfpq")
+        and route.centroids is not None
+        and live_est < _RETRAIN_SHRINK * n_ref
+    ):
+        stale, reason = True, "shrink"
+    report = DeleteReport(n_tomb, live_est, stale, reason)
+    if stale and retrain:
+        # a retrain rescans the live frame anyway (Lloyd), so one exact
+        # count is marginal — and necessary: the anti-joined frame's
+        # plan statistics inherit the BASE scan's row count, which
+        # would size the fresh quantizer and the next staleness
+        # reference off the pre-delete corpus
+        return (
+            prepare_ann_route(
+                live, id_col, vec_col, index_budget_bytes, n_rows=live.count()
+            ),
+            live,
+            report,
+        )
+    return route._replace(n_est=live_est), live, report

@@ -123,11 +123,19 @@ def _rerank_global(local: DataFrame, k: int) -> DataFrame:
 
 
 def _broadcast_index_search(
-    queries: DataFrame, index: DataFrame, k: int, id_col: str, vec_col: str
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    i_pdf: "pd.DataFrame | None" = None,
 ) -> DataFrame:
-    """Bounded index: one broadcast, zero shuffle, exact."""
+    """Bounded index: one broadcast, zero shuffle, exact. ``i_pdf``: the
+    index if the caller already collected it (the bounded limit-probe in
+    :func:`ann_search` — avoids a second driver transit)."""
     spark = queries.sparkSession
-    i_pdf = index.select(id_col, vec_col).toPandas()
+    if i_pdf is None:
+        i_pdf = index.select(id_col, vec_col).toPandas()
     if i_pdf.empty:  # zero-row index: zero-row result, not np.stack([])
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
     bc = spark.sparkContext.broadcast(
@@ -541,8 +549,22 @@ def ann_search(
     if n_idx <= MAX_INDEX_ROWS:
         # bounded index: exact, recall 1.0, zero shuffle — no routing
         # jobs needed at all (a handle's tier is a performance hint;
-        # the bounded tier dominates every approximate plan here)
-        return _broadcast_index_search(queries, index, k, id_col, vec_col)
+        # the bounded tier dominates every approximate plan here). The
+        # estimate gates only whether to PROBE; the collect itself is
+        # bounded by limit(N+1) — the same discipline as the query-side
+        # probe below (r16): a CBO under-estimate (post-filter
+        # selectivity guesses — live since ann_search_filtered feeds
+        # FILTERED frames into this gate) can no longer pull an
+        # unbounded index through the driver. An in-bound probe IS the
+        # broadcast payload, so there is no second driver transit.
+        i_probe = (
+            index.select(id_col, vec_col).limit(MAX_INDEX_ROWS + 1).toPandas()
+        )
+        if len(i_probe) <= MAX_INDEX_ROWS:
+            return _broadcast_index_search(
+                queries, index, k, id_col, vec_col, i_pdf=i_probe
+            )
+        n_idx = max(n_idx, len(i_probe))
     if route is None:
         route = pick_ann_tier(index, id_col, vec_col, index_budget_bytes)
     if route.tier in ("ivf", "ivfpq"):
@@ -629,6 +651,64 @@ def ann_search(
         TOPK_SCHEMA,
     )
     return _rerank_global(local, k)
+
+
+def ann_search_filtered(
+    queries: DataFrame,
+    index: DataFrame,
+    predicate,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    route: "TierRoute | None" = None,
+    index_budget_bytes: "int | None" = None,
+    n_queries: int | None = None,
+    n_index: int | None = None,
+) -> DataFrame:
+    """Filtered retrieval: top-``k`` cosine neighbors of each query
+    among the index rows satisfying ``predicate`` (a Column or SQL
+    string) — the vector-database filtered-search contract, served
+    through ONE handle trained on the FULL corpus (no per-predicate
+    index rebuild; faiss models the same need as ``IDSelector``).
+
+    PRE-filter, not post-filter: the predicate lands on the index frame
+    before any tier runs, so Catalyst pushes it into the scan
+    (plan-pinned: the filtered index's parquet scan shows the predicate
+    in PushedFilters) and every tier's result is top-k over exactly the
+    eligible rows. The post-filter alternative — search the full index
+    and discard ineligible hits — cannot bound how many of the k
+    survive (a predicate anti-correlated with similarity keeps none),
+    which is why filtered recall collapses on post-filter vector
+    stores; here per-query shortfall below ``k`` is impossible whenever
+    the eligible set has ``k`` rows.
+
+    The SELECTIVITY CLIFF routes itself: :func:`ann_search` re-measures
+    the FILTERED frame against its own size gate, so a selective
+    predicate (eligible set under ``MAX_INDEX_ROWS``) degrades to the
+    bounded exact tier — recall 1.0 precisely in the regime where a
+    routed tier's probed cells would starve below ``k`` eligible rows —
+    while a permissive predicate keeps the handle's routed tier, whose
+    trained cells remain valid because a subset of a clustered corpus
+    keeps its geometry (filtered ivf recall vs the filtered-exact
+    reference is pinned in tests/test_ann_lifecycle.py). Both collects
+    behind the gate are limit-probed (bounded even when the post-filter
+    CBO estimate lies — the r16 discipline on both sides).
+
+    ``n_queries``/``n_index``: the usual caller hints, where
+    ``n_index`` counts the ELIGIBLE rows (callers who know their
+    predicate's selectivity skip the post-filter CBO guess entirely).
+    """
+    return ann_search(
+        queries,
+        index.filter(predicate),
+        k,
+        id_col,
+        vec_col,
+        route=route,
+        index_budget_bytes=index_budget_bytes,
+        n_queries=n_queries,
+        n_index=n_index,
+    )
 
 
 def lsh_search(

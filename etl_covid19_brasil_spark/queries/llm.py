@@ -5244,3 +5244,139 @@ def stream_index_ingest(spark: SparkSession, sf: str) -> DataFrame:
     delta = i.filter(F.col("vec_id") % 10 >= 8)
     res, _reports = run_stream_index_ingest(spark, base, delta, q, k=5, n_files=3)
     return res
+
+
+@query(
+    "ann_index_persist",
+    oracle=_O_ANN_SEARCH,
+    section="2.10",
+    doc="Index persistence — the faiss write_index/read_index half of "
+    "the serving contract (llm/ann.py:ann_index_save/ann_index_load): "
+    "the handle prepare_ann_route builds on the index split is SAVED as "
+    "two parquet datasets (one meta row of tier + gate numbers + probe "
+    "signals; one row per trained centroid — ordinary parquet through "
+    "the session's hadoop filesystem, so the artifact lands on any "
+    "scheme and any SQL engine can audit it), re-LOADED, and the query "
+    "split is served entirely through the LOADED handle. The served "
+    "result hash-matches the ann_search oracle — proving the save -> "
+    "load -> serve path computes exactly what the in-memory handle "
+    "computes (float64 -> parquet DOUBLE is lossless; trained-state "
+    "byte-identity and the routed-tier equality are pinned in "
+    "tests/test_ann_lifecycle.py). The artifact is O(n_cells x dim) "
+    "regardless of corpus size — the handle IS the index in this "
+    "engine's layout (kernels assign rows to trained cells per Arrow "
+    "batch; no materialized inverted lists to serialize).",
+    added=16,
+)
+def ann_index_persist(spark: SparkSession, sf: str) -> DataFrame:
+    from pathlib import Path
+
+    from etl_covid19_brasil_spark.llm.ann import (
+        ann_index_load,
+        ann_index_save,
+        prepare_ann_route,
+    )
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    q, i = _ann_search_split(spark, sf)
+    d = Path("/tmp/etl_spark_roundtrip") / f"ann_index_{Path(sf).name or 'sf'}"
+    d.parent.mkdir(parents=True, exist_ok=True)
+    ann_index_save(spark, prepare_ann_route(i), str(d))
+    return ann_search(q, i, k=5, route=ann_index_load(spark, str(d)))
+
+
+@query(
+    "ann_index_delete",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_O_NORMED} AS ne FROM embeddings),
+    q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+    i AS (SELECT * FROM n WHERE vec_id % 20 <> 0 AND vec_id % 10 < 8),
+    sims AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+             {_O_NDOT.format(a='q.ne', b='i.ne')} AS cosine
+      FROM q JOIN i ON q.vec_id <> i.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    section="2.10",
+    doc="Index lifecycle, deletion half — faiss remove_ids on the frozen "
+    "TierRoute handle (llm/ann.py:ann_index_delete), completing the "
+    "train/add/delete triangle. Every index row with last digit >= 8 is "
+    "tombstoned: the live frame is base ANTI-JOIN tombstones (the "
+    "tombstone side broadcasts — plan-pinned; the accumulated index is "
+    "never re-scanned, the one eager cost is the distinct tombstone "
+    "count), the handle's trained state is untouched, and serving the "
+    "live frame through the UNCHANGED handle hash-matches the oracle "
+    "computed over an index that never contained those rows — deletion "
+    "is exact, not eventual, because the kernels assign rows to trained "
+    "cells per Arrow batch and a tombstoned row simply never reaches "
+    "one. The measured staleness mirror (shrink trigger at half the "
+    "training size, sized off the LIVE count on retrain) is pinned in "
+    "tests/test_ann_lifecycle.py.",
+    added=16,
+)
+def ann_index_delete_query(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.ann import ann_index_delete, prepare_ann_route
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    q, i = _ann_search_split(spark, sf)
+    route = prepare_ann_route(i)
+    tomb = i.filter(F.col("vec_id") % 10 >= 8).select("vec_id")
+    route, live, _report = ann_index_delete(route, i, tomb)
+    return ann_search(q, live, k=5, route=route)
+
+
+@query(
+    "ann_search_filtered",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, label, {_O_NORMED} AS ne FROM embeddings),
+    q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+    i AS (SELECT * FROM n WHERE vec_id % 20 <> 0 AND label <> 0),
+    sims AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+             {_O_NDOT.format(a='q.ne', b='i.ne')} AS cosine
+      FROM q JOIN i ON q.vec_id <> i.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    section="2.10",
+    doc="Filtered retrieval — the vector-database filtered-search "
+    "contract (faiss IDSelector / a WHERE clause on the index) as "
+    "llm/search.py:ann_search_filtered: top-5 neighbors of each query "
+    "among index vectors whose label <> 0, served through ONE handle "
+    "with no per-predicate rebuild. PRE-filter, not post-filter: the "
+    "predicate lands on the index frame before any tier runs, so "
+    "Catalyst pushes it into the scan (plan-pinned: the predicate "
+    "appears in PushedFilters), every tier returns top-k over exactly "
+    "the eligible rows, and per-query shortfall below k — the "
+    "post-filter failure mode when the predicate anti-correlates with "
+    "similarity — is impossible whenever k eligible rows exist. The "
+    "selectivity cliff routes itself: ann_search re-measures the "
+    "FILTERED frame against its size gate (limit-probed, r16), so "
+    "selective predicates degrade to the bounded exact tier precisely "
+    "where routed cells would starve, while permissive predicates keep "
+    "the full-corpus handle's routed tier (filtered ivf recall floor "
+    "pinned in tests/test_ann_lifecycle.py).",
+    added=16,
+)
+def ann_search_filtered_query(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.search import ann_search_filtered
+
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding")
+    i = e.filter(F.col("vec_id") % 20 != 0)
+    return ann_search_filtered(q, i, F.col("label") != 0, k=5)

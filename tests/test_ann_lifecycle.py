@@ -367,3 +367,280 @@ def test_append_then_search_holds_recall_floor_on_union(spark):
     assert r >= 0.9, f"post-append recall collapsed: {r:.3f}"
     # delta rows are genuinely served: some appear among the neighbors
     assert any(nid >= 3200 for _, nid in got)
+
+
+# ---------------------------------------------------------------------------
+# Persistence: ann_index_save / ann_index_load (faiss write_index/read_index)
+
+
+def test_index_save_load_roundtrip_is_byte_identical(spark, tmp_path):
+    """A trained ivf handle must survive the parquet roundtrip with its
+    trained state bit-exact — same tier/gate numbers, same probe
+    signals, same float64 centroid bytes — and a query served through
+    the LOADED handle must be byte-equal to one served through the
+    original (float64 -> parquet DOUBLE is lossless, and everything
+    downstream of the centroids is deterministic in them)."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        ann_index_load,
+        ann_index_save,
+        prepare_ann_route,
+    )
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+
+    df, _, _ = _clustered(spark, 6000, 32, seed=21)
+    route = prepare_ann_route(df)
+    assert route.tier == "ivf" and route.centroids is not None
+
+    ann_index_save(spark, route, str(tmp_path / "idx"))
+    loaded = ann_index_load(spark, str(tmp_path / "idx"))
+
+    assert (loaded.tier, loaded.n_est, loaded.dim, loaded.n_trained) == (
+        route.tier,
+        route.n_est,
+        route.dim,
+        route.n_trained,
+    )
+    assert loaded.probe == route.probe
+    assert np.array_equal(loaded.centroids, route.centroids)
+
+    q = df.filter("vec_id % 20 = 0")
+    i = df.filter("vec_id % 20 <> 0")
+    a = ann_search(q, i, k=5, route=route, n_index=MAX_INDEX_ROWS + 1)
+    b = ann_search(q, i, k=5, route=loaded, n_index=MAX_INDEX_ROWS + 1)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_index_save_load_exact_tier_handle(spark, tmp_path):
+    """The exact tier's handle carries no trained state; the roundtrip
+    must preserve that shape (no centroids, no probe) instead of
+    inventing empty arrays."""
+    from etl_covid19_brasil_spark.llm.ann import (
+        ann_index_load,
+        ann_index_save,
+        prepare_ann_route,
+    )
+
+    df, _, _ = _clustered(spark, 800, 16, seed=22)
+    route = prepare_ann_route(df)
+    assert route.tier == "exact" and route.centroids is None
+
+    ann_index_save(spark, route, str(tmp_path / "idx"))
+    loaded = ann_index_load(spark, str(tmp_path / "idx"))
+    assert loaded == route
+
+
+def test_index_load_rejects_unknown_format(spark, tmp_path, monkeypatch):
+    """A format-version bump must refuse to load instead of misreading
+    the artifact — the reason the version is stamped at all."""
+    import etl_covid19_brasil_spark.llm.ann as ann_mod
+
+    df, _, _ = _clustered(spark, 800, 16, seed=23)
+    route = ann_mod.prepare_ann_route(df)
+    monkeypatch.setattr(ann_mod, "_INDEX_FORMAT_VERSION", 999)
+    ann_mod.ann_index_save(spark, route, str(tmp_path / "idx"))
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="unsupported index format"):
+        ann_mod.ann_index_load(spark, str(tmp_path / "idx"))
+
+
+# ---------------------------------------------------------------------------
+# Deletion: ann_index_delete (faiss remove_ids + the shrink trigger)
+
+
+def test_delete_nonstale_keeps_trained_state(spark):
+    """A small delete must not touch the trained state: same centroid
+    bytes, n_est down by the tombstone count, the live frame exactly
+    excludes the tombstoned ids, and absent ids are tolerated (they
+    over-subtract the estimate — documented lower bound — but never
+    error)."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.ann import ann_index_delete, prepare_ann_route
+
+    df, ids, _ = _clustered(spark, 6000, 32, seed=24)
+    route = prepare_ann_route(df)
+    assert route.tier == "ivf"
+
+    dele = spark.range(0, 500).select(F.col("id").alias("vec_id"))
+    r2, live, rep = ann_index_delete(route, df, dele)
+    assert not rep.stale and rep.reason == "" and rep.n_tombstones == 500
+    assert r2.n_est == route.n_est - 500
+    assert r2.n_trained == route.n_trained
+    assert np.array_equal(r2.centroids, route.centroids)
+    live_ids = {r["vec_id"] for r in live.select("vec_id").collect()}
+    assert live_ids == set(range(500, 6000))
+
+    # ids not present in the base: no error, estimate still a lower bound
+    ghost = spark.range(100_000, 100_010).select(F.col("id").alias("vec_id"))
+    r3, live3, rep3 = ann_index_delete(route, df, ghost)
+    assert rep3.n_tombstones == 10 and not rep3.stale
+    assert live3.count() == 6000
+
+
+def test_delete_shrink_trigger_retrains_on_live_size(spark):
+    """Deleting past half the training size must fire the shrink
+    trigger, and the retrained handle must be sized off the LIVE
+    corpus, not the anti-joined plan's inherited base estimate (the
+    n_rows honesty fix): 3000 live rows land under _EXACT_TIER_MAX, so
+    the fresh route is the exact tier."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.ann import ann_index_delete, prepare_ann_route
+
+    df, _, _ = _clustered(spark, 10_000, 32, seed=25)
+    route = prepare_ann_route(df)
+    assert route.tier == "ivf"
+
+    dele = spark.range(0, 7000).select(F.col("id").alias("vec_id"))
+    r2, live, rep = ann_index_delete(route, df, dele)
+    assert rep.stale and rep.reason == "shrink"
+    assert r2.tier == "exact" and r2.n_trained == 3000
+
+    # retrain=False: shrunk-but-stale handle, trained state untouched
+    r3, _, rep3 = ann_index_delete(route, df, dele, retrain=False)
+    assert rep3.stale and r3.tier == "ivf"
+    assert np.array_equal(r3.centroids, route.centroids)
+    assert r3.n_est == 3000
+
+
+def test_delete_then_serve_matches_index_built_without_them(spark):
+    """Tombstone-mask correctness: serving the live frame through the
+    UNCHANGED handle returns exactly what an index that never contained
+    the deleted rows returns (per-query top-k over the live set)."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.ann import ann_index_delete, prepare_ann_route
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    df, ids, vecs = _clustered(spark, 6000, 32, seed=26)
+    route = prepare_ann_route(df)
+    dele = spark.range(0, 1200).select(F.col("id").alias("vec_id"))
+    r2, live, _rep = ann_index_delete(route, df, dele)
+
+    q = df.filter("vec_id % 20 = 0")
+    idx = live.filter("vec_id % 20 <> 0")
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search(q, idx, k=5, route=r2).collect()
+    }
+    keep = ids % 20 != 0
+    keep &= ids >= 1200
+    qm = ids % 20 == 0
+    want = _truth(ids[qm], vecs[qm], ids[keep], vecs[keep], k=5)
+    assert got == want and not any(n < 1200 for _, n in got)
+
+
+def test_delete_anti_join_broadcasts_tombstones(spark):
+    """The tombstone mask must be a BROADCAST anti-join — delete_ids is
+    the small side by construction; a shuffled anti-join would re-hash
+    the whole accumulated index per delete."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.ann import ann_index_delete, prepare_ann_route
+
+    df, _, _ = _clustered(spark, 6000, 32, seed=27)
+    route = prepare_ann_route(df)
+    dele = spark.range(0, 100).select(F.col("id").alias("vec_id"))
+    _, live, _ = ann_index_delete(route, df, dele)
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# Filtered retrieval: ann_search_filtered (the vector-DB IDSelector shape)
+
+
+def test_filtered_search_is_exact_on_eligible_subset(spark):
+    """PRE-filter semantics: the result is per-query top-k over exactly
+    the eligible rows — equal to the brute-force reference on the
+    filtered subset, with no ineligible neighbor ever emitted."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.search import ann_search_filtered
+
+    df, ids, vecs = _clustered(spark, 3000, 32, seed=28)
+    q = df.filter("vec_id % 20 = 0")
+    i = df.filter("vec_id % 20 <> 0")
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search_filtered(
+            q, i, F.col("vec_id") % 3 == 0, k=5
+        ).collect()
+    }
+    keep = (ids % 20 != 0) & (ids % 3 == 0)
+    qm = ids % 20 == 0
+    want = _truth(ids[qm], vecs[qm], ids[keep], vecs[keep], k=5)
+    assert got == want and not any(n % 3 for _, n in got)
+
+
+def test_filtered_search_full_corpus_handle_holds_recall(spark):
+    """ONE handle trained on the FULL corpus must keep serving filtered
+    queries on the routed ivf tier — a subset of a clustered corpus
+    keeps its geometry, so the trained cells stay valid and recall vs
+    the filtered-exact reference holds the floor (the no-per-predicate-
+    rebuild contract that makes filtered search cheap)."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.ann import prepare_ann_route
+    from etl_covid19_brasil_spark.llm.search import (
+        MAX_INDEX_ROWS,
+        ann_search_filtered,
+    )
+
+    df, ids, vecs = _clustered(spark, 6000, 32, seed=29)
+    route = prepare_ann_route(df)
+    assert route.tier == "ivf"
+    q = df.filter("vec_id % 20 = 0")
+    i = df.filter("vec_id % 20 <> 0")
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_search_filtered(
+            q,
+            i,
+            F.col("vec_id") % 3 != 0,
+            k=5,
+            route=route,
+            n_index=MAX_INDEX_ROWS + 1,  # force the routed tier
+        ).collect()
+    }
+    assert not any(n % 3 == 0 for _, n in got)
+    keep = (ids % 20 != 0) & (ids % 3 != 0)
+    qm = ids % 20 == 0
+    want = _truth(ids[qm], vecs[qm], ids[keep], vecs[keep], k=5)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.85, f"filtered ivf recall {recall:.3f} under floor"
+
+
+def test_filtered_search_predicate_reaches_the_scan(spark, tmp_path):
+    """The predicate must push into the parquet scan of the index side
+    (Catalyst pushdown through the pre-filter) — the filtered-out rows
+    are never read, which is the entire point of PRE-filtering at
+    100 TB."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.search import (
+        MAX_INDEX_ROWS,
+        ann_search_filtered,
+    )
+
+    df, _, _ = _clustered(spark, 3000, 32, seed=30)
+    df.withColumn("label", (F.col("vec_id") % 4).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "emb"))
+    emb = spark.read.parquet(str(tmp_path / "emb"))
+    q = emb.filter("vec_id % 20 = 0").drop("label")
+    cents = kmeans_lloyd(emb, k=16, iters=1)
+    route = TierRoute("ivf", 3000, 32, None, centroids=cents, n_trained=3000)
+    res = ann_search_filtered(
+        q,
+        emb.filter("vec_id % 20 <> 0"),
+        F.col("label") == 1,
+        k=5,
+        route=route,
+        n_index=MAX_INDEX_ROWS + 1,
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(label,1)" in plan, plan

@@ -492,3 +492,45 @@ def test_ann_search_pq_recall_floor_on_clustered_split(spark):
     r = len(got & truth) / len(truth)
     print(f"ann_search two-frame ivfpq clustered split recall: {r:.3f}")
     assert r >= 0.9, f"two-frame IVF-PQ recall collapsed: {r:.3f}"
+
+
+def test_ann_search_index_collect_is_bounded_on_lying_estimate(spark, monkeypatch):
+    """The bounded-INDEX tier's driver collect must be gated by the same
+    exact limit-probe as the query side (r16): an under-estimating
+    n_index hint (the CBO selectivity-undershoot shape — live since
+    ann_search_filtered feeds post-filter frames into this gate) must
+    fall through to the routed path with the identical result instead
+    of pulling the whole over-bound index through the driver."""
+    import etl_covid19_brasil_spark.llm.search as search_mod
+    from etl_covid19_brasil_spark.llm.search import ann_search
+
+    rng = np.random.default_rng(8)
+    n, dim = 400, 16
+    vecs = _unit(rng.normal(size=(n, dim))).astype(np.float64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    )
+    q, i = df.filter("vec_id % 4 = 0"), df.filter("vec_id % 4 <> 0")
+    # shrink the bound so the 300-row index side is over it
+    monkeypatch.setattr(search_mod, "MAX_INDEX_ROWS", 50)
+
+    full_collects = []
+    orig = search_mod._broadcast_index_search
+
+    def spy(*args, **kwargs):
+        full_collects.append(kwargs.get("i_pdf"))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(search_mod, "_broadcast_index_search", spy)
+    # n_index=1 lies low — the probe must catch it
+    got = ann_search(q, i, k=5, n_index=1)
+    rows = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()
+    )
+    assert full_collects == [], "lying estimate still routed the full collect"
+    monkeypatch.undo()
+    ref = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_search(q, i, k=5).collect()
+    )
+    assert rows == ref and len(rows) > 0
