@@ -202,7 +202,10 @@ HEADLINE2 = [
     "ann_search_ivf",
     "ann_search_lsh",
     "ann_search_lsh_adc",
+    "ann_search_filtered",
     "ann_index_append",
+    "ann_index_delete",
+    "ann_index_persist",
     "rank_maxsim_topk",
     "rank_maxsim_prefiltered",
     "rank_bm25_topk",

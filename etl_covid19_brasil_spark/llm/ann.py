@@ -2311,31 +2311,52 @@ def ann_index_save(spark, route: TierRoute, path: str) -> None:
     byte-identical results (pinned in tests/test_ann_lifecycle.py);
     ``mode=overwrite`` gives save the same last-writer-wins semantics as
     every engine sink."""
-    meta = [
-        (
-            _INDEX_FORMAT_VERSION,
-            route.tier,
-            int(route.n_est),
-            int(route.dim),
-            int(route.n_trained),
-            route.probe.route if route.probe is not None else None,
-            int(route.probe.n_probe) if route.probe is not None else None,
-            float(route.probe.top_mass) if route.probe is not None else None,
-            float(route.probe.tight_cos) if route.probe is not None else None,
-        )
-    ]
+    # Both frames go through pandas -> Arrow, which lands them as JVM
+    # LocalRelations: a list-of-tuples createDataFrame is a PICKLED-RDD
+    # relation whose every write job spawns defaultParallelism Python
+    # workers for a handful of rows (measured ~5 s per write vs 0.2 s
+    # on this box); the empty frame takes the same fast path via a
+    # zero-row range, for the same reason.
+    meta = pd.DataFrame(
+        [
+            {
+                "format_version": _INDEX_FORMAT_VERSION,
+                "tier": route.tier,
+                "n_est": int(route.n_est),
+                "dim": int(route.dim),
+                "n_trained": int(route.n_trained),
+                "probe_route": route.probe.route if route.probe is not None else None,
+                "n_probe": int(route.probe.n_probe) if route.probe is not None else None,
+                "top_mass": float(route.probe.top_mass)
+                if route.probe is not None
+                else None,
+                "tight_cos": float(route.probe.tight_cos)
+                if route.probe is not None
+                else None,
+            }
+        ]
+    )
     spark.createDataFrame(meta, schema=_INDEX_META_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path.rstrip("/") + "/meta")
     cents = route.centroids
-    rows = (
-        [(i, [float(x) for x in c]) for i, c in enumerate(np.asarray(cents))]
-        if cents is not None
-        else []
-    )
-    spark.createDataFrame(rows, schema=_INDEX_CENTROID_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path.rstrip("/") + "/centroids")
+    if cents is not None:
+        cmat = np.asarray(cents)
+        cdf = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cell_id": np.arange(len(cmat), dtype=np.int64),
+                    "centroid": [list(map(float, c)) for c in cmat],
+                }
+            ),
+            schema=_INDEX_CENTROID_SCHEMA,
+        )
+    else:
+        cdf = spark.range(0).select(
+            F.col("id").alias("cell_id"),
+            F.array(F.lit(0.0).cast("double")).alias("centroid"),
+        )
+    cdf.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
 
 
 def ann_index_load(spark, path: str) -> TierRoute:

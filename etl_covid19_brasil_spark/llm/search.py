@@ -682,25 +682,43 @@ def ann_search_filtered(
     stores; here per-query shortfall below ``k`` is impossible whenever
     the eligible set has ``k`` rows.
 
-    The SELECTIVITY CLIFF routes itself: :func:`ann_search` re-measures
-    the FILTERED frame against its own size gate, so a selective
-    predicate (eligible set under ``MAX_INDEX_ROWS``) degrades to the
-    bounded exact tier — recall 1.0 precisely in the regime where a
-    routed tier's probed cells would starve below ``k`` eligible rows —
-    while a permissive predicate keeps the handle's routed tier, whose
+    The SELECTIVITY CLIFF is MEASURED (below): a selective predicate
+    (eligible set under ``MAX_INDEX_ROWS``) degrades to the bounded
+    exact tier — recall 1.0 precisely in the regime where a routed
+    tier's probed cells would starve below ``k`` eligible rows — while
+    a permissive predicate keeps the handle's routed tier, whose
     trained cells remain valid because a subset of a clustered corpus
     keeps its geometry (filtered ivf recall vs the filtered-exact
-    reference is pinned in tests/test_ann_lifecycle.py). Both collects
-    behind the gate are limit-probed (bounded even when the post-filter
-    CBO estimate lies — the r16 discipline on both sides).
+    reference is pinned in tests/test_ann_lifecycle.py, as is the
+    cliff-under-a-lying-estimate). Every collect behind the gate is
+    limit-probed (bounded even when statistics lie — the r16
+    discipline on both sides).
 
     ``n_queries``/``n_index``: the usual caller hints, where
     ``n_index`` counts the ELIGIBLE rows (callers who know their
-    predicate's selectivity skip the post-filter CBO guess entirely).
+    predicate's selectivity skip the eligible-set probe entirely).
+
+    Without an ``n_index`` hint the eligible set is MEASURED, not
+    estimated: post-filter statistics are selectivity guesses by
+    construction (a %-predicate over an in-memory frame measured a
+    6750x overshoot — 2.16M estimated, 320 actual), and an overshoot
+    would silently serve a 320-row eligible set through the routed
+    tier's probed cells. The measurement is a bounded skinny-id
+    ``limit(MAX_INDEX_ROWS + 1)`` collect: ids only (the pushed-down
+    scan reads one column), incremental execution (CollectLimit stops
+    growing its partition front once the bound is hit, so permissive
+    predicates pay a few partitions), and on selective predicates it
+    scans no more than the bounded serve it then routes to.
     """
+    live = index.filter(predicate)
+    if n_index is None:
+        probed = len(live.select(id_col).limit(MAX_INDEX_ROWS + 1).toPandas())
+        n_index = probed if probed <= MAX_INDEX_ROWS else max(
+            _estimate_rows(live), probed
+        )
     return ann_search(
         queries,
-        index.filter(predicate),
+        live,
         k,
         id_col,
         vec_col,

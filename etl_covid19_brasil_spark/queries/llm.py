@@ -5365,12 +5365,15 @@ def ann_index_delete_query(spark: SparkSession, sf: str) -> DataFrame:
     "the eligible rows, and per-query shortfall below k — the "
     "post-filter failure mode when the predicate anti-correlates with "
     "similarity — is impossible whenever k eligible rows exist. The "
-    "selectivity cliff routes itself: ann_search re-measures the "
-    "FILTERED frame against its size gate (limit-probed, r16), so "
+    "selectivity cliff is MEASURED, not estimated: post-filter "
+    "statistics are selectivity guesses (a measured 6750x overshoot "
+    "on an in-memory frame), so absent a caller hint the operator "
+    "counts the eligible set with a bounded skinny-id limit-probe — "
     "selective predicates degrade to the bounded exact tier precisely "
-    "where routed cells would starve, while permissive predicates keep "
-    "the full-corpus handle's routed tier (filtered ivf recall floor "
-    "pinned in tests/test_ann_lifecycle.py).",
+    "where routed cells would starve, permissive predicates keep the "
+    "full-corpus handle's routed tier (filtered ivf recall floor + "
+    "cliff-under-lying-statistics pinned in "
+    "tests/test_ann_lifecycle.py).",
     added=16,
 )
 def ann_search_filtered_query(spark: SparkSession, sf: str) -> DataFrame:

@@ -644,3 +644,38 @@ def test_filtered_search_predicate_reaches_the_scan(spark, tmp_path):
     )
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(label,1)" in plan, plan
+
+
+def test_filtered_search_cliff_engages_despite_lying_statistics(spark):
+    """The selectivity cliff must be MEASURED, not estimated: an
+    in-memory frame's post-filter statistics overshoot by orders of
+    magnitude (measured 6750x on this shape), which would silently
+    serve a few-hundred-row eligible set through the routed ivf tier.
+    With a routed handle passed and NO n_index hint, a selective
+    predicate must still land on the bounded exact tier — result
+    set-equal to the filtered truth."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.ann import prepare_ann_route
+    from etl_covid19_brasil_spark.llm.search import ann_search_filtered
+
+    df, ids, vecs = _clustered(spark, 6000, 32, seed=31)
+    df = df.cache()
+    try:
+        df.count()
+        route = prepare_ann_route(df)
+        assert route.tier == "ivf"
+        q = df.filter("vec_id % 20 = 0")
+        i = df.filter("vec_id % 20 <> 0")
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_search_filtered(
+                q, i, F.col("vec_id") % 50 == 1, k=5, route=route
+            ).collect()
+        }
+        keep = (ids % 20 != 0) & (ids % 50 == 1)
+        qm = ids % 20 == 0
+        want = _truth(ids[qm], vecs[qm], ids[keep], vecs[keep], k=5)
+        assert got == want and len(got) > 0
+    finally:
+        df.unpersist()
