@@ -1,0 +1,344 @@
+"""Unigram language-model tokenizer (SentencePiece-style, Kudo 2018
+"Subword Regularization") — the second tokenizer family next to the BPE
+pair (queries/llm.py:bpe_train_merges/bpe_apply_merges, SURVEY §2.10).
+
+BPE is greedy-constructive (merge the most frequent pair, repeat); the
+unigram LM is probabilistic-reductive: start from a LARGE candidate
+piece inventory, fit piece probabilities with EM over all segmentations
+of the corpus, and prune low-utility pieces until the target vocabulary
+remains. Segmentation under the fitted model is Viterbi (the max-prob
+segmentation of each word).
+
+Scale shape (the part that matters at 100 TB):
+
+- **Unique-word collapse.** Every kernel runs per UNIQUE word weighted
+  by its corpus count, never per token occurrence — the Zipf collapse
+  every serious tokenizer trainer uses (corpus tokens >> unique words;
+  one ``groupBy(word).count()`` shuffle buys a ~1e3-1e6x reduction in
+  kernel work). Per-word lattices are bounded by word length, so one
+  Arrow batch of unique words is constant-memory.
+- **Bounded trained state.** The piece inventory is capped (chars +
+  top-K multi-char substrings), so the piece table BROADCASTS both
+  ways — into the E-step/Viterbi kernels and back out of the M-step —
+  exactly the kmeans-centroid pattern (llm/ann.py): train state lives
+  on the driver, data never leaves executors.
+- **One skinny shuffle per EM iteration**: the E-step emits
+  (piece, expected_count) partials — vocabulary-bounded rows, never
+  word- or corpus-sized — and one hash aggregate sums them. The
+  M-step (normalize + prune) is O(vocab) on the driver.
+
+Determinism contract: Viterbi runs on INTEGER micro-nat piece costs
+(the fn_math ``floor(x*1e6 + 0.5)`` policy, proven hash-green in
+text_unigram_logprob) with a total tie-break (min NLL, then min piece
+count, then lexicographically smallest space-joined segmentation — the
+space separator sorts below every [a-z0-9] byte, and two distinct
+segmentations of one word are never prefix-related, so the tie-break
+has optimal substructure and the linear DP is exact). The DuckDB oracle
+enumerates ALL segmentations by recursive CTE and picks the same
+minimum — feasible at gate SF, while the engine side stays O(len x
+max_piece_len) per unique word at any scale. EM expected counts are
+float64 (rows-only by construction — partial-sum order varies with
+partitioning); the sequential-reference differential and the EM
+monotonicity invariant are pinned in tests/test_tokenizer.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _word_counts(docs: DataFrame, text_col: str, doc_col: str) -> DataFrame:
+    """(word, c) unique-word counts — the Zipf collapse every kernel
+    rides. Tokenization matches the corpus-wide ``_tokens()`` contract
+    (lowercase, [a-z0-9] only, whitespace split)."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")
+                ),
+                " +",
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    return toks, toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+
+
+def unigram_piece_table(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    top_multi: int = 200,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Seed piece inventory: every single character (guaranteeing every
+    word segments) plus the ``top_multi`` most frequent multi-character
+    substrings of length <= ``max_piece_len``, each scored with an
+    integer micro-nat NLL from its corpus substring frequency.
+
+    The substring explosion runs over UNIQUE words (JVM-side
+    ``transform``/``sequence`` expressions — no Python), weighted by
+    word count; one hash aggregate sums piece frequencies; the top-K
+    pick is a vocabulary-bounded TakeOrdered. Output is bounded
+    (<= top_multi + alphabet), so callers broadcast it."""
+    _, wc = _word_counts(docs, text_col, doc_col)
+    subs = (
+        wc.select(
+            "c",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(word)), s -> "
+                    f"transform(sequence(1, least({int(max_piece_len)}, "
+                    f"length(word) - s + 1)), l -> substring(word, s, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("freq"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(int(top_multi))
+    )
+    kept = chars.unionByName(multi)
+    total = kept.agg(F.sum("freq").cast("long").alias("tot"))
+    return kept.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "freq",
+        F.floor(F.log(F.col("tot").cast("double") / F.col("freq")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("nll_u6"),
+    )
+
+
+def _viterbi_word(word: str, table: dict, max_len: int):
+    """Exact min-NLL segmentation of one word under integer piece costs,
+    with the total (nll, n_pieces, seg-string) tie-break. Linear DP —
+    the tie-break has optimal substructure because the space separator
+    sorts below every token byte and two distinct segmentations of one
+    prefix are never prefix-related as strings."""
+    n = len(word)
+    best = [None] * (n + 1)
+    best[0] = (0, 0, "")
+    for j in range(1, n + 1):
+        cand = None
+        for length in range(1, min(max_len, j) + 1):
+            i = j - length
+            b = best[i]
+            if b is None:
+                continue
+            nll = table.get(word[i:j])
+            if nll is None:
+                continue
+            seg = word[i:j] if i == 0 else b[2] + " " + word[i:j]
+            t = (b[0] + nll, b[1] + 1, seg)
+            if cand is None or t < cand:
+                cand = t
+        best[j] = cand
+    return best[n]
+
+
+def unigram_viterbi_segment(
+    docs: DataFrame,
+    pieces: "DataFrame | None" = None,
+    max_piece_len: int = 4,
+    top_multi: int = 200,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Viterbi-segment every document under the unigram piece model —
+    the serving half of the tokenizer (SentencePiece ``encode``):
+    per-doc word count, total piece count, and total integer micro-nat
+    NLL of the min-cost segmentation.
+
+    Plan: one unique-word shuffle, the bounded piece table broadcast
+    into a linear-DP Arrow kernel over UNIQUE words, a join back to the
+    token stream on ``word`` (Heaps'-law sized — AQE broadcasts it
+    while it fits, the same hint-free discipline as
+    text_unigram_logprob), and one integer aggregate per doc. All
+    output arithmetic is integer, so the aggregation is associative
+    and the result hash-stable across partitionings — DuckDB-oracled
+    against full segmentation ENUMERATION (recursive CTE) with the
+    identical tie-break."""
+    toks, wc = _word_counts(docs, text_col, doc_col)
+    if pieces is None:
+        pieces = unigram_piece_table(
+            docs, max_piece_len, top_multi, text_col, doc_col
+        )
+    pdf = pieces.select("piece", "nll_u6").toPandas()  # bounded by contract
+    table = dict(zip(pdf["piece"], pdf["nll_u6"].astype(int)))
+    max_len = max((len(p) for p in table), default=1)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((table, max_len))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tab, ml = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            rows = []
+            for w in b["word"]:
+                r = _viterbi_word(w, tab, ml)
+                rows.append((w, r[1], r[0]))
+            yield pd.DataFrame(rows, columns=["word", "n_pieces", "nll_u6"])
+
+    from etl_covid19_brasil_spark.llm.similarity import _spread
+
+    seg = _spread(wc.select("word")).mapInPandas(
+        kernel, schema="word string, n_pieces long, nll_u6 long"
+    )
+    return (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("nll_u6").cast("long").alias("nll_u6_total"),
+        )
+    )
+
+
+class UnigramFit(NamedTuple):
+    pieces: pd.DataFrame  # (piece, prob) after the final M-step/prune
+    log_likelihood: list  # corpus LL (nats) after each EM iteration
+
+
+def _lattice_e_step(word: str, probs: dict, max_len: int):
+    """Forward-backward over the segmentation lattice of one word:
+    returns (Z, {piece: expected_count}) where Z is the total
+    probability of all segmentations. Standard unigram-LM E-step
+    (Kudo 2018 §3.2), float64."""
+    n = len(word)
+    alpha = np.zeros(n + 1)
+    alpha[0] = 1.0
+    for j in range(1, n + 1):
+        s = 0.0
+        for length in range(1, min(max_len, j) + 1):
+            p = probs.get(word[j - length : j])
+            if p is not None:
+                s += alpha[j - length] * p
+        alpha[j] = s
+    beta = np.zeros(n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for length in range(1, min(max_len, n - i) + 1):
+            p = probs.get(word[i : i + length])
+            if p is not None:
+                s += p * beta[i + length]
+        beta[i] = s
+    z = alpha[n]
+    exp: dict = {}
+    if z <= 0.0:
+        return 0.0, exp
+    for i in range(n):
+        for length in range(1, min(max_len, n - i) + 1):
+            piece = word[i : i + length]
+            p = probs.get(piece)
+            if p is None:
+                continue
+            exp[piece] = exp.get(piece, 0.0) + alpha[i] * p * beta[i + length] / z
+    return z, exp
+
+
+def unigram_em_train(
+    docs: DataFrame,
+    n_iters: int = 3,
+    vocab_target: "int | None" = None,
+    prune_frac: float = 0.2,
+    max_piece_len: int = 4,
+    top_multi: int = 200,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> UnigramFit:
+    """Fit the unigram tokenizer by distributed EM — SentencePiece
+    ``--model_type=unigram`` training re-expressed on DataFrames.
+
+    Each iteration: the bounded piece-probability table broadcasts into
+    a forward-backward Arrow kernel over UNIQUE words (expected piece
+    counts weighted by word count — Kudo 2018 §3.2); the kernel emits
+    vocabulary-bounded (piece, expected_count) partials; ONE hash
+    aggregate sums them; the M-step normalizes on the driver and, when
+    ``vocab_target`` is set, prunes the lowest-expectation
+    ``prune_frac`` of multi-char pieces per iteration (never single
+    chars — coverage is invariant) until the target remains. Corpus
+    log-likelihood Σ c(w)·ln Z(w) is computed from the same pass; EM
+    guarantees it non-decreasing while the vocabulary is fixed (pinned
+    in tests/test_tokenizer.py, alongside a sequential-reference
+    differential). Float expected counts make this rows-only by
+    construction — partial-sum order varies with partitioning."""
+    from etl_covid19_brasil_spark.llm.similarity import _spread
+
+    spark = docs.sparkSession
+    _, wc = _word_counts(docs, text_col, doc_col)
+    seed = unigram_piece_table(
+        docs, max_piece_len, top_multi, text_col, doc_col
+    ).toPandas()
+    total = float(seed["freq"].sum())
+    probs = {p: f / total for p, f in zip(seed["piece"], seed["freq"])}
+    max_len = max(len(p) for p in probs)
+    wc = wc.cache()
+    lls: list = []
+    try:
+        for it in range(int(n_iters)):
+            bc = spark.sparkContext.broadcast((probs, max_len))
+
+            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                pr, ml = bc.value
+                for b in batches:
+                    if not len(b):
+                        continue
+                    acc: dict = {}
+                    ll = 0.0
+                    for w, c in zip(b["word"], b["c"]):
+                        z, exp = _lattice_e_step(w, pr, ml)
+                        if z > 0.0:
+                            ll += float(c) * float(np.log(z))
+                            for piece, e in exp.items():
+                                acc[piece] = acc.get(piece, 0.0) + float(c) * e
+                    out = pd.DataFrame(
+                        {"piece": list(acc), "e": list(acc.values())}
+                    )
+                    out.loc[len(out)] = ["\x00ll", ll]  # LL rides the same pass
+                    yield out
+
+            agg = (
+                _spread(wc)
+                .mapInPandas(kernel, schema="piece string, e double")
+                .groupBy("piece")
+                .agg(F.sum("e").alias("e"))
+                .toPandas()  # vocabulary-bounded by contract
+            )
+            ll_row = agg["piece"] == "\x00ll"
+            lls.append(float(agg.loc[ll_row, "e"].sum()))
+            agg = agg[~ll_row]
+            exp = dict(zip(agg["piece"], agg["e"]))
+            # prune multi-char pieces toward the target (chars immune)
+            if vocab_target is not None and len(exp) > vocab_target:
+                multi = sorted(
+                    ((e, p) for p, e in exp.items() if len(p) > 1)
+                )
+                n_drop = min(
+                    max(int(len(multi) * prune_frac), 1),
+                    len(exp) - int(vocab_target),
+                    len(multi),
+                )
+                for _, p in multi[:n_drop]:
+                    del exp[p]
+            tot = sum(exp.values())
+            probs = {p: e / tot for p, e in exp.items() if e > 0.0}
+    finally:
+        wc.unpersist()
+    out = pd.DataFrame(
+        sorted(probs.items()), columns=["piece", "prob"]
+    )
+    return UnigramFit(out, lls)

@@ -5383,3 +5383,122 @@ def ann_search_filtered_query(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding")
     i = e.filter(F.col("vec_id") % 20 != 0)
     return ann_search_filtered(q, i, F.col("label") != 0, k=5)
+
+
+_O_UNIGRAM_SEGMENT = f"""
+    WITH RECURSIVE
+    utoks AS (SELECT doc_id, unnest({_O_TOKENS}) AS word FROM documents),
+    utoksf AS (SELECT doc_id, word FROM utoks WHERE word <> ''),
+    uwc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM utoksf GROUP BY word),
+    usubs AS (
+      SELECT substring(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) AS piece,
+             CAST(SUM(w.c) AS BIGINT) AS freq
+      FROM uwc w,
+           LATERAL (SELECT unnest(range(1, length(w.word) + 1)) AS s) s,
+           LATERAL (SELECT unnest(range(1, least(4, length(w.word) - s.s + 1) + 1))
+                    AS l) l
+      GROUP BY 1
+    ),
+    ukept AS (
+      SELECT piece, freq FROM usubs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM usubs WHERE length(piece) >= 2
+        ORDER BY freq DESC, piece ASC LIMIT 200)
+    ),
+    utotal AS (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM ukept),
+    uscored AS (
+      SELECT piece,
+             CAST(floor(ln(CAST(tot AS DOUBLE) / freq) * 1000000 + 0.5)
+               AS BIGINT) AS nll_u6
+      FROM ukept, utotal
+    ),
+    upaths AS (
+      SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS nll, 0 AS ntok, '' AS seg
+      FROM uwc
+      UNION ALL
+      SELECT p.word, p.pos + length(s.piece), p.nll + s.nll_u6, p.ntok + 1,
+             CASE WHEN p.seg = '' THEN s.piece
+                  ELSE p.seg || ' ' || s.piece END
+      FROM upaths p JOIN uscored s
+        ON s.piece = substring(p.word, p.pos + 1, length(s.piece))
+      WHERE p.pos < length(p.word)
+    ),
+    usegbest AS (
+      SELECT word, ntok, nll FROM (
+        SELECT word, ntok, nll,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY nll ASC, ntok ASC, seg ASC) AS rn
+        FROM upaths WHERE pos = length(word)) WHERE rn = 1
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(b.ntok) AS BIGINT) AS n_pieces,
+           CAST(SUM(b.nll) AS BIGINT) AS nll_u6_total
+    FROM utoksf t JOIN usegbest b ON t.word = b.word
+    GROUP BY t.doc_id
+    """
+
+
+@query(
+    "tokenizer_unigram_segment",
+    oracle=_O_UNIGRAM_SEGMENT,
+    section="2.10",
+    doc="Unigram-LM tokenizer, serving half (SentencePiece encode, Kudo "
+    "2018) — the second tokenizer family next to the BPE pair: every "
+    "document Viterbi-segmented under a corpus-derived piece model "
+    "(all chars + top-200 substrings <= 4 chars, integer micro-nat NLL "
+    "costs via the proven floor(ln*1e6+0.5) policy), emitting per-doc "
+    "word/piece counts and total segmentation NLL. The engine runs a "
+    "LINEAR DP per UNIQUE word (the Zipf collapse: one word-count "
+    "shuffle, bounded piece table broadcast into an Arrow kernel, "
+    "integer aggregates back per doc) with a total deterministic "
+    "tie-break — min NLL, then min piece count, then lexicographically "
+    "smallest space-joined segmentation; the space separator sorts "
+    "below every token byte and two segmentations of one prefix are "
+    "never string-prefix-related, so the tie-break has optimal "
+    "substructure and the DP is exact. The DuckDB oracle ENUMERATES "
+    "all segmentations by recursive CTE and picks the same minimum — "
+    "hash-green proves the linear engine path equals exhaustive "
+    "search, the strongest oracle shape an iterative-DP operator can "
+    "carry (llm/tokenizer.py).",
+    added=16,
+)
+def tokenizer_unigram_segment(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.tokenizer import unigram_viterbi_segment
+
+    return unigram_viterbi_segment(T(spark, sf, "documents"))
+
+
+@query(
+    "tokenizer_unigram_train",
+    oracle=None,
+    section="2.10",
+    doc="Unigram-LM tokenizer, training half — SentencePiece "
+    "--model_type=unigram re-expressed as distributed EM "
+    "(llm/tokenizer.py:unigram_em_train, Kudo 2018 §3.2): per "
+    "iteration, the bounded piece-probability table broadcasts into a "
+    "forward-backward Arrow kernel over UNIQUE words (expected piece "
+    "counts weighted by corpus word count; the corpus log-likelihood "
+    "rides the same pass as a sentinel row), ONE vocabulary-bounded "
+    "(piece, expected_count) hash aggregate, and a driver-side M-step "
+    "that normalizes and prunes the lowest-expectation multi-char "
+    "pieces toward the 120-piece target (chars immune — coverage "
+    "invariant). Rows-only by construction (float expected counts sum "
+    "in partition order); the EM contract is pinned in "
+    "tests/test_tokenizer.py instead: corpus LL non-decreasing across "
+    "iterations at fixed vocabulary, byte-level agreement with a "
+    "sequential reference implementation, prune/coverage invariants. "
+    "Output: the fitted pieces with micro-quantized probabilities, "
+    "prob-desc ranked.",
+    added=16,
+)
+def tokenizer_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.tokenizer import unigram_em_train
+
+    fit = unigram_em_train(
+        T(spark, sf, "documents"), n_iters=3, vocab_target=120
+    )
+    pdf = fit.pieces.copy()
+    pdf["prob_u6"] = (pdf["prob"] * 1_000_000 + 0.5).astype("int64")
+    out = spark.createDataFrame(pdf[["piece", "prob_u6"]])
+    return out.orderBy(F.desc("prob_u6"), F.asc("piece"))
