@@ -212,6 +212,7 @@ HEADLINE2 = [
     "rank_hybrid_rrf",
     "sample_importance_dsir",
     "decontaminate_embedding_cross",
+    "tokenizer_unigram_segment",
 ]
 
 
