@@ -12,8 +12,11 @@ candidates exactly (VERDICT r14 item 7). This module lands both behind
 one routing function:
 
 - scoring is ONE implementation (:func:`_maxsim_score`) — hash-derived
-  integer token embeddings, exact int64 dots, per-(q_token, doc) max,
-  per-(q, doc) sum, WindowGroupLimit top-k — so the prefiltered form
+  integer token embeddings, exact int64 dots as one Arrow matmul per
+  batch against the broadcast query matrix (r16 — the per-pair column
+  expressions measured ~6x slower outside effective codegen),
+  in-kernel per-(doc, q-token-slot) partial maxes, one doc-sized
+  merge aggregate, WindowGroupLimit top-k — so the prefiltered form
   differs from the scan ONLY in which pairs reach it;
 - candidate generation replays the engine's LSH discipline
   (:func:`~.ann._planes` sign buckets, multi-table OR) over the token
@@ -31,14 +34,15 @@ sum_buckets |q_tokens_in_bucket| x |corpus_tokens_in_bucket| — with
 P sign planes the expected bucket holds |tokens|/2^P rows, so the
 candidate stream shrinks geometrically in P where the scan's is
 |q_tokens| x |corpus_tokens| flat (the 8x probe in SCALECHECK_r15
-measures the reduction). The pair list then joins back to the token
-streams (Catalyst/AQE picks broadcast vs shuffle on its measured
-size), so the exact-scoring stage is linear in the CANDIDATE set, not
-the corpus.
+measures the reduction). The pair list is bounded by construction
+(n_query_docs x cand_k rows), so it rides the scoring kernel's
+broadcast as an allowed-set mask (r16) and the exact-scoring stage is
+linear in the CANDIDATE set, not the corpus.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -72,34 +76,130 @@ def token_vec(token: Column, dim: int = MAXSIM_DIM) -> Column:
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+def _maxsim_score(
+    pairs: DataFrame,
+    comp: DataFrame,
+    qcomp: DataFrame,
+    k: int,
+    max_doc_tokens: int = 8,
+) -> DataFrame:
+    """Exact MaxSim top-``k``: the bounded query side (n_query_docs x
+    <= max_doc_tokens token vectors) broadcasts as a NUMPY MATRIX into
+    an Arrow kernel over the corpus token stream — the
+    `_broadcast_query_scan` pattern (llm/search.py) applied to
+    late-interaction scoring (r16).
+
+    Each batch computes EVERY (corpus token, query token) dot as one
+    int64 matmul and reduces per-doc / per-(query, slot) maxes INSIDE
+    the kernel, emitting one skinny row per doc per batch (doc_id +
+    n_qdocs x max_doc_tokens nullable slot-max columns). One hash
+    aggregate merges the partial maxes across batches — the only
+    exchange, doc-count-sized regardless of token count — then each
+    query doc's present slots sum into its MaxSim score (`+`, not a
+    null-skipping sum: a pair whose every slot is NULL — the self-pair,
+    or a doc outside the prefilter candidate set — propagates NULL and
+    drops, reproducing the r14 shape's pair exclusions exactly), and
+    the per-query top-k ships as the usual WindowGroupLimit pair.
+
+    Why a kernel and not column expressions: this scoring is the
+    engine's measured case of "built-ins until they can't" — the
+    row-per-pair zip_with dot AND the r16 pivoted 8-slot unrolled
+    arithmetic both evaluated outside effective codegen above the
+    cross join (measured ~2 s PER SLOT on 640k candidate rows at the
+    sf0.1 bench shape — ~26 s total, vs ~6 s for the same plan with
+    constant dots; the matmul form computes the identical dots in
+    milliseconds). All arithmetic stays exact: int64 dots, integer
+    maxes, long sums — bit-identical to the r14 plan, which the DuckDB
+    oracle pins.
+
+    ``pairs`` (prefiltered form): bounded by construction at
+    n_query_docs x cand_k rows, so it collects and rides the same
+    broadcast as an allowed-set mask — docs outside a query's candidate
+    set stay at the sentinel and are never scored."""
+    spark = comp.sparkSession
+    out_schema = (
+        "query_doc long, doc_id long, maxsim long, rank int"
+    )
+    q_pdf = qcomp.orderBy("query_doc", "q_token").toPandas()  # bounded
+    if q_pdf.empty:
+        return spark.createDataFrame([], schema=out_schema)
+    qdoc_ids = np.sort(q_pdf["query_doc"].unique()).astype(np.int64)
+    qdoc_pos = {int(q): i for i, q in enumerate(qdoc_ids)}
+    n_cols = len(qdoc_ids) * max_doc_tokens
+    slot_of_row = np.empty(len(q_pdf), dtype=np.int64)
+    seen: dict = {}
+    for r, qd in enumerate(q_pdf["query_doc"]):
+        s = seen.get(qd, 0)
+        seen[qd] = s + 1
+        slot_of_row[r] = qdoc_pos[int(qd)] * max_doc_tokens + s
+    q_mat = np.stack(q_pdf["q_vec"].to_numpy()).astype(np.int64)
+    allowed = None
+    if pairs is not None:
+        # bounded: n_query_docs x cand_k rows by construction
+        p_pdf = pairs.toPandas()
+        allowed = {
+            int(qd): np.asarray(sorted(g["doc_id"]), dtype=np.int64)
+            for qd, g in p_pdf.groupby("query_doc")
+        }
+    SENT = np.iinfo(np.int64).min
+    bc = spark.sparkContext.broadcast(
+        (qdoc_ids, q_mat, slot_of_row, n_cols, allowed)
     )
 
+    def kernel(batches) -> "pd.DataFrame":
+        import pandas as pd
 
-def _maxsim_score(pairs: DataFrame, comp: DataFrame, qcomp: DataFrame, k: int) -> DataFrame:
-    """Exact MaxSim top-``k`` over the given (query_doc, doc_id) pairs:
-    join back both token streams, one int64 dot per token pair, the
-    per-(q_token, doc) max and per-(q, doc) sum as two hash
-    aggregations, WindowGroupLimit top-k. The scan form passes the full
-    cross-pair set implicitly (pairs=None)."""
-    if pairs is None:
-        cand = comp.crossJoin(F.broadcast(qcomp))
-    else:
-        cand = comp.join(pairs, "doc_id").join(
-            F.broadcast(qcomp.withColumnRenamed("query_doc", "qd")),
-            F.col("qd") == F.col("query_doc"),
-        ).drop("qd")
-    cand = cand.filter(F.col("doc_id") != F.col("query_doc"))
-    per_qtok = (
-        cand.select(
-            "query_doc", "q_token", "doc_id", _dot(F.col("vec"), F.col("q_vec")).alias("dot")
+        q_ids, qm, slots, nc, allow = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            docs = b["doc_id"].to_numpy(dtype=np.int64)
+            v = np.stack(b["vec"].to_numpy()).astype(np.int64)
+            dots = v @ qm.T  # (B, n_qtok_total) exact int64
+            full = np.full((len(b), nc), SENT, dtype=np.int64)
+            full[:, slots] = dots
+            S = nc // len(q_ids)  # slots per query doc (= max_doc_tokens)
+            for j, qd in enumerate(q_ids):
+                sl = slice(j * S, (j + 1) * S)
+                mask = docs == qd
+                if allow is not None:
+                    mask |= ~np.isin(docs, allow.get(int(qd), np.empty(0, dtype=np.int64)))
+                if mask.any():
+                    full[mask, sl] = SENT
+            out = pd.DataFrame(full, columns=[f"c{i}" for i in range(nc)])
+            out.insert(0, "doc_id", docs)
+            g = out.groupby("doc_id", sort=False).max().reset_index()
+            cols = g.columns[1:]
+            g[cols] = g[cols].astype("Int64")
+            for c in cols:
+                g.loc[g[c] == SENT, c] = pd.NA
+            yield g
+
+    part_schema = "doc_id long, " + ", ".join(
+        f"c{i} long" for i in range(n_cols)
+    )
+    partial = comp.select("doc_id", "vec").mapInPandas(kernel, schema=part_schema)
+    merged = partial.groupBy("doc_id").agg(
+        *[F.max(f"c{i}").alias(f"c{i}") for i in range(n_cols)]
+    )
+    n_slots = {int(qd): int(n) for qd, n in seen.items()}
+    structs = []
+    for j, qd in enumerate(qdoc_ids):
+        score = None
+        for s in range(n_slots[int(qd)]):
+            c = F.col(f"c{j * max_doc_tokens + s}")
+            score = c if score is None else score + c
+        structs.append(
+            F.struct(
+                F.lit(int(qd)).cast("long").alias("query_doc"),
+                score.alias("maxsim"),
+            )
         )
-        .groupBy("query_doc", "doc_id", "q_token")
-        .agg(F.max("dot").alias("m"))
+    scores = (
+        merged.select("doc_id", F.explode(F.array(*structs)).alias("s"))
+        .select(F.col("s.query_doc").alias("query_doc"), "doc_id", F.col("s.maxsim").alias("maxsim"))
+        .filter(F.col("maxsim").isNotNull())
     )
-    scores = per_qtok.groupBy("query_doc", "doc_id").agg(F.sum("m").alias("maxsim"))
     w = Window.partitionBy("query_doc").orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
     return scores.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -246,4 +346,4 @@ def maxsim_topk(
         if prefilter
         else None
     )
-    return _maxsim_score(pairs, comp, qcomp, k)
+    return _maxsim_score(pairs, comp, qcomp, k, max_doc_tokens=max_doc_tokens)

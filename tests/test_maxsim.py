@@ -111,29 +111,33 @@ def test_maxsim_query_docs_follow_document_table_not_token_stream(spark):
 def test_maxsim_routing_dispatches_on_token_volume(spark):
     """prefilter=None must route scan below MAXSIM_SCAN_MAX_TOKENS and
     prefilter above it (the est_tokens hint stands in for plan
-    statistics). The two forms are distinguishable by plan: the scan
-    broadcasts the query side through a nested-loop cross join; the
-    prefiltered form replaces it with the bucket hash join."""
-    import contextlib
-    import io as pyio
-
+    statistics). Since the r16 matmul-kernel scorer both forms share
+    one scoring plan (the candidate set rides the Python broadcast as
+    an allowed-set mask, not a join), so the route is pinned at the
+    dispatch itself: maxsim_candidates runs ONLY on the prefilter
+    route."""
+    import etl_covid19_brasil_spark.llm.maxsim as maxsim_mod
     from etl_covid19_brasil_spark.llm.maxsim import (
         MAXSIM_SCAN_MAX_TOKENS,
         maxsim_topk,
     )
 
     toks = _toks(spark)
+    calls = []
+    orig = maxsim_mod.maxsim_candidates
 
-    def plan(df):
-        buf = pyio.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain(mode="formatted")
-        return buf.getvalue()
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
 
-    scan_plan = plan(maxsim_topk(toks, k=5, est_tokens=1))
-    pre_plan = plan(maxsim_topk(toks, k=5, est_tokens=MAXSIM_SCAN_MAX_TOKENS + 1))
-    assert "BroadcastNestedLoopJoin" in scan_plan, scan_plan
-    assert "BroadcastNestedLoopJoin" not in pre_plan, pre_plan
+    maxsim_mod.maxsim_candidates = spy
+    try:
+        maxsim_topk(toks, k=5, est_tokens=1)
+        assert not calls, "scan route still built the LSH prefilter"
+        maxsim_topk(toks, k=5, est_tokens=MAXSIM_SCAN_MAX_TOKENS + 1)
+        assert calls, "over-threshold route skipped the prefilter"
+    finally:
+        maxsim_mod.maxsim_candidates = orig
     # results at gate scale: prefiltered output is a valid top-k frame
     rows = maxsim_topk(toks, k=5, est_tokens=MAXSIM_SCAN_MAX_TOKENS + 1).limit(
         200

@@ -640,17 +640,21 @@ def test_chunked_running_sum_plan_shape(spark, specs):
 
 
 def test_rank_maxsim_broadcasts_query_side_and_limits_topk(spark, specs):
-    """rank_maxsim_topk's scale contract (r14): the QUERY side (16 docs
-    x <= 8 tokens of hash-derived vectors) must reach the candidate
-    stream as a BroadcastExchange — a shuffled join here would hash the
-    whole exploded candidate token stream by join key for a 128-row
-    side — and the per-query top-5 must ship as the Partial+Final
-    WindowGroupLimit pair (map-side candidate truncation before the
-    final window). A regression in either silently turns the linear
-    one-pass scoring plan into an extra corpus-sized shuffle."""
+    """rank_maxsim_topk's scale contract (r16 shape): the QUERY side
+    (16 docs x <= 8 tokens of hash-derived vectors) rides a
+    Python-side broadcast into ONE Arrow matmul kernel over the corpus
+    token stream — so the scoring plan must contain MapInPandas and NO
+    join operator at all (the r14 BroadcastNestedLoopJoin evaluated
+    its slot dots outside effective codegen: measured ~26 s vs ~4 s at
+    the sf0.1 bench shape for bit-identical output). The partial
+    per-doc slot maxes merge through the Partial+Final HashAggregate
+    pair whose exchange is DOC-count-sized (never token-sized), and
+    the per-query top-5 still ships as the Partial+Final
+    WindowGroupLimit pair."""
     p = plan_of(q(specs, spark, "rank_maxsim_topk"), mode="extended")
     phys = p.split("== Physical Plan ==")[-1]
-    assert "BroadcastExchange" in phys, phys
+    assert "MapInPandas" in phys, phys
+    assert "Join" not in phys, phys
     assert ", Partial" in phys and ", Final" in phys, phys
     assert "WindowGroupLimit" in phys, phys
 
