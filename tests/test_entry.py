@@ -53,6 +53,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "rolling_hll",  # sketch estimate — error-pinned vs exact
                 "hll_overlap",  # sketch inclusion-exclusion — error-pinned
                 "theta_set",  # theta sketch algebra — error-pinned vs exact
+                "unigram_train",  # iterative float EM — monotone+reference-pinned
             )
         )
         for n in rows_only
