@@ -110,6 +110,24 @@ SHOWCASE = [
         "the pushdown is part of this plan and pinned "
         "(tests/test_ann_lifecycle.py: PushedFilters EqualTo(label,1)).",
     ),
+    (
+        "tokenizer_unigram_segment",
+        "Unigram tokenizer serving (r16): one unique-word shuffle, the "
+        "bounded piece table broadcast into a linear-DP Arrow kernel "
+        "over unique words, a Heaps'-law-sized join back to the token "
+        "stream, integer aggregates per doc — DuckDB-oracled against "
+        "full segmentation enumeration.",
+    ),
+    (
+        "rank_maxsim_topk",
+        "MaxSim scoring after the r16 re-plan: the query side rides a "
+        "Python broadcast as one numpy matrix into an Arrow matmul "
+        "kernel — MapInPandas, NO join operator (the r14 "
+        "nested-loop-join form evaluated its slot dots outside "
+        "effective codegen: 27.9 -> 1.5 s at the bench shape, "
+        "bit-identical output); the only exchange is the "
+        "doc-count-sized slot-max merge.",
+    ),
 ]
 
 
