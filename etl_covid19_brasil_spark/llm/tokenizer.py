@@ -342,3 +342,121 @@ def unigram_em_train(
         sorted(probs.items()), columns=["piece", "prob"]
     )
     return UnigramFit(out, lls)
+
+
+def _lattice_sample(word: str, probs: dict, max_len: int, alpha: float, rng):
+    """Sample one segmentation with P(seg) proportional to
+    prod p(piece)^alpha — forward-filtered backward sampling over the
+    word lattice (the subword-regularization sampler, Kudo 2018 §3.3,
+    here exact over the full lattice rather than an n-best
+    approximation). Returns the piece list, or None when the word has
+    no segmentation under the piece table (impossible when every
+    character is a piece)."""
+    n = len(word)
+    a = np.zeros(n + 1)
+    a[0] = 1.0
+    for j in range(1, n + 1):
+        s = 0.0
+        for length in range(1, min(max_len, j) + 1):
+            p = probs.get(word[j - length : j])
+            if p is not None:
+                s += a[j - length] * (p**alpha)
+        a[j] = s
+    if a[n] <= 0.0:
+        return None
+    out = []
+    j = n
+    while j > 0:
+        opts, weights = [], []
+        for length in range(1, min(max_len, j) + 1):
+            p = probs.get(word[j - length : j])
+            if p is not None and a[j - length] > 0.0:
+                opts.append(length)
+                weights.append(a[j - length] * (p**alpha))
+        w = np.asarray(weights)
+        pick = opts[int(rng.choice(len(opts), p=w / w.sum()))]
+        out.append(word[j - pick : j])
+        j -= pick
+    out.reverse()
+    return out
+
+
+def _word_rng(word: str, seed: int):
+    """Deterministic per-word RNG: the stream depends only on (word,
+    seed), never on partitioning or row order — so the distributed
+    sample is byte-reproducible across runs and cluster layouts (the
+    same engine-portable-hash discipline as the md5 token vectors)."""
+    import hashlib
+
+    h = hashlib.md5(f"{word}\x00{seed}".encode()).hexdigest()
+    return np.random.default_rng(int(h[:16], 16))
+
+
+def unigram_sample_segment(
+    docs: DataFrame,
+    pieces: "DataFrame | None" = None,
+    alpha: float = 0.5,
+    seed: int = 0,
+    max_piece_len: int = 4,
+    top_multi: int = 200,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Subword-REGULARIZATION segmentation (SentencePiece
+    ``encode(..., enable_sampling=True)``): every word segmented by a
+    SAMPLE from P(seg) proportional to prod p(piece)^alpha instead of
+    the Viterbi argmax — the stochastic tokenization that regularizes
+    LM training by exposing it to segmentation variety (Kudo 2018's
+    actual contribution; ``alpha`` is the temperature: 1 = the exact
+    lattice posterior, 0 = uniform over segmentations, large =
+    approaches Viterbi).
+
+    Same plan as :func:`unigram_viterbi_segment` (unique-word collapse,
+    bounded piece table broadcast, integer aggregates per doc); piece
+    probabilities come from the corpus frequency table (or a fitted
+    ``pieces`` frame with a ``prob`` column from
+    :func:`unigram_em_train`). Sampling is DETERMINISTIC given
+    ``seed``: each word draws from its own (word, seed)-keyed RNG, so
+    the result is byte-reproducible across partitionings and runs
+    (pinned in tests/test_tokenizer.py alongside the validity and
+    distribution-correctness invariants) — no SQL oracle can sample a
+    lattice, so the registered query is rows-only by construction."""
+    toks, wc = _word_counts(docs, text_col, doc_col)
+    if pieces is None:
+        pieces = unigram_piece_table(
+            docs, max_piece_len, top_multi, text_col, doc_col
+        )
+    pdf = pieces.toPandas()  # bounded by contract
+    if "prob" in pdf.columns:
+        probs = dict(zip(pdf["piece"], pdf["prob"].astype(float)))
+    else:
+        total = float(pdf["freq"].sum())
+        probs = {p: f / total for p, f in zip(pdf["piece"], pdf["freq"])}
+    max_len = max((len(p) for p in probs), default=1)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((probs, max_len, float(alpha), int(seed)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pr, ml, al, sd = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            rows = []
+            for w in b["word"]:
+                seg = _lattice_sample(w, pr, ml, al, _word_rng(w, sd))
+                rows.append((w, len(seg), " ".join(seg)))
+            yield pd.DataFrame(rows, columns=["word", "n_pieces", "seg"])
+
+    from etl_covid19_brasil_spark.llm.similarity import _spread
+
+    seg = _spread(wc.select("word")).mapInPandas(
+        kernel, schema="word string, n_pieces long, seg string"
+    )
+    return (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+    )

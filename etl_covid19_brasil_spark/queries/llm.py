@@ -5505,3 +5505,32 @@ def tokenizer_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
     pdf["prob_u6"] = (pdf["prob"] * 1_000_000 + 0.5).astype("int64")
     out = spark.createDataFrame(pdf[["piece", "prob_u6"]])
     return out.orderBy(F.desc("prob_u6"), F.asc("piece"))
+
+
+@query(
+    "tokenizer_unigram_sample",
+    oracle=None,
+    section="2.10",
+    doc="Subword-REGULARIZATION segmentation — the stochastic encode "
+    "that is Kudo 2018's actual contribution (SentencePiece "
+    "enable_sampling=True), completing the unigram triad "
+    "(train / Viterbi encode / sampled encode): every word segmented "
+    "by a SAMPLE from P(seg) ~ prod p(piece)^alpha via exact "
+    "forward-filtered backward sampling over the word lattice "
+    "(llm/tokenizer.py:unigram_sample_segment, alpha=0.5), the "
+    "tokenization variety that regularizes LM training. Same plan as "
+    "the Viterbi form (unique-word collapse, bounded piece broadcast, "
+    "integer per-doc aggregates). Rows-only by construction — no SQL "
+    "oracle can sample a lattice — but the sample is DETERMINISTIC: "
+    "each word draws from its own (word, seed)-keyed md5 RNG, so the "
+    "result is byte-reproducible across partitionings and runs; "
+    "validity (segments concatenate back to the word), reproducibility "
+    "and distribution correctness (empirical segmentation frequencies "
+    "match the enumerated lattice posterior at alpha=1, uniform at "
+    "alpha=0) are pinned in tests/test_tokenizer.py.",
+    added=16,
+)
+def tokenizer_unigram_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_covid19_brasil_spark.llm.tokenizer import unigram_sample_segment
+
+    return unigram_sample_segment(T(spark, sf, "documents"), alpha=0.5, seed=7)

@@ -54,6 +54,7 @@ def test_query_and_oracle_maps_are_consistent(spark):
                 "hll_overlap",  # sketch inclusion-exclusion — error-pinned
                 "theta_set",  # theta sketch algebra — error-pinned vs exact
                 "unigram_train",  # iterative float EM — monotone+reference-pinned
+                "unigram_sample",  # lattice sampling — validity+distribution-pinned
             )
         )
         for n in rows_only

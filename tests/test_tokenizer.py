@@ -164,3 +164,51 @@ def test_segment_covers_every_doc_and_is_char_consistent(spark):
     assert len(seg) == n_docs_with_tokens
     assert (seg["n_pieces"] >= seg["n_words"]).all()
     assert (seg["nll_u6_total"] > 0).all()
+
+
+def test_sample_segmentations_are_valid_and_reproducible(spark):
+    """Every sampled segmentation must concatenate back to its word
+    (checked via the per-doc piece-count bounds), and the distributed
+    sample must be byte-reproducible: the per-word RNG is keyed on
+    (word, seed), never on partitioning."""
+    from etl_covid19_brasil_spark.llm.tokenizer import unigram_sample_segment
+
+    docs = _docs(spark)
+    a = unigram_sample_segment(docs, alpha=0.5, seed=3).toPandas()
+    b = unigram_sample_segment(docs, alpha=0.5, seed=3).toPandas()
+    key = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    assert (a["n_pieces"] >= a["n_words"]).all()
+    # a different seed must actually move some segmentation
+    c = unigram_sample_segment(docs, alpha=0.5, seed=4).toPandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (merged["n_pieces_a"] != merged["n_pieces_c"]).any()
+
+
+def test_sample_distribution_matches_lattice_posterior():
+    """The sampler must draw from the exact alpha-powered lattice
+    posterior: on a rigged two-segmentation word, empirical frequencies
+    over many seeds match the enumerated probabilities (alpha=1), and
+    alpha=0 is uniform over segmentations."""
+    from etl_covid19_brasil_spark.llm.tokenizer import (
+        _lattice_sample,
+        _word_rng,
+    )
+
+    probs = {"a": 0.3, "b": 0.1, "ab": 0.6}
+    # segmentations of "ab": [ab] with p 0.6, [a, b] with p 0.03
+    want_ab = 0.6 / (0.6 + 0.03)
+    n = 4000
+    hits = sum(
+        _lattice_sample("ab", probs, 2, 1.0, _word_rng("ab", s)) == ["ab"]
+        for s in range(n)
+    )
+    assert abs(hits / n - want_ab) < 0.02, hits / n
+    hits0 = sum(
+        _lattice_sample("ab", probs, 2, 0.0, _word_rng("ab", s)) == ["ab"]
+        for s in range(n)
+    )
+    assert abs(hits0 / n - 0.5) < 0.02, hits0 / n
