@@ -1960,13 +1960,19 @@ _BM25_W_U6 = (
 )
 def rank_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
-    qtoks = (
-        d.select("doc_id", F.explode(_tokens()).alias("token"))
-        .filter(F.col("token").isin(*_RANK_TERMS))
+    # r16 optimization round: df derives FROM tf — tf already holds
+    # one row per (doc, token), so COUNT(*) per token equals
+    # COUNT(DISTINCT doc_id) over the token stream, and the df branch
+    # re-aggregates tf's keyed rows (identical subtree — AQE stage
+    # reuse serves it from tf's exchange) instead of re-running the
+    # explode + a second full-stream distinct shuffle (guide
+    # §2.3/§2.4). One corpus tokenize pass instead of two.
+    qtoks = d.select("doc_id", F.explode(_tokens()).alias("token")).filter(
+        F.col("token").isin(*_RANK_TERMS)
     )
     n_total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n_total))
@@ -2028,15 +2034,26 @@ def rank_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def rank_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
-    toks = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    # r16 optimization round: the document length is size(tokens) — a
+    # map-side projection, so the dedicated dls branch (a full corpus
+    # explode + a token-stream shuffle keyed by doc) is gone outright;
+    # df derives from tf (one row per (doc, token) already), so its
+    # branch re-aggregates tf's keyed rows — an identical subtree AQE
+    # stage reuse serves from tf's exchange — instead of re-running
+    # the explode + a second full-stream distinct shuffle. Three token
+    # passes became one (guide §2.3 shuffle-fewer-bytes, §2.4 share
+    # one exchange). Same-session A/B at sf0.1: 1.26→1.22 s min; the
+    # structural win is the two deleted corpus passes at scale.
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens()).cast("long")).alias("sum_dl"),
     )
-    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    qtoks = toks.filter(F.col("token").isin(*_RANK_TERMS))
+    dls = d.select("doc_id", F.size(_tokens()).alias("dl"))
+    qtoks = d.select("doc_id", F.explode(_tokens()).alias("token")).filter(
+        F.col("token").isin(*_RANK_TERMS)
+    )
     tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfs = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfs), "token")
         .join(dls, "doc_id")
@@ -3975,12 +3992,14 @@ _RRF_K0 = 60
 )
 def rank_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
+    # r16 optimization round: derive df from tf (see rank_tfidf_topk)
+    # — one corpus tokenize pass instead of two.
     qtoks = d.select("doc_id", F.explode(_tokens()).alias("token")).filter(
         F.col("token").isin(*_RANK_TERMS)
     )
     n_total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfs = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     lex_scored = (
         tf.join(F.broadcast(dfs), "token")
         .crossJoin(F.broadcast(n_total))
@@ -4006,7 +4025,11 @@ def rank_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("lex_rank", F.row_number().over(lw))
         .select("doc_id", "lex_rank")
     )
-    e = T(spark, sf, "embeddings")
+    # r16 optimization round: spread the per-vector fold — the dense
+    # scoring (hash-sign fold over 64 components) measured 0.9 s pinned
+    # on the scan's single split; round-robin across the cluster it is
+    # embarrassingly parallel (guide §2.5 input-parallelism).
+    e = _spread(spark, T(spark, sf, "embeddings"))
     ne = F.transform(
         F.col("embedding"),
         lambda x: x.cast("double") / F.sqrt(_dot(F.col("embedding"), F.col("embedding"))),
@@ -4819,16 +4842,32 @@ def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
         (F.ascii(F.substring(F.md5("token"), 1, 1)) % 16) * 16
         + F.ascii(F.substring(F.md5("token"), 2, 1)) % 16
     )
+    # r16 optimization round: the raw (doc, lang, token-bucket) stream
+    # was consumed TWICE (bucket counts; per-doc weight sums), so the
+    # explode + two-md5 bucketing ran as two full corpus passes — and
+    # on a single-split scan, single-threaded. Pre-aggregating to
+    # (doc_id, lang, b, c) keyed rows makes both consumers read the
+    # SAME exchange (AQE stage reuse): one spread explode/md5 pass,
+    # and every downstream shuffle carries ≤256 keyed rows per doc
+    # instead of one row per token (guide §2.3 aggregate-before-
+    # shuffle, §2.4 share one exchange). All downstream sums weight by
+    # c — exact integer arithmetic, bit-identical to the per-token sum.
     tb = (
-        d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+        _spread(spark, d)
+        .select("doc_id", "lang", F.explode(_tokens()).alias("token"))
         .withColumn("b", bucket.cast("int"))
-        .crossJoin(F.broadcast(top_lang))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    counts = tb.groupBy("b").agg(
-        F.count(F.lit(1)).cast("long").alias("ns"),
-        F.sum(F.when(F.col("lang") == F.col("__tl"), 1).otherwise(0))
-        .cast("long")
-        .alias("nt"),
+    counts = (
+        tb.crossJoin(F.broadcast(top_lang))
+        .groupBy("b")
+        .agg(
+            F.sum("c").cast("long").alias("ns"),
+            F.sum(F.when(F.col("lang") == F.col("__tl"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("nt"),
+        )
     )
     tot = counts.agg(
         F.sum("ns").cast("long").alias("big_ns"),
@@ -4851,8 +4890,8 @@ def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
         tb.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("w_u6").alias("dsir_u6"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w_u6")).alias("dsir_u6"),
         )
         .orderBy(F.desc("dsir_u6"), F.asc("doc_id"))
         .limit(20)
