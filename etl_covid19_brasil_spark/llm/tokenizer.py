@@ -169,7 +169,17 @@ def unigram_viterbi_segment(
     and the result hash-stable across partitionings — DuckDB-oracled
     against full segmentation ENUMERATION (recursive CTE) with the
     identical tie-break."""
-    toks, wc = _word_counts(docs, text_col, doc_col)
+    # r16 optimization round: collapse the token stream to
+    # (doc_id, word, c) ONCE — the unique-word frame the DP kernel
+    # rides re-aggregates those keyed rows (an identical subtree AQE
+    # stage reuse serves from one exchange), and the join back to the
+    # corpus runs over per-doc DISTINCT words weighted by c instead of
+    # every occurrence: one tokenize pass instead of two, and a
+    # smaller join input (guide §2.3/§2.4). Integer weights keep the
+    # per-doc sums bit-identical (oracle re-verified).
+    toks, _ = _word_counts(docs, text_col, doc_col)
+    tc = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    wc = tc.groupBy("word").agg(F.sum("c").alias("c"))
     if pieces is None:
         pieces = unigram_piece_table(
             docs, max_piece_len, top_multi, text_col, doc_col
@@ -197,12 +207,12 @@ def unigram_viterbi_segment(
         kernel, schema="word string, n_pieces long, nll_u6 long"
     )
     return (
-        toks.join(seg, "word")
+        tc.join(seg, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("n_pieces").cast("long").alias("n_pieces"),
-            F.sum("nll_u6").cast("long").alias("nll_u6_total"),
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("long").alias("n_pieces"),
+            F.sum(F.col("c") * F.col("nll_u6")).cast("long").alias("nll_u6_total"),
         )
     )
 
@@ -421,7 +431,11 @@ def unigram_sample_segment(
     (pinned in tests/test_tokenizer.py alongside the validity and
     distribution-correctness invariants) — no SQL oracle can sample a
     lattice, so the registered query is rows-only by construction."""
-    toks, wc = _word_counts(docs, text_col, doc_col)
+    # r16 optimization round: same single-tokenize-pass collapse as
+    # unigram_viterbi_segment (see the note there).
+    toks, _ = _word_counts(docs, text_col, doc_col)
+    tc = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    wc = tc.groupBy("word").agg(F.sum("c").alias("c"))
     if pieces is None:
         pieces = unigram_piece_table(
             docs, max_piece_len, top_multi, text_col, doc_col
@@ -453,10 +467,10 @@ def unigram_sample_segment(
         kernel, schema="word string, n_pieces long, seg string"
     )
     return (
-        toks.join(seg, "word")
+        tc.join(seg, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("long").alias("n_pieces"),
         )
     )
