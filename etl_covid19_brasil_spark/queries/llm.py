@@ -38,9 +38,19 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     one parquet split otherwise pins tokenize/shingle/hash work on a
     single task (maxPartitionBytes sizes splits by bytes, not by the
     compute they feed); the few-MB shuffle is noise next to the freed
-    parallelism. At real 100 TB scale the scan arrives in thousands of
-    splits and this repartition collapses to a no-op-cost rebalance."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    parallelism.
+
+    r16 optimization round: conditional, matching llm/similarity._spread
+    — when the scan already arrives in >= defaultParallelism files the
+    repartition is SKIPPED outright instead of issuing a full round-robin
+    shuffle of the corpus (the unconditional form re-shuffled every byte
+    at real scale for nothing; file count approximates scan parallelism
+    without an RDD conversion, and non-file sources report no files and
+    keep the spread, which AQE coalesces if it was unnecessary)."""
+    target = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 _O_TOKENS = "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
