@@ -154,11 +154,22 @@ def _bucket_topk_kernel(k: int):
     return kernel
 
 
-def _global_topk(local: DataFrame, k: int) -> DataFrame:
-    """Merge per-bucket local top-k lists into the global per-query top-k."""
-    dedup = local.dropDuplicates(["query_id", "neighbor_id"])
+def _global_topk(local: DataFrame, k: int, dedup: bool = True) -> DataFrame:
+    """Merge per-bucket local top-k lists into the global per-query
+    top-k.
+
+    ``dedup=False`` (r16 optimization round): the IVF tiers deliver
+    each (query, neighbor) pair AT MOST ONCE by construction — an
+    index row lives in exactly ONE home cell (argmax assignment) and a
+    query's probe cells are distinct, so no pair can meet twice — and
+    their dropDuplicates was a full extra exchange spent deduplicating
+    already-unique rows (guide §2.4: "a distinct on data that is
+    already unique"). The LSH tiers keep the dedup: a pair collides in
+    up to T tables x fan probes."""
+    if dedup:
+        local = local.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return dedup.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 # Target expected bucket membership when auto-sizing the plane count:
@@ -1187,7 +1198,9 @@ def ivf_topk(
     if label_col is not None:
         out_schema += ", neighbor_label int"
     local = assigned.groupBy("cell", "qs").applyInPandas(cell_topk, schema=out_schema)
-    return _global_topk(local, k)
+    # meet-once tier: every (query, neighbor) pair appears in at most
+    # one (cell, salt) group — skip the dedup exchange (r16)
+    return _global_topk(local, k, dedup=False)
 
 
 def kmeans_lloyd(

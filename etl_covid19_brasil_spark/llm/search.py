@@ -335,7 +335,9 @@ def _ivf_search(
     local = assigned.groupBy("cell", "qs").applyInPandas(
         cell_topk, schema="query_id long, neighbor_id long, cosine double"
     )
-    return _global_topk(local, k)
+    # meet-once tier: every (query, neighbor) pair appears in at most
+    # one (cell, salt) group — skip the dedup exchange (r16)
+    return _global_topk(local, k, dedup=False)
 
 
 def _ivfpq_search(
