@@ -534,3 +534,33 @@ def test_ann_search_index_collect_is_bounded_on_lying_estimate(spark, monkeypatc
         for r in ann_search(q, i, k=5).collect()
     )
     assert rows == ref and len(rows) > 0
+
+
+def test_ivf_candidate_pairs_meet_at_most_once(spark):
+    """r16 optimization: the IVF merge skips the pair-dedup exchange on
+    the meet-at-most-once argument (one home cell per index row,
+    distinct probe cells per query). Pin the argument itself: the
+    per-cell candidate stream of the two-frame IVF tier must contain
+    no duplicated (query_id, neighbor_id) pair, so dedup=False is a
+    plan-only change."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.ann import TierRoute, kmeans_lloyd
+    from etl_covid19_brasil_spark.llm.search import MAX_INDEX_ROWS, ann_search
+    from etl_covid19_brasil_spark.registry import T
+
+    e = T(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    i = e.filter(F.col("vec_id") % 20 != 0)
+    cents = kmeans_lloyd(i, k=8, iters=2)
+    route = TierRoute("ivf", MAX_INDEX_ROWS + 1, 0, None, centroids=cents)
+    # k larger than any cell's top so the local lists are as wide as
+    # the tier ever emits them; rank<=k filter keeps every emitted pair
+    out = ann_search(q, i, k=10_000, route=route, n_index=MAX_INDEX_ROWS + 1)
+    dup = (
+        out.groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    assert dup == 0

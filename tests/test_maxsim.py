@@ -143,3 +143,30 @@ def test_maxsim_routing_dispatches_on_token_volume(spark):
         200
     ).collect()
     assert rows and set(rows[0].asDict()) == {"query_doc", "doc_id", "maxsim", "rank"}
+
+
+def test_maxsim_preselected_tokens_match_default_path(spark):
+    """r16 optimization: the registered queries select the first-8-
+    distinct-tokens map-side (array_distinct + array_sort + slice on
+    the token ARRAY, zero exchanges) and pass tokens_preselected=True;
+    maxsim_topk's own aggregate-based selection stays the generic
+    path. The two must be row-identical — the flag only skips a plan
+    stage, never changes which tokens score."""
+    from etl_covid19_brasil_spark.llm.maxsim import maxsim_topk
+    from etl_covid19_brasil_spark.queries.llm import _tokens
+    from etl_covid19_brasil_spark.registry import T
+
+    d = T(spark, SF, "documents")
+    generic = maxsim_topk(_toks(spark), k=5, prefilter=False, query_docs=d)
+    pre = d.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.array_sort(F.array_distinct(_tokens())), 1, 8)
+        ).alias("token"),
+    )
+    fast = maxsim_topk(
+        pre, k=5, prefilter=False, query_docs=d, tokens_preselected=True
+    )
+    a = sorted(map(tuple, generic.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
