@@ -105,6 +105,63 @@ from etl_covid19_brasil_spark.llm.similarity import (
 # take the cogrouped tier.
 QUERY_BROADCAST_MAX = 4096
 
+# r17 (VERDICT r16 item 3): the ADC rerank pool pre-partitions the
+# candidate stream on query_id so the pair dedup and the pool window
+# share ONE exchange (the old shape paid a (query_id, neighbor_id)
+# exchange AND a query_id exchange). Module switch so the A/B probe can
+# time both forms in one session; False reproduces the r16 plan.
+_POOL_SINGLE_EXCHANGE = True
+
+
+def _exact_pair_counts(
+    index: DataFrame,
+    queries: DataFrame,
+    n_index: "int | None",
+    n_queries: "int | None",
+) -> "tuple[int, int]":
+    """Exact (n_index, n_queries) with the FEWEST eager jobs (VERDICT
+    r16 item 7). The LSH tiers need exact counts when the caller gives
+    no hint — plane/salt counts are RECALL-BEARING and must not ride a
+    Catalyst estimate (the r15 lesson: an estimate overshoot derived
+    P=12 and collapsed recall to 0.37) — but two separate ``count()``
+    calls paid two driver round-trips and two job overheads for what is
+    one question. Single-shot callers now pay ONE job:
+
+    - same frame on both sides (the self-join callers): one count
+      serves both;
+    - otherwise both frames are tagged with a side literal and counted
+      through one union aggregate — the same bytes scanned as two
+      counts, half the job/scheduling overhead.
+
+    A missing group (an empty frame) counts as 0, exactly as
+    ``count()`` would. Hinted sides skip their count entirely, so the
+    pure-lazy two-hint form still runs zero jobs.
+    """
+    if n_index is not None and n_queries is not None:
+        return int(n_index), int(n_queries)
+    if index is queries:
+        # one frame on both sides: either hint (or one count) serves both
+        n = n_index if n_index is not None else n_queries
+        if n is None:
+            n = index.count()
+        return (
+            int(n_index if n_index is not None else n),
+            int(n_queries if n_queries is not None else n),
+        )
+    if n_index is None and n_queries is None:
+        rows = (
+            index.select(F.lit(1).alias("__side"))
+            .unionAll(queries.select(F.lit(2).alias("__side")))
+            .groupBy("__side")
+            .count()
+            .collect()
+        )
+        got = {int(r["__side"]): int(r["count"]) for r in rows}
+        return got.get(1, 0), got.get(2, 0)
+    if n_index is None:
+        return int(index.count()), int(n_queries)
+    return int(n_index), int(queries.count())
+
 
 def _rerank_global(local: DataFrame, k: int) -> DataFrame:
     """Merge per-task local top-k candidate lists into the global
@@ -545,7 +602,14 @@ def ann_search(
     are byte-identical with or without it. ``n_queries``/``n_index``
     are caller hints for the tier choice (plan statistics otherwise —
     no extra scan; the choice is performance-only, both exact plans and
-    the recall-floored ivf plan share the output contract)."""
+    the recall-floored ivf plan share the output contract).
+
+    Precondition (made explicit with the r16 dedup removal — ADVICE
+    r16): ``id_col`` must be UNIQUE per row in both frames. The IVF
+    tiers no longer deduplicate (query, neighbor) pairs — a pair meets
+    at most once by cell construction — so duplicate vec_ids would
+    surface as duplicate top-k rows where the old dropDuplicates
+    silently masked one of them."""
     n_idx = n_index if n_index is not None else _estimate_rows(index)
     n_q = n_queries if n_queries is not None else _estimate_rows(queries)
     if n_idx <= MAX_INDEX_ROWS:
@@ -775,10 +839,10 @@ def lsh_search(
     # the 8x split estimated ~10^6 for 15,200 rows, deriving P=12 whose
     # 4-bit probe fan collapsed recall to 0.37 vs 0.92 at the true P=6).
     # The same overshoot on n_q would derive ~100 query salts and
-    # replicate the index 100x. Two count() jobs are the documented
-    # construction cost; pass both hints for the pure-lazy form.
-    n_idx = n_index if n_index is not None else index.count()
-    n_q = n_queries if n_queries is not None else queries.count()
+    # replicate the index 100x. ONE fused count job is the documented
+    # construction cost (r17, VERDICT r16 item 7 — was two separate
+    # count() jobs); pass both hints for the pure-lazy form.
+    n_idx, n_q = _exact_pair_counts(index, queries, n_index, n_queries)
     sample = _sample_matrix(index, id_col, vec_col)
     if sample is None:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
@@ -941,9 +1005,9 @@ def lsh_adc_search(
     spark = index.sparkSession
     # exact counts when no hint: plane count is RECALL-BEARING (the
     # lsh_search r15 lesson — estimate overshoot derived P=12 and
-    # collapsed recall to 0.37)
-    n_idx = n_index if n_index is not None else index.count()
-    n_q = n_queries if n_queries is not None else queries.count()
+    # collapsed recall to 0.37); fused into one job (r17, VERDICT r16
+    # item 7)
+    n_idx, n_q = _exact_pair_counts(index, queries, n_index, n_queries)
     sample = _sample_matrix(index, id_col, vec_col)
     if sample is None:
         return spark.createDataFrame([], schema=TOPK_SCHEMA)
@@ -1108,10 +1172,29 @@ def lsh_adc_search(
     )
     # a pair colliding in several tables carries the SAME ADC score
     # (one code row per vector) — dedup before the pool so duplicates
-    # don't crowd out distinct candidates
+    # don't crowd out distinct candidates.
+    #
+    # r17 optimization round (VERDICT r16 item 3): the pool used to run
+    # dropDuplicates (a full hash exchange on (query_id, neighbor_id))
+    # FOLLOWED by the row_number window (a second exchange on query_id
+    # plus a sort) — the candidate stream crossed the network twice to
+    # answer one query-keyed question. One explicit repartition on
+    # query_id now establishes the partitioning ONCE: HashPartitioning
+    # on query_id satisfies the dedup aggregate's ClusteredDistribution
+    # on (query_id, neighbor_id) — a subset partitioning colocates every
+    # row of each (q, n) group — and the window's own query_id
+    # requirement, so both run partition-local above a SINGLE exchange
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange). Per-query pool input is bounded (tables x fan x
+    # emit_rows rows), so the query-keyed exchange cannot skew. Results
+    # are byte-identical: dedup keeps one of several identical-score
+    # copies, and the (score desc, neighbor_id asc) pool order is a
+    # total order over the deduped rows.
     pool_w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
+    if _POOL_SINGLE_EXCHANGE:
+        local = local.repartition("query_id")
     cand = (
         local.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("__pr", F.row_number().over(pool_w))

@@ -564,3 +564,68 @@ def test_ivf_candidate_pairs_meet_at_most_once(spark):
         .count()
     )
     assert dup == 0
+
+
+def test_exact_pair_counts_fused_and_correct(spark):
+    """r17 (VERDICT r16 item 7): single-shot lsh_search/lsh_adc_search
+    callers pay ONE fused count job instead of two. Pin (a) the fused
+    counts equal the two separate count() results in every hint
+    combination, and (b) the fused form costs strictly fewer scheduler
+    jobs than the two-count form it replaced (self-calibrating: both
+    are measured via job groups in this session)."""
+    import pyspark.sql.functions as F
+
+    from etl_covid19_brasil_spark.llm.search import _exact_pair_counts
+    from etl_covid19_brasil_spark.registry import T
+
+    e = T(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") % 8 == 0)
+    i = e.filter(F.col("vec_id") % 8 != 0)
+    sc = spark.sparkContext
+
+    def jobs_of(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup("idle", "idle")
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    (ni, nq), fused_jobs = jobs_of(
+        "fused_pc", lambda: _exact_pair_counts(i, q, None, None)
+    )
+    (ni2, nq2), two_jobs = jobs_of("two_pc", lambda: (i.count(), q.count()))
+    assert (ni, nq) == (ni2, nq2)
+    assert fused_jobs < two_jobs, (fused_jobs, two_jobs)
+    # hints short-circuit to zero jobs
+    _, zero_jobs = jobs_of("hint_pc", lambda: _exact_pair_counts(i, q, 7, 3))
+    assert zero_jobs == 0
+    assert _exact_pair_counts(i, q, 7, 3) == (7, 3)
+    assert _exact_pair_counts(i, q, None, 3) == (ni, 3)
+    assert _exact_pair_counts(i, q, 7, None) == (7, nq)
+    # one frame on both sides: one count serves both
+    (si, sq), self_jobs = jobs_of(
+        "self_pc", lambda: _exact_pair_counts(e, e, None, None)
+    )
+    assert si == sq == ni + nq
+    assert self_jobs <= fused_jobs
+
+
+def test_lsh_adc_pool_has_no_pair_keyed_exchange(spark):
+    """r17 (VERDICT r16 item 3): the ADC rerank pool's pair dedup and
+    row_number window share ONE query_id exchange — the old plan paid a
+    full (query_id, neighbor_id) hash exchange for the dedup and then a
+    second exchange for the window. The pair-keyed exchange is the
+    unique plan signature of the old shape: assert it is gone while the
+    dedup aggregate and the pool window survive."""
+    import re
+
+    from etl_covid19_brasil_spark.llm.search import lsh_adc_search
+    from tests.test_plans import plan_of
+
+    q, i, _ = _split_frames(spark, 800, 16, seed=11)
+    p = plan_of(lsh_adc_search(q, i, k=5))
+    assert re.search(r"hashpartitioning\(query_id#\d+", p), p
+    assert not re.search(r"hashpartitioning\(query_id#\d+L?,\s*neighbor_id", p), (
+        "pair-keyed dedup exchange is back: " + p
+    )
