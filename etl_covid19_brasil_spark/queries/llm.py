@@ -41,14 +41,18 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     parallelism.
 
     r16 optimization round: conditional, matching llm/similarity._spread
-    — when the scan already arrives in >= defaultParallelism files the
-    repartition is SKIPPED outright instead of issuing a full round-robin
-    shuffle of the corpus (the unconditional form re-shuffled every byte
-    at real scale for nothing; file count approximates scan parallelism
-    without an RDD conversion, and non-file sources report no files and
-    keep the spread, which AQE coalesces if it was unnecessary)."""
+    — when the scan already arrives wide enough the repartition is
+    SKIPPED outright instead of issuing a full round-robin shuffle of
+    the corpus (the unconditional form re-shuffled every byte at real
+    scale for nothing). r17: the gate is scan BYTES
+    (llm/similarity._scan_parallel_enough), not file count — Spark
+    bin-packs small files into splits, so a many-tiny-file corpus
+    passed the old count gate yet arrived in a handful of tasks
+    (VERDICT r16 item 6)."""
+    from etl_covid19_brasil_spark.llm.similarity import _scan_parallel_enough
+
     target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= target:
+    if _scan_parallel_enough(df, target):
         return df
     return df.repartition(target)
 

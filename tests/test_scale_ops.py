@@ -975,3 +975,43 @@ def test_chunked_moving_frame_multi_hop_ghosts(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_spread_gate_is_bytes_based(spark, tmp_path):
+    """r17 (VERDICT r16 item 6 / ADVICE r16): the _spread gate estimates
+    scan parallelism from BYTES, not file count — Spark bin-packs small
+    files into splits (openCostInBytes charges ~4 MB per file under a
+    maxPartitionBytes bin), so "many files" never implied "many scan
+    tasks". A many-tiny-file corpus must still take the spread (the old
+    file-count gate skipped it); a source whose files carry
+    >= target x maxPartitionBytes worth of bytes must skip it (spreading
+    a large corpus would re-shuffle every byte for nothing)."""
+    from etl_covid19_brasil_spark.llm.similarity import (
+        _scan_parallel_enough,
+        _spread,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "tiny_files")
+    # 2x target tiny files: passes the OLD file-count gate, holds a few
+    # KB of bytes total — nowhere near target splits' worth of work
+    spark.range(target * 2).repartition(target * 2).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) >= target  # the old gate would skip
+    assert not _scan_parallel_enough(df, target)
+    assert _spread(df) is not df  # spread still applied
+
+    # byte gate, other direction: shrink maxPartitionBytes so the same
+    # files are provably >= target splits' worth of bytes -> no spread
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+        assert _scan_parallel_enough(df, target)
+        assert _spread(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # non-file source: unknown layout -> spread applied (AQE coalesces
+    # it when unnecessary), matching the documented contract
+    local = spark.range(10)
+    assert not _scan_parallel_enough(local, target)
