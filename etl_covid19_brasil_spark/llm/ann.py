@@ -964,6 +964,14 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors.
 
+    Precondition (made explicit with the r16 dedup removal — ADVICE
+    r16): ``id_col`` must be UNIQUE per row. The IVF merge no longer
+    deduplicates (query, neighbor) pairs — an index row lives in
+    exactly one argmax home cell and a query's probe cells are
+    distinct, so a pair meets at most once — which means duplicate
+    vec_ids now surface as duplicate top-k rows where the old
+    dropDuplicates silently masked one of them.
+
     ``q_salts`` (r13) splits each cell's QUERY side across that many
     (cell, salt) sub-groups, replicating the cell's index rows into
     every sub-group flagged ``qrole=0`` so they don't re-query — the
