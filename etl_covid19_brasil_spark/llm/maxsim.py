@@ -130,6 +130,18 @@ def _maxsim_score(
     seen: dict = {}
     for r, qd in enumerate(q_pdf["query_doc"]):
         s = seen.get(qd, 0)
+        if s >= max_doc_tokens:
+            # guard the tokens_preselected contract (ADVICE r16): a
+            # caller that skipped the first-max_doc_tokens selection but
+            # passed more tokens would silently bleed this doc's slots
+            # into the NEXT query doc's columns, corrupting both scores.
+            # The query frame is bounded, so the check is free.
+            raise ValueError(
+                f"query doc {qd} carries more than max_doc_tokens="
+                f"{max_doc_tokens} tokens; select the first "
+                f"{max_doc_tokens} distinct tokens per doc (or drop "
+                "tokens_preselected=True) before scoring"
+            )
         seen[qd] = s + 1
         slot_of_row[r] = qdoc_pos[int(qd)] * max_doc_tokens + s
     q_mat = np.stack(q_pdf["q_vec"].to_numpy()).astype(np.int64)
@@ -169,11 +181,19 @@ def _maxsim_score(
             out = pd.DataFrame(full, columns=[f"c{i}" for i in range(nc)])
             out.insert(0, "doc_id", docs)
             g = out.groupby("doc_id", sort=False).max().reset_index()
-            cols = g.columns[1:]
-            g[cols] = g[cols].astype("Int64")
-            for c in cols:
-                g.loc[g[c] == SENT, c] = pd.NA
-            yield g
+            # r17 (VERDICT r16 item 8): the SENT -> NULL conversion used
+            # to run one boolean `.loc` assignment per slot column —
+            # n_qdocs x max_doc_tokens Python-level pandas ops per
+            # batch, the measured super-linear term in the n_qdocs
+            # sweep (scripts/maxsim_qdocs_probe.py). One numpy mask
+            # over the whole block + nullable-array wrapping is
+            # bit-identical and O(cells) in C.
+            vals = g.iloc[:, 1:].to_numpy(dtype=np.int64)
+            mask = vals == SENT
+            data = {"doc_id": g["doc_id"].to_numpy(dtype=np.int64)}
+            for i, c in enumerate(g.columns[1:]):
+                data[c] = pd.arrays.IntegerArray(vals[:, i], mask[:, i])
+            yield pd.DataFrame(data)
 
     part_schema = "doc_id long, " + ", ".join(
         f"c{i} long" for i in range(n_cols)

@@ -170,3 +170,19 @@ def test_maxsim_preselected_tokens_match_default_path(spark):
     a = sorted(map(tuple, generic.collect()))
     b = sorted(map(tuple, fast.collect()))
     assert a == b
+
+
+def test_preselected_token_overflow_raises(spark):
+    """r17 (ADVICE r16): tokens_preselected trusts callers to cap each
+    doc at max_doc_tokens tokens. A violating caller used to silently
+    bleed the overflowing doc's slot maxes into the NEXT query doc's
+    columns, corrupting both scores; the slot builder now rejects it
+    loudly (the query frame is bounded, so the check is free)."""
+    from etl_covid19_brasil_spark.llm.maxsim import maxsim_topk
+
+    toks = spark.createDataFrame(
+        [(1, f"tok{i}") for i in range(10)] + [(2, "tok0")],
+        "doc_id long, token string",
+    )
+    with pytest.raises(ValueError, match="max_doc_tokens"):
+        maxsim_topk(toks, k=1, prefilter=False, tokens_preselected=True)
