@@ -111,6 +111,28 @@ def check_query(
     sf_dir: str,
 ) -> DiffResult:
     sdf = spec.spark(spark, sf_dir)
+    # Scalar-only output contract (r04 lesson; enforced here since r17
+    # so the oracle sweep pins it per query at zero extra cost — the
+    # dedicated all-408-builds schema test paid ~4.5 min re-running
+    # every eager construction just to read schemas): the driver's
+    # result canonicalizer sorts every column with pandas sort_values,
+    # and array/map cells are unhashable there — they crash even
+    # rows-only checks.
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    if bad:
+        return DiffResult(
+            spec.name,
+            False,
+            f"array/map output columns {bad} break the driver canonicalizer",
+            0,
+            -1,
+        )
     spark_pdf = sdf.toPandas()
     if spec.oracle is None:
         # rows-only contract: query must run and produce a stable schema.

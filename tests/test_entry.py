@@ -80,17 +80,27 @@ def test_no_array_or_map_columns_in_checked_outputs(spark):
     even rows-only checks (r04: embedding_quantize_int8,
     media_decode_features, embedding_pq_codes). Checked query outputs
     must be scalar-only — serialize arrays (concat_ws / array_join)
-    before returning."""
-    from pyspark.sql.types import ArrayType, MapType
+    before returning.
 
-    offenders = {}
-    for name, fn in E.queries().items():
-        df = fn(spark, "/root/testdata/sf0.001")
-        bad = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType))
-        ]
-        if bad:
-            offenders[name] = bad
-    assert not offenders, f"array/map output columns: {offenders}"
+    r17 (VERDICT r16 item 2): the per-query schema check now lives in
+    oracle.check_query, so the full 408-query oracle sweep
+    (tests/test_oracle.py) pins it per query at zero extra cost — the
+    old form here re-ran every eager construction just to read
+    schemas (~4.5 min). This test pins the ENFORCEMENT: a query spec
+    returning an array column must fail check_query before any row
+    comparison runs."""
+    import duckdb
+
+    from etl_covid19_brasil_spark.oracle import check_query
+    from etl_covid19_brasil_spark.registry import QuerySpec
+
+    def bad_query(s, sf):
+        return s.range(1).selectExpr("id", "array(1, 2) AS arr")
+
+    spec = QuerySpec(
+        name="__arr_probe__", spark=bad_query, oracle=None, section="t", doc="t"
+    )
+    con = duckdb.connect()
+    res = check_query(spark, con, spec, "/root/testdata/sf0.001")
+    con.close()
+    assert not res.ok and "array/map" in res.detail, res
